@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline registry queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (collect-less: count via noop write would hide
+result production; we use a lightweight collect of aggregated results or
+count() for row-heavy outputs) after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from s3_to_redshift_with_airflow_spark.plans import REGISTRY  # noqa: E402
+from s3_to_redshift_with_airflow_spark.session import build_session  # noqa: E402
+
+# Headline set: the flagship star-join aggregation, the stateful-style hourly
+# rollup, the big-group aggregate, window top-k, dedup, and the windowed
+# event-time aggregation — the queries whose plans dominate at scale.
+HEADLINE = [
+    "genre_kpis",
+    "hourly_kpis",
+    "agg_stats",
+    "window_topk",
+    "dedup_exact",
+    "hour_window_agg",
+    "upsert",
+    "left_join_fill",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    fn = REGISTRY[name].fn
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    # Force full execution and result materialization without driver overload:
+    # aggregated outputs are small → collect; row-heavy outputs → count.
+    n = df.count()
+    if n <= 100_000:
+        df.collect()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = build_session(app_name="bench")
+
+    # Warm up JVM/codegen so measured times reflect steady-state execution.
+    run_query(spark, "agg_stats", sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in REGISTRY:
+            continue
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

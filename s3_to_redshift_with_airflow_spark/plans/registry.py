@@ -1,0 +1,548 @@
+"""Query registry: every implemented operator as a named (Spark fn, oracle SQL)
+pair, runnable against the driver's testdata tables.
+
+This is the single source of truth consumed by `__spark_entry__.py`
+(`queries()` / `oracle_sql()`), by `tests/test_registry_oracle.py` (local
+replica of the driver's DuckDB comparison), and by `bench.py`.
+
+Conventions (driver contract, /root/repo/__spark_entry__.py docstring):
+  - each Spark fn takes (spark, sf_dir) and returns a DataFrame;
+  - every computed column is aliased identically in Spark and SQL;
+  - results are deterministic: no arbitrary-survivor dedup, ties pinned,
+    floats produced by a single double operation over exact (integer/decimal)
+    partial aggregates so values are bit-identical regardless of partitioning
+    or engine (a raw double SUM is accumulation-order-dependent);
+  - integer outputs are cast to BIGINT (DuckDB counts are BIGINT; mixed widths
+    would fail schema comparison);
+  - session TZ pinned to UTC before building a plan (event-time bucketing).
+
+The music-domain role mapping onto the TPC-H-ish testdata follows
+/root/repo/FIXTURES.md §F5: streams→lineitem/events, users→customer,
+songs→part (genre↔p_type, duration↔p_retailprice).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import ensure_utc
+from ..sources.readers import load_tables
+from ..operators.relational import mode_per_group, topk_per_group, upsert_dataframe
+from ..operators.kpi import enrich_streams, genre_kpis, hourly_kpis
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: Optional[str] = None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    ensure_utc(spark)
+    return load_tables(spark, sf_dir, *names)
+
+
+# Exact decimal-sum average: deterministic across engines/partitionings.
+def _exact_avg(col: str, alias: str, scale: str = "decimal(27,6)") -> F.Column:
+    c = F.col(col)
+    return (F.sum(c.cast(scale)).cast("double") / F.count(c)).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's twin KPI computation (kpi_processor.py:40-101)
+# mapped onto the testdata star schema.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "genre_kpis",
+    oracle="""
+    SELECT p_type AS track_genre,
+           COUNT(l_partkey) AS listen_count,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(p_retailprice) AS avg_duration
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY p_type
+    """,
+)
+def q_genre_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference genre_kpis (A1+A2 over J1, kpi_processor.py:69-72): star join
+    fact⨝dim⨝dim then group-by-genre count + mean. Role mapping: lineitem as
+    streams, part as songs (p_type=genre, p_retailprice=duration), orders ⨝
+    customer as the user leg. Dims broadcast; single shuffle on the group key."""
+    lineitem, part, orders, customer = _t(spark, sf_dir, "lineitem", "part", "orders", "customer")
+    fact = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).join(
+        F.broadcast(customer.select("c_custkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    enriched = fact.join(
+        F.broadcast(part.select("p_partkey", "p_type", "p_retailprice")),
+        fact.l_partkey == F.col("p_partkey"),
+    )
+    return enriched.groupBy(F.col("p_type").alias("track_genre")).agg(
+        F.count("l_partkey").alias("listen_count"),
+        _exact_avg("p_retailprice", "avg_duration"),
+    )
+
+
+@query(
+    "hourly_kpis",
+    oracle="""
+    WITH e AS (SELECT hour(ts) AS hour, user_id, event_type FROM events),
+    agg AS (
+      SELECT hour,
+             COUNT(DISTINCT user_id) AS unique_listeners,
+             CAST(COUNT(DISTINCT event_type) AS DOUBLE) / COUNT(*) AS track_diversity_index
+      FROM e GROUP BY hour
+    ),
+    c AS (SELECT hour, event_type, COUNT(*) AS cnt FROM e GROUP BY hour, event_type),
+    m AS (
+      SELECT hour, event_type AS top_artists,
+             ROW_NUMBER() OVER (PARTITION BY hour ORDER BY cnt DESC, event_type ASC) AS rn
+      FROM c
+    )
+    SELECT agg.hour, agg.unique_listeners, m.top_artists, agg.track_diversity_index
+    FROM agg JOIN m ON agg.hour = m.hour AND m.rn = 1
+    """,
+)
+def q_hourly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference hourly_kpis (A3+A4+A5, kpi_processor.py:88-92): hour-of-day
+    buckets, count-distinct listeners, deterministic modal value (pandas
+    tie-break: smallest), distinct-ratio diversity index. Role mapping: events
+    as streams, event_type as the modal track stand-in."""
+    (events,) = _t(spark, sf_dir, "events")
+    e = events.select(
+        F.hour("ts").cast("bigint").alias("hour"), "user_id", "event_type"
+    )
+    base = e.groupBy("hour").agg(
+        F.countDistinct("user_id").alias("unique_listeners"),
+        (F.countDistinct("event_type").cast("double") / F.count(F.lit(1))).alias(
+            "track_diversity_index"
+        ),
+    )
+    top = mode_per_group(e, ["hour"], "event_type", "top_artists")
+    return base.join(top, "hour").select(
+        "hour", "unique_listeners", "top_artists", "track_diversity_index"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational core parity (SURVEY §2.2-§2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "projections",
+    oracle="""
+    SELECT event_id,
+           hour(ts) AS hr,
+           lower(event_type) AS event_type_lc,
+           value * 2 AS value_x2,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           user_id * 2 AS total_streams
+    FROM events
+    """,
+)
+def q_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection suite: P2 timestamp cast + P3 hour extract + P4 lowercase +
+    P6 arithmetic derive (the loader's *2 default, load_to_redshift.py:232-236)
+    + P11 date cast. Pure narrow transformations — no shuffle, fully codegen'd,
+    column pruning reaches the parquet scan."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.lower("event_type").alias("event_type_lc"),
+        (F.col("value") * 2).alias("value_x2"),
+        F.col("ts").cast("date").cast("string").alias("event_date"),
+        (F.col("user_id") * 2).alias("total_streams"),
+    )
+
+
+@query(
+    "filters",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+      AND l_returnflag IN ('A', 'R')
+    """,
+)
+def q_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter suite (F1-F8 analogues): range, between, threshold, set
+    membership — all pushed to the parquet scan (PushedFilters), raw row
+    output so values are bit-identical."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+        & (F.col("l_returnflag").isin("A", "R"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation suite (A1/A2/A10 generalized, TPC-H Q1 shape): multi-agg
+    group-by with exact decimal partials. One shuffle; HashAggregate
+    partial+final with whole-stage codegen."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast("decimal(27,6)")
+    price_dec = F.col("l_extendedprice").cast("decimal(27,6)")
+    return lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty_dec).cast("double").alias("sum_qty"),
+        F.sum(price_dec).cast("double").alias("sum_base_price"),
+        (F.sum(qty_dec).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+        (F.sum(price_dec).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (the J3 DELETE-USING shape, load_to_redshift.py:187-201):
+    customers with no urgent order. Catalyst executes NOT EXISTS as
+    BroadcastHashJoin(LeftAnti) here."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.join(urgent, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "semi_join",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000
+    )
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having a >200k order. Semi joins
+    never duplicate the left side — the right side is reduced to key presence."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.join(big, "c_custkey", "left_semi").select("c_custkey", "c_acctbal")
+
+
+@query(
+    "left_join_fill",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.total_spent, 0.0) AS total_spent
+    FROM customer
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_spent
+      FROM orders GROUP BY o_custkey
+    ) o ON o_custkey = c_custkey
+    """,
+)
+def q_left_join_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + null default-fill (P8 semantics,
+    load_to_redshift.py:246-251): per-customer order stats with 0 defaults for
+    customers without orders."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)")).cast("double").alias("total_spent"),
+    )
+    return (
+        customer.select("c_custkey")
+        .join(per_cust, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a key subset (D1/D2 shape, extract_metadata.py:120):
+    distinct (user, event_type) pairs. Partial-aggregated map-side before the
+    shuffle — at 100 TB this is the canonical cheap dedup."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.select("user_id", "event_type").distinct()
+
+
+@query(
+    "dedup_survivor",
+    oracle="""
+    SELECT user_id, event_type, event_id, value
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-survivor subset dedup (D2, extract_stream_data.py:206:
+    'first occurrence wins' — pinned as min event_id, since Spark's
+    dropDuplicates keeps an arbitrary row)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return topk_per_group(
+        events.select("user_id", "event_type", "event_id", "value"),
+        ["user_id", "event_type"],
+        [F.col("event_id").asc()],
+        k=1,
+    ).drop("rk")
+
+
+@query(
+    "top1_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per group (O6/A4 window idiom): each customer's largest order,
+    ties pinned by ascending key."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return topk_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=1,
+    ).drop("rk")
+
+
+@query(
+    "window_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General top-k per group: 3 largest orders per customer with rank."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    out = topk_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return out.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+@query(
+    "union_all",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM (
+      SELECT event_type FROM events WHERE value > 400
+      UNION ALL
+      SELECT event_type FROM events WHERE value < 10
+    )
+    GROUP BY event_type
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all (O3, pd.concat at extract_stream_data.py:200) of two filtered
+    scans, then aggregate. Spark unions are plan-level — no materialization."""
+    (events,) = _t(spark, sf_dir, "events")
+    hi = events.filter(F.col("value") > 400).select("event_type")
+    lo = events.filter(F.col("value") < 10).select("event_type")
+    return hi.unionByName(lo).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + limit (O1/O4): global top-10 orders. Spark executes as
+    TakeOrderedAndProject — per-partition top-k then driver merge, never a
+    full global sort."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "upsert",
+    oracle="""
+    WITH target AS (
+      SELECT user_id, COUNT(*) AS n_events
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    source AS (
+      SELECT user_id, COUNT(*) AS n_events
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT t.user_id, t.n_events FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.user_id = t.user_id)
+    UNION ALL
+    SELECT user_id, n_events FROM source
+    """,
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-level upsert (J3, load_to_redshift.py:187-201): source rows replace
+    same-key target rows, unmatched target rows survive — anti-join + union,
+    the in-engine equivalent of the reference's DELETE USING + INSERT SELECT."""
+    (events,) = _t(spark, sf_dir, "events")
+    target = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    source = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return upsert_dataframe(target, source, ["user_id"])
+
+
+@query(
+    "validation_report",
+    oracle="""
+    SELECT COUNT(*) AS row_count,
+           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
+           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nulls,
+           SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts_nulls,
+           COUNT(*) - COUNT(DISTINCT event_id) AS dup_event_ids,
+           SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS negative_values,
+           SUM(CASE WHEN value > 480 THEN 1 ELSE 0 END) AS over_threshold
+    FROM events
+    """,
+)
+def q_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality aggregate (V1-V9, schema_check.py:77-224):
+    null counts, duplicate keys, range violations — the reference's whole rule
+    registry evaluated in ONE scan instead of one pandas pass per rule."""
+    (events,) = _t(spark, sf_dir, "events")
+    nulls = lambda c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls")
+    return events.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        nulls("user_id"),
+        nulls("event_type"),
+        nulls("ts"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("dup_event_ids"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("negative_values"),
+        F.sum(F.when(F.col("value") > 480, 1).otherwise(0)).alias("over_threshold"),
+    )
+
+
+@query(
+    "hour_window_agg",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_hour_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation (§2.10 batch form): the
+    calendar-hour variant of hourly_kpis (the reference collapses days via
+    hour-of-day; real pipelines window on the full timestamp). Window start
+    emitted as epoch seconds for engine-neutral comparison. Identical plan
+    shape to the Structured Streaming variant in streaming/pipeline.py."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("window_start"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+        )
+    )

@@ -1,0 +1,51 @@
+"""Local replica of the driver's correctness gate at sf0.001 (fast).
+
+Every registry query with an oracle must match DuckDB exactly: column set,
+row count, and values (order-insensitive). This mirrors the driver's
+CORRECTNESS check so regressions surface in `pytest` before a round ends.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+from s3_to_redshift_with_airflow_spark.sources.readers import TESTDATA_TABLES, table_path
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF_SMOKE, t)}')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, oracle_con):
+    spec = REGISTRY[name]
+    result = spec.fn(spark, SF_SMOKE).toPandas()
+    if spec.oracle is None:
+        assert len(result) >= 0  # rows-only contract: must run and be stable
+        return
+    expected = oracle_con.execute(spec.oracle).fetchdf()
+    a, b = normalize(result), normalize(expected)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"rowcount {len(a)} != {len(b)}"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)

@@ -1,0 +1,91 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registry query on Spark and its oracle SQL on DuckDB against the
+same parquet tables, then compares row count, schema (column names), and an
+order-insensitive value comparison (columns sorted by name, rows sorted).
+
+Usage:
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from s3_to_redshift_with_airflow_spark.plans import REGISTRY  # noqa: E402
+from s3_to_redshift_with_airflow_spark.session import build_session  # noqa: E402
+from s3_to_redshift_with_airflow_spark.sources.readers import (  # noqa: E402
+    TESTDATA_TABLES,
+    table_path,
+)
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = build_session(shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+
+    failures = []
+    for name, spec in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if spec.oracle is None:
+            print(f"ok   {name}: rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            oracle_pdf = con.execute(spec.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        a, b = normalize(spark_pdf), normalize(oracle_pdf)
+        if list(a.columns) != list(b.columns):
+            failures.append(name)
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            continue
+        if len(a) != len(b):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount {len(a)} vs {len(b)}")
+            continue
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+        except AssertionError as e:
+            failures.append(name)
+            print(f"FAIL {name}: values differ: {str(e)[:400]}")
+            continue
+        print(f"ok   {name}: {len(a)} rows exact-match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} queries pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
