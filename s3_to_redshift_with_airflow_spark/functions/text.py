@@ -1,0 +1,147 @@
+"""Text-analysis column functions for large-scale document pipelines.
+
+All pure built-in Spark expressions (JVM-side, codegen'd — no Python in the
+hot path): tokenization, token/char statistics, punctuation ratios, language
+identification (stopword-marker heuristic), quality scoring, and document
+fingerprinting (normalized-content hash).
+
+These extend the reference's text surface (it only lowercases genres,
+reference: dags/etl/schema_check.py:178) to the LLM-training-data operators
+mandated by BASELINE.json: language-ID, quality scoring, token counting,
+fingerprinting — each designed to run in one scan over a 100 TB documents
+table.
+
+Determinism: every float is produced by scalar IEEE ops over exact integer
+counts with a fixed expression tree — bit-identical across engines and
+partitionings (no order-dependent double reductions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Alphabetical language order is the documented tie-break.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it"],
+    "es": ["el", "los", "las", "una", "que", "por", "con", "para"],
+    "fr": ["le", "les", "des", "est", "dans", "pour", "avec", "sur"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["a", "an", "for", "on", "with", "as", "at", "by"]
+
+# BPE-ish lexer: word pieces, digit runs, or single non-space symbols —
+# the classic pre-tokenization shape (letters | digits | other-nonspace).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def norm_text(c: Column) -> Column:
+    """Normalize: lowercase, trim, collapse internal whitespace runs."""
+    return F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(norm_text(c), " ")
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c)).cast("bigint")
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """Token count under the BPE-ish lexer (regexp scan, no array built)."""
+    return F.size(F.regexp_extract_all(norm_text(c), F.lit(BPE_ISH_PATTERN), 0)).cast(
+        "bigint"
+    )
+
+
+def char_count(c: Column) -> Column:
+    return F.length(c).cast("bigint")
+
+
+def punct_count(c: Column) -> Column:
+    """ASCII punctuation characters (Java \\p{Punct} ≡ POSIX [[:punct:]])."""
+    return F.length(F.regexp_replace(c, "[^\\p{Punct}]", "")).cast("bigint")
+
+
+def stopword_count(c: Column, stopwords: list[str] | None = None) -> Column:
+    words = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    return F.size(F.filter(tokens(c), lambda t: F.array_contains(words, t))).cast(
+        "bigint"
+    )
+
+
+def fingerprint(c: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text. Identical documents
+    (modulo case/whitespace) collide by construction — the exact-dedup key."""
+    return F.md5(norm_text(c))
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    """Marker-hit count per language over the token set."""
+    toks = tokens(c)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast(
+            "bigint"
+        )
+    return out
+
+
+def lang_id(c: Column) -> Column:
+    """Heuristic language ID: argmax marker-hit count; ties broken by
+    alphabetical language code; zero hits → 'und' (BCP-47 undetermined)."""
+    scores = lang_scores(c)
+    mx = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # Build the CASE chain in reverse-alphabetical order so that the final
+    # expression checks languages alphabetically first (first-match wins).
+    for lang in sorted(scores, reverse=True):
+        expr = F.when((mx > 0) & (scores[lang] == mx), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(c: Column) -> Column:
+    """Composite quality score in [0,1]: length, punctuation, stopword, and
+    word-shape signals — the standard cheap pre-filter for web-scale corpora.
+
+    score = 0.3*min(tokens/100,1) + 0.3*(1-punct_ratio)
+          + 0.2*min(stop_ratio*5,1) + 0.2*min(avg_word_len/8,1)
+    """
+    n_tok = token_count(c).cast("double")
+    n_char = char_count(c).cast("double")
+    n_punct = punct_count(c).cast("double")
+    n_stop = stopword_count(c).cast("double")
+    # chars excluding spaces ≈ sum of word lengths
+    n_nonspace = F.length(F.regexp_replace(norm_text(c), " ", "")).cast("double")
+    punct_ratio = n_punct / F.greatest(n_char, F.lit(1.0))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1.0))
+    avg_word_len = n_nonspace / F.greatest(n_tok, F.lit(1.0))
+    return (
+        F.lit(0.3) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+        + F.lit(0.2) * F.least(avg_word_len / F.lit(8.0), F.lit(1.0))
+    )
+
+
+def token_shingles(c: Column, n: int = 3) -> Column:
+    """Distinct n-gram token shingles (array<string>) — the unit set for
+    Jaccard/MinHash near-dup detection. Empty array when fewer than n tokens."""
+    toks = tokens(c)
+    count = F.size(toks) - (n - 1)
+    # Guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not an empty array,
+    # so short documents must short-circuit to [].
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+    )

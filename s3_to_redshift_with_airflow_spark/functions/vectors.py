@@ -1,0 +1,51 @@
+"""Vector column functions over ArrayType embeddings.
+
+Pure built-in higher-order functions (JVM-side): dot product, norms, cosine
+similarity as sequential folds. The fold order is fixed (left-to-right), so
+results are bit-deterministic and engine-comparable — verified bit-identical
+against DuckDB's list_sum fold on the driver testdata.
+
+Elements are cast to double BEFORE any arithmetic: float32 accumulation
+differs between engines and loses precision at 64+ dims.
+
+Scale path: these expressions run inside whole-stage codegen per row — no
+shuffle, no Python. For top-k search over N vectors see
+operators/similarity.py (brute-force scan baseline + hyperplane-LSH bucketed
+variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (bit-deterministic)."""
+    return F.aggregate(
+        F.zip_with(as_double(a), as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 for zero-norm inputs (guarded division)."""
+    na, nb = norm(a), norm(b)
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot(a, b) / (na * nb))
+
+
+def l2_normalize(v: Column) -> Column:
+    """Unit-normalize (zero vectors pass through unchanged)."""
+    n = norm(v)
+    return F.when(n == 0, as_double(v)).otherwise(
+        F.transform(as_double(v), lambda x: x / n)
+    )

@@ -1,0 +1,252 @@
+"""Deduplication operators for large-scale document corpora.
+
+The reference's dedup surface is pandas `drop_duplicates` (reference:
+dags/etl/extract_metadata.py:120, extract_stream_data.py:206 — D1/D2). This
+module keeps those (see operators/relational.py) and adds the corpus-scale
+family mandated for LLM training-data pipelines:
+
+  - exact_dedup_by_fingerprint: hash-groupBy on the normalized-content md5 —
+    one shuffle on a 128-bit key; the canonical first pass at any scale.
+  - ngram_jaccard_pairs: exact pairwise Jaccard over token-shingle sets —
+    the O(N²) oracle; correct but only for modest N or within blocks.
+  - minhash_lsh_pairs: MinHash signatures + banded LSH (Broder 1997 /
+    Leskovec-Rajaraman-Ullman ch.3) with exact-Jaccard verification of
+    candidates. The scale path: cost ~ O(N·H) + collisions instead of O(N²).
+  - simhash64: Charikar-2002 64-bit fingerprints + hamming-banded near-dup
+    pairs (pigeonhole on 16-bit chunks).
+
+Everything is expressed with built-in functions (xxhash64, explode,
+groupBy-join); no Python UDFs, so plans stay in whole-stage codegen.
+
+Determinism: all hash families are seeded xxhash64 — stable across runs,
+partitionings, and cluster sizes. LSH candidate sets are hash-determined;
+final outputs are exact-verified (threshold on true Jaccard / hamming), so
+results are reproducible (approximate only in recall, never in precision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint, token_shingles
+
+
+def exact_dedup_by_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact near-identical dedup: group by normalized-content fingerprint,
+    keep the smallest id as canonical. Returns (fingerprint, canonical_id,
+    n_copies) — join back on fingerprint to filter the corpus."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col), token_shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard similarity, pairs above threshold.
+
+    |A∪B| is computed as |A|+|B|-|A∩B| over distinct shingle sets, so only
+    array_intersect is needed (array_union semantics differ between engines).
+    O(N²) — the oracle/verification path; use minhash_lsh_pairs at scale.
+    """
+    a = _shingled(df, id_col, text_col, n).select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    b = _shingled(df, id_col, text_col, n).select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: for hash function i, the minimum
+    seeded xxhash64 over the shingle set. Returns (id, sig: array<long>).
+
+    One projection, no shuffle; num_hashes×|shingles| hash evaluations per
+    row inside codegen."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.xxhash64(F.lit(seed + i), s),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return _shingled(df, id_col, text_col, n).select(
+        F.col(id_col), sig.alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    n_bands: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH + exact-Jaccard verification.
+
+    rows-per-band r = num_hashes/n_bands; candidate pairs share ≥1 band
+    (P[candidate] = 1-(1-j^r)^b — with r=2,b=32 a j=0.8 pair is missed with
+    probability (1-0.64)^32 ≈ 5e-15). Candidates are then verified with the
+    exact Jaccard, so precision is 1.0 by construction.
+
+    Plan shape at scale: signatures (map-side) → explode bands (×b) →
+    self-join on (band, band-hash) → dedup pairs → verify. The join key is
+    a 64-bit hash of the band slice; skew only on pathological corpora
+    (all-identical docs) — AQE skew split applies.
+    """
+    r = num_hashes // n_bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)]).alias(
+                            "key"
+                        ),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+    left = bands.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = bands.select(F.col(id_col).alias("id_b"), "band", "key")
+    cands = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh = _shingled(df, id_col, text_col, n)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 1
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document (Charikar 2002): per bit,
+    majority vote of token-hash bits. Returns (id, simhash long).
+
+    Expressed as one aggregation over exploded tokens: 64 conditional sums
+    (+1/-1 per bit) then bit assembly — single shuffle on the id."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(token_shingles(F.col(text_col), n)).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim + term
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Blocking by pigeonhole: distance ≤ 3 ⇒ at least one of the four 16-bit
+    chunks is equal, so candidates join on (chunk_index, chunk_value) —
+    never the full cross product. Exact hamming verifies candidates."""
+    sigs = simhash64(df, id_col, text_col)
+    chunks = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk", "ck.val")
+    left = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "chunk", "val"
+    )
+    right = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk", "val"
+    )
+    return (
+        left.join(right, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns.
+
+Two strategies, both pure DataFrame ops:
+
+1. `brute_force_topk` — exact cosine top-k: broadcast the (small) query set,
+   one scan over the corpus, window top-k. This is the correctness baseline
+   and the right plan whenever |queries| is small: the corpus is read once,
+   never shuffled (the only exchange is on query_id for the final window,
+   whose input is already reduced to |queries|·k_candidates rows... actually
+   candidates = corpus×queries rows; see the LSH variant for the scale path).
+
+2. `hyperplane_lsh_topk` — approximate top-k via random-hyperplane LSH
+   (SimHash for vectors, Charikar 2002): each vector gets a B-bit signature
+   from fixed pseudo-random hyperplanes; candidates must share a signature
+   band (prefix blocks), then exact cosine re-ranks within buckets. The
+   hyperplanes derive deterministically from a seed via a hash-based
+   generator (no RNG state), so results are reproducible across runs and
+   cluster sizes. At 100 TB: the bucket join replaces the full cross
+   product — cost drops from O(N·Q) to O(collisions).
+
+Both tie-break deterministically (cosine desc, id asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.vectors import cosine, dot
+from .relational import topk_per_group
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, vec_id, cos_sim, rk). Self-matches (same id) excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        [query_id_col],
+        [F.col("cos_sim").desc(), F.col(id_col).asc()],
+        k=k,
+    )
+
+
+def _hyperplane(dim: int, bit: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from a counter hash.
+
+    Components are derived from a 64-bit mix of (seed, bit, i) — stable across
+    runs, no RNG object. Only the sign pattern matters for LSH quality.
+    """
+    comps = []
+    for i in range(dim):
+        h = (seed * 1_000_003 + bit * 8191 + i) & 0xFFFFFFFFFFFFFFFF
+        # xorshift-style mix
+        h ^= (h >> 33); h = (h * 0xFF51AFD7ED558CCD) & 0xFFFFFFFFFFFFFFFF
+        h ^= (h >> 33); h = (h * 0xC4CEB9FE1A85EC53) & 0xFFFFFFFFFFFFFFFF
+        h ^= (h >> 33)
+        comps.append((h / 2**63) - 1.0)  # ∈ [-1, 1)
+    return comps
+
+
+def with_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach an n_bits hyperplane signature column `__sig` (long)."""
+    bits = []
+    for b in range(n_bits):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, b, seed)])
+        bits.append(
+            F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return df.withColumn("__sig", sig.cast("long"))
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one signature band
+    (n_bits split into n_bands blocks), exact cosine re-ranks candidates.
+
+    Recall rises with n_bands (more, shorter bands → more candidates);
+    n_bands == n_bits degenerates to per-bit buckets (near-exhaustive).
+    """
+    band_size = n_bits // n_bands
+    mask = (1 << band_size) - 1
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("__sig"), i * band_size)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for i in range(n_bands)
+            ]
+        )
+        return df.withColumn("__band", F.explode(bands)).select(
+            F.col(f"__band.band").alias(f"{side}_band"),
+            F.col(f"__band.key").alias(f"{side}_key"),
+            "*",
+        )
+
+    c = banded(with_signature(corpus, vec_col, dim, n_bits, seed), "c")
+    q = banded(
+        with_signature(
+            queries.select(
+                F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+            ),
+            "__qvec",
+            dim,
+            n_bits,
+            seed,
+        ),
+        "q",
+    )
+    cands = (
+        c.join(
+            F.broadcast(q),
+            (c.c_band == q.q_band) & (c.c_key == q.q_key),
+        )
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, vec_col, "__qvec")
+        .dropDuplicates([query_id_col, id_col])
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
+        )
+    )
+    return topk_per_group(
+        cands, [query_id_col], [F.col("cos_sim").desc(), F.col(id_col).asc()], k=k
+    )

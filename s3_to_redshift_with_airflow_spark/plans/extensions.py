@@ -1,0 +1,310 @@
+"""Extension-operator registry entries: text analysis, document dedup,
+similarity search (SURVEY §2.13 / BASELINE.json north-star ops).
+
+Oracle SQL is generated from the SAME constants as the Spark expressions
+(functions/text.py) so both engines always evaluate the same formula; float
+outputs follow the bit-determinism rules documented in registry.py.
+
+LSH-based queries keep exact oracles where the miss probability is
+negligible by construction (minhash at j≥0.8 with r=2,b=32: ~5e-15 per
+pair); genuinely hash-dependent outputs (simhash, hyperplane-LSH top-k) are
+registered without oracles → the driver records rows-only checks, and
+tests/test_dedup.py pins their semantics against brute-force ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_ISH_PATTERN,
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    char_count,
+    fingerprint,
+    lang_id,
+    punct_count,
+    quality_score,
+    token_count,
+)
+from ..operators.dedup import (
+    exact_dedup_by_fingerprint,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from ..operators.similarity import brute_force_topk, hyperplane_lsh_topk
+from .registry import _t, query
+
+# --- shared DuckDB SQL fragments (generated from the same constants) -------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
+
+
+def _sql_count_in(words: list[str]) -> str:
+    return f"len(list_filter({_TOKS}, t -> list_contains({_sql_list(words)}, t)))"
+
+
+def _lang_case() -> str:
+    scores = {lang: f"s_{lang}" for lang in LANG_MARKERS}
+    mx = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "".join(
+        f" WHEN {scores[lang]} = {mx} THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+    )
+    return f"CASE WHEN {mx} = 0 THEN 'und'{whens} END"
+
+
+_SHINGLES = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len({_TOKS}) - 2, 0) + 1), "
+    f"i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' ')))"
+)
+
+_DOT = "list_sum(list_transform(list_zip(cv, qv), x -> x[1]*x[2]))"
+_NORM_CV = "sqrt(list_sum(list_transform(cv, x -> x*x)))"
+_NORM_QV = "sqrt(list_sum(list_transform(qv, x -> x*x)))"
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(regexp_extract_all({_NORM}, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+           md5({_NORM}) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text statistics per document: whitespace token count, BPE-ish lexer
+    token count, char/punctuation counts, content fingerprint — the cheap
+    single-scan profile pass of a training-data pipeline (all codegen'd
+    expressions, no Python)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        char_count(t).alias("n_chars"),
+        punct_count(t).alias("n_punct"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_sql_count_in(m)} AS s_{lang}" for lang, m in LANG_MARKERS.items())}
+      FROM documents
+    )
+    SELECT doc_id, lang, {_lang_case()} AS lang_guess FROM s
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-marker argmax, alphabetical tie-break,
+    'und' when no markers hit) next to the declared label."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_guess"))
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_char,
+             CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST({_sql_count_in(EN_STOPWORDS)} AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace({_NORM}, ' ', '', 'g')) AS DOUBLE) AS n_nonspace
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           0.3 * least(n_tok / 100.0, 1.0)
+             + 0.3 * (1.0 - n_punct / greatest(n_char, 1.0))
+             + 0.2 * least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0)
+             + 0.2 * least(n_nonspace / greatest(n_tok, 1.0) / 8.0, 1.0)
+             AS quality
+    FROM c
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (length/punctuation/stopword/word-
+    shape signals) — the standard cheap pre-filter before expensive pipeline
+    stages; identical scalar IEEE expression tree in both engines."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        quality_score(t).alias("quality"),
+    )
+
+
+# --- dedup family ----------------------------------------------------------
+
+
+@query(
+    "doc_dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fingerprint,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content fingerprint: one shuffle on the
+    128-bit hash; canonical = smallest doc_id (deterministic)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return exact_dedup_by_fingerprint(docs)
+
+
+@query(
+    "ngram_neardup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    f AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+                - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jaccard
+    FROM f a, f b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+               - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.5
+    """,
+)
+def q_ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) — the O(N²)
+    verification oracle for the MinHash path; run it only on blocks/samples
+    at scale."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@query(
+    "minhash_neardup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    f AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+                - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jaccard
+    FROM f a, f b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+               - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.8
+    """,
+)
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at j≥0.8 (64 hashes, 32 bands × r=2):
+    LSH candidates + exact-Jaccard verification. The oracle is the exact
+    brute-force pair set — valid because the banding miss probability at
+    j≥0.8 is ~(1-0.8²)³² ≈ 5e-15 per pair. The scalable replacement for
+    ngram_neardup."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=64, n_bands=32, threshold=0.8)
+
+
+@query("simhash_neardup", oracle=None)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming ≤ 3, pigeonhole-blocked). Output
+    depends on the xxhash64 family (not SQL-reproducible) → rows-only check
+    here; tests/test_dedup.py verifies recall against planted near-dups."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=3)
+
+
+# --- similarity search -----------------------------------------------------
+
+
+@query(
+    "ann_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (
+      SELECT query_id, vec_id, {_DOT} / ({_NORM_CV} * {_NORM_QV}) AS cos_sim
+      FROM c, q WHERE vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rk
+      FROM s
+    )
+    SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 10
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors: broadcast queries,
+    one corpus scan, window top-k — the similarity-search correctness
+    baseline (cosine folds are bit-identical across engines)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos_sim
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+            / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+               * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.4
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥0.4): the semantic-dedup primitive.
+    Brute-force here (oracle-exact); hyperplane-LSH variant below is the
+    scale path."""
+    from ..functions.vectors import cosine
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+@query("lsh_ann_topk", oracle=None)
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (16-bit signatures, 4 bands): the
+    100 TB path — bucket join instead of cross product, exact cosine re-rank
+    within candidates. Hash-dependent output → rows-only here; recall vs the
+    exact baseline is pinned in tests/test_similarity.py."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    out = hyperplane_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rk", F.col("rk").cast("bigint"))

@@ -491,30 +491,31 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "validation_report",
     oracle="""
     SELECT COUNT(*) AS row_count,
-           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
-           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nulls,
-           SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts_nulls,
-           COUNT(*) - COUNT(DISTINCT event_id) AS dup_event_ids,
-           SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS negative_values,
-           SUM(CASE WHEN value > 480 THEN 1 ELSE 0 END) AS over_threshold
+           COUNT(*) - COUNT(DISTINCT (event_id, ts, user_id, event_type, value, props))
+             AS dup_rows,
+           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nulls__user_id,
+           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nulls__event_type,
+           SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nulls__ts,
+           SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls__event_id,
+           COUNT(*) - COUNT(DISTINCT event_id) AS dup_keys,
+           SUM(CASE WHEN value < 0 OR value > 480 THEN 1 ELSE 0 END) AS range_viol__value
     FROM events
     """,
 )
 def q_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass data-quality aggregate (V1-V9, schema_check.py:77-224):
-    null counts, duplicate keys, range violations — the reference's whole rule
-    registry evaluated in ONE scan instead of one pandas pass per rule."""
+    """The validation rule engine (V1-V9, schema_check.py:77-224) applied to
+    the events table: the whole rule registry compiled into ONE single-pass
+    aggregate (operators/validation.metrics_plan) instead of the reference's
+    one pandas pass per rule."""
+    from ..operators.validation import RangeCheck, TableRules, metrics_plan
+
     (events,) = _t(spark, sf_dir, "events")
-    nulls = lambda c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls")
-    return events.agg(
-        F.count(F.lit(1)).alias("row_count"),
-        nulls("user_id"),
-        nulls("event_type"),
-        nulls("ts"),
-        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("dup_event_ids"),
-        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("negative_values"),
-        F.sum(F.when(F.col("value") > 480, 1).otherwise(0)).alias("over_threshold"),
+    rules = TableRules(
+        required_columns=["user_id", "event_type", "ts"],
+        key_columns=["event_id"],
+        range_checks=[RangeCheck("value", min_value=0, max_value=480)],
     )
+    return metrics_plan(events, rules)
 
 
 @query(

@@ -1,0 +1,76 @@
+"""Dedup family: exact fingerprint, MinHash-LSH recall vs brute force,
+SimHash properties — on synthetic docs with planted near-duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_to_redshift_with_airflow_spark.operators.dedup import (
+    exact_dedup_by_fingerprint,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_neardup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into "
+    "the deep green forest while the sun sets slowly behind tall mountains"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1 (modulo nothing)
+        (3, "  " + BASE.upper() + "  "),  # normalized dup of 1
+        (4, BASE.replace("dog", "cat")),  # near dup (1 token changed)
+        (5, "completely different text about query engines and shuffles "
+            "with partitions and executors running large aggregations"),
+        (6, "unrelated short snippet"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(docs):
+    out = exact_dedup_by_fingerprint(docs)
+    groups = {r["canonical_id"]: r["n_copies"] for r in out.collect()}
+    assert groups[1] == 3  # docs 1,2,3 share a fingerprint; canonical = min id
+    assert groups[4] == 1 and groups[5] == 1 and groups[6] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0
+    assert 0.5 <= pairs[(1, 4)] < 1.0  # one-token change stays similar
+    assert (1, 5) not in pairs and (5, 6) not in pairs
+
+
+def test_minhash_matches_bruteforce(docs):
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    assert lsh == exact  # precision exact by construction; recall ~1 at j>=0.8
+
+
+def test_minhash_matches_bruteforce_real_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    assert lsh == exact
+
+
+def test_simhash_identical_docs_equal_hash(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    assert sigs[1] != sigs[5]
+
+
+def test_simhash_neardup_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_neardup_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+    assert (1, 5) not in pairs

@@ -1,0 +1,62 @@
+"""Similarity search: brute-force exactness + hyperplane-LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_to_redshift_with_airflow_spark.functions.vectors import cosine, dot, l2_normalize
+from s3_to_redshift_with_airflow_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_topk,
+)
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([1.0, 0.0], [-1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    vals = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert vals[0] == pytest.approx(0.0)
+    assert vals[1] == pytest.approx(1.0)
+    assert vals[2] == pytest.approx(-1.0)
+
+
+def test_zero_vector_guard(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
+    assert df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"] == 0.0
+
+
+def test_l2_normalize(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], "v array<double>")
+    out = df.select(l2_normalize(F.col("v")).alias("n")).collect()[0]["n"]
+    assert out == pytest.approx([0.6, 0.8])
+
+
+def test_bruteforce_topk_orders_and_excludes_self(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=5).collect()
+    assert len(out) == 5
+    assert all(r["vec_id"] != 0 for r in out)
+    sims = [r["cos_sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = hyperplane_lsh_topk(emb, queries, k=10, n_bits=16, n_bands=8).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall {recall} too low"
+    # precision of scores: any pair returned must carry the exact cosine
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        k = (r["query_id"], r["vec_id"])
+        if k in exact_scores:
+            assert r["cos_sim"] == exact_scores[k]

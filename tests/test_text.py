@@ -1,0 +1,65 @@
+"""Text-analysis functions: tokenization edges, lang-ID tie-breaks, quality
+bounds, fingerprint normalization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_to_redshift_with_airflow_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    punct_count,
+    quality_score,
+    token_count,
+    token_shingles,
+)
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col(F.col("text")).alias("v")).collect()[0]["v"]
+
+
+def test_token_count_collapses_whitespace(spark):
+    assert _one(spark, "  a   b\t\nc ", token_count) == 3
+
+
+def test_bpe_ish_splits_words_digits_symbols(spark):
+    # "abc123!?" → abc | 123 | ! | ?  (4 pieces); plus "x" → 5
+    assert _one(spark, "abc123!? x", bpe_ish_token_count) == 5
+
+
+def test_punct_count_ascii(spark):
+    assert _one(spark, "a,b.c!", punct_count) == 3
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "Hello   World", fingerprint)
+    b = _one(spark, "  hello world  ", fingerprint)
+    c = _one(spark, "hello worlds", fingerprint)
+    assert a == b and a != c
+
+
+def test_lang_id_markers_and_tiebreak(spark):
+    assert _one(spark, "the cat and the dog is here", lang_id) == "en"
+    assert _one(spark, "der hund und die katze ist da", lang_id) == "de"
+    assert _one(spark, "xyzzy qwerty", lang_id) == "und"
+    # one marker each for de ("der") and en ("the") → tie → alphabetical: de
+    assert _one(spark, "der the", lang_id) == "de"
+
+
+def test_quality_score_bounds(spark):
+    for text in ["", "!!!???", "the quick brown fox jumps over the lazy dog " * 20]:
+        v = _one(spark, text, quality_score)
+        assert 0.0 <= v <= 1.0
+    long_clean = _one(spark, "the quick brown fox jumps over the lazy dog " * 20, quality_score)
+    junk = _one(spark, "!!!???", quality_score)
+    assert long_clean > junk
+
+
+def test_token_shingles(spark):
+    sh = _one(spark, "a b c d", lambda c: token_shingles(c, 3))
+    assert sorted(sh) == ["a b c", "b c d"]
+    assert _one(spark, "a b", lambda c: token_shingles(c, 3)) == []
