@@ -134,10 +134,18 @@ def whitelist_offenders(
     return [r["v"] for r in rows]
 
 
-def evaluate(df: DataFrame, rules: TableRules, dataset: str = "dataset") -> dict:
+def evaluate(
+    df: DataFrame,
+    rules: TableRules,
+    dataset: str = "dataset",
+    extra_errors: list[str] | None = None,
+) -> dict:
     """Run schema checks (driver-side) + the single-pass metrics plan and
-    produce the errors/warnings report (V10 roll-up semantics)."""
-    errors: list[str] = []
+    produce the errors/warnings report (V10 roll-up semantics).
+
+    `extra_errors` lets source-level checks (e.g. CSV header validation,
+    sources.readers.missing_required_columns) flow into the same report."""
+    errors: list[str] = list(extra_errors or [])
     warnings: list[str] = []
     present = set(df.columns)
 
@@ -191,10 +199,15 @@ def evaluate(df: DataFrame, rules: TableRules, dataset: str = "dataset") -> dict
 def validate_datasets(
     named: dict[str, tuple[DataFrame, TableRules]],
     raise_on_error: bool = True,
+    extra_errors: dict[str, list[str]] | None = None,
 ) -> dict:
     """Validate several tables (the reference's validate_datasets task,
     schema_check.py:258-329): aggregate report; errors abort when asked."""
-    reports = {name: evaluate(df, rules, name) for name, (df, rules) in named.items()}
+    extra_errors = extra_errors or {}
+    reports = {
+        name: evaluate(df, rules, name, extra_errors.get(name))
+        for name, (df, rules) in named.items()
+    }
     overall = {"datasets": reports, "passed": all(r["passed"] for r in reports.values())}
     if raise_on_error and not overall["passed"]:
         failed = [n for n, r in reports.items() if not r["passed"]]

@@ -134,6 +134,35 @@ def read_recent_csv(
     )
 
 
+def csv_header(spark: SparkSession, path: str) -> list[str]:
+    """Column names from a CSV file's header line (reads ONE line).
+
+    With explicit schemas, Spark maps CSV columns positionally — a
+    structurally missing column silently becomes all-null. The reference
+    detects missing columns because pandas infers from the header
+    (schema_check.py:95-98); this helper restores that check for ~zero cost.
+    """
+    row = spark.read.text(path).limit(1).collect()
+    if not row:
+        return []
+    return [c.strip().strip('"') for c in row[0][0].split(",")]
+
+
+def missing_required_columns(
+    spark: SparkSession, paths: list[str] | str, required: list[str]
+) -> dict[str, list[str]]:
+    """Per-file required-columns-absent map (empty when all present)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    out: dict[str, list[str]] = {}
+    for p in paths:
+        have = set(csv_header(spark, p))
+        missing = [c for c in required if c not in have]
+        if missing:
+            out[p] = missing
+    return out
+
+
 def read_streams_multi(
     spark: SparkSession,
     paths: list[str] | str,
