@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import as_double, cosine, dot
 from .relational import topk_per_group
 
 
@@ -158,6 +158,80 @@ def hyperplane_lsh_topk(
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col, vec_col, "__qvec")
         .dropDuplicates([query_id_col, id_col])
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
+        )
+    )
+    return topk_per_group(
+        cands, [query_id_col], [F.col("cos_sim").desc(), F.col(id_col).asc()], k=k
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    max_iter: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into `n_clusters` inverted lists; each query probes
+    its `n_probe` nearest centroids and exact cosine re-ranks only the
+    vectors on those lists.
+
+    The 100 TB shape: the corpus is written bucketed/partitioned by
+    `centroid_id` once (train on a sample, assign in one pass), so a query
+    batch scans ~n_probe/n_clusters of the data instead of all of it; the
+    centroid table is tiny and broadcast. Returns (query_id, vec_id,
+    cos_sim, rk) — same contract as brute_force_topk, recall < 1 by design.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.withColumn("__fv", array_to_vector(as_double(F.col(vec_col))))
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter,
+        featuresCol="__fv", predictionCol="__centroid",
+    ).fit(feat)
+    inverted = model.transform(feat).select(id_col, vec_col, "__centroid")
+
+    spark = corpus.sparkSession
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centroids = spark.createDataFrame(centers, ["__centroid", "__center"])
+
+    # Probe set: n_probe nearest centroids per query (euclidean, matching the
+    # quantizer's objective); centroid table is broadcast — no corpus shuffle.
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            as_double(F.col("__qvec")), F.col("__center"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes = topk_per_group(
+        q.crossJoin(F.broadcast(centroids)).select(
+            query_id_col, "__qvec", "__centroid", d2.alias("__d2")
+        ),
+        [query_id_col],
+        [F.col("__d2").asc(), F.col("__centroid").asc()],
+        k=n_probe,
+    ).select(query_id_col, "__qvec", "__centroid")
+
+    cands = (
+        inverted.join(F.broadcast(probes), "__centroid")
+        .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,

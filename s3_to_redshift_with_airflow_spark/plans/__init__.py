@@ -1,2 +1,3 @@
 from .registry import REGISTRY, QuerySpec, oracle_sql_map, query_map  # noqa: F401
 from . import extensions  # noqa: F401  (populates REGISTRY)
+from . import scale_ops  # noqa: F401  (populates REGISTRY)

@@ -1,0 +1,244 @@
+"""Scale-path registry entries: multimodal plumbing, streaming-native window
+aggregation, IVF similarity search, approximate aggregates, and a deep
+multi-way star join (SURVEY §2.13 / §2.10 / BASELINE.json north-star ops).
+
+The multimodal queries run real `mapInPandas` / explode plumbing over binary
+payloads synthesized from the `documents` table (payload = UTF-8 bytes of
+`text`); because the stubbed "decode" derives features arithmetically from
+the payload bytes (md5 digest, byte length), DuckDB can reproduce the exact
+values — so even the Python-batch path is hash-verified, not rows-only.
+
+The streaming query drives a real Structured Streaming plan (file source →
+watermark → tumbling window → memory sink, availableNow trigger) whose final
+complete-mode result equals the batch answer — also exactly oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import decode_image_features, sample_video_frames
+from ..operators.similarity import ivf_topk
+from ..sources.readers import table_path, with_ts_from_nanos
+from ..streaming.pipeline import stream_source
+from .registry import _t, query
+
+# --- multimodal columns ----------------------------------------------------
+
+
+def _as_media(docs: DataFrame, modality: str) -> DataFrame:
+    """documents → MEDIA_SCHEMA-shaped frame: payload = UTF-8 bytes of text,
+    duration_ms synthesized from n_chars (deterministic, oracle-reproducible)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(f"{modality}/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS fake_width,
+           CAST(octet_length(encode(text)) % 48 + 1 AS INTEGER) AS fake_height
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the real multimodal plumbing:
+    documents.text → BinaryType payload → Arrow-batched mapInPandas 'decode'
+    (operators/multimodal.py). The deterministic fake decode (md5 digest +
+    byte-length features) stands in for PIL/libvips — which makes this the
+    rare Python-batch path whose values the DuckDB oracle verifies exactly."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    feats = decode_image_features(_as_media(docs, "image"))
+    return feats.select(
+        "media_id", "n_bytes", "digest", "fake_width", "fake_height"
+    )
+
+
+@query(
+    "video_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id AS media_id,
+             unnest(range(0, least((n_chars * 10) // 1000 + 1, 16))) AS frame_index
+      FROM documents
+    )
+    SELECT media_id, frame_index, frame_index * 1000 AS offset_ms FROM f
+    """,
+)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (one row per sampled frame offset, 1 fps cap
+    16): the explode happens JVM-side from typed metadata — payload bytes are
+    never touched until a downstream decode, which is the posture that keeps
+    100 TB of video affordable. duration_ms is synthesized as n_chars*10."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    frames = sample_video_frames(_as_media(docs, "video"), every_ms=1000, max_frames=16)
+    return frames.select(
+        "media_id",
+        F.col("frame_index").cast("bigint").alias("frame_index"),
+        F.col("offset_ms").cast("bigint").alias("offset_ms"),
+    )
+
+
+# --- streaming-native execution -------------------------------------------
+
+
+@query(
+    "streaming_window_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window aggregation executed by Structured Streaming
+    (file source → 2h watermark → window groupBy → memory sink, availableNow
+    trigger), per SURVEY §2.10's mapping of the reference's hourly micro-batch
+    (extract_stream_data.py:124-168 + kpi_processor.py:61). Complete-mode
+    output over a finite source equals the batch answer, so the oracle check
+    is exact — proving batch/streaming plan equivalence, not just plumbing."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # events.ts arrives as nanosecond longs (see with_ts_from_nanos): rebuild
+    # the timestamp first, then anchor the watermark on real event time.
+    # FileStreamSource needs a directory base path → stream the sf dir with a
+    # glob selecting just the events table.
+    src = stream_source(
+        spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+    )
+    src = with_ts_from_nanos(src, "ts").withWatermark("ts", "2 hours")
+    agg = (
+        src.groupBy(F.window(F.col("ts"), "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+    sink_name = "streaming_window_agg_mem"
+    (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name)
+
+
+# --- similarity search: the IVF scale path --------------------------------
+
+
+@query("ivf_ann_topk", oracle=None)
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (k-means coarse quantizer, 16 lists, probe 4):
+    the classic ANN index shape (FAISS IVF-Flat) as pure DataFrame ops —
+    train once, assign in one pass, bucket-join queries to probed lists only.
+    k-means output is not SQL-reproducible → rows-only here; recall vs the
+    exact baseline is pinned in tests/test_scale_ops.py."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_clusters=16, n_probe=4
+    )
+    return out.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+# --- approximate aggregates ------------------------------------------------
+
+
+@query("approx_agg", oracle=None)
+def q_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates per event_type: HyperLogLog++ distinct users
+    and KLL-style approximate quantiles of value — the O(1)-memory versions
+    of countDistinct/percentile that stay cheap at 100 TB (mergeable partial
+    sketches, no giant shuffle of raw values). Sketch internals differ across
+    engines → rows-only; tests pin the error envelope against exact results."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_value"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_value"),
+    )
+
+
+# --- deep multi-way star join ---------------------------------------------
+
+
+@query(
+    "star_join_agg",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table local-supplier revenue rollup (TPC-H Q5 shape): the deepest
+    join tree in the suite. Region/nation/supplier broadcast; the date filter
+    is pushed into the orders parquet scan before the fact join; the revenue
+    sum uses exact decimal partials for bit-determinism. Exercises Catalyst
+    join reordering + AQE on a plan the reference could never express."""
+    customer, orders, lineitem, supplier, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    asia = (
+        F.broadcast(region.filter(F.col("r_name") == "ASIA"))
+        .join(nation, region.r_regionkey == nation.n_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    sup = supplier.join(
+        F.broadcast(asia), supplier.s_nationkey == asia.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    ord96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    fact = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord96, F.col("l_orderkey") == ord96.o_orderkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    revenue = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(27,6)"
+    )
+    return fact.groupBy("n_name").agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )

@@ -41,16 +41,28 @@ def stream_source(
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
     event_time_col: str = "ts",
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
+    path_glob_filter: str | None = None,
 ) -> DataFrame:
     """File-source stream with the reference's late-data allowance as a
-    watermark."""
+    watermark.
+
+    watermark=None skips the withWatermark call — for sources whose event
+    time needs rebuilding first (e.g. parquet nanosecond longs; apply
+    with_ts_from_nanos then withWatermark yourself). `path` must be a
+    directory (FileStreamSource requirement); select single files with
+    path_glob_filter."""
     reader = spark.readStream.format(fmt).schema(schema)
     if fmt == "csv":
         reader = reader.option("header", "true")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.load(path).withWatermark(event_time_col, watermark)
+    if path_glob_filter:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    out = reader.load(path)
+    if watermark is not None:
+        out = out.withWatermark(event_time_col, watermark)
+    return out
 
 
 def dedup_events(stream: DataFrame, keys: list[str]) -> DataFrame:

@@ -1,0 +1,115 @@
+"""Scale-path ops: IVF recall, approx-aggregate error envelope, multimodal
+feature determinism, streaming/batch window equivalence."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_to_redshift_with_airflow_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from s3_to_redshift_with_airflow_spark.plans import query_map
+
+from .conftest import SF_SMOKE
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, n_clusters=8, n_probe=4)
+    truth = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    # probing half the lists must recover well over half the true neighbors
+    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+    # per-query result size is capped at k
+    per_q = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 10 for r in per_q)
+
+
+def test_ivf_scores_are_exact_cosines(spark):
+    """IVF re-ranks with exact cosine: any (query, vec) it returns must carry
+    the same score the brute-force path computes."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"]
+        for r in brute_force_topk(emb, queries, k=1000).collect()
+    }
+    for r in ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=2).collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in exact:
+            assert r["cos_sim"] == pytest.approx(exact[key], abs=1e-12)
+
+
+def test_approx_agg_error_envelope(spark):
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    out = {r["event_type"]: r for r in query_map()["approx_agg"](spark, SF_SMOKE).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for et, row in out.items():
+        users, p50 = exact[et]["users"], exact[et]["p50"]
+        assert abs(row["approx_users"] - users) <= max(3, 0.05 * users)
+        assert row["p50_value"] == pytest.approx(p50, rel=0.05)
+
+
+def test_multimodal_features_match_hashlib(spark):
+    out = query_map()["multimodal_features"](spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sample = {r["doc_id"]: r["text"] for r in docs.limit(5).collect()}
+    got = {r["media_id"]: r for r in out.filter(F.col("media_id").isin(list(sample))).collect()}
+    for doc_id, text in sample.items():
+        payload = text.encode("utf-8")
+        r = got[doc_id]
+        assert r["digest"] == hashlib.md5(payload).hexdigest()
+        assert r["n_bytes"] == len(payload)
+        assert r["fake_width"] == len(payload) % 64 + 1
+        assert r["fake_height"] == len(payload) % 48 + 1
+
+
+def test_video_frame_sample_counts(spark):
+    out = query_map()["video_frame_sample"](spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    counts = {r["media_id"]: r["count"] for r in out.groupBy("media_id").count().collect()}
+    assert set(counts) == set(n_chars)
+    for mid, cnt in counts.items():
+        assert cnt == min(n_chars[mid] * 10 // 1000 + 1, 16)
+    # offsets are 1s-spaced from zero
+    bad = out.filter(F.col("offset_ms") != F.col("frame_index") * 1000).count()
+    assert bad == 0
+
+
+def test_streaming_window_agg_equals_batch(spark):
+    from s3_to_redshift_with_airflow_spark.sources.readers import load_tables
+
+    streamed = {
+        r["window_start"]: (r["n_events"], r["total_value"])
+        for r in query_map()["streaming_window_agg"](spark, SF_SMOKE).collect()
+    }
+    (events,) = load_tables(spark, SF_SMOKE, "events")
+    batch = {
+        r["window_start"]: (r["n_events"], r["total_value"])
+        for r in events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    assert streamed == batch
