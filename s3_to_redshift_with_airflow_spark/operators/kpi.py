@@ -107,3 +107,45 @@ def hourly_kpis(
     return base.join(top, on=hour_col, how="left").select(
         hour_col, "unique_listeners", "top_artists", "track_diversity_index"
     )
+
+
+def prepare_hourly_for_warehouse(
+    hourly: DataFrame,
+    anchor_date: str | None = None,
+    expected_numeric: tuple[str, ...] = ("total_streams", "unique_songs", "avg_stream_duration"),
+    expected_text: tuple[str, ...] = ("top_artists",),
+) -> DataFrame:
+    """Shape hourly KPIs for the warehouse table, replicating the reference
+    loader's derivations (load_to_redshift.py:232-261):
+
+      P6 — total_streams defaults to unique_listeners * 2 when absent;
+      P8 — absent expected columns are default-filled (0 numeric, '' text);
+      P7 — the integer hour-of-day is re-anchored onto a calendar day as a
+           TIMESTAMP (reference uses today's midnight UTC; pass `anchor_date`
+           for a deterministic anchor — None reproduces the reference's
+           current-day behavior).
+
+    Pure narrow projections — no shuffle; the warehouse keying
+    (PRIMARY KEY (hour, date_processed), DISTKEY(hour)) is handled by the
+    upsert sink (sinks/jdbc_upsert.py).
+    """
+    out = hourly
+    if "total_streams" not in out.columns:
+        out = out.withColumn(
+            "total_streams", (F.col("unique_listeners") * F.lit(2)).cast("bigint")
+        )
+    for c in expected_numeric:
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(0).cast("bigint"))
+    for c in expected_text:
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(""))
+    anchor = (
+        F.lit(anchor_date).cast("timestamp")
+        if anchor_date is not None
+        else F.date_trunc("day", F.current_timestamp())
+    )
+    return out.withColumn(
+        "hour_ts",
+        F.to_timestamp(anchor + F.make_interval(hours=F.col("hour").cast("int"))),
+    )

@@ -156,6 +156,44 @@ def q_hourly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hourly_warehouse",
+    oracle="""
+    WITH e AS (SELECT hour(ts) AS hour, user_id, event_type FROM events),
+    agg AS (
+      SELECT hour,
+             COUNT(DISTINCT user_id) AS unique_listeners,
+             CAST(COUNT(DISTINCT event_type) AS DOUBLE) / COUNT(*) AS track_diversity_index
+      FROM e GROUP BY hour
+    ),
+    c AS (SELECT hour, event_type, COUNT(*) AS cnt FROM e GROUP BY hour, event_type),
+    m AS (
+      SELECT hour, event_type AS top_artists,
+             ROW_NUMBER() OVER (PARTITION BY hour ORDER BY cnt DESC, event_type ASC) AS rn
+      FROM c
+    )
+    SELECT agg.hour, agg.unique_listeners, m.top_artists,
+           agg.track_diversity_index,
+           agg.unique_listeners * 2 AS total_streams,
+           CAST(0 AS BIGINT) AS unique_songs,
+           CAST(0 AS BIGINT) AS avg_stream_duration,
+           TIMESTAMP '2024-06-25' + agg.hour * INTERVAL 1 HOUR AS hour_ts
+    FROM agg JOIN m ON agg.hour = m.hour AND m.rn = 1
+    """,
+)
+def q_hourly_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader's warehouse shaping on top of hourly_kpis (P6+P7+P8,
+    load_to_redshift.py:232-261): total_streams = unique_listeners*2 default,
+    default-filled expected columns, integer hour re-anchored onto a calendar
+    day as TIMESTAMP (deterministic anchor here; the reference anchors on
+    'today'). All narrow projections over the hourly aggregate."""
+    from ..operators.kpi import prepare_hourly_for_warehouse
+
+    return prepare_hourly_for_warehouse(
+        q_hourly_kpis(spark, sf_dir), anchor_date="2024-06-25"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational core parity (SURVEY §2.2-§2.7)
 # ---------------------------------------------------------------------------

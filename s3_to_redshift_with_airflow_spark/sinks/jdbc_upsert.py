@@ -123,3 +123,42 @@ def read_table(spark, url: str, table: str, properties: dict[str, str] | None = 
     """JDBC read-back (used by post-load quality checks, V11 —
     reference load_to_redshift.py:317-348)."""
     return spark.read.jdbc(url, table, properties=dict(properties or {}))
+
+
+def post_load_quality_checks(
+    spark,
+    url: str,
+    table: str,
+    critical_columns: list[str],
+    scope_col: str | None = None,
+    scope_value: str | None = None,
+    properties: dict[str, str] | None = None,
+) -> dict:
+    """Post-load data-quality checks (V11, reference
+    load_to_redshift.py:317-348): scoped row count + null criticals, computed
+    on a JDBC read-back of the sink table.
+
+    The scope predicate (e.g. today's partition) is pushed down to the
+    warehouse through the JDBC source — only the scoped slice transfers.
+    Returns {"row_count": n, "null_criticals": n, "passed": bool}.
+    """
+    from pyspark.sql import functions as F
+
+    df = read_table(spark, url, table, properties)
+    if scope_col is not None and scope_value is not None:
+        df = df.filter(F.col(scope_col) == scope_value)
+    null_pred = None
+    for c in critical_columns:
+        p = F.col(c).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.when(null_pred, 1).otherwise(0)).cast("bigint").alias("null_criticals"),
+    ).collect()[0]
+    row_count = agg["row_count"]
+    null_criticals = agg["null_criticals"] or 0
+    return {
+        "row_count": row_count,
+        "null_criticals": null_criticals,
+        "passed": bool(row_count > 0 and null_criticals == 0),
+    }

@@ -67,3 +67,48 @@ def write_json_report(report: dict, dest_file: str) -> None:
     os.makedirs(os.path.dirname(dest_file) or ".", exist_ok=True)
     with open(dest_file, "w") as f:
         json.dump(report, f, indent=2, default=str)
+
+
+def archive_files(
+    spark,
+    src_dir: str,
+    archive_dir: str,
+    glob_pattern: str = "*.csv",
+    missing_ok: bool = True,
+) -> list[tuple[str, str]]:
+    """Move processed files into an archive prefix (reference S11/S12:
+    load_to_redshift.py:350-388 copy+delete to `processed/`;
+    archive_files.py:11-36 local `shutil.move`).
+
+    Uses the Hadoop FileSystem API through the session's JVM, so the same
+    call works on file:// and s3a:// URIs (on S3, rename = server-side
+    copy + delete — exactly the reference's move). 404-tolerant like the
+    reference (missing_ok). Returns (src, dest) pairs actually moved.
+
+    Scale note: this is an O(#files) metadata operation on the driver — fine
+    for the reference's ≤100-files-per-run contract; at millions of objects
+    prefer bucket lifecycle policies outside the engine.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src_path = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = src_path.getFileSystem(conf)
+    if not fs.exists(src_path):
+        if missing_ok:
+            return []
+        raise FileNotFoundError(src_dir)
+    dst_root = jvm.org.apache.hadoop.fs.Path(archive_dir)
+    fs.mkdirs(dst_root)
+    moved: list[tuple[str, str]] = []
+    for status in fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{src_dir.rstrip('/')}/{glob_pattern}")
+    ):
+        src = status.getPath()
+        dest = jvm.org.apache.hadoop.fs.Path(dst_root, src.getName())
+        if fs.exists(dest):  # idempotent re-runs: replace stale archive copy
+            fs.delete(dest, False)
+        if fs.rename(src, dest):
+            moved.append((str(src), str(dest)))
+        elif not missing_ok:
+            raise IOError(f"rename failed: {src} -> {dest}")
+    return moved

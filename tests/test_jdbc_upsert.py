@@ -68,3 +68,39 @@ def test_write_upsert_roundtrip_and_idempotency(spark):
     write_upsert(day2, URL, "genre_kpis", keys=["genre", "day"],
                  staging_column_types=STAGING_TYPES)
     assert read_table(spark, URL, "genre_kpis").count() == 4
+
+
+def test_post_load_quality_checks(spark):
+    from s3_to_redshift_with_airflow_spark.sinks.jdbc_upsert import (
+        post_load_quality_checks,
+    )
+
+    url = "jdbc:derby:memory:quality_test;create=true"
+    ddl = (
+        "CREATE TABLE kpis ("
+        '"genre" VARCHAR(255), "day" VARCHAR(10), "total_streams" BIGINT)'
+    )
+    df = spark.createDataFrame(
+        [("rock", "2024-06-25", 10), ("jazz", "2024-06-24", 7)],
+        "`genre` string, `day` string, `total_streams` long",
+    )
+    write_upsert(df, url, "kpis", keys=["genre", "day"], create_target_ddl=ddl,
+                 staging_column_types="genre VARCHAR(255), day VARCHAR(10)")
+    # Inject a null-critical row via plain SQL (Derby's JDBC dialect cannot
+    # stage NULL StringType — it setNulls as CLOB; warehouse nulls themselves
+    # read back fine, which is what V11 checks).
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute("INSERT INTO kpis VALUES (NULL, '2024-06-25', 5)")
+    st.close()
+    conn.close()
+
+    res = post_load_quality_checks(
+        spark, url, "kpis", ["genre"], scope_col="day", scope_value="2024-06-25"
+    )
+    assert res == {"row_count": 2, "null_criticals": 1, "passed": False}
+
+    res_ok = post_load_quality_checks(
+        spark, url, "kpis", ["genre"], scope_col="day", scope_value="2024-06-24"
+    )
+    assert res_ok == {"row_count": 1, "null_criticals": 0, "passed": True}
