@@ -26,7 +26,7 @@ results are reproducible (approximate only in recall, never in precision).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import fingerprint, token_shingles
 
@@ -60,23 +60,61 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact pairwise n-gram Jaccard similarity, pairs above threshold.
+    """EXACT pairwise n-gram Jaccard similarity, pairs above threshold —
+    without the naive N² cross join.
 
-    |A∪B| is computed as |A|+|B|-|A∩B| over distinct shingle sets, so only
-    array_intersect is needed (array_union semantics differ between engines).
-    O(N²) — the oracle/verification path; use minhash_lsh_pairs at scale.
+    Candidate generation is the AllPairs/PPJoin prefix filter (Bayardo,
+    Ma & Srikant, WWW'07; Xiao et al., WWW'08 — public algorithms): order
+    each document's shingle set by ascending global document frequency
+    (rarest first); a pair can reach Jaccard ≥ t only if the two documents
+    share a shingle inside their first |X| - ceil(t·|X|) + 1 shingles under
+    that canonical order. So only prefix posting lists are joined, and hot
+    shingles (which land at the end of the order) never generate candidates.
+    Survivors are verified with the exact set intersection.
+
+    At scale: cost goes from O(N²) to O(Σ prefix-collisions); the heaviest
+    shuffle keys by shingle, with frequency-ascending prefixes keeping
+    posting lists short. |A∪B| = |A|+|B|-|A∩B| over distinct shingle sets,
+    so only array_intersect is needed (array_union semantics differ between
+    engines). Output is identical to the brute-force definition.
     """
-    a = _shingled(df, id_col, text_col, n).select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    # The shingled frame feeds four plan branches (postings, sizes, and both
+    # verification sides); persist it so tokenization runs once, not four
+    # times. MEMORY_AND_DISK: shingle sets are ~text-sized, spill is fine.
+    # (At 100 TB you'd stage this to parquet instead — one tokenize pass.)
+    from pyspark import StorageLevel
+
+    sh = _shingled(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    posts = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    freq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # canonical order: (df asc, shingle asc); prefix keeps the rarest tokens
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("shingle").asc())
+    sized = posts.join(freq, "shingle").withColumn("rnk", F.row_number().over(w))
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
     )
-    b = _shingled(df, id_col, text_col, n).select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    prefixes = (
+        sized.join(sizes, id_col)
+        .filter(F.col("rnk") <= prefix_len)
+        .select(id_col, "shingle")
     )
+    cands = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "shingle")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
