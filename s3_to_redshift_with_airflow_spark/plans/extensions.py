@@ -270,31 +270,47 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_neardup",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+               FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
-             / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-                * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos_sim
+             / (a.nrm * b.nrm) AS cos_sim
     FROM e a, e b
     WHERE a.vec_id < b.vec_id
       AND list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
-            / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-               * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.4
+            / (a.nrm * b.nrm) >= 0.4
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (≥0.4): the semantic-dedup primitive.
-    Brute-force here (oracle-exact); hyperplane-LSH variant below is the
-    scale path."""
-    from ..functions.vectors import cosine
+    Brute-force here (oracle-exact); the hyperplane-LSH variant below is the
+    scale path. Norms are precomputed once per vector (per-row sqrt yields
+    the same IEEE value as per-pair, so results are unchanged) — per pair
+    only the dot product remains: ~3× fewer float ops than the naive form."""
+    from ..functions.vectors import dot, norm
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
+        )
         .filter(F.col("cos_sim") >= 0.4)
     )
 

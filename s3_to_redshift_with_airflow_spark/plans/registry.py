@@ -585,3 +585,58 @@ def q_hour_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (beyond the reference — standard
+    OLAP surface): per (flag, status), per flag, and grand total in one
+    Expand+HashAggregate plan (one shuffle; each input row expands to its
+    grouping-set replicas map-side)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double").alias("sum_qty"),
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_agg",
+    oracle=f"""
+    SELECT hour(ts) AS hour,
+           {", ".join(
+               f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS {t}"
+               for t in EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/crosstab (beyond the reference): event counts per hour-of-day ×
+    event type. With pivot values pinned, Spark compiles this to one
+    aggregation over conditional expressions — no second pass to discover
+    distinct values, which is the at-scale discipline (a value-discovery scan
+    over 100 TB just to name columns is wasted IO)."""
+    (events,) = _t(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy(F.hour("ts").cast("bigint").alias("hour"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "hour",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in EVENT_TYPES],
+    )

@@ -242,3 +242,70 @@ def q_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(revenue).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+# --- time-series -----------------------------------------------------------
+
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.ts, p.ts AS asof_ts, p.value AS asof_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/timeseries.py): each click event picks
+    up the user's most recent purchase at-or-before it. Spark has no ASOF
+    join; the union+running-last plan does it with ONE shuffle on the key and
+    no pair explosion — the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.timeseries import asof_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_time="ts", right_time="ts",
+        payload_cols=["value"],
+    ).select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+
+
+@query(
+    "sliding_window_agg",
+    oracle="""
+    WITH w AS (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1
+    """,
+)
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour (each event lands in two windows):
+    Spark's window() generates the window replicas JVM-side; the oracle
+    expands them explicitly with unnest. Exact decimal partial sums keep the
+    double output bit-stable under any partitioning."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window(F.col("ts"), "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )

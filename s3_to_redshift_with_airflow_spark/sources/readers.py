@@ -60,7 +60,9 @@ def with_ts_from_nanos(df: DataFrame, *cols: str) -> DataFrame:
     """
     for c in cols:
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long")))
+            # integer `div`, NOT `/`: epoch-nanos (~1.8e18) exceed double's
+            # 2^53 integer range, so floor(col / 1000.0) is off by ±1 µs.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -113,3 +113,29 @@ def test_streaming_window_agg_equals_batch(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_asof_join_semantics(spark):
+    from s3_to_redshift_with_airflow_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 25), (3, 1, 30), (4, 2, 10), (5, 3, 50)],
+        "event_id bigint, k bigint, t bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 25, None), (1, 28, 300.0), (2, 11, 400.0)],
+        "k bigint, t bigint, v double",
+    )
+    out = {
+        r["event_id"]: (r["asof_t"], r["asof_v"])
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t"
+        ).collect()
+    }
+    assert out[1] == (5, 100.0)      # strictly-before match
+    assert out[2] == (25, None)      # inclusive at-or-before; NULL payload
+    #                                  carried atomically (no row tearing
+    #                                  back to t=5's 100.0)
+    assert out[3] == (28, 300.0)
+    assert out[4] == (None, None)    # right row is later -> no match
+    assert out[5] == (None, None)    # key absent from right
