@@ -89,3 +89,43 @@ def asof_join(
     for c in carried:
         out = out.withColumn(f"{prefix}{c}", F.col("__last_r").getField(c))
     return out.drop("__t", "__side", "__r", "__last_r")
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Inactivity-gap sessionization (gaps-and-islands): a new session starts
+    when a key's event arrives more than `gap_minutes` after its previous
+    one. Returns per-session rows: (key, session_id, session_start,
+    session_end, n_events) with session_id numbered 1..n per key in time
+    order (deterministic when (key, time) is unique).
+
+    Plan: one shuffle on the key; lag + running sum + aggregate all reuse the
+    same partitioning, so Catalyst plans a single Exchange. The streaming
+    twin is `F.session_window(time_col, gap)` (state bounded by watermark);
+    this batch form is its oracle-checkable equivalent.
+    """
+    w = Window.partitionBy(key).orderBy(time_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag(time_col).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(time_col)) - F.unix_micros(prev)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(key).orderBy(time_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        df.withColumn("__new", new_session)
+        .withColumn("session_id", F.sum("__new").over(run).cast("bigint"))
+        .groupBy(key, "session_id")
+        .agg(
+            F.min(time_col).alias("session_start"),
+            F.max(time_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

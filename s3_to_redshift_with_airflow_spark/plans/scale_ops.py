@@ -15,7 +15,7 @@ complete-mode result equals the batch answer — also exactly oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import decode_image_features, sample_video_frames
@@ -308,4 +308,90 @@ def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM o
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (30-min gap) — the gaps-and-islands
+    pattern behind user-journey analytics (operators/timeseries.py). One
+    shuffle on user_id feeds lag, running sum, and the per-session aggregate.
+    Streaming twin: F.session_window with watermark-bounded state."""
+    from ..operators.timeseries import sessionize
+
+    (events,) = _t(spark, sf_dir, "events")
+    return sessionize(events, key="user_id", time_col="ts", gap_minutes=30)
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the JSON props column
+    (get_json_object — JVM-side JSON path evaluation, no Python). Missing
+    paths are NULL in both engines. At scale, promote hot JSON fields to
+    real columns at ingest; path extraction is for the long tail."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.get_json_object("props", "$.missing").cast("bigint").alias("missing"),
+    )
+
+
+@query(
+    "window_functions",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value) OVER w AS prev_value,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window suite per user in event-time order: lag, running sum
+    (exact decimal accumulation → bit-stable double), row_number. One
+    shuffle on user_id shared by all three functions (same window spec).
+    event_id in the sort pins total order → deterministic output."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.sum(F.col("value").cast("decimal(27,6)")).over(run).cast("double").alias("running_value"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
     )
