@@ -111,9 +111,13 @@ def sessionize(
     w = Window.partitionBy(key).orderBy(time_col)
     gap_us = gap_minutes * 60 * 1_000_000
     prev = F.lag(time_col).over(w)
+    # >= not >: matches F.session_window's [t, t+gap) semantics — an event
+    # exactly `gap` after the previous one starts a NEW session (the two
+    # half-open windows don't overlap), keeping batch and streaming twins
+    # bit-equivalent.
     new_session = F.when(
         prev.isNull()
-        | ((F.unix_micros(F.col(time_col)) - F.unix_micros(prev)) > gap_us),
+        | ((F.unix_micros(F.col(time_col)) - F.unix_micros(prev)) >= gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     run = Window.partitionBy(key).orderBy(time_col).rowsBetween(

@@ -317,7 +317,7 @@ def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)

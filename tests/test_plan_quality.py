@@ -1,0 +1,75 @@
+"""Plan-quality regression tests: the physical plans we designed for stay
+designed-for (broadcasts stay broadcasts, pushdown reaches the scan, codegen
+stays on). A correctness-preserving refactor that silently turns a broadcast
+star join into a sort-merge join or drops filter pushdown is a 100 TB
+regression that row-count tests can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_genre_kpis_broadcasts_dims_and_prunes_columns(spark):
+    plan = _plan(spark, "genre_kpis")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle the fact table
+    # column pruning: the lineitem scan must read only the join keys
+    df = REGISTRY["genre_kpis"].fn(spark, SF_SMOKE)
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    lineitem_scans = [
+        block
+        for block in formatted.split("\n\n")
+        if "lineitem.parquet" in block and "Scan parquet" in block
+    ]
+    assert lineitem_scans, formatted
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in lineitem_scans[0]
+
+
+def test_filters_push_down_to_parquet_scan(spark):
+    df = REGISTRY["filters"].fn(spark, SF_SMOKE)
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters:" in formatted
+    # the range + threshold predicates must reach the scan, not sit in a
+    # post-scan Filter only
+    assert "GreaterThanOrEqual(l_shipdate" in formatted
+    assert "LessThan(l_quantity,24.0)" in formatted
+
+
+def test_star_join_agg_broadcasts_all_dims(spark):
+    plan = _plan(spark, "star_join_agg")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier-leg, customer, orders path
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_projections_stay_in_wholestage_codegen(spark):
+    plan = _plan(spark, "projections")
+    # "*(n)" prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python in the path
+
+
+def test_asof_join_is_single_shuffle(spark):
+    plan = _plan(spark, "asof_join")
+    # one Exchange for the key-partitioned window; no join operator at all
+    assert "Join" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_sessionize_shares_one_shuffle(spark):
+    plan = _plan(spark, "sessionize")
+    # lag, running sum, and the aggregate all reuse the user_id partitioning
+    assert plan.count("Exchange hashpartitioning") == 1, plan

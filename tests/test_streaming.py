@@ -118,3 +118,80 @@ def test_foreach_batch_upsert_idempotent(spark, events_dir):
     expected = {r["h"]: r["n"] for r in closed_window_batch(spark, events_dir)}
     got = {r["window_start"]: r["n_events"] for r in out.collect()}
     assert got == expected
+
+
+def test_streaming_session_window_equals_batch_sessionize(spark, tmp_path):
+    """F.session_window (streaming, stateful) must agree with the batch
+    sessionize operator — same 30-min gap, same sessions.
+
+    A sentinel file one year in the future is streamed as a second
+    micro-batch so the watermark passes every real session and append mode
+    emits them all."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.timeseries import sessionize
+    from s3_to_redshift_with_airflow_spark.sources.readers import (
+        load_tables,
+        with_ts_from_nanos,
+    )
+
+    (events,) = load_tables(spark, "/root/testdata/sf0.001", "events")
+    events = events.select("user_id", "ts")
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir / "a_events.parquet")
+    # Sentinel must match the RAW file schema (ts = nanosecond longs) or the
+    # declared stream schema misparses it and the watermark never advances.
+    raw = spark.read.parquet(str(src_dir / "a_events.parquet"))
+    year_ns = 365 * 86_400 * 10**9
+    sentinel = raw.limit(1).select(
+        F.col("event_id"),
+        (F.col("ts") + F.lit(year_ns)).alias("ts"),
+        F.lit(999_999).cast("long").alias("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+    )
+    # write to a scratch dir, then surface the part file at the TOP level:
+    # the file stream source ignores non-partition subdirectories.
+    scratch = tmp_path / "sentinel_scratch"
+    sentinel.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+    part = next(scratch.glob("part-*.parquet"))
+    shutil.move(str(part), str(src_dir / "z_sentinel.parquet"))
+
+    schema = raw.schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src_dir))
+    )
+    stream = with_ts_from_nanos(stream, "ts").select("user_id", "ts")
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+    (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("session_mem")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    streamed = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.table("session_mem").collect()
+        if r["user_id"] != 999_999
+    }
+
+    batch = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sessionize(events, key="user_id", time_col="ts", gap_minutes=30).collect()
+    }
+    assert streamed == batch
