@@ -112,3 +112,25 @@ def archive_files(
         elif not missing_ok:
             raise IOError(f"rename failed: {src} -> {dest}")
     return moved
+
+
+def write_bucketed_table(
+    df,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+optionally sorted) managed parquet table.
+
+    Bucketing is the 100 TB lever for repeated fact⨝fact joins: two tables
+    bucketed on the join key into the same bucket count join with NO
+    Exchange — the shuffle is paid once at write time instead of per query.
+    (Spark bucketing requires the catalog `saveAsTable` path; plain
+    `.parquet()` files can't carry bucket metadata.)
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)

@@ -73,3 +73,50 @@ def test_sessionize_shares_one_shuffle(spark):
     plan = _plan(spark, "sessionize")
     # lag, running sum, and the aggregate all reuse the user_id partitioning
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from s3_to_redshift_with_airflow_spark.operators.skew import salted_join
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    users = (
+        events.groupBy("user_id").count().withColumnRenamed("count", "n")
+    )
+    plain = events.join(users, "user_id")
+    salted = salted_join(events, users, on="user_id", salt=8)
+    assert salted.columns == plain.select(*salted.columns).columns
+    a = {tuple(r) for r in plain.select("event_id", "user_id", "value", "n").collect()}
+    b = {tuple(r) for r in salted.select("event_id", "user_id", "value", "n").collect()}
+    assert a == b
+    # the join key really is salted: shuffle key includes __salt
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.sources.writers import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_bucketed_table(lineitem, "li_b", "l_orderkey", 8, sort_col="l_orderkey")
+        write_bucketed_table(orders, "ord_b", "o_orderkey", 8, sort_col="o_orderkey")
+        joined = spark.table("li_b").join(
+            spark.table("ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located buckets: the join runs with ZERO shuffles
+        assert "Exchange" not in plan, plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")

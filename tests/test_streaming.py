@@ -195,3 +195,61 @@ def test_streaming_session_window_equals_batch_sessionize(spark, tmp_path):
         for r in sessionize(events, key="user_id", time_col="ts", gap_minutes=30).collect()
     }
     assert streamed == batch
+
+
+def test_apply_in_pandas_with_state_running_stats(spark, tmp_path):
+    """Custom stateful operator: per-user running totals must survive across
+    micro-batches (two files, maxFilesPerTrigger=1) and end equal to the
+    batch aggregate."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.sources.readers import (
+        load_tables,
+        with_ts_from_nanos,
+    )
+    from s3_to_redshift_with_airflow_spark.streaming.stateful import (
+        run_stateful_to_memory,
+        running_user_stats,
+    )
+
+    src_dir = tmp_path / "stateful_src"
+    src_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir / "a.parquet")
+    raw = spark.read.parquet(str(src_dir / "a.parquet"))
+    # second batch: the same events with shifted ids/values (forces every
+    # user's state to be read back and updated in batch 2)
+    scratch = tmp_path / "b_scratch"
+    raw.withColumn("value", F.col("value") * 2).coalesce(1).write.parquet(str(scratch))
+    shutil.move(str(next(scratch.glob("part-*.parquet"))), str(src_dir / "b.parquet"))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src_dir))
+    )
+    stream = with_ts_from_nanos(stream, "ts").select("user_id", "value")
+    run_stateful_to_memory(running_user_stats(stream), "running_stats_mem")
+
+    # memory sink in update mode appends one row per (key, batch) — the row
+    # with the max n_events per user is the final state
+    out = spark.table("running_stats_mem")
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.orderBy("user_id", "n_events").collect()
+    }
+
+    both = spark.read.parquet(str(src_dir / "a.parquet"), str(src_dir / "b.parquet"))
+    expected = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in both.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, (n, total) in expected.items():
+        fn, ftotal = final[uid]
+        assert fn == n
+        assert ftotal == pytest.approx(total, rel=1e-9)
