@@ -133,6 +133,14 @@ def minhash_signatures(
 
     One projection, no shuffle; num_hashes×|shingles| hash evaluations per
     row inside codegen."""
+    return _signatures_from_shingled(
+        _shingled(df, id_col, text_col, n), id_col, num_hashes, seed
+    )
+
+
+def _signatures_from_shingled(
+    sh: DataFrame, id_col: str, num_hashes: int, seed: int
+) -> DataFrame:
     sig = F.array(
         *[
             F.array_min(
@@ -144,9 +152,7 @@ def minhash_signatures(
             for i in range(num_hashes)
         ]
     )
-    return _shingled(df, id_col, text_col, n).select(
-        F.col(id_col), sig.alias("sig")
-    )
+    return sh.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -171,8 +177,13 @@ def minhash_lsh_pairs(
     a 64-bit hash of the band slice; skew only on pathological corpora
     (all-identical docs) — AQE skew split applies.
     """
+    from pyspark import StorageLevel
+
     r = num_hashes // n_bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # one tokenize pass feeds both the signature path and the verification
+    # arrays (same rationale as in ngram_jaccard_pairs)
+    sh0 = _shingled(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _signatures_from_shingled(sh0, id_col, num_hashes, seed)
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -199,9 +210,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = _shingled(df, id_col, text_col, n)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    a = sh0.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh0.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
