@@ -1,0 +1,73 @@
+"""Graph operators: connected components over pair edges.
+
+Near-dup detection yields PAIRS (dedup.py/similarity.py); turning pairs into
+dedup groups ("keep one doc per component") is a connected-components
+problem — the canonical iterative algorithm a declarative plan can't express
+in one pass (SURVEY §2.13's cluster step; same algorithm family as
+Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+Implementation: iterative min-label propagation. Each node starts labeled
+with itself; every iteration each node takes the min of its own label and
+its neighbors' labels; converged when no label changes. Iterations =
+O(graph diameter) — near-dup graphs are unions of small cliques, so 2-3
+iterations in practice. Each iteration is one shuffle (join + groupBy on
+node); `localCheckpoint` truncates the growing lineage so iteration N's plan
+does not replay iterations 1..N-1.
+
+Determinism: the fixpoint (min reachable id per component) is unique —
+independent of iteration order, partitioning, or cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node with the smallest node id in its component.
+
+    Returns (node, component). Nodes = every id appearing in `edges`.
+    Raises if not converged within max_iter (diameter > max_iter).
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.distinct().localCheckpoint()
+
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} iterations")

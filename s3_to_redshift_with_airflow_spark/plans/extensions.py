@@ -324,3 +324,113 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _t(spark, sf_dir, "embeddings")
     out = hyperplane_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
     return out.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+@query(
+    "doc_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    f AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM f a, f b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+                 - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.8
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT u AS node, v AS r FROM e
+      UNION
+      SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u
+    )
+    SELECT node, LEAST(node, MIN(r)) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash pairs (j≥0.8) → connected components →
+    (doc, component=min doc id). The iterative min-label propagation
+    (operators/graph.py) is the genuinely non-single-pass step of a dedup
+    pipeline; the oracle recomputes it with exact brute-force pairs + a
+    recursive transitive closure (valid because the LSH pair set equals the
+    exact pair set up to ~5e-15 miss probability). 'Keep the component
+    representative' is then a plain filter node == component."""
+    from ..operators.graph import connected_components
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=64, n_bands=32, threshold=0.8)
+    return connected_components(pairs.select("id_a", "id_b"))
+
+
+@query(
+    "deterministic_sample",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/8 hash sample (md5 of the key, first nibble < 2) —
+    the reproducible alternative to TABLESAMPLE for training-data splits:
+    membership is a pure function of the key, so the sample is stable across
+    runs, partitionings, engines, and incremental reprocessing (a doc never
+    migrates in or out when the corpus grows)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    ).select("doc_id", "n_chars")
+
+
+@query(
+    "pretrain_filter",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_char,
+             CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST({_sql_count_in(EN_STOPWORDS)} AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace({_NORM}, ' ', '', 'g')) AS DOUBLE) AS n_nonspace,
+             {", ".join(f"{_sql_count_in(m)} AS s_{lang}" for lang, m in LANG_MARKERS.items())}
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             CAST(n_tok AS BIGINT) AS n_tokens,
+             0.3 * least(n_tok / 100.0, 1.0)
+               + 0.3 * (1.0 - n_punct / greatest(n_char, 1.0))
+               + 0.2 * least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0)
+               + 0.2 * least(n_nonspace / greatest(n_tok, 1.0) / 8.0, 1.0)
+               AS quality,
+             {_lang_case()} AS lang_guess
+      FROM c
+    )
+    SELECT doc_id, n_tokens, quality, lang_guess
+    FROM q
+    WHERE quality >= 0.5 AND n_tokens >= 10 AND lang_guess = lang
+    """,
+)
+def q_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining keep-filter: quality ≥ 0.5, ≥10 tokens, and
+    the language guess agreeing with the declared label — the standard gate
+    before expensive dedup/tokenization stages. One scan, all codegen'd
+    expressions; at 100 TB this is the pass that pays for itself by
+    shrinking every later stage."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        token_count(t).alias("n_tokens"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+    )
+    return scored.filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 10)
+        & (F.col("lang_guess") == F.col("lang"))
+    ).select("doc_id", "n_tokens", "quality", "lang_guess")

@@ -139,3 +139,25 @@ def test_asof_join_semantics(spark):
     assert out[3] == (28, 300.0)
     assert out[4] == (None, None)    # right row is later -> no match
     assert out[5] == (None, None)    # key absent from right
+
+
+def test_connected_components_planted_graph(spark):
+    from s3_to_redshift_with_airflow_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # component {1,2,3} (triangle), {4,5}, chain {6,7,8,9} (diameter 3),
+        # and a cycle {10,11,12}
+        [(2, 1), (2, 3), (4, 5), (6, 7), (7, 8), (8, 9), (10, 11), (11, 12), (12, 10)],
+        "id_a bigint, id_b bigint",
+    )
+    out = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert out == {
+        1: 1, 2: 1, 3: 1,
+        4: 4, 5: 4,
+        6: 6, 7: 6, 8: 6, 9: 6,
+        10: 10, 11: 10, 12: 10,
+    }
