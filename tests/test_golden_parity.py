@@ -1,0 +1,82 @@
+"""GOLDEN PARITY: reproduce the reference repo's shipped output byte-values.
+
+The reference ships a staged input → output pair that functions as a golden
+test (SURVEY §5.2): `data/staging/streaming_data_staged.csv` (11,346 stream
+events) and `data/output/hourly_kpis.csv` (24 rows, produced by
+dags/etl/kpi_processor.py:88-96's pandas groupby). hourly_kpis depends only
+on the streams table — the missing songs.csv blob doesn't block it — so our
+engine's hourly_kpis must reproduce every value exactly: unique_listeners
+(count-distinct), top_artists (pandas mode() tie-break = smallest value,
+pinned via count desc / track_id asc), and track_diversity_index
+(len(set)/len as a double).
+
+This is the strongest reference-parity evidence available: same input, the
+reference's own published output, bit-equal floats.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from s3_to_redshift_with_airflow_spark.operators.kpi import hourly_kpis
+from s3_to_redshift_with_airflow_spark.operators.relational import (
+    dedup_subset_deterministic,
+)
+
+STAGED = "/root/reference/data/staging/streaming_data_staged.csv"
+GOLDEN = "/root/reference/data/output/hourly_kpis.csv"
+
+needs_reference = pytest.mark.skipif(
+    not (os.path.exists(STAGED) and os.path.exists(GOLDEN)),
+    reason="reference data files not present",
+)
+
+
+@needs_reference
+def test_hourly_kpis_reproduces_reference_golden_output(spark):
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("track_id", T.StringType()),
+            T.StructField("listen_time", T.StringType()),
+        ]
+    )
+    streams = spark.read.option("header", True).schema(schema).csv(STAGED)
+    streams = dedup_subset_deterministic(
+        streams, ["user_id", "track_id", "listen_time"]
+    )
+    enriched = streams.withColumn(
+        "listen_time", F.to_timestamp("listen_time")
+    ).withColumn("hour", F.hour("listen_time").cast("bigint"))
+    out = hourly_kpis(
+        enriched, hour_col="hour", user_key="user_id", track_key="track_id"
+    )
+    mine = {
+        r["hour"]: (
+            r["unique_listeners"],
+            r["top_artists"],
+            r["track_diversity_index"],
+        )
+        for r in out.collect()
+    }
+
+    with open(GOLDEN) as f:
+        golden = {
+            int(row["hour"]): (
+                int(row["unique_listeners"]),
+                row["top_artists"],
+                float(row["track_diversity_index"]),
+            )
+            for row in csv.DictReader(f)
+        }
+
+    assert set(mine) == set(golden)
+    for h, (listeners, top, diversity) in golden.items():
+        assert mine[h][0] == listeners, f"hour {h}: unique_listeners"
+        assert mine[h][1] == top, f"hour {h}: top_artists (mode tie-break)"
+        assert mine[h][2] == diversity, f"hour {h}: diversity (bit-equal float)"
