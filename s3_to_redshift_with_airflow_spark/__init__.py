@@ -16,12 +16,18 @@ Arrow-vectorized pandas UDFs.
 Layout:
     session.py    — SparkSession factory (AQE, UTC, sane shuffle partitions)
     schemas.py    — explicit StructTypes for the reference's logical schema
-    sources/      — readers/writers (CSV/Parquet/JSON, freshness, lineage)
+    sources/      — readers/writers (CSV/Parquet/JSON, freshness, lineage,
+                    bucketed tables, archiving)
     functions/    — scalar/column function libraries (text, vectors)
-    operators/    — relational core, KPI pipeline, validation, dedup, similarity
+    operators/    — relational core, KPI pipeline, validation, dedup,
+                    similarity, time series (as-of join, sessionize),
+                    connected components, skew salting, multimodal
     sinks/        — JDBC upsert writer (staging table + transactional merge)
-    streaming/    — Structured Streaming variant of the pipeline
+    streaming/    — Structured Streaming variant of the pipeline + stateful ops
+    pipelines/    — the reference DAG as one lazy Spark job
     plans/        — query registry: every operator as (spark_fn, oracle_sql)
 """
+
+from .session import build_session, ensure_utc  # noqa: F401
 
 __version__ = "0.1.0"

@@ -80,3 +80,39 @@ def test_hourly_kpis_reproduces_reference_golden_output(spark):
         assert mine[h][0] == listeners, f"hour {h}: unique_listeners"
         assert mine[h][1] == top, f"hour {h}: top_artists (mode tie-break)"
         assert mine[h][2] == diversity, f"hour {h}: diversity (bit-equal float)"
+
+
+ARCHIVE = "/root/reference/data/streams/archive"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(ARCHIVE), reason="reference data files not present"
+)
+def test_extract_streams_on_reference_archive(spark):
+    """Input-side golden: the reference's three archived stream CSVs through
+    our extraction stage. The files are pairwise-disjoint row sets
+    (SURVEY §5.2), so multi-file scan + subset-key dedup must keep all
+    3 × 11,346 events; per-file lineage must attribute exactly 11,346 to
+    each source; and the staged golden file must equal extraction of
+    streams3 alone (the reference's latest-file fallback path)."""
+    from s3_to_redshift_with_airflow_spark.pipelines.music_etl import extract_streams
+
+    paths = [f"{ARCHIVE}/streams{i}.csv" for i in (1, 2, 3)]
+    out = extract_streams(spark, paths)
+    assert out.count() == 3 * 11_346
+    per_file = {
+        os.path.basename(r["source_file"]): r["n"]
+        for r in out.groupBy("source_file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_file == {f"streams{i}.csv": 11_346 for i in (1, 2, 3)}
+
+    staged = extract_streams(spark, [f"{ARCHIVE}/streams3.csv"]).drop("source_file")
+    golden = (
+        spark.read.option("header", True)
+        .schema(staged.schema)
+        .csv(STAGED)
+    )
+    assert staged.exceptAll(golden).isEmpty()
+    assert golden.exceptAll(staged).isEmpty()
