@@ -116,3 +116,27 @@ def test_extract_streams_on_reference_archive(spark):
     )
     assert staged.exceptAll(golden).isEmpty()
     assert golden.exceptAll(staged).isEmpty()
+
+
+USERS = "/root/reference/data/metadata/users.csv"
+USERS_STAGED = "/root/reference/data/staging/user_metadata_staged.csv"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(USERS) and os.path.exists(USERS_STAGED)),
+    reason="reference data files not present",
+)
+def test_extract_metadata_users_matches_staged_golden(spark):
+    """Metadata-side golden: users.csv through extraction (full-row dedup +
+    null-key drop) equals the reference's staged output — which is identical
+    to the input because the shipped 50,000 users are already clean (dedup
+    and null-drop are no-ops, exactly as in the reference's run)."""
+    from s3_to_redshift_with_airflow_spark.pipelines.music_etl import extract_metadata
+
+    users, _songs = extract_metadata(spark, USERS, USERS)  # songs arg unused here
+    staged = (
+        spark.read.option("header", True).schema(users.schema).csv(USERS_STAGED)
+    )
+    assert users.count() == 50_000
+    assert users.exceptAll(staged).isEmpty()
+    assert staged.exceptAll(users).isEmpty()
