@@ -395,3 +395,47 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(27,6)")).over(run).cast("double").alias("running_value"),
         F.row_number().over(w).cast("bigint").alias("rn"),
     )
+
+
+@query(
+    "column_profile",
+    oracle="""
+    SELECT 'user_id' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(user_id) AS n_nonnull,
+           COUNT(DISTINCT user_id) AS n_distinct,
+           CAST(MIN(user_id) AS DOUBLE) AS min_val,
+           CAST(MAX(user_id) AS DOUBLE) AS max_val
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*), COUNT(value), COUNT(DISTINCT value),
+           MIN(value), MAX(value)
+    FROM events
+    UNION ALL
+    SELECT 'event_id', COUNT(*), COUNT(event_id), COUNT(DISTINCT event_id),
+           CAST(MIN(event_id) AS DOUBLE), CAST(MAX(event_id) AS DOUBLE)
+    FROM events
+    """,
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table statistics profile (the ANALYZE TABLE pass a cost-based
+    optimizer feeds on): per column — row/non-null/distinct counts, min,
+    max. One scan per column group, partial aggregation map-side; at 100 TB
+    swap COUNT(DISTINCT) for approx_count_distinct and persist the profile
+    next to the table so broadcast decisions and skew detection read stats,
+    not data."""
+    (events,) = _t(spark, sf_dir, "events")
+
+    def profile(col: str) -> DataFrame:
+        return events.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("double").alias("min_val"),
+            F.max(col).cast("double").alias("max_val"),
+        )
+
+    return profile("user_id").unionByName(profile("value")).unionByName(
+        profile("event_id")
+    )
