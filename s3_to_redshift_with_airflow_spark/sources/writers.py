@@ -134,3 +134,56 @@ def write_bucketed_table(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
+
+
+def write_date_partitioned(
+    df,
+    path: str,
+    ts_col: str = "ts",
+    mode: str = "overwrite",
+) -> None:
+    """Date-partitioned parquet layout (`.../event_date=YYYY-MM-DD/...`) —
+    the canonical 100 TB fact-table layout: date-range predicates become
+    partition pruning (directories never listed), and day-scoped reruns
+    (the reference's upsert idempotency window) become partition overwrites.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("event_date", F.to_date(F.col(ts_col)))
+        .write.mode(mode)
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Compact a small-files parquet directory in place: read, coalesce to
+    ceil(bytes / target), rewrite. Returns the new file count.
+
+    The small-files problem is the silent killer of 100 TB scans (per-file
+    open/footer cost dominates); streaming sinks and per-batch upserts
+    produce exactly this debris. In production pair with a transactional
+    format (Delta OPTIMIZE / Iceberg rewrite); this is the dependency-free
+    equivalent: write to a scratch dir, swap, so readers never see a
+    half-compacted table.
+    """
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    fs.delete(p, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
+    return n_files

@@ -120,3 +120,41 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.sources.readers import load_tables
+    from s3_to_redshift_with_airflow_spark.sources.writers import (
+        write_date_partitioned,
+    )
+
+    (events,) = load_tables(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events_by_date")
+    write_date_partitioned(events, path)
+
+    pruned = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-15")
+    formatted = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in formatted
+    # the date predicate must be a partition filter, not a data filter
+    assert "isnotnull(event_date" in formatted
+    n_days = events.select(F.to_date("ts").alias("d")).distinct().count()
+    assert pruned.count() == events.filter(F.to_date("ts") == "2024-01-15").count()
+    assert n_days > 1  # pruning actually skipped something
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    events.repartition(40).write.parquet(path)  # simulate streaming debris
+    import glob as g
+
+    before = len(g.glob(f"{path}/part-*.parquet"))
+    assert before >= 30
+    n = compact_parquet(spark, path, target_file_mb=256)
+    after = len(g.glob(f"{path}/part-*.parquet"))
+    assert after == n == 1
+    assert spark.read.parquet(path).count() == events.count()
