@@ -145,3 +145,21 @@ def token_shingles(c: Column, n: int = 3) -> Column:
             )
         )
     )
+
+
+# Cleaning patterns: kept to the syntax subset Java regex and RE2 (DuckDB)
+# interpret identically, so cleaned text is engine-reproducible.
+HTML_TAG_PATTERN = "<[^>]+>"
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_PATTERN = "https?://[^\\s]+"
+
+
+def clean_text(c: Column) -> Column:
+    """Pretraining text cleanup: strip HTML tags, mask emails and URLs with
+    typed placeholders, collapse whitespace. Order matters: URLs before
+    emails would still be safe here, but tags must go first so attribute
+    urls inside tags vanish with the tag."""
+    out = F.regexp_replace(c, HTML_TAG_PATTERN, " ")
+    out = F.regexp_replace(out, URL_PATTERN, "<URL>")
+    out = F.regexp_replace(out, EMAIL_PATTERN, "<EMAIL>")
+    return F.trim(F.regexp_replace(out, "\\s+", " "))

@@ -434,3 +434,29 @@ def q_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_tokens") >= 10)
         & (F.col("lang_guess") == F.col("lang"))
     ).select("doc_id", "n_tokens", "quality", "lang_guess")
+
+
+@query(
+    "text_clean",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                 'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\s+', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining text cleanup (functions/text.py clean_text): strip HTML
+    tags, mask emails/URLs with typed placeholders, collapse whitespace —
+    all JVM-side regexp_replace in one codegen'd projection. Patterns stay
+    in the Java-regex ∩ RE2 subset so the oracle reproduces the exact
+    output."""
+    from ..functions.text import clean_text
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", clean_text(F.col("text")).alias("cleaned"))

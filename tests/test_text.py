@@ -63,3 +63,25 @@ def test_token_shingles(spark):
     sh = _one(spark, "a b c d", lambda c: token_shingles(c, 3))
     assert sorted(sh) == ["a b c", "b c d"]
     assert _one(spark, "a b", lambda c: token_shingles(c, 3)) == []
+
+
+def test_clean_text_masks_and_strips(spark):
+    from s3_to_redshift_with_airflow_spark.functions.text import clean_text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("<p>Hello   <b>world</b></p>",),
+            ("mail me at bob.smith+x@example.co.uk today",),
+            ("see https://example.com/a?b=1 and http://x.io",),
+            ("  plain   text  ",),
+        ],
+        "text string",
+    )
+    got = [r["c"] for r in df.select(clean_text(F.col("text")).alias("c")).collect()]
+    assert got == [
+        "Hello world",
+        "mail me at <EMAIL> today",
+        "see <URL> and <URL>",
+        "plain text",
+    ]
