@@ -133,3 +133,50 @@ def sessionize(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    keys: list[str] | None = None,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join, bucketed (the operator Spark lacks:
+    a plain `t BETWEEN start AND end` join plans as a nested-loop join —
+    O(|points|·|intervals|)).
+
+    The banded plan: each interval is exploded onto the fixed time buckets
+    it covers; each point maps to exactly one bucket; an EQUI-join on
+    (keys…, bucket) finds candidates and the exact containment predicate
+    filters them. Cost is O(collisions within buckets) with one hash
+    shuffle — the same banding idea as the LSH joins, with zero recall
+    loss (a point's bucket always lies inside its interval's bucket span).
+
+    `bucket_seconds` trades replication for selectivity: ~the typical
+    interval length is right (each interval lands in ~2 buckets).
+    Output: all point columns + all interval columns (minus join keys).
+    """
+    keys = keys or []
+    us = bucket_seconds * 1_000_000
+
+    p = points.withColumn(
+        "__bkt", (F.unix_micros(F.col(point_col)) / us).cast("long")
+    )
+    i = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start_col)) / us).cast("long"),
+                (F.unix_micros(F.col(end_col)) / us).cast("long"),
+            )
+        ),
+    )
+    out = p.join(i, on=keys + ["__bkt"], how=how).filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col))
+    )
+    return out.drop("__bkt")

@@ -439,3 +439,56 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile("user_id").unionByName(profile("value")).unionByName(
         profile("event_id")
     )
+
+
+@query(
+    "range_join",
+    oracle="""
+    WITH RECURSIVE o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM o
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM s GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, x.session_id
+    FROM events e
+    JOIN sessions x
+      ON e.user_id = x.user_id
+     AND e.ts BETWEEN x.session_start AND x.session_end
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/timeseries.py): every event
+    matched back to the session interval containing it. Spark would plan the
+    raw BETWEEN join as a nested loop; the bucketed plan equi-joins on
+    (user, hour-bucket) and filters exact containment — one hash shuffle,
+    zero recall loss. Oracle: DuckDB's native BETWEEN join over the same
+    sessionization."""
+    from ..operators.timeseries import range_join, sessionize
+
+    (events,) = _t(spark, sf_dir, "events")
+    sessions = sessionize(events, key="user_id", time_col="ts", gap_minutes=30).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    out = range_join(
+        events.select("event_id", "user_id", "ts"),
+        sessions,
+        point_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+        keys=["user_id"],
+    )
+    return out.select("event_id", "user_id", "session_id")

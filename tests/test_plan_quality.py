@@ -158,3 +158,10 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     after = len(g.glob(f"{path}/part-*.parquet"))
     assert after == n == 1
     assert spark.read.parquet(path).count() == events.count()
+
+
+def test_range_join_is_hash_not_nested_loop(spark):
+    plan = _plan(spark, "range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan

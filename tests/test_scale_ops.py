@@ -161,3 +161,36 @@ def test_connected_components_planted_graph(spark):
         6: 6, 7: 6, 8: 6, 9: 6,
         10: 10, 11: 10, 12: 10,
     }
+
+
+def test_range_join_semantics(spark):
+    from s3_to_redshift_with_airflow_spark.operators.timeseries import range_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00"),
+         (3, "2024-01-01 12:30:00"), (4, "2024-01-02 00:00:00")],
+        "pid bigint, t string",
+    ).select("pid", F.col("t").cast("timestamp").alias("t"))
+    intervals = spark.createDataFrame(
+        [(100, "2024-01-01 09:00:00", "2024-01-01 10:00:00"),   # boundary hit
+         (200, "2024-01-01 10:30:00", "2024-01-01 13:00:00"),   # spans buckets
+         (300, "2024-01-01 12:00:00", "2024-01-01 23:00:00")],  # overlaps 200
+        "iid bigint, s string, e string",
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, point_col="t", start_col="s", end_col="e",
+            bucket_seconds=3600,
+        ).collect()
+    }
+    assert got == {
+        (1, 100),          # inclusive end boundary
+        (2, 200),
+        (3, 200), (3, 300),  # overlapping intervals both match
+        # pid 4 matches nothing
+    }
