@@ -640,3 +640,84 @@ def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in EVENT_TYPES],
     )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 2^2 subtotal combinations in one
+    Expand+HashAggregate pass (completes the grouping-set family with
+    rollup_agg)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE)
+    FROM orders
+    """,
+)
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of pivot_agg): wide metric columns to
+    (key, metric, value) rows — pure JVM-side Expand, no shuffle; the
+    standard reshape before per-metric aggregation at scale."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").cast("double").alias("o_custkey")
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "o_custkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_uc,
+           substring(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           replace(c_name, 'Customer', 'Cust') AS name_short,
+           levenshtein(c_mktsegment, 'BUILDING') AS seg_dist,
+           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one
+    FROM customer
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function suite (§2.8 extended): case, substring,
+    length, concat, replace, edit distance, LIKE — all codegen'd JVM
+    expressions with engine-identical semantics."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_uc"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.concat_ws(":", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_short"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).cast("bigint").alias(
+            "seg_dist"
+        ),
+        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).cast("bigint").alias(
+            "has_one"
+        ),
+    )
