@@ -82,3 +82,93 @@ def test_dedup_survivor_is_deterministic_minimum(spark, rows):
         r["k"]: r["v"] for r in dedup_subset_deterministic(rev, ["k"]).collect()
     }
     assert out_rev == out
+
+
+intervals_rows = st.lists(
+    st.tuples(keys, times, st.integers(min_value=0, max_value=8)),  # (k, start, len)
+    min_size=0,
+    max_size=10,
+)
+bucket_sizes = st.sampled_from([1, 2, 3, 7])
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(points=left_rows, intervals=intervals_rows, bucket=bucket_sizes)
+def test_range_join_matches_bruteforce(spark, points, intervals, bucket):
+    from s3_to_redshift_with_airflow_spark.operators.timeseries import range_join
+    from pyspark.sql import functions as F
+
+    pdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(points)] or [(None, None, None)],
+        "pid int, k int, t int",
+    ).filter("pid IS NOT NULL")
+    idf = spark.createDataFrame(
+        [(j, k, s, s + ln) for j, (k, s, ln) in enumerate(intervals)]
+        or [(None, None, None, None)],
+        "iid int, k int, s int, e int",
+    ).filter("iid IS NOT NULL")
+
+    # integer second timestamps (range_join buckets via unix_micros)
+    p = pdf.select("pid", "k", F.timestamp_seconds("t").alias("t"))
+    i = idf.select(
+        "iid", "k",
+        F.timestamp_seconds("s").alias("s"),
+        F.timestamp_seconds("e").alias("e"),
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            p, i, point_col="t", start_col="s", end_col="e",
+            keys=["k"], bucket_seconds=bucket,
+        ).collect()
+    }
+    expected = {
+        (pid, jid)
+        for pid, (pk, pt) in enumerate(points)
+        for jid, (ik, s, ln) in enumerate(intervals)
+        if pk == ik and s <= pt <= s + ln
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    target=st.lists(st.tuples(keys, values), min_size=0, max_size=10),
+    updates=st.lists(st.tuples(keys, values), min_size=0, max_size=6),
+)
+def test_upsert_dataframe_matches_dict_semantics(spark, target, updates):
+    from s3_to_redshift_with_airflow_spark.operators.relational import (
+        dedup_subset_deterministic,
+        upsert_dataframe,
+    )
+
+    tgt = dedup_subset_deterministic(
+        spark.createDataFrame(target or [(None, None)], "k int, v int").filter(
+            "k IS NOT NULL"
+        ),
+        ["k"],
+    )
+    upd = dedup_subset_deterministic(
+        spark.createDataFrame(updates or [(None, None)], "k int, v int").filter(
+            "k IS NOT NULL"
+        ),
+        ["k"],
+    )
+    got = {r["k"]: r["v"] for r in upsert_dataframe(tgt, upd, ["k"]).collect()}
+
+    expected = {}
+    for k, v in target:
+        expected[k] = min(v, expected.get(k, v))
+    upd_d = {}
+    for k, v in updates:
+        upd_d[k] = min(v, upd_d.get(k, v))
+    expected.update(upd_d)
+    assert got == expected
