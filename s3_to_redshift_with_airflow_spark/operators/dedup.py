@@ -53,6 +53,29 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     ).filter(F.size("shingles") > 0)
 
 
+# Persisted shingle frames are consumed lazily by the returned plan, so the
+# builder can't unpersist before its caller executes. Instead each new call
+# releases the previous call's blocks (residency bounded to ONE shingled
+# frame per session no matter how many dedup queries run back-to-back), and
+# release_shingle_cache() frees the last one explicitly.
+_SHINGLE_CACHE: list[DataFrame] = []
+
+
+def release_shingle_cache() -> None:
+    """Unpersist any shingled frame still cached by a prior dedup call."""
+    while _SHINGLE_CACHE:
+        _SHINGLE_CACHE.pop().unpersist()
+
+
+def _persist_shingled(sh: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    release_shingle_cache()
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_CACHE.append(sh)
+    return sh
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -82,9 +105,7 @@ def ngram_jaccard_pairs(
     # verification sides); persist it so tokenization runs once, not four
     # times. MEMORY_AND_DISK: shingle sets are ~text-sized, spill is fine.
     # (At 100 TB you'd stage this to parquet instead — one tokenize pass.)
-    from pyspark import StorageLevel
-
-    sh = _shingled(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _persist_shingled(_shingled(df, id_col, text_col, n))
     posts = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     freq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # canonical order: (df asc, shingle asc); prefix keeps the rarest tokens
@@ -177,12 +198,10 @@ def minhash_lsh_pairs(
     a 64-bit hash of the band slice; skew only on pathological corpora
     (all-identical docs) — AQE skew split applies.
     """
-    from pyspark import StorageLevel
-
     r = num_hashes // n_bands
     # one tokenize pass feeds both the signature path and the verification
     # arrays (same rationale as in ngram_jaccard_pairs)
-    sh0 = _shingled(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh0 = _persist_shingled(_shingled(df, id_col, text_col, n))
     sigs = _signatures_from_shingled(sh0, id_col, num_hashes, seed)
     bands = sigs.select(
         F.col(id_col),

@@ -97,7 +97,7 @@ def hourly_kpis(
     cd = F.countDistinct if exact else (lambda c: F.approx_count_distinct(c))
     base = enriched.groupBy(hour_col).agg(
         cd(user_key).alias("unique_listeners"),
-        (F.countDistinct(track_key).cast("double") / F.count(track_key)).alias(
+        (cd(track_key).cast("double") / F.count(track_key)).alias(
             "track_diversity_index"
         ),
     )

@@ -12,8 +12,10 @@ side's hot keys across `salt` sub-keys: the shuffle key becomes
 multiplies the small side by `salt` — keep salt modest (8-32) and the small
 side genuinely smaller.
 
-Results are identical to the plain join (each big-side row meets exactly one
-replica of each matching small-side row).
+Results are identical to the plain join for `how` in {"inner", "left"} (each
+big-side row meets exactly one replica of each matching small-side row).
+Right/full-outer would emit each *unmatched* small-side row once per salt
+replica, and semi/anti change the output schema — those modes are rejected.
 """
 
 from __future__ import annotations
@@ -35,6 +37,12 @@ def salted_join(
     small rows are replicated once per salt value. Output columns match
     `big.join(small, on, how)` (salt columns are internal).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner' or 'left', got {how!r}: "
+            "right/full outer would duplicate unmatched small-side rows "
+            "(one per salt replica) and semi/anti drop the small columns"
+        )
     big_cols = [c for c in big.columns]
     small_cols = [c for c in small.columns if c != on]
 

@@ -159,13 +159,23 @@ def range_join(
     `bucket_seconds` trades replication for selectivity: ~the typical
     interval length is right (each interval lands in ~2 buckets).
     Output: all point columns + all interval columns (minus join keys).
+
+    `how` is 'inner' or 'left' (points-preserving). The containment
+    predicate lives INSIDE the join condition, so under 'left' a point with
+    no containing interval is null-extended rather than silently dropped by
+    a post-join filter. Right/full-outer are rejected: an unmatched interval
+    would surface once per bucket replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"range_join supports how='inner' or 'left', got {how!r}"
+        )
     keys = keys or []
     us = bucket_seconds * 1_000_000
 
     p = points.withColumn(
         "__bkt", (F.unix_micros(F.col(point_col)) / us).cast("long")
-    )
+    ).alias("__p")
     i = intervals.withColumn(
         "__bkt",
         F.explode(
@@ -174,9 +184,20 @@ def range_join(
                 (F.unix_micros(F.col(end_col)) / us).cast("long"),
             )
         ),
+    ).alias("__i")
+    cond = F.col("__p.__bkt") == F.col("__i.__bkt")
+    for k in keys:
+        cond = cond & (F.col(f"__p.{k}") == F.col(f"__i.{k}"))
+    # Equi-part (keys, __bkt) still drives the hash join; the containment
+    # predicate rides along as the join's residual condition, preserving
+    # left-outer semantics without degrading the bucketed plan.
+    cond = cond & (
+        (F.col(f"__p.{point_col}") >= F.col(f"__i.{start_col}"))
+        & (F.col(f"__p.{point_col}") <= F.col(f"__i.{end_col}"))
     )
-    out = p.join(i, on=keys + ["__bkt"], how=how).filter(
-        (F.col(point_col) >= F.col(start_col))
-        & (F.col(point_col) <= F.col(end_col))
+    joined = p.join(i, on=cond, how=how)
+    ival_cols = [c for c in intervals.columns if c not in keys]
+    return joined.select(
+        *[F.col(f"__p.{c}") for c in points.columns],
+        *[F.col(f"__i.{c}").alias(c) for c in ival_cols],
     )
-    return out.drop("__bkt")

@@ -529,14 +529,14 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "validation_report",
     oracle="""
     SELECT COUNT(*) AS row_count,
-           COUNT(*) - COUNT(DISTINCT (event_id, ts, user_id, event_type, value, props))
-             AS dup_rows,
-           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nulls__user_id,
-           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nulls__event_type,
-           SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nulls__ts,
-           SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls__event_id,
-           COUNT(*) - COUNT(DISTINCT event_id) AS dup_keys,
-           SUM(CASE WHEN value < 0 OR value > 480 THEN 1 ELSE 0 END) AS range_viol__value
+           CAST(COUNT(*) - COUNT(DISTINCT (event_id, ts, user_id, event_type, value, props))
+             AS BIGINT) AS dup_rows,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls__user_id,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls__event_type,
+           CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls__ts,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls__event_id,
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS dup_keys,
+           CAST(SUM(CASE WHEN value < 0 OR value > 480 THEN 1 ELSE 0 END) AS BIGINT) AS range_viol__value
     FROM events
     """,
 )
@@ -617,7 +617,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     oracle=f"""
     SELECT hour(ts) AS hour,
            {", ".join(
-               f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS {t}"
+               f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS BIGINT) AS {t}"
                for t in EVENT_TYPES
            )}
     FROM events
@@ -696,7 +696,7 @@ def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
            concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
            replace(c_name, 'Customer', 'Cust') AS name_short,
            levenshtein(c_mktsegment, 'BUILDING') AS seg_dist,
-           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one
+           CAST(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS BIGINT) AS has_one
     FROM customer
     """,
 )

@@ -38,21 +38,66 @@ def _q(ident: str) -> str:
     return '"' + ident.replace('"', '""') + '"'
 
 
-def upsert_sql(target: str, staging: str, keys: list[str], columns: list[str]) -> list[str]:
+def upsert_sql(
+    target: str,
+    staging: str,
+    keys: list[str],
+    columns: list[str],
+    scope_date_col: str | None = None,
+) -> list[str]:
     """The two-statement merge transaction (dialect-neutral ANSI SQL).
 
     Table names pass through unquoted — Spark's JDBC writer also passes
     `dbtable` through raw, so both sides get the warehouse's case
     normalization (e.g. Derby uppercases). Column names ARE quoted, matching
     Spark's quoted column DDL in the staging create.
+
+    `scope_date_col` reproduces the reference's day-scoped delete
+    (load_to_redshift.py:190-193: `AND target.date_processed::date =
+    staging.date_processed::date`): reruns within a day replace that day's
+    rows for the matching keys, while rows from other days survive —
+    per-(key, day) idempotency, expressed as CAST(... AS DATE) so it runs on
+    any ANSI warehouse (`::date` is the Redshift/Postgres spelling of the
+    same cast).
     """
     on = " AND ".join(f"{target}.{_q(k)} = {staging}.{_q(k)}" for k in keys)
+    if scope_date_col:
+        c = _q(scope_date_col)
+        on += (
+            f" AND CAST({target}.{c} AS DATE) = CAST({staging}.{c} AS DATE)"
+        )
     cols = ", ".join(_q(c) for c in columns)
     return [
         f"DELETE FROM {target} WHERE EXISTS "
         f"(SELECT 1 FROM {staging} WHERE {on})",
         f"INSERT INTO {target} ({cols}) SELECT {cols} FROM {staging}",
     ]
+
+
+def warehouse_table_ddl(
+    table: str,
+    columns: dict[str, str],
+    primary_key: list[str] | None = None,
+    distkey: str | None = None,
+    sortkey: list[str] | None = None,
+) -> str:
+    """CREATE-if-absent DDL with warehouse physical-layout clauses (S7,
+    load_to_redshift.py:81-104: `DISTSTYLE KEY DISTKEY (genre)` etc.).
+
+    DISTKEY/SORTKEY are Redshift's physical layout knobs — the warehouse
+    twin of Spark-side bucketing: co-locating the distribution key with the
+    upsert key makes the DELETE USING a local (non-broadcast) merge. They are
+    emitted only when requested so the same builder serves ANSI engines
+    (Derby in tests) without the vendor clauses.
+    """
+    cols = ", ".join(f"{_q(c)} {t}" for c, t in columns.items())
+    pk = f", PRIMARY KEY ({', '.join(_q(k) for k in primary_key)})" if primary_key else ""
+    ddl = f"CREATE TABLE {table} ({cols}{pk})"
+    if distkey:
+        ddl += f" DISTSTYLE KEY DISTKEY ({_q(distkey)})"
+    if sortkey:
+        ddl += f" SORTKEY ({', '.join(_q(k) for k in sortkey)})"
+    return ddl
 
 
 def write_upsert(
@@ -66,6 +111,8 @@ def write_upsert(
     num_partitions: int | None = None,
     create_target_ddl: str | None = None,
     staging_column_types: str | None = None,
+    staging_table_options: str | None = None,
+    scope_date_col: str | None = None,
     drop_staging: bool = True,
 ) -> None:
     """Upsert `df` into `target_table` over JDBC.
@@ -73,10 +120,17 @@ def write_upsert(
     Args:
         df: rows to upsert (unique on `keys`; duplicates are caller error).
         url: JDBC url (driver must be on Spark's classpath).
-        keys: equality columns for the delete scope — include the date/day
-            column for the reference's day-scoped idempotent reruns.
+        keys: equality columns for the delete scope.
         create_target_ddl: optional DDL executed first (CREATE TABLE ...);
-            the reference's S7 create-if-not-exists surface.
+            the reference's S7 create-if-not-exists surface — see
+            `warehouse_table_ddl` for the DISTKEY/SORTKEY builder.
+        staging_table_options: appended verbatim to the staging CREATE TABLE
+            (Spark's `createTableOptions`), e.g. "DISTSTYLE KEY DISTKEY
+            (genre)" so the staging table is co-distributed with the target
+            and the DELETE USING merge stays node-local on Redshift.
+        scope_date_col: timestamp column for per-(key, day) rerun
+            idempotency (the reference's `date_processed::date` delete
+            scope) — see `upsert_sql`.
     """
     staging_table = staging_table or f"{target_table}_staging"
     props = dict(properties or {})
@@ -89,11 +143,19 @@ def write_upsert(
         # types comparable with the target's (some dialects map StringType to
         # CLOB/TEXT, which cannot join against VARCHAR keys).
         writer = writer.option("createTableColumnTypes", staging_column_types)
+    if staging_table_options:
+        writer = writer.option("createTableOptions", staging_table_options)
     writer.jdbc(url, staging_table, properties=props)
 
     spark = df.sparkSession
     jvm = spark._jvm  # noqa: SLF001 — DriverManager in the live Spark JVM
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    # The merge connection must carry the same credentials as the staging
+    # write (user/password in `properties`): embedded Derby ignores them but
+    # any authenticated warehouse rejects a bare getConnection(url).
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        jprops.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         conn.setAutoCommit(False)
         stmt = conn.createStatement()
@@ -102,7 +164,9 @@ def write_upsert(
                 stmt.execute(create_target_ddl)
             except Exception:  # noqa: BLE001 — "already exists" tolerated
                 conn.rollback()
-        for sql in upsert_sql(target_table, staging_table, keys, df.columns):
+        for sql in upsert_sql(
+            target_table, staging_table, keys, df.columns, scope_date_col
+        ):
             stmt.execute(sql)
         conn.commit()
         if drop_staging:

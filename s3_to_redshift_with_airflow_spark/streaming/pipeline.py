@@ -137,9 +137,17 @@ def foreach_batch_upsert(
             merged = upsert_dataframe(target, batch, keys)
         except Exception:  # first epoch: target does not exist yet
             merged = batch
-        merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(target_path)
-        merged.unpersist()
+        # Write-then-swap (same protocol as compact_parquet): the merged
+        # frame is fully materialized at the scratch path while the live
+        # target is still intact, so a lost executor or cache eviction can
+        # never recompute from an already-truncated target.
+        jvm = spark._jvm  # noqa: SLF001
+        conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        tmp = target_path.rstrip("/") + f"__epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        p = jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = p.getFileSystem(conf)
+        fs.delete(p, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
 
     return _sink

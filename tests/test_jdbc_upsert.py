@@ -70,6 +70,75 @@ def test_write_upsert_roundtrip_and_idempotency(spark):
     assert read_table(spark, URL, "genre_kpis").count() == 4
 
 
+def test_upsert_sql_day_scope_clause():
+    stmts = upsert_sql("t", "s", ["genre"], ["genre", "v"], scope_date_col="date_processed")
+    assert stmts[0] == (
+        "DELETE FROM t WHERE EXISTS "
+        '(SELECT 1 FROM s WHERE t."genre" = s."genre" AND '
+        'CAST(t."date_processed" AS DATE) = CAST(s."date_processed" AS DATE))'
+    )
+
+
+def test_warehouse_table_ddl_layout_clauses():
+    from s3_to_redshift_with_airflow_spark.sinks.jdbc_upsert import warehouse_table_ddl
+
+    ddl = warehouse_table_ddl(
+        "genre_kpis",
+        {"genre": "VARCHAR(255)", "total_streams": "BIGINT", "date_processed": "TIMESTAMP"},
+        primary_key=["genre", "date_processed"],
+        distkey="genre",
+        sortkey=["date_processed"],
+    )
+    # the reference's physical layout (load_to_redshift.py:81-104)
+    assert 'DISTSTYLE KEY DISTKEY ("genre")' in ddl
+    assert 'SORTKEY ("date_processed")' in ddl
+    assert 'PRIMARY KEY ("genre", "date_processed")' in ddl
+    # plain ANSI when no layout is requested (Derby-compatible)
+    plain = warehouse_table_ddl("t", {"a": "BIGINT"})
+    assert plain == 'CREATE TABLE t ("a" BIGINT)'
+
+
+def test_write_upsert_day_scoped_rerun(spark):
+    """The reference's actual rerun contract (load_to_redshift.py:187-201):
+    same-day rerun replaces that day's rows per key; other days' rows for the
+    SAME key survive (key alone is not the delete scope)."""
+    url = "jdbc:derby:memory:dayscope_test;create=true"
+    ddl = (
+        "CREATE TABLE genre_kpis ("
+        '"genre" VARCHAR(255), "date_processed" TIMESTAMP, "total_streams" BIGINT)'
+    )
+    types = "genre VARCHAR(255), date_processed TIMESTAMP"
+    schema = "`genre` string, `date_processed` timestamp, `total_streams` long"
+    from datetime import datetime
+
+    d1a = datetime(2024, 6, 25, 8, 0, 0)
+    d1b = datetime(2024, 6, 25, 17, 30, 0)  # same day, later run
+    d2 = datetime(2024, 6, 26, 8, 0, 0)
+
+    first = spark.createDataFrame([("rock", d1a, 10), ("jazz", d1a, 5)], schema)
+    write_upsert(first, url, "genre_kpis", keys=["genre"], create_target_ddl=ddl,
+                 staging_column_types=types, scope_date_col="date_processed")
+
+    nextday = spark.createDataFrame([("rock", d2, 3)], schema)
+    write_upsert(nextday, url, "genre_kpis", keys=["genre"],
+                 staging_column_types=types, scope_date_col="date_processed")
+
+    # rerun day 1 at a different time-of-day: replaces day-1 rock, keeps day-2 rock
+    rerun = spark.createDataFrame([("rock", d1b, 12)], schema)
+    write_upsert(rerun, url, "genre_kpis", keys=["genre"],
+                 staging_column_types=types, scope_date_col="date_processed")
+
+    out = {
+        (r["genre"], r["date_processed"].date().isoformat()): r["total_streams"]
+        for r in read_table(spark, url, "genre_kpis").collect()
+    }
+    assert out == {
+        ("rock", "2024-06-25"): 12,
+        ("jazz", "2024-06-25"): 5,
+        ("rock", "2024-06-26"): 3,
+    }
+
+
 def test_post_load_quality_checks(spark):
     from s3_to_redshift_with_airflow_spark.sinks.jdbc_upsert import (
         post_load_quality_checks,

@@ -76,7 +76,10 @@ def main() -> int:
             print(f"FAIL {name}: rowcount {len(a)} vs {len(b)}")
             continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+            # Dtype-strict on purpose: the driver's value hash is dtype-
+            # sensitive, so a dtype-lenient local gate lets HUGEINT-vs-BIGINT
+            # style mismatches escape to the round scoring (VERDICT r1 #2).
+            pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
         except AssertionError as e:
             failures.append(name)
             print(f"FAIL {name}: values differ: {str(e)[:400]}")
