@@ -23,6 +23,10 @@ from s3_to_redshift_with_airflow_spark.session import build_session  # noqa: E40
 # Headline set: the flagship star-join aggregation, the stateful-style hourly
 # rollup, the big-group aggregate, window top-k, dedup, and the windowed
 # event-time aggregation — the queries whose plans dominate at scale.
+# The first 8 are the round-1 set (kept stable for round-over-round
+# comparison); the tail adds the expensive families — LSH dedup, the TPC-H
+# star join, streaming, and blocked semantic dedup — so regressions in the
+# heavy plans are visible per round, not just in correctness.
 HEADLINE = [
     "genre_kpis",
     "hourly_kpis",
@@ -32,6 +36,13 @@ HEADLINE = [
     "hour_window_agg",
     "upsert",
     "left_join_fill",
+    # heavy tail (added round 2)
+    "minhash_neardup",
+    "star_join_agg",
+    "streaming_window_agg",
+    "semantic_neardup",
+    "tpch_q1",
+    "tpch_q18",
 ]
 
 

@@ -107,7 +107,7 @@ def hyperplane_lsh_topk(
     query_id_col: str = "query_id",
     dim: int = 64,
     n_bits: int = 16,
-    n_bands: int = 4,
+    n_bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one signature band
@@ -115,6 +115,9 @@ def hyperplane_lsh_topk(
 
     Recall rises with n_bands (more, shorter bands → more candidates);
     n_bands == n_bits degenerates to per-bit buckets (near-exhaustive).
+    The defaults (16 bits, 8 two-bit bands) measure ≥0.95 top-10 recall on
+    the driver testdata — pinned ≥0.9 in tests/test_similarity.py so a
+    parameter regression fails fast.
     """
     band_size = n_bits // n_bands
     mask = (1 << band_size) - 1
@@ -166,6 +169,80 @@ def hyperplane_lsh_topk(
     )
     return topk_per_group(
         cands, [query_id_col], [F.col("cos_sim").desc(), F.col(id_col).asc()], k=k
+    )
+
+
+def sign_lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    band_size: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-LSH blocking — the scale
+    path that replaces the O(N²) cross join (plans/extensions.py's
+    `embedding_neardup`, kept as this operator's brute-force test oracle).
+
+    Blocking: the component-sign bitmap is a hyperplane-LSH signature with
+    AXIS-ALIGNED hyperplanes (Charikar 2002 — P[sign agree] = 1 - θ/π, same
+    as any random hyperplane for isotropic data). `dim` bits split into
+    dim/band_size bands; candidates share at least one full band, then the
+    exact cosine ≥ threshold verifies — precision 1.0 by construction,
+    recall 1-(1-pᵇˢ)^(dim/bs) per pair (≈0.94 at cos 0.4, →1 as cos→1; the
+    near-identical pairs dedup cares about are essentially never missed).
+
+    Two properties make this the preferred block key at scale:
+      * the key derives from SIGN BITS of stored values — no float
+        arithmetic, so the candidate set is bit-reproducible across engines,
+        partitionings, and hardware (a dot-product-based key can flip a
+        bucket on a last-ulp difference);
+      * cost is one band-key shuffle + O(bucket collisions), never N².
+    """
+    n_bands = dim // band_size
+    bands = []
+    for j in range(n_bands):
+        key = F.lit(0)
+        for i in range(band_size):
+            key = key + F.when(
+                F.col(vec_col)[j * band_size + i] >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        bands.append(F.struct(F.lit(j).alias("band"), key.cast("int").alias("key")))
+    banded = df.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    cands = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    from ..functions.vectors import dot as vdot, norm as vnorm
+
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        vnorm(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        vnorm(F.col(vec_col)).alias("__nb"),
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (vdot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

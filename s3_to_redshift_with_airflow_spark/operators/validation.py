@@ -52,6 +52,10 @@ class TableRules:
     whitelist: dict[str, list[str]] = field(default_factory=dict)
     numeric_coercible: list[str] = field(default_factory=list)
     range_checks: list[RangeCheck] = field(default_factory=list)
+    # lenient-ingest hook (SURVEY §1.4): when the frame came from
+    # sources.readers.read_csv_lenient, this names the PERMISSIVE-mode
+    # corrupt-record column so malformed-row counts join the report.
+    corrupt_col: str = "_corrupt_record"
 
 
 def _null_count(c: str) -> Column:
@@ -67,9 +71,19 @@ def metrics_plan(df: DataFrame, rules: TableRules) -> DataFrame:
     present = set(df.columns)
     aggs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
 
+    # Lenient-ingest metric: malformed-row count from a PERMISSIVE CSV scan
+    # (readers.read_csv_lenient). The corrupt column is excluded from the
+    # dup-rows struct below — it is ingest metadata, not data.
+    data_cols = [c for c in df.columns if c != rules.corrupt_col]
+    if rules.corrupt_col in present:
+        aggs.append(
+            F.sum(F.when(F.col(rules.corrupt_col).isNotNull(), 1).otherwise(0))
+            .alias("corrupt_rows")
+        )
+
     # V4: duplicate full rows (count - distinct over all columns)
     aggs.append(
-        (F.count(F.lit(1)) - F.count_distinct(F.struct(*df.columns))).alias("dup_rows")
+        (F.count(F.lit(1)) - F.count_distinct(F.struct(*data_cols))).alias("dup_rows")
     )
     # V5: null counts for required + key columns present
     for c in dict.fromkeys(rules.required_columns + rules.key_columns):
@@ -119,19 +133,31 @@ def metrics_plan(df: DataFrame, rules: TableRules) -> DataFrame:
     return df.agg(*aggs)
 
 
+def whitelist_offenders_plan(
+    df: DataFrame, column: str, allowed: list[str], limit: int = 10
+) -> DataFrame:
+    """V7 offender preview as a plan (schema_check.py:176-181): the distinct
+    out-of-whitelist values with their row counts, deterministic order
+    (value asc), capped at `limit` — the reference's `[:10]` sample.
+
+    Scale shape: the NOT IN filter pushes to the scan, the distinct-with-
+    count is one hash aggregate, and the cap runs as TakeOrderedAndProject
+    (per-partition top-k, driver merge) — never a full sort of offenders."""
+    return (
+        df.filter(~F.lower(F.col(column)).isin([a.lower() for a in allowed]))
+        .groupBy(F.lower(F.col(column)).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("value")
+        .limit(limit)
+    )
+
+
 def whitelist_offenders(
     df: DataFrame, column: str, allowed: list[str], limit: int = 10
 ) -> list[str]:
     """V7 offender sample (schema_check.py:181 lists ≤10), deterministic order."""
-    rows = (
-        df.filter(~F.lower(F.col(column)).isin([a.lower() for a in allowed]))
-        .select(F.lower(F.col(column)).alias("v"))
-        .distinct()
-        .orderBy("v")
-        .limit(limit)
-        .collect()
-    )
-    return [r["v"] for r in rows]
+    rows = whitelist_offenders_plan(df, column, allowed, limit).collect()
+    return [r["value"] for r in rows]
 
 
 def evaluate(
@@ -167,6 +193,8 @@ def evaluate(
         errors.append("dataset is empty")
     if metrics.get("dup_rows", 0):
         warnings.append(f"{metrics['dup_rows']} duplicate rows")
+    if metrics.get("corrupt_rows", 0):
+        warnings.append(f"{metrics['corrupt_rows']} malformed rows (PERMISSIVE ingest)")
     for k, v in metrics.items():
         if k.startswith("nulls__") and v:
             col = k.removeprefix("nulls__")

@@ -35,7 +35,11 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_neardup_pairs,
 )
-from ..operators.similarity import brute_force_topk, hyperplane_lsh_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_topk,
+    sign_lsh_neardup_pairs,
+)
 from .registry import _t, query
 
 # --- shared DuckDB SQL fragments (generated from the same constants) -------
@@ -283,11 +287,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (≥0.4): the semantic-dedup primitive.
-    Brute-force here (oracle-exact); the hyperplane-LSH variant below is the
-    scale path. Norms are precomputed once per vector (per-row sqrt yields
-    the same IEEE value as per-pair, so results are unchanged) — per pair
-    only the dot product remains: ~3× fewer float ops than the naive form."""
+    """Embedding-cosine near-dup pairs (≥0.4) by SANCTIONED brute force —
+    the verification oracle for `semantic_neardup` below, which is the
+    first-class (LSH-blocked, shuffle-join) form of this operator. This
+    cross join is O(N²) by definition and exists to pin ground truth at
+    test scale; run `semantic_neardup` on real corpora. Norms are
+    precomputed once per vector (per-row sqrt yields the same IEEE value as
+    per-pair, so results are unchanged) — per pair only the dot product
+    remains: ~3× fewer float ops than the naive form."""
     from ..functions.vectors import dot, norm
 
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -313,6 +320,54 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.4)
     )
+
+
+def _sign_bands_sql(n_bands: int, band_size: int) -> str:
+    """DuckDB twin of sign_lsh_neardup_pairs' banding: per (vector, band),
+    the key is the sign bitmap of `band_size` consecutive components.
+    Generated from the SAME constants as the Spark expression; sign bits of
+    stored values involve no float arithmetic, so both engines produce the
+    identical candidate set (DuckDB lists are 1-indexed, hence the +1)."""
+    rows = []
+    for j in range(n_bands):
+        key = " + ".join(
+            f"(CASE WHEN v[{j * band_size + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(band_size)
+        )
+        rows.append(f"SELECT vec_id, {j} AS band, {key} AS key FROM e")
+    return " UNION ALL ".join(rows)
+
+
+@query(
+    "semantic_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+               FROM embeddings),
+    bands AS ({_sign_bands_sql(16, 4)}),
+    cands AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+              WHERE a.vec_id < b.vec_id)
+    SELECT c.id_a, c.id_b,
+           list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+             / (a.nrm * b.nrm) AS cos_sim
+    FROM cands c
+    JOIN e a ON a.vec_id = c.id_a
+    JOIN e b ON b.vec_id = c.id_b
+    WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+            / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class semantic dedup: embedding near-dup pairs (cos ≥ 0.4) via
+    sign-LSH blocking + exact cosine verify within blocks — one band-key
+    shuffle join, no Cartesian product; the 100 TB replacement for
+    `embedding_neardup`'s sanctioned brute force. The oracle reproduces the
+    blocking bit-for-bit (sign bits involve no float arithmetic), so this is
+    an EXACT oracle of the blocked semantics, not a rows-only check; recall
+    vs unblocked brute force is pinned in tests/test_similarity.py."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return sign_lsh_neardup_pairs(emb, threshold=0.4, dim=64, band_size=4)
 
 
 @query("lsh_ann_topk", oracle=None)

@@ -557,6 +557,30 @@ def q_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "whitelist_offenders",
+    oracle="""
+    SELECT lower(event_type) AS value, COUNT(*) AS n_rows
+    FROM events
+    WHERE lower(event_type) NOT IN ('click', 'view', 'purchase')
+    GROUP BY 1
+    ORDER BY value
+    LIMIT 10
+    """,
+)
+def q_whitelist_offenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 warn-path preview (schema_check.py:176-181): the ≤10 distinct
+    out-of-whitelist values with counts, deterministic order — the offender
+    sample the reference logs next to the violation count. The count lives
+    in validation_report; this query is the sample itself, oracle-checked."""
+    from ..operators.validation import whitelist_offenders_plan
+
+    (events,) = _t(spark, sf_dir, "events")
+    return whitelist_offenders_plan(
+        events, "event_type", ["click", "view", "purchase"], limit=10
+    )
+
+
+@query(
     "hour_window_agg",
     oracle="""
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

@@ -15,7 +15,7 @@ complete-mode result equals the batch answer — also exactly oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import decode_image_features, sample_video_frames
@@ -158,7 +158,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact baseline is pinned in tests/test_scale_ops.py."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     out = ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_clusters=16, n_probe=4
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_clusters=16, n_probe=6
     )
     return out.withColumn("rk", F.col("rk").cast("bigint"))
 
@@ -241,6 +241,214 @@ def q_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.groupBy("n_name").agg(
         F.sum(revenue).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# --- TPC-H classics --------------------------------------------------------
+# The canonical OLAP shapes (pricing summary, shipping priority, forecast
+# revenue, large-volume customers, priority semi-join) on the driver's
+# TPC-H-ish tables — each one exercises a distinct plan family at scale.
+# Money math follows the bit-determinism rule: per-row double products are
+# identical IEEE ops in any engine; sums go through DECIMAL(27,6) partials
+# (order-independent), and only the final value returns to double.
+
+
+def _dec(c: Column) -> Column:
+    return c.cast("decimal(27,6)")
+
+
+@query(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE)
+             AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): the wide-aggregate benchmark
+    classic. One scan, one shuffle on a 6-value grouping key, 8 aggregates
+    computed in a single HashAggregate with map-side partials — the shape
+    every OLAP engine is judged on first."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    li = lineitem.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+        F.sum(_dec(disc_price)).cast("double").alias("sum_disc_price"),
+        F.sum(_dec(charge)).cast("double").alias("sum_charge"),
+        (F.sum(_dec(F.col("l_quantity"))).cast("double") / n).alias("avg_qty"),
+        (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / n).alias("avg_price"),
+        (F.sum(_dec(F.col("l_discount"))).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority, adapted: o_orderpriority stands in for
+    the missing o_shippriority): selective dimension filter → fact join →
+    top-10 by revenue. The BUILDING-segment customer slice broadcasts; both
+    date filters push into the parquet scans; the final top-10 runs as
+    TakeOrderedAndProject, never a global sort."""
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    bld = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ord_open = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01")).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > F.lit("1998-01-01")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = _dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        li.join(ord_open, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(bld), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking, adapted: `l_shipdate >
+    o_orderdate` stands in for the missing commit/receipt dates): the
+    EXISTS-correlated-subquery classic, planned as a LEFT SEMI join with a
+    non-equi residual — each qualifying order counts once no matter how many
+    lineitems match."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    q1_97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        q1_97.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-aggregate
+    — every predicate reaches the parquet reader (PushedFilters), so at
+    100 TB this reads only row groups whose min/max statistics overlap the
+    year, then one map-side-combined global sum."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(27,6))) > 300
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the aggregate-then-join
+    discipline. The lineitem rollup happens FIRST (one shuffle on
+    l_orderkey), the >300 filter kills ~99% of groups, and only the
+    surviving handful of orderkeys join to orders and customer — the
+    join input is thousands of rows, not the full fact table. Grouping by
+    the customer attributes afterward (the literal SQL shape) would drag
+    c_name through the fact shuffle instead."""
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("__sq"))
+        .filter(F.col("__sq") > 300)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("__sq").cast("double").alias("sum_qty"),
+        )
     )
 
 

@@ -107,6 +107,67 @@ def read_csv(
     return df
 
 
+def read_csv_lenient(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+    **options: str,
+) -> DataFrame:
+    """Lenient CSV scan (SURVEY §1.4): PERMISSIVE mode with the raw text of
+    each malformed row captured in `corrupt_col` instead of failing the job —
+    the batch twin of the reference's infer-then-warn reads
+    (extract_stream_data.py:67) and `pd.to_numeric(errors='coerce')`
+    (schema_check.py:204).
+
+    The returned frame carries `corrupt_col` (null for clean rows); feed it
+    to `corrupt_record_count` / the validation report so malformed-row counts
+    surface as a quality metric rather than a silent drop. At scale this is
+    the only sane contract: one bad row in 100 TB must cost one counter
+    increment, not a job abort (FAILFAST) or a silent null (DROPMALFORMED).
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def corrupt_record_count(df: DataFrame, corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """One-row (clean_rows, corrupt_rows) summary of a lenient scan.
+
+    Two PERMISSIVE-mode subtleties force the probe below: (1) Spark rejects
+    queries over raw CSV whose required schema is ONLY the corrupt column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); (2) corruption
+    is judged against the PRUNED schema — a row malformed only in an unread
+    column is not counted corrupt in that query. So the clean-row count is
+    expressed as count(when(corrupt IS NULL, xxhash64(all data cols))) —
+    the hash (always non-null, so it never changes the count) pins every
+    data column inside an aggregate Catalyst can't prune (a separate probe
+    aggregate gets column-pruned away; count(struct(...)) gets rewritten to
+    count(1)). Single scan, full-schema corruption semantics."""
+    data_cols = [c for c in df.columns if c != corrupt_col]
+    pin = F.xxhash64(*data_cols) if data_cols else F.lit(1)
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__total"),
+        F.count(F.when(F.col(corrupt_col).isNull(), pin))
+        .cast("bigint")
+        .alias("clean_rows"),
+    )
+    return agg.select(
+        "clean_rows",
+        (F.col("__total") - F.col("clean_rows")).alias("corrupt_rows"),
+    )
+
+
 def read_recent_csv(
     spark: SparkSession,
     path: str,

@@ -165,3 +165,47 @@ def test_range_join_is_hash_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_tpch_q6_predicates_reach_parquet_scan(spark):
+    """Q6 is the pushdown benchmark: every predicate must reach the reader
+    so row-group statistics can skip data at scale."""
+    df = REGISTRY["tpch_q6"].fn(spark, SF_SMOKE)
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters:" in formatted
+    assert "GreaterThanOrEqual(l_shipdate" in formatted
+    assert "GreaterThanOrEqual(l_discount,0.05)" in formatted
+    assert "LessThan(l_quantity,24.0)" in formatted
+
+
+def test_tpch_q18_aggregates_before_join(spark):
+    """Q18's scale discipline: the lineitem rollup + >300 filter runs BEFORE
+    any join, so the join inputs are surviving orderkeys, not the fact
+    table. In the plan string, the HashAggregate over l_quantity must appear
+    below (after, textually) the joins that consume it — equivalently, no
+    join output feeds the quantity aggregate's child."""
+    plan = _plan(spark, "tpch_q18")
+    # the aggregate's child is a plain scan/shuffle of lineitem: between the
+    # first HashAggregate mentioning l_quantity and the end of plan there
+    # must be no join node (joins sit ABOVE the rollup in this tree)
+    agg_at = plan.find("l_quantity")
+    assert agg_at != -1
+    below = plan[agg_at:]
+    assert "Join" not in below, below
+
+
+def test_tpch_q3_broadcasts_customer_slice(spark):
+    plan = _plan(spark, "tpch_q3")
+    assert "BroadcastHashJoin" in plan
+    # top-10 must run as TakeOrderedAndProject, not a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_neardup_has_no_cartesian(spark):
+    """The first-class embedding dedup must stay a bucketed shuffle join;
+    only the sanctioned brute-force oracle (embedding_neardup) may cross."""
+    plan = _plan(spark, "semantic_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -21,12 +21,13 @@ def test_ivf_topk_recall_vs_exact(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)
     exact = brute_force_topk(emb, queries, k=10)
-    approx = ivf_topk(emb, queries, k=10, n_clusters=8, n_probe=4)
+    approx = ivf_topk(emb, queries, k=10, n_clusters=8, n_probe=5)
     truth = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
-    # probing half the lists must recover well over half the true neighbors
-    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+    # measured 0.98 at these parameters on the driver testdata; 0.9 catches
+    # any quantizer/probe regression while leaving data-regen margin
+    assert recall >= 0.9, f"IVF recall {recall:.2f} too low"
     # per-query result size is capped at k
     per_q = approx.groupBy("query_id").count().collect()
     assert all(r["count"] <= 10 for r in per_q)

@@ -53,10 +53,47 @@ def test_lsh_topk_recall_vs_exact(spark):
     exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
     approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.5, f"LSH recall {recall} too low"
+    # measured 0.96 at these parameters on the driver testdata; 0.9 leaves
+    # margin for data regeneration while catching any parameter regression
+    assert recall >= 0.9, f"LSH recall {recall} too low"
     # precision of scores: any pair returned must carry the exact cosine
     exact_scores = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in exact}
     for r in approx:
         k = (r["query_id"], r["vec_id"])
         if k in exact_scores:
             assert r["cos_sim"] == exact_scores[k]
+
+
+def test_sign_lsh_neardup_recall_and_precision(spark):
+    """semantic_neardup's blocking vs unblocked brute force: every returned
+    pair is a true pair with the exact cosine (precision 1.0), and recall
+    stays ≥0.9 (measured 0.966 on the driver testdata at cos ≥ 0.4 — the
+    misses are boundary pairs; true near-dups are essentially never lost)."""
+    from s3_to_redshift_with_airflow_spark.functions.vectors import dot, norm
+    from s3_to_redshift_with_airflow_spark.operators.similarity import (
+        sign_lsh_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                   norm(F.col("embedding")).alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                   norm(F.col("embedding")).alias("nb"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+        .collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in sign_lsh_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    assert set(blocked) <= set(brute)  # precision 1.0
+    for k, v in blocked.items():
+        assert v == brute[k]  # exact cosine, bit-identical
+    recall = len(blocked) / len(brute)
+    assert recall >= 0.9, f"sign-LSH recall {recall} too low"

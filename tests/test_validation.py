@@ -76,3 +76,40 @@ def test_validate_datasets_raises_on_error(spark, dirty):
     assert ok["passed"]
     with pytest.raises(ValueError, match="streams"):
         validate_datasets({"streams": (dirty, RULES)})
+
+
+def test_lenient_csv_corrupt_records_in_report(spark, tmp_path):
+    """SURVEY §1.4: PERMISSIVE ingest counts malformed rows instead of
+    failing (the reference's infer-then-warn read, extract_stream_data.py:67)
+    and the count flows into the validation report as a warning."""
+    from s3_to_redshift_with_airflow_spark.sources.readers import (
+        corrupt_record_count,
+        read_csv_lenient,
+    )
+    from pyspark.sql import types as T
+
+    p = tmp_path / "streams.csv"
+    p.write_text(
+        "user_id,value\n"
+        "1,10\n"
+        "2,not_a_number\n"   # value fails the long cast -> corrupt
+        "3,30\n"
+        "4\n"                # structurally short row -> corrupt
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.LongType()),
+        ]
+    )
+    df = read_csv_lenient(spark, str(p), schema)
+
+    counts = corrupt_record_count(df).collect()[0]
+    assert counts["clean_rows"] == 2
+    assert counts["corrupt_rows"] == 2
+
+    report = evaluate(df, TableRules(required_columns=["user_id"]))
+    assert any("2 malformed rows" in w for w in report["warnings"])
+    # corrupt raw text is preserved for quarantine/debugging
+    bad = {r["_corrupt_record"] for r in df.collect() if r["_corrupt_record"]}
+    assert bad == {"2,not_a_number", "4"}
