@@ -554,6 +554,125 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_window_agg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-min gap): the built-in
+    twin of the gaps-and-islands `sessionize` — one shuffle on the grouping
+    key, sessions merged by the engine's SessionWindow node, and the same
+    plan runs unchanged under Structured Streaming with watermark-bounded
+    state. Window end is last-event + gap by definition (the oracle adds the
+    interval explicitly); a point landing exactly at the previous window's
+    end starts a NEW session in both formulations (windows are half-open)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "ranking_functions",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family (completes §2.8's analytic surface next
+    to window_functions' lag/running-sum): rank, dense_rank, percent_rank,
+    ntile, cume_dist over one window spec — one shuffle on the partition
+    key, every function evaluated in a single Window node. The (acctbal,
+    custkey) sort is total, so ranks are engine-independent; percent_rank
+    and cume_dist are exact rational formulas evaluated in double, identical
+    IEEE ops in any engine."""
+    from pyspark.sql import Window as W
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "salted_join_agg",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type AS et, COUNT(DISTINCT user_id) AS du
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, COUNT(*) AS n_rows, CAST(MAX(d.du) AS BIGINT) AS distinct_users
+    FROM events e JOIN dim d ON e.event_type = d.et
+    GROUP BY e.event_type
+    """,
+)
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join, oracle-checked equal to the plain join: the
+    5-value event_type key is the canonical pathological shuffle key (one
+    reducer per hot key under a plain hash join). salted_join scatters each
+    hot key over 8 sub-keys while replicating the 5-row dim ×8 — result
+    rows identical to the unsalted join, which is exactly what the oracle's
+    plain-SQL join asserts. AQE's runtime skew split handles the moderate
+    cases; this operator is for keys so hot a single split still overflows
+    a task (operators/skew.py)."""
+    from ..operators.skew import salted_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    dim = events.groupBy(F.col("event_type").alias("et")).agg(
+        F.countDistinct("user_id").alias("du")
+    ).withColumnRenamed("et", "event_type")
+    joined = salted_join(
+        events.select("event_type", "user_id"), dim, on="event_type", salt=8
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("du").cast("bigint").alias("distinct_users"),
+    )
+
+
+@query(
     "json_extract",
     oracle="""
     SELECT event_id,
