@@ -248,6 +248,49 @@ def minhash_lsh_pairs(
     )
 
 
+def cross_corpus_ngram_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Train/eval decontamination: per (eval doc, train doc) pair, the count
+    of shared token n-grams and the fraction of the eval doc's distinct
+    n-grams found in that train doc — the standard benchmark-contamination
+    check an LLM data pipeline runs before training (eval sets must not leak
+    into pretraining data).
+
+    Plan: both corpora shingle map-side, explode to (doc, gram) postings,
+    one equi-join on the gram, one aggregate per pair. Cost is O(posting
+    collisions): at n≥5 natural-text gram frequencies decay fast enough
+    that posting lists stay short; for adversarial corpora cap the train-side
+    document frequency (drop grams with df > K) before the join — boilerplate
+    grams only ever produce false contamination anyway.
+
+    Returns (eval_doc_id, train_doc_id, shared_ngrams, contamination) with
+    contamination = shared / |eval doc's distinct n-grams|.
+    """
+    tr = _shingled(train, id_col, text_col, n).select(
+        F.col(id_col).alias("train_doc_id"), F.explode("shingles").alias("g")
+    )
+    ev = _shingled(eval_df, id_col, text_col, n).select(
+        F.col(id_col).alias("eval_doc_id"),
+        F.size("shingles").alias("__n_sh"),
+        F.explode("shingles").alias("g"),
+    )
+    return (
+        ev.join(tr, "g")
+        .groupBy("eval_doc_id", "train_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("shared_ngrams"),
+            (F.count(F.lit(1)).cast("double") / F.max("__n_sh").cast("double")).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 1
 ) -> DataFrame:

@@ -65,11 +65,18 @@ def _lang_case() -> str:
     return f"CASE WHEN {mx} = 0 THEN 'und'{whens} END"
 
 
-_SHINGLES = (
-    f"list_distinct(list_transform("
-    f"range(1, greatest(len({_TOKS}) - 2, 0) + 1), "
-    f"i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' ')))"
-)
+def _shingles_sql(n: int) -> str:
+    """DuckDB twin of functions.text.token_shingles(n): distinct n-gram
+    token shingles (generated from the same n so both engines shingle
+    identically)."""
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({_TOKS}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({_TOKS}, i, i + {n - 1}), ' ')))"
+    )
+
+
+_SHINGLES = _shingles_sql(3)
 
 _DOT = "list_sum(list_transform(list_zip(cv, qv), x -> x[1]*x[2]))"
 _NORM_CV = "sqrt(list_sum(list_transform(cv, x -> x*x)))"
@@ -319,6 +326,63 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+@query(
+    "decontamination",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_shingles_sql(5)} AS sh FROM documents),
+    ev AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g
+           FROM t WHERE source = 'src0'),
+    tr AS (SELECT doc_id, unnest(sh) AS g FROM t WHERE source <> 'src0')
+    SELECT ev.doc_id AS eval_doc_id, tr.doc_id AS train_doc_id,
+           COUNT(*) AS shared_ngrams,
+           CAST(COUNT(*) AS DOUBLE) / CAST(MAX(ev.n_sh) AS DOUBLE)
+             AS contamination
+    FROM ev JOIN tr ON ev.g = tr.g
+    GROUP BY 1, 2
+    """,
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (LLM-pipeline core op): which training
+    documents share 5-gram spans with the held-out corpus (source='src0'
+    standing in for the eval set)? Posting-list equi-join on the gram —
+    never a document cross product; output is the (eval, train) pairs with
+    shared-gram counts and the contaminated fraction of each eval doc."""
+    from ..operators.dedup import cross_corpus_ngram_overlap
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return cross_corpus_ngram_overlap(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=5,
+    )
+
+
+@query(
+    "token_histogram",
+    oracle=f"""
+    SELECT CAST(floor(len({_TOKS}) / 50) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(len({_TOKS})) AS BIGINT) AS min_tokens,
+           CAST(MAX(len({_TOKS})) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (50-token buckets): the corpus-shape profile
+    every training-data pipeline reports before sampling decisions. One
+    scan, one tiny aggregate — at 100 TB this is the query you run FIRST."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tc = token_count(F.col("text"))
+    return docs.groupBy(
+        F.floor(tc / 50).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(tc).cast("bigint").alias("min_tokens"),
+        F.max(tc).cast("bigint").alias("max_tokens"),
     )
 
 
