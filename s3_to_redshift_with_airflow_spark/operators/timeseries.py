@@ -38,13 +38,19 @@ def asof_join(
     payload_cols: list[str] | None = None,
     right_tiebreaker: str | None = None,
     prefix: str = "asof_",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of left join.
 
     Every `left` row gains `prefix + right_time` and `prefix + c` for each
     payload column — values from the most recent `right` row of the same
     `on` key with right_time <= left_time (NULLs when no such row).
-    """
+
+    `tolerance_seconds` bounds the lookback (pandas merge_asof's
+    `tolerance`): a match older than left_time - tolerance is dropped (all
+    carried columns NULL). Applied to the already-selected most-recent row —
+    if the newest match is too old, every match is, so this is a cheap
+    post-predicate, not a different join."""
     payload_cols = payload_cols or [
         c for c in right.columns if c not in (on, right_time)
     ]
@@ -86,6 +92,11 @@ def asof_join(
         .withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )
+    if tolerance_seconds is not None:
+        within = F.unix_micros(F.col("__last_r").getField(right_time)) >= (
+            F.unix_micros(F.col(left_time)) - int(tolerance_seconds * 1_000_000)
+        )
+        out = out.withColumn("__last_r", F.when(within, F.col("__last_r")))
     for c in carried:
         out = out.withColumn(f"{prefix}{c}", F.col("__last_r").getField(c))
     return out.drop("__t", "__side", "__r", "__last_r")

@@ -452,6 +452,43 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "exact_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.9)  AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quantiles (linear interpolation): Spark's
+    `percentile` and DuckDB's `quantile_cont` share the (1-h)·lo + h·hi
+    definition, so values hash-match bit-for-bit — verified, not assumed.
+    This is the exact twin of `approx_agg`'s sketch percentiles: at 100 TB
+    you run the sketch; exact quantiles are for the gate checks where the
+    answer must be reproducible (the sort is per-group, bounded by the
+    largest group, one shuffle)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    qs = F.expr(
+        "percentile(l_extendedprice, array(0.25, 0.5, 0.9, 0.99))"
+    )
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(qs.alias("__q"))
+        .select(
+            "l_returnflag",
+            F.col("__q")[0].alias("p25"),
+            F.col("__q")[1].alias("p50"),
+            F.col("__q")[2].alias("p90"),
+            F.col("__q")[3].alias("p99"),
+        )
+    )
+
+
 # --- time-series -----------------------------------------------------------
 
 
@@ -486,6 +523,43 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         clicks, purchases, on="user_id", left_time="ts", right_time="ts",
         payload_cols=["value"],
+    ).select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+
+
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR THEN p.ts END AS asof_ts,
+           CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR THEN p.value END AS asof_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback as-of join (pandas merge_asof `tolerance`): the most
+    recent purchase counts only within a 1-hour window before the click —
+    stale state must not leak forward indefinitely. Same one-shuffle plan as
+    asof_join plus a post-predicate on the selected match (if the newest
+    match is too old, every match is)."""
+    from ..operators.timeseries import asof_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_time="ts", right_time="ts",
+        payload_cols=["value"], tolerance_seconds=3600,
     ).select("event_id", "user_id", "ts", "asof_ts", "asof_value")
 
 

@@ -253,3 +253,48 @@ def test_apply_in_pandas_with_state_running_stats(spark, tmp_path):
         fn, ftotal = final[uid]
         assert fn == n
         assert ftotal == pytest.approx(total, rel=1e-9)
+
+
+def test_streaming_session_window_matches_batch(spark, events_dir):
+    """F.session_window runs the same plan under Structured Streaming with
+    watermark-bounded session state. A session is emitted once the watermark
+    passes its close (last event + gap); compare against the batch
+    session_window restricted to sessions closed before the final
+    watermark."""
+    gap = "30 minutes"
+    stream = stream_source(spark, events_dir, EVENTS_SCHEMA)
+    agg = (
+        stream  # stream_source already applies the 2-hour watermark
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n_events",
+        )
+    )
+    run_to_memory(agg, "sess_out")
+    got = {
+        (r["user_id"], r["s"], r["e"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+
+    events = spark.read.parquet(events_dir)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - WATERMARK
+    expected = {
+        (r["user_id"], r["s"], r["e"]): r["n_events"]
+        for r in events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n_events",
+        )
+        .filter(F.col("e") <= F.lit(cutoff))
+        .collect()
+    }
+    assert expected  # sanity: closed sessions must exist
+    assert got == expected
