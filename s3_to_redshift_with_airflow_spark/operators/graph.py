@@ -51,23 +51,22 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # Carry the previous label through the update so convergence is a
+        # cheap filter-count on the checkpointed result — no extra
+        # old-vs-new join per iteration.
+        upd = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
+                F.col("component").alias("__old"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = upd.filter(F.col("__old") != F.col("component")).count()
+        labels = upd.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: no convergence in {max_iter} iterations")

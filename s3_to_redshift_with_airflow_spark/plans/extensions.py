@@ -360,6 +360,110 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _raw_grams_sql(n: int) -> str:
+    """Non-distinct n-gram list (repetition metrics need multiplicity)."""
+    return (
+        f"list_transform(range(1, greatest(len({_TOKS}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({_TOKS}, i, i + {n - 1}), ' '))"
+    )
+
+
+def _dup_frac_sql(n: int) -> str:
+    g = _raw_grams_sql(n)
+    return (
+        f"CASE WHEN len({g}) = 0 THEN 0.0 ELSE "
+        f"CAST(len({g}) - len(list_distinct({g})) AS DOUBLE) / CAST(len({g}) AS DOUBLE) END"
+    )
+
+
+@query(
+    "repetition_score",
+    oracle=f"""
+    SELECT doc_id,
+           {_dup_frac_sql(2)} AS dup_2gram_frac,
+           {_dup_frac_sql(3)} AS dup_3gram_frac,
+           CASE WHEN len({_TOKS}) = 0 THEN 0.0 ELSE
+             CAST(list_max(list_transform(list_distinct({_TOKS}),
+                    t -> len(list_filter({_TOKS}, x -> x = t)))) AS DOUBLE)
+               / CAST(len({_TOKS}) AS DOUBLE) END AS top_token_frac
+    FROM documents
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the published Gopher-rule family:
+    duplicate-n-gram fraction and most-frequent-token fraction flag
+    boilerplate/spam before pretraining). All higher-order array expressions
+    inside codegen — one scan, no Python, no shuffle; each fraction is a
+    single double division so values reproduce bit-exactly."""
+    from ..functions.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def raw_grams(n: int):
+        cnt = F.size(toks) - (n - 1)
+        return F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+
+    def dup_frac(n: int):
+        g = raw_grams(n)
+        return F.when(F.size(g) == 0, F.lit(0.0)).otherwise(
+            (F.size(g) - F.size(F.array_distinct(g))).cast("double")
+            / F.size(g).cast("double")
+        )
+
+    top_token = F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ).cast("double")
+        / F.size(toks).cast("double")
+    )
+    return docs.select(
+        "doc_id",
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+        top_token.alias("top_token_frac"),
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 5 docs per source, chosen by
+    hash order — the per-domain quota draw behind training-data mixture
+    weights. Pure function of the keys (no RNG), so the sample is identical
+    across runs, engines, partitionings, and executor counts; one shuffle on
+    the stratum key."""
+    from pyspark.sql import Window as W
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source")
+    )
+
+
 @query(
     "token_histogram",
     oracle=f"""
