@@ -209,3 +209,32 @@ def test_semantic_neardup_has_no_cartesian(spark):
     plan = _plan(spark, "semantic_neardup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_registry_wide_plan_audit(spark):
+    """Whole-registry guard: no Python evaluation and no Cartesian product
+    may appear in ANY registered plan except the documented sanctions
+    (multimodal Arrow decode; the three brute-force similarity oracles).
+    This is the UDF-policy (§2.11) and scale-smell audit as a test, so a
+    regression fails CI instead of waiting for a human to read plan_report.
+
+    Queries that execute eagerly inside their builder (streaming lifecycle,
+    iterative components) are skipped — plan_report covers them; everything
+    else is planned without execution."""
+    PY_OK = {"multimodal_features", "video_frame_sample"}
+    CART_OK = {"ann_topk", "embedding_neardup", "ivf_ann_topk"}
+    SKIP = {"streaming_window_agg", "doc_dedup_clusters"}
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name in SKIP:
+            continue
+        plan = spec.fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        has_py = ("EvalPython" in plan) or ("MapInPandas" in plan) or (
+            "FlatMapGroupsInPandas" in plan
+        )
+        has_cart = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
+        if has_py and name not in PY_OK:
+            offenders.append(f"{name}: python eval")
+        if has_cart and name not in CART_OK:
+            offenders.append(f"{name}: cartesian")
+    assert not offenders, offenders
