@@ -127,3 +127,77 @@ def upsert_dataframe(
     warehouse path).
     """
     return target.join(source, on=keys, how="left_anti").unionByName(source)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    effective: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD Type-2 merge: apply `updates` (keys + attrs) to a versioned
+    dimension, preserving history — the warehouse pattern one level beyond
+    the reference's delete+insert (which is SCD Type-1: history destroyed).
+
+    `dim` rows carry [keys..., attrs..., valid_from, valid_to] with
+    valid_to NULL marking the open (current) version. For each update whose
+    attrs differ from the key's open version (or whose key is new):
+      * the open version closes (valid_to = `effective`),
+      * a new open version begins (valid_from = `effective`).
+    No-op updates (attrs identical) and untouched keys pass through
+    unchanged, so reruns with the same updates are idempotent.
+
+    Plan: one equi-join of open rows against updates on `keys` (broadcast
+    when updates are small — the usual case for a daily delta), a struct
+    inequality for change detection, and a union of three branches
+    (closed history + surviving/closed opens + new versions). One shuffle
+    on `keys` at scale; with Delta/Iceberg this is MERGE INTO ... WHEN
+    MATCHED UPDATE / WHEN NOT MATCHED INSERT over the same predicates.
+    `effective` is an ISO timestamp string supplied by the caller (never
+    now() inside the plan — reruns must reproduce).
+    """
+    open_rows = dim.filter(F.col(valid_to).isNull()).withColumn(
+        "__d_present", F.lit(1)
+    )
+    closed_rows = dim.filter(F.col(valid_to).isNotNull())
+
+    # Presence markers, not attr-null checks: an update may legitimately
+    # carry NULL in an attribute; a full-outer join NULL must not be
+    # mistaken for it.
+    upd = updates.select(
+        *[F.col(k) for k in keys],
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        F.lit(1).alias("__u_present"),
+    )
+    cmp_old = F.struct(*[F.col(a) for a in attrs])
+    cmp_new = F.struct(*[F.col(f"__u_{a}").alias(a) for a in attrs])
+    joined = open_rows.join(upd, on=keys, how="full_outer")
+
+    dim_present = F.col("__d_present").isNotNull()
+    update_present = F.col("__u_present").isNotNull()
+    # NULL-safe struct comparison: <=> treats NULL = NULL as equal, so an
+    # attr flipping to/from NULL counts as a change (plain != would not).
+    matched_change = dim_present & update_present & ~cmp_old.eqNullSafe(cmp_new)
+
+    # Branch 1: existing open rows — closed if a differing update arrived.
+    survivors = joined.filter(dim_present).select(
+        *keys,
+        *attrs,
+        F.col(valid_from),
+        F.when(matched_change, F.lit(effective).cast("timestamp"))
+        .otherwise(F.col(valid_to))
+        .alias(valid_to),
+    )
+    # Branch 2: new versions — differing updates on existing keys + new keys.
+    new_versions = joined.filter(
+        update_present & (~dim_present | matched_change)
+    ).select(
+        *keys,
+        *[F.col(f"__u_{a}").alias(a) for a in attrs],
+        F.lit(effective).cast("timestamp").alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+    )
+    return closed_rows.unionByName(survivors).unionByName(new_versions)

@@ -526,6 +526,99 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_merge",
+    oracle="""
+    WITH dim_open AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             TIMESTAMP '2024-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    dim_closed AS (
+      SELECT c_custkey, c_acctbal - 50 AS c_acctbal, c_mktsegment,
+             TIMESTAMP '2023-01-01' AS valid_from,
+             TIMESTAMP '2024-01-01' AS valid_to
+      FROM customer WHERE c_custkey % 100 = 0
+    ),
+    upd AS (
+      SELECT c_custkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 500 = 0
+    ),
+    changed AS (
+      SELECT d.c_custkey
+      FROM dim_open d JOIN upd u ON d.c_custkey = u.c_custkey
+      WHERE u.c_acctbal IS DISTINCT FROM d.c_acctbal
+         OR u.c_mktsegment IS DISTINCT FROM d.c_mktsegment
+    )
+    SELECT * FROM dim_closed
+    UNION ALL
+    SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment, d.valid_from,
+           CASE WHEN c.c_custkey IS NOT NULL
+                THEN TIMESTAMP '2024-06-01' ELSE d.valid_to END AS valid_to
+    FROM dim_open d LEFT JOIN changed c ON d.c_custkey = c.c_custkey
+    UNION ALL
+    SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+           TIMESTAMP '2024-06-01' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM upd u
+    LEFT JOIN dim_open d ON u.c_custkey = d.c_custkey
+    WHERE d.c_custkey IS NULL
+       OR u.c_acctbal IS DISTINCT FROM d.c_acctbal
+       OR u.c_mktsegment IS DISTINCT FROM d.c_mktsegment
+    """,
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension merge (history-preserving — one level beyond the
+    reference's SCD1 delete+insert, J3): a versioned customer dimension
+    (open rows + a synthesized closed history slice) receives a daily delta
+    containing changed balances (custkey%10=0), no-op rows (%10=1), and
+    brand-new keys (+1_000_000). Changed opens close at the effective
+    timestamp, new versions open, no-ops and history pass through untouched
+    (operators/relational.scd2_apply)."""
+    from ..operators.relational import scd2_apply
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dim_open = customer.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    dim_closed = customer.filter(k % 100 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") - 50).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("2023-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("2024-01-01").cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        customer.filter(k % 10 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal"), "c_mktsegment")
+        .unionByName(
+            customer.filter(k % 10 == 1).select("c_custkey", "c_acctbal", "c_mktsegment")
+        )
+        .unionByName(
+            customer.filter(k % 500 == 0).select(
+                (k + 1_000_000).alias("c_custkey"), "c_acctbal", "c_mktsegment"
+            )
+        )
+    )
+    return scd2_apply(
+        dim_closed.unionByName(dim_open),
+        updates,
+        keys=["c_custkey"],
+        attrs=["c_acctbal", "c_mktsegment"],
+        effective="2024-06-01",
+    )
+
+
+@query(
     "validation_report",
     oracle="""
     SELECT COUNT(*) AS row_count,

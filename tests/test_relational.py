@@ -45,3 +45,43 @@ def test_upsert_dataframe(spark):
     source = spark.createDataFrame([(2, 99), (3, 30)], "k long, v long")
     out = {r["k"]: r["v"] for r in upsert_dataframe(target, source, ["k"]).collect()}
     assert out == {1: 10, 2: 99, 3: 30}
+
+
+def test_scd2_apply_idempotent_and_null_safe(spark):
+    from s3_to_redshift_with_airflow_spark.operators.relational import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, 10.0, "2024-01-01 00:00:00", None),
+            (2, None, "2024-01-01 00:00:00", None),  # open row with NULL attr
+            (1, 5.0, "2023-01-01 00:00:00", "2024-01-01 00:00:00"),  # history
+        ],
+        "k long, v double, valid_from string, valid_to string",
+    ).select(
+        "k", "v",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    updates = spark.createDataFrame(
+        [(1, 20.0), (2, 2.0), (3, 30.0)], "k long, v double"
+    )
+
+    def snap(df):
+        return {
+            (r["k"], r["v"], str(r["valid_from"]), str(r["valid_to"]))
+            for r in df.collect()
+        }
+
+    once = scd2_apply(dim, updates, ["k"], ["v"], "2024-06-01 00:00:00")
+    got = snap(once)
+    assert got == {
+        (1, 5.0, "2023-01-01 00:00:00", "2024-01-01 00:00:00"),   # history kept
+        (1, 10.0, "2024-01-01 00:00:00", "2024-06-01 00:00:00"),  # closed
+        (1, 20.0, "2024-06-01 00:00:00", "None"),                 # new version
+        (2, None, "2024-01-01 00:00:00", "2024-06-01 00:00:00"),  # NULL->2.0 closes
+        (2, 2.0, "2024-06-01 00:00:00", "None"),
+        (3, 30.0, "2024-06-01 00:00:00", "None"),                 # brand-new key
+    }
+    # idempotency: the same delta applied to the merged result is a no-op
+    twice = scd2_apply(once, updates, ["k"], ["v"], "2024-07-01 00:00:00")
+    assert snap(twice) == got
