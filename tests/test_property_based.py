@@ -172,3 +172,77 @@ def test_upsert_dataframe_matches_dict_semantics(spark, target, updates):
         upd_d[k] = min(v, upd_d.get(k, v))
     expected.update(upd_d)
     assert got == expected
+
+
+def test_range_join_left_preserves_unmatched_points(spark):
+    """ADVICE r1: how='left' must null-extend points with no containing
+    interval (the containment predicate lives in the join condition, not a
+    post-join filter that would silently drop them)."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.timeseries import range_join
+
+    p = spark.createDataFrame(
+        [(1, 100), (2, 5000)], "pid int, t int"
+    ).select("pid", F.timestamp_seconds("t").alias("t"))
+    i = spark.createDataFrame(
+        [(10, 50, 200)], "iid int, s int, e int"
+    ).select(
+        "iid", F.timestamp_seconds("s").alias("s"), F.timestamp_seconds("e").alias("e")
+    )
+    rows = {
+        r["pid"]: r["iid"]
+        for r in range_join(
+            p, i, point_col="t", start_col="s", end_col="e", how="left"
+        ).collect()
+    }
+    assert rows == {1: 10, 2: None}  # pid=2 survives, null-extended
+
+
+# SCD2 vs a dictionary model: open versions are a key->value map; a delta
+# closes changed keys and opens new versions. NULL values included to pin
+# the null-safe change detection.
+scd_vals = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+scd_dim = st.dictionaries(keys=st.integers(0, 5), values=scd_vals, max_size=6)
+scd_upd = st.dictionaries(keys=st.integers(0, 5), values=scd_vals, max_size=6)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(dim=scd_dim, upd=scd_upd)
+def test_scd2_matches_dict_model(spark, dim, upd):
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.relational import scd2_apply
+
+    T0, EFF = "2024-01-01 00:00:00", "2024-06-01 00:00:00"
+    dim_df = spark.createDataFrame(
+        [(k, v) for k, v in dim.items()] or [(None, None)], "k int, v int"
+    ).filter("k IS NOT NULL").select(
+        "k", "v",
+        F.lit(T0).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd_df = spark.createDataFrame(
+        [(k, v) for k, v in upd.items()] or [(None, None)], "k int, v int"
+    ).filter("k IS NOT NULL")
+
+    got = {
+        (r["k"], r["v"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in scd2_apply(dim_df, upd_df, ["k"], ["v"], EFF).collect()
+    }
+
+    expected = set()
+    for k, v in dim.items():
+        if k in upd and upd[k] != v:
+            expected.add((k, v, T0, EFF))            # closed old version
+            expected.add((k, upd[k], EFF, "None"))   # new open version
+        else:
+            expected.add((k, v, T0, "None"))         # untouched / no-op
+    for k, v in upd.items():
+        if k not in dim:
+            expected.add((k, v, EFF, "None"))        # brand-new key
+    assert got == expected
