@@ -893,3 +893,223 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
     )
     return out.select("event_id", "user_id", "session_id")
+
+
+# --- TPC-H shape suite, round 2 additions ----------------------------------
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                       AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution, adapted: the priority
+    exclusion stands in for the missing o_comment filter): LEFT OUTER join
+    with the filter INSIDE the join condition (pushing it below the outer
+    join would drop zero-order customers), then a double aggregation —
+    per-customer count, then a histogram of counts. First shuffle on
+    custkey, second on the tiny c_count domain; customers without orders
+    survive as c_count = 0."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    c = customer.select("c_custkey")
+    o = orders.select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): an aggregate view consumed twice — once for
+    the per-supplier quarterly revenue, once for its global max — joined
+    back on equality. The revenue frame is computed once and reused (Spark
+    plans the 1-row max as a broadcast nested-loop join, not a rescan when
+    cached; at this size recompute is cheaper than a shuffle-wide persist).
+    Revenue is a decimal sum cast to double once, so the equality against
+    MAX is bit-exact in both engines — no epsilon needed."""
+    supplier, lineitem = _t(spark, sf_dir, "supplier", "lineitem")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS pk,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) pq
+      ON pk = l_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue, adapted: brand-only filter —
+    no p_container in the schema): the correlated scalar-AVG subquery
+    decorrelated into an aggregate-then-join. Per-part average quantity is
+    ONE shuffle on l_partkey; the brand slice of part broadcasts; the
+    residual `l_quantity < 0.2*avg` applies after the equi-join. The
+    average is a decimal sum over COUNT — bit-stable, so the 0.2 threshold
+    comparison is engine-exact."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    brand = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, adapted to the available part
+    columns): the disjunctive-predicate benchmark. Catalyst splits the OR
+    across the join: single-side conjuncts (`p_brand IN (…)`,
+    `p_size <= 15`, `l_quantity <= 30`) are derived and pushed into BOTH
+    parquet scans, while the cross-side residual evaluates after the
+    broadcast join — .explain shows PushedFilters on each scan even though
+    the predicate names both tables."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((brand == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#34") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return j.filter(pred).agg(
+        F.sum(_dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "tpch_q22",
+    oracle="""
+    WITH pos AS (SELECT c_acctbal FROM customer WHERE c_acctbal > 0),
+    ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+             AS avg_bal FROM pos)
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS totacctbal
+    FROM customer, ab
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity, adapted: nationkey stands in
+    for the phone country code, and "never placed an order" becomes "no
+    order since 2000" — every sf0.01 customer has some order): a scalar
+    aggregate broadcast against the fact side (1-row nested-loop join, the
+    decorrelated form of the scalar subquery), then a LEFT ANTI join against
+    the recent-orders keys, then the per-nation rollup. The anti join's
+    right side is pre-filtered by the pushed date predicate before the
+    shuffle. The average is a decimal sum / count — bit-identical across
+    engines, so the > threshold slices identically."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select(
+        "o_custkey"
+    )
+    rich = customer.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    return (
+        rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+    )
