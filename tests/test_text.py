@@ -85,3 +85,76 @@ def test_clean_text_masks_and_strips(spark):
         "see <URL> and <URL>",
         "plain text",
     ]
+
+
+def _winnow_pairs(spark, texts):
+    """Run the winnow_fingerprint plan body over in-memory docs."""
+    from pyspark.sql import Window
+    from s3_to_redshift_with_airflow_spark.functions.text import (
+        positional_token_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    base = df.select(
+        "doc_id", positional_token_shingles(F.col("text"), 5).alias("grams")
+    )
+    ex = base.select(
+        "doc_id", F.size("grams").alias("m"), F.posexplode("grams").alias("pos0", "gram")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, 3)
+    out = (
+        ex.withColumn("fp", F.min(F.md5("gram")).over(w))
+        .filter(F.col("pos0") + 1 <= F.greatest(F.col("m") - 3, F.lit(1)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return {
+        did: {r.fp for r in grp}
+        for did, grp in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: r.doc_id), key=lambda r: r.doc_id
+        )
+    }
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing's core theorem: two documents sharing a token run of
+    length >= k + w - 1 (= 8 here) must share at least one fingerprint."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    fps = _winnow_pairs(
+        spark,
+        [
+            f"completely different prefix {shared} and a different tail here",
+            f"{shared} trailing words that do not match the other document",
+        ],
+    )
+    assert fps[0] & fps[1], "shared 8-token run must produce a common fingerprint"
+
+
+def test_winnowing_short_docs(spark):
+    fps = _winnow_pairs(
+        spark,
+        [
+            "only four tokens here",          # < k tokens -> no grams
+            "five tokens right here now",     # exactly k -> one gram, one fp
+            "six little tokens sit right here",  # k..k+w-2 -> exactly one window
+        ],
+    )
+    assert 0 not in fps
+    assert len(fps[1]) == 1
+    assert len(fps[2]) == 1
+
+
+def test_tfidf_topk_ranking_is_deterministic(spark):
+    """tf*N/df ranks doc-specific repeated terms above ubiquitous ones."""
+    from s3_to_redshift_with_airflow_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["tfidf_topk"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    assert set(out.columns) == {"doc_id", "term", "tf", "df", "score", "rnk"}
+    # rank 1..3 per doc, no duplicates
+    g = out.groupby("doc_id")["rnk"].apply(lambda s: sorted(s.tolist()))
+    assert all(v == list(range(1, len(v) + 1)) for v in g)
+    # score must equal tf*N/df exactly (single IEEE division)
+    n_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert (out.score == (out.tf * n_docs).astype("float64") / out.df).all()
