@@ -1113,3 +1113,64 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "streaming_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (attribution: each purchase joined to the
+    same user's clicks in the preceding hour) executed by Structured
+    Streaming — two watermarked file-source streams, inner join whose
+    condition carries BOTH the user equi-key and the event-time range, append
+    mode. The time bound + 2h watermarks let the engine expire join state:
+    a buffered click can only match purchases ≤1h ahead, so state is
+    O(watermark window) per executor, not O(stream history) — the property
+    that makes this runnable forever at 100 TB/day. Over a finite source the
+    append-mode result equals the batch interval join, so the oracle check
+    is exact (same discipline as streaming_window_agg)."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+
+    def side(event_type: str, id_alias: str, ts_alias: str, user_alias: str):
+        src = stream_source(
+            spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+        )
+        src = with_ts_from_nanos(src, "ts")
+        return (
+            src.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "2 hours")
+        )
+
+    clicks = side("click", "click_id", "click_ts", "user_id")
+    purchases = side("purchase", "purchase_id", "purchase_ts", "p_user")
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    sink_name = "streaming_join_mem"
+    (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name)

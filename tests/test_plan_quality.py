@@ -225,7 +225,7 @@ def test_registry_wide_plan_audit(spark):
     # tpch_q22 / tfidf_topk nested loops are 1-row scalar-aggregate
     # broadcasts (decorrelated scalar subqueries) — O(N), not cross products.
     CART_OK = {"ann_topk", "embedding_neardup", "ivf_ann_topk", "tpch_q22", "tfidf_topk"}
-    SKIP = {"streaming_window_agg", "doc_dedup_clusters"}
+    SKIP = {"streaming_window_agg", "streaming_join", "doc_dedup_clusters"}
     offenders = []
     for name, spec in REGISTRY.items():
         if name in SKIP:

@@ -48,4 +48,7 @@ def test_query_matches_oracle(name, spark, oracle_con):
     a, b = normalize(result), normalize(expected)
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b), f"rowcount {len(a)} != {len(b)}"
-    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    # Dtype-strict, matching tools/check_oracle.py: the driver's value hash
+    # is dtype-sensitive, so a lenient check here would let width mismatches
+    # (e.g. DuckDB HUGEINT sums vs Spark BIGINT) escape to round scoring.
+    pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
