@@ -17,6 +17,7 @@ hits daily:
        into one co-partitioned profile join
   q2   min-cost supplier per part: group-min + equality-join-back (the
        decorrelated form of TPC-H's correlated scalar subquery)
+  q12  shipping-priority census: conditional counts over a late-line slice
   q11  value concentration: HAVING vs a global scalar (1-row broadcast)
   q20  excess-share supplier: two-level aggregate ratio + semi-join
 
@@ -638,4 +639,52 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .select("s_name", "s_acctbal")
+    )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority): per line status, how
+    many late-shipped 1996 lines carried high- vs low-priority orders. The
+    schema has no l_shipmode or receipt/commit dates, so l_linestatus stands
+    in for the mode grouping and "late" is l_shipdate > o_orderdate + 30 days
+    (stated substitutions; the shape — fact⨝fact slice, two conditional
+    counts in one pass — is the spec's).
+
+    Scale plan: the year predicate prunes the lineitem scan to 1/7 of the
+    fact before the orderkey join; the lateness predicate needs both sides so
+    it runs right after the join, before any aggregation state builds; both
+    priority counts come out of ONE aggregate over the joined slice (no
+    second scan). Integer counts, so the result is exact by construction."""
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
     )
