@@ -367,3 +367,72 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-level paragraph dedup (the CCNet/RefinedWeb line-dedup pass):
+    segment every document, drop every segment whose text appears earlier in
+    the corpus (first occurrence by (id, position) survives), reassemble the
+    survivors in document order. Output: (id, clean_text, kept_chunks,
+    dropped_chunks) — one row per input document, even when every segment of
+    a document was dropped.
+
+    At web scale the segmenter is a newline split; the synthetic corpus has
+    no newlines, so segments are fixed non-overlapping `chunk_tokens`-token
+    windows over the normalized token stream (stated substitution — the plan
+    is identical, only the split expression differs).
+
+    Scale plan: segments explode ~(len/chunk_tokens)× the corpus, then ONE
+    shuffle on the segment text picks survivors (min-struct aggregate, no
+    window over the full explode), one join back on the same key, and the
+    reassembly groupBy shuffles on the document id. All built-in expressions
+    (split/slice/posexplode/array_sort) — whole-stage codegen end to end; at
+    100 TB you'd group on xxhash64(segment) to shrink the shuffle key and
+    exact-verify within buckets, which this operator's plan shape admits
+    without restructuring.
+    """
+    from ..functions.text import tokens as _tokens
+
+    toks = _tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunk_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+    )
+    chunks_arr = F.when(F.size(toks) <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), n_chunks - F.lit(1)), chunk_at)
+    )
+    ex = df.select(F.col(id_col), F.posexplode(chunks_arr).alias("pos", "chunk"))
+    keeper = ex.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias(
+            "keep"
+        )
+    )
+    kept = (
+        ex.join(keeper, "chunk")
+        .filter((F.col("keep.kid") == F.col(id_col)) & (F.col("keep.kpos") == F.col("pos")))
+        .select(id_col, "pos", "chunk")
+    )
+    totals = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__total"))
+    kept_agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+            lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_chunks"),
+    )
+    return totals.join(kept_agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("kept_chunks"), F.lit(0)).cast("bigint").alias("kept_chunks"),
+        (F.col("__total") - F.coalesce(F.col("kept_chunks"), F.lit(0)))
+        .cast("bigint")
+        .alias("dropped_chunks"),
+    )

@@ -831,3 +831,43 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+@query(
+    "paragraph_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+             array_to_string(list_slice(t, CAST(u.i*10+1 AS BIGINT),
+                                           CAST(u.i*10+10 AS BIGINT)), ' ') AS chunk
+      FROM toks, UNNEST(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM chunks
+    ),
+    kept AS (SELECT doc_id, pos, chunk FROM ranked WHERE rn = 1),
+    totals AS (SELECT doc_id, COUNT(*) AS total FROM chunks GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(string_agg(k.chunk, ' ' ORDER BY k.pos), '') AS clean_text,
+           CAST(COUNT(k.chunk) AS BIGINT) AS kept_chunks,
+           CAST(ANY_VALUE(t.total) - COUNT(k.chunk) AS BIGINT) AS dropped_chunks
+    FROM totals t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level paragraph dedup (CCNet/RefinedWeb line-dedup pass):
+    drop every 10-token segment whose text already appeared earlier in the
+    corpus, reassemble documents from the survivors. One row per document
+    with (clean_text, kept_chunks, dropped_chunks). The oracle's
+    window-rank survivor pick proves the operator's min-struct aggregate
+    equivalent. See operators/dedup.py:chunk_dedup for the scale plan."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    from ..operators.dedup import chunk_dedup
+
+    return chunk_dedup(docs, id_col="doc_id", text_col="text", chunk_tokens=10)

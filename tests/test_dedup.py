@@ -74,3 +74,41 @@ def test_simhash_neardup_pairs(docs):
              for r in simhash_neardup_pairs(docs, max_hamming=3).collect()}
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
     assert (1, 5) not in pairs
+
+
+def test_chunk_dedup_semantics(spark):
+    from s3_to_redshift_with_airflow_spark.operators.dedup import chunk_dedup
+
+    # 4-token chunks: doc 1 = [A B], doc 2 = [B C], doc 3 = [A], doc 4 = [D]
+    a = "alpha beta gamma delta"
+    b = "epsilon zeta eta theta"
+    c = "iota kappa lambda mu"
+    d = "nu xi omicron pi"
+    rows = [
+        (1, f"{a} {b}"),
+        (2, f"{b} {c}"),  # chunk B already seen in doc 1 pos 1
+        (3, a),           # chunk A already seen in doc 1 pos 0
+        (4, d),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup(docs, chunk_tokens=4).collect()
+    }
+    assert len(out) == 4  # every doc present, even fully-deduped ones
+    assert out[1]["clean_text"] == f"{a} {b}"  # first occurrences survive
+    assert out[2]["clean_text"] == c and out[2]["dropped_chunks"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["kept_chunks"] == 0
+    assert out[4]["clean_text"] == d and out[4]["dropped_chunks"] == 0
+
+
+def test_chunk_dedup_within_doc_repeat(spark):
+    from s3_to_redshift_with_airflow_spark.operators.dedup import chunk_dedup
+
+    # the same 2-token chunk repeated inside ONE document: first pos wins
+    docs = spark.createDataFrame(
+        [(7, "red blue red blue green white")], "doc_id long, text string"
+    )
+    row = chunk_dedup(docs, chunk_tokens=2).collect()[0]
+    assert row["clean_text"] == "red blue green white"
+    assert row["kept_chunks"] == 2 and row["dropped_chunks"] == 1
