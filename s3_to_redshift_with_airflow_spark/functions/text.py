@@ -180,3 +180,32 @@ def clean_text(c: Column) -> Column:
     out = F.regexp_replace(out, URL_PATTERN, "<URL>")
     out = F.regexp_replace(out, EMAIL_PATTERN, "<EMAIL>")
     return F.trim(F.regexp_replace(out, "\\s+", " "))
+
+
+# PII patterns (same Java/RE2-shared syntax subset as the cleaning patterns
+# above). Ordered dict = scrub order; patterns are mutually exclusive on any
+# single span (@ / 3-3-4 dashes / 3-2-4 dashes / dotted quads), so scrub
+# order can't change counts — it's fixed anyway for reproducibility.
+PII_PATTERNS = {
+    "email": EMAIL_PATTERN,
+    "phone": "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b",
+    "ssn": "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "ipv4": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+}
+
+
+def pii_counts(c: Column) -> dict[str, Column]:
+    """Per-category PII match counts (JVM regexp_count — codegen, no UDF).
+    Counted on the input as-is, independent of scrub order."""
+    return {k: F.regexp_count(c, F.lit(p)).cast("bigint") for k, p in PII_PATTERNS.items()}
+
+
+def pii_scrub(c: Column) -> Column:
+    """Mask every PII match with its typed placeholder (<EMAIL>, <PHONE>,
+    <SSN>, <IPV4>). Phone before SSN so the 3-3-4 grouping is claimed by
+    the more specific pattern first (they can't overlap, but the fixed
+    order makes the output bytes reproducible by construction)."""
+    out = c
+    for k, p in PII_PATTERNS.items():
+        out = F.regexp_replace(out, p, f"<{k.upper()}>")
+    return out

@@ -871,3 +871,92 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import chunk_dedup
 
     return chunk_dedup(docs, id_col="doc_id", text_col="text", chunk_tokens=10)
+
+
+def _pii_inject_sql() -> str:
+    return (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' call 555-'"
+        " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+
+
+def _pii_scrub_sql(col: str) -> str:
+    from ..functions.text import PII_PATTERNS
+
+    out = col
+    for k, p in PII_PATTERNS.items():
+        out = f"regexp_replace({out}, '{p}', '<{k.upper()}>', 'g')"
+    return out
+
+
+def _pii_oracle() -> str:
+    from ..functions.text import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    return (
+        f"WITH inj AS (SELECT doc_id, {_pii_inject_sql()} AS t FROM documents) "
+        f"SELECT doc_id, {_pii_scrub_sql('t')} AS scrubbed, {counts} FROM inj"
+    )
+
+
+@query("pii_scrub", oracle=_pii_oracle())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking pass: typed placeholders for emails, US 3-3-4 phones,
+    SSN-like 3-2-4 ids, and dotted-quad IPv4s, plus per-category match
+    counts. The synthetic corpus carries no PII, so the query deterministically
+    injects category samples keyed off doc_id (identically in both engines —
+    stated test scaffolding; production use is pii_scrub(text) directly).
+
+    Plan: pure JVM regexp_replace / regexp_count expressions in one
+    projection — whole-stage codegen, zero shuffles, trivially linear at
+    100 TB. Patterns live in functions/text.py:PII_PATTERNS in the
+    Java/RE2-shared syntax subset, so both engines match identical spans."""
+    from ..functions.text import pii_counts, pii_scrub
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), s(did), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad(s(did % 1000), 3, "0"),
+                F.lit("-"),
+                F.lpad(s(did % 10000), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" from 10.0."), s(did % 256), F.lit("."), s(did % 100)
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" ssn 123-45-"), F.lpad(s(did % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    counts = pii_counts(injected)
+    return docs.select(
+        "doc_id",
+        pii_scrub(injected).alias("scrubbed"),
+        *[v.alias(f"n_{k}") for k, v in counts.items()],
+    )

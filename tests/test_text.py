@@ -158,3 +158,36 @@ def test_tfidf_topk_ranking_is_deterministic(spark):
     # score must equal tf*N/df exactly (single IEEE division)
     n_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
     assert (out.score == (out.tf * n_docs).astype("float64") / out.df).all()
+
+
+def test_pii_scrub_and_counts(spark):
+    from s3_to_redshift_with_airflow_spark.functions.text import (
+        pii_counts,
+        pii_scrub,
+    )
+
+    rows = [
+        (1, "mail a@b.io and c.d+x@e.org, call 555-123-4567, ssn 123-45-6789, ip 10.0.0.1"),
+        (2, "no pii here at all"),
+        (3, "1234-56-7890 is not an ssn and 999.999.999.999.5 hides 999.999.999.999"),
+        (4, "two phones 111-222-3333 444-555-6666"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    c = pii_counts(F.col("text"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            pii_scrub(F.col("text")).alias("scrubbed"),
+            *[v.alias(k) for k, v in c.items()],
+        ).collect()
+    }
+    assert out[1]["email"] == 2 and out[1]["phone"] == 1
+    assert out[1]["ssn"] == 1 and out[1]["ipv4"] == 1
+    assert out[1]["scrubbed"] == (
+        "mail <EMAIL> and <EMAIL>, call <PHONE>, ssn <SSN>, ip <IPV4>"
+    )
+    assert out[2]["scrubbed"] == rows[1][1]  # untouched, all counts 0
+    assert sum(out[2][k] for k in ("email", "phone", "ssn", "ipv4")) == 0
+    assert out[3]["ssn"] == 0  # leading digit breaks the word boundary
+    assert out[4]["phone"] == 2
