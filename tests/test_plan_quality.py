@@ -222,9 +222,12 @@ def test_registry_wide_plan_audit(spark):
     iterative components) are skipped — plan_report covers them; everything
     else is planned without execution."""
     PY_OK = {"multimodal_features", "video_frame_sample"}
-    # tpch_q22 / tfidf_topk nested loops are 1-row scalar-aggregate
+    # tpch_q11 / tpch_q22 / tfidf_topk nested loops are 1-row scalar-aggregate
     # broadcasts (decorrelated scalar subqueries) — O(N), not cross products.
-    CART_OK = {"ann_topk", "embedding_neardup", "ivf_ann_topk", "tpch_q22", "tfidf_topk"}
+    CART_OK = {
+        "ann_topk", "embedding_neardup", "ivf_ann_topk",
+        "tpch_q11", "tpch_q22", "tfidf_topk",
+    }
     SKIP = {"streaming_window_agg", "streaming_join", "doc_dedup_clusters"}
     offenders = []
     for name, spec in REGISTRY.items():
