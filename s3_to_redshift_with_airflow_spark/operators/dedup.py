@@ -48,7 +48,9 @@ def exact_dedup_by_fingerprint(
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
+    from .skew import fan_out
+
+    return fan_out(df).select(
         F.col(id_col), token_shingles(F.col(text_col), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
 
@@ -397,7 +399,9 @@ def chunk_dedup(
     without restructuring.
     """
     from ..functions.text import tokens as _tokens
+    from .skew import fan_out
 
+    df = fan_out(df)
     toks = _tokens(F.col(text_col))
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunk_at = lambda i: F.array_join(  # noqa: E731

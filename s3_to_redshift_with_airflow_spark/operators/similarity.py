@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.vectors import as_double, cosine, dot
 from .relational import topk_per_group
+from .skew import fan_out
 
 
 def brute_force_topk(
@@ -45,7 +46,7 @@ def brute_force_topk(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )
     scored = (
-        corpus.crossJoin(F.broadcast(q))
+        fan_out(corpus).crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
@@ -140,7 +141,7 @@ def hyperplane_lsh_topk(
             "*",
         )
 
-    c = banded(with_signature(corpus, vec_col, dim, n_bits, seed), "c")
+    c = banded(with_signature(fan_out(corpus), vec_col, dim, n_bits, seed), "c")
     q = banded(
         with_signature(
             queries.select(
@@ -199,6 +200,7 @@ def sign_lsh_neardup_pairs(
         bucket on a last-ulp difference);
       * cost is one band-key shuffle + O(bucket collisions), never N².
     """
+    df = fan_out(df)
     n_bands = dim // band_size
     bands = []
     for j in range(n_bands):
@@ -272,6 +274,9 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # NOTE: no fan_out here — KMeans' parallel init samples per-partition,
+    # so repartitioning would move the centroids (and the recall pin);
+    # at real scale the fit runs on a sample and the scan is already wide.
     feat = corpus.withColumn("__fv", array_to_vector(as_double(F.col(vec_col))))
     model = KMeans(
         k=n_clusters, seed=seed, maxIter=max_iter,

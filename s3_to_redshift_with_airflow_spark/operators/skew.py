@@ -54,3 +54,19 @@ def salted_join(
     )
     out = salted_big.join(salted_small, on=[on, "__salt"], how=how)
     return out.select(*big_cols, *small_cols)
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Raise the partition count to the session's default parallelism before
+    CPU-heavy per-row work (shingling, hash signatures, vector math).
+
+    A small single-file scan arrives as ONE partition, which pins all
+    downstream map work to one core no matter how many the cluster has —
+    at sf0.1 that made MinHash signatures run 1/32-parallel. At real scale
+    the scan is already wider than the target and this is a no-op: it never
+    scales DOWN and never moves data that is already spread."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

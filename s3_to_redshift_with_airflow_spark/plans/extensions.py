@@ -303,8 +303,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair, so results are unchanged) — per pair only the dot product
     remains: ~3× fewer float ops than the naive form."""
     from ..functions.vectors import dot, norm
+    from ..operators.skew import fan_out
 
     (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = fan_out(emb)
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
