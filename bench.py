@@ -43,6 +43,10 @@ HEADLINE = [
     "semantic_neardup",
     "tpch_q1",
     "tpch_q18",
+    # round-2 additions: deep multi-join TPC-H shape + corpus-wide
+    # paragraph dedup (explode-heavy shuffle)
+    "tpch_q9",
+    "paragraph_dedup",
 ]
 
 
