@@ -1174,3 +1174,109 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table(sink_name)
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery collapsed to effectively-once by STATEFUL
+    streaming dedup: the same events file feeds TWO file-source streams whose
+    union delivers every event twice (the redelivery the reference's 2-hour
+    S3 re-listing produces — extract_stream_data.py:124-168), then
+    dropDuplicatesWithinWatermark(event_id) keeps exactly one copy before a
+    per-type aggregate. The oracle is the batch answer over the events read
+    ONCE — equality proves the dedup state machine removed every redelivery,
+    not just that the plumbing ran.
+
+    Scale: dedup state is bounded by the watermark (2h of event_ids, evicted
+    after), never by stream length; the aggregate downstream sees
+    exactly-once rows, so its state is per-group, O(|event_type|)."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    s1 = stream_source(
+        spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+    )
+    s2 = stream_source(
+        spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+    )
+    u = with_ts_from_nanos(s1.unionByName(s2), "ts").withWatermark("ts", "2 hours")
+    deduped = u.dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+    )
+    sink_name = "streaming_dedup_mem"
+    (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name)
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance by PARTIAL-AGGREGATE MERGE: the events
+    table is split into an "already aggregated" slice and a "new batch"
+    (first vs second half of the time range), each reduced to mergeable
+    state (count, exact decimal sum) per group, then the two states are
+    merged — count adds, sum adds — and derived measures (avg) are
+    reconstructed from the merged state. The oracle is the full recompute;
+    equality proves merge(state(A), state(B)) == state(A ∪ B), which is the
+    algebraic property every incremental pipeline at 100 TB relies on
+    (recompute only the new day's partition, merge into the rollup).
+
+    Plan: each slice aggregates behind its own scan filter (partial maps +
+    one shuffle each at |groups| cardinality), the merge groupBy runs over
+    2·|groups| rows — data volume touches only the two slice aggregates,
+    never a re-scan of history. avg is ONE double division of exact decimal
+    state — bit-identical to the recompute's."""
+    (events,) = _t(spark, sf_dir, "events")
+    cutoff = "2024-06-01"
+    dec_val = F.col("value").cast("decimal(27,6)")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec_val).alias("sm"),
+        )
+
+    old_state = partial(events.filter(F.col("ts") < F.lit(cutoff)))
+    new_state = partial(events.filter(F.col("ts") >= F.lit(cutoff)))
+    merged = (
+        old_state.unionByName(new_state)
+        .groupBy("event_type")
+        .agg(F.sum("cnt").alias("n_events"), F.sum("sm").alias("total_sum"))
+    )
+    return merged.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_sum").cast("double").alias("total_value"),
+        (F.col("total_sum").cast("double") / F.col("n_events").cast("double")).alias(
+            "avg_value"
+        ),
+    )

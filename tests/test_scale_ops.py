@@ -195,3 +195,35 @@ def test_range_join_semantics(spark):
         (3, 200), (3, 300),  # overlapping intervals both match
         # pid 4 matches nothing
     }
+
+
+def test_incremental_agg_merge_any_cutoff(spark):
+    """merge(state(A), state(B)) == state(A ∪ B) must hold wherever the
+    batch boundary falls — empty slices included."""
+    from s3_to_redshift_with_airflow_spark.sources.readers import (
+        table_path,
+        with_ts_from_nanos,
+    )
+
+    events = with_ts_from_nanos(
+        spark.read.parquet(table_path("/root/testdata/sf0.001", "events")), "ts"
+    )
+    dec_val = F.col("value").cast("decimal(27,6)")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum(dec_val).alias("sm")
+        )
+
+    full = {
+        r["event_type"]: (r["cnt"], r["sm"]) for r in partial(events).collect()
+    }
+    for cutoff in ["1990-01-01", "2024-03-15 07:00:00", "2099-01-01"]:
+        merged = (
+            partial(events.filter(F.col("ts") < F.lit(cutoff)))
+            .unionByName(partial(events.filter(F.col("ts") >= F.lit(cutoff))))
+            .groupBy("event_type")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("sm").alias("sm"))
+        )
+        got = {r["event_type"]: (r["cnt"], r["sm"]) for r in merged.collect()}
+        assert got == full, cutoff
