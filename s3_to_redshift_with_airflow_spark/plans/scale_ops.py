@@ -1280,3 +1280,86 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value"
         ),
     )
+
+
+@query(
+    "trailing_window_features",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour features (count + exact sum of the user's
+    events in the preceding 3600 s) — the RANGE-frame window every
+    feature-engineering pipeline computes for "activity in the last N
+    minutes" signals. The frame is anchored on epoch SECONDS in both engines
+    (sub-second timestamps truncate identically), so the peer sets match
+    bit-for-bit; RANGE frames include all peers, making the result
+    independent of tie order.
+
+    Scale: ONE shuffle on user_id, then a sort within each user's partition
+    and a sliding frame — state is O(events inside the frame), never the
+    whole history; skewed users split by AQE. This is the batch twin of the
+    streaming sliding-window aggregate (sliding_window_agg)."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+@query(
+    "running_distinct_users",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    fs AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day FROM events GROUP BY 1),
+    nu AS (SELECT first_day AS day, COUNT(*) AS new_users FROM fs GROUP BY 1)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY d.day) AS BIGINT)
+             AS cum_users
+    FROM days d LEFT JOIN nu USING (day)
+    """,
+)
+def q_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve query. The naive
+    form (COUNT(DISTINCT user) over an expanding window) re-scans every
+    prefix: O(days × users) state. The scale form used here is the
+    FIRST-SEEN transform: distinct-so-far == count of users whose first
+    event is ≤ day, so one user-level min(ts) aggregate + a per-day count +
+    a running sum over |days| rows replaces the expanding distinct
+    entirely — the standard trick for cumulative-unique metrics at 100 TB
+    (state collapses from users×days to users once).
+
+    Plan: one shuffle on user_id (first-seen), one tiny shuffle on day, and
+    a window over |days| rows (single partition of ~hundreds of rows — fine
+    because cardinality is bounded by the calendar, not the data)."""
+    (events,) = _t(spark, sf_dir, "events")
+    # dates travel as ISO strings (registry convention — engine-neutral dtype)
+    days = events.select(F.to_date("ts").alias("day")).distinct()
+    fs = events.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("first_day"))
+    nu = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(nu, "day", "left")
+        .select("day", F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("new_users").cast("bigint").alias("new_users"),
+            F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+        )
+    )

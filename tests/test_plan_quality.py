@@ -228,7 +228,10 @@ def test_registry_wide_plan_audit(spark):
         "ann_topk", "embedding_neardup", "ivf_ann_topk",
         "tpch_q11", "tpch_q22", "tfidf_topk",
     }
-    SKIP = {"streaming_window_agg", "streaming_join", "doc_dedup_clusters"}
+    SKIP = {
+        "streaming_window_agg", "streaming_join", "streaming_dedup",
+        "doc_dedup_clusters",
+    }
     offenders = []
     for name, spec in REGISTRY.items():
         if name in SKIP:
