@@ -155,3 +155,75 @@ def with_size_buckets(media: DataFrame, n_buckets: int = 32) -> DataFrame:
             F.lit(n_buckets),
         ).cast("int"),
     )
+
+
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("chunk_index", T.LongType(), False),
+        T.StructField("offset_ms", T.LongType(), False),
+        T.StructField("chunk_digest", T.StringType(), True),
+        T.StructField("energy", T.LongType(), True),
+    ]
+)
+
+
+def decode_audio_chunks(
+    media: DataFrame,
+    chunk_ms: int = 2000,
+    max_chunks: int = 12,
+    strict: bool = False,
+) -> DataFrame:
+    """Audio pipeline: fixed-duration chunking + per-chunk feature decode.
+
+    Chunk offsets explode JVM-side from typed duration metadata (payload
+    bytes untouched until decode — same posture as sample_video_frames);
+    the per-chunk decode runs as Arrow-batched mapInPandas. The real
+    implementation is `librosa.load`/`soundfile` + an RMS/fbank computation
+    per chunk — library absent in this container, so strict=True raises at
+    that spot and the default is a DETERMINISTIC FAKE (md5 of payload+offset,
+    integer pseudo-energy) that keeps schema, batching, and chunk math real
+    and oracle-verifiable.
+    """
+    n_chunks = F.least(
+        F.floor(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / chunk_ms).cast("int")
+        + 1,
+        F.lit(max_chunks),
+    )
+    chunks = (
+        media.filter(F.col("modality") == "audio")
+        .withColumn("chunk_index", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "media_id",
+            F.col("chunk_index").cast("long").alias("chunk_index"),
+            (F.col("chunk_index").cast("long") * chunk_ms).alias("offset_ms"),
+            "payload",
+        )
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if strict:
+                # Real implementation: soundfile/librosa decode of
+                # payload[offset window], then RMS / filterbank features.
+                raise NotImplementedError(
+                    "real audio decode requires librosa/soundfile (not in container)"
+                )
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            offsets = pdf["offset_ms"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "chunk_index": pdf["chunk_index"].values,
+                    "offset_ms": pdf["offset_ms"].values,
+                    "chunk_digest": [
+                        hashlib.md5(p + b"|" + str(o).encode()).hexdigest()
+                        for p, o in zip(payloads, offsets)
+                    ],
+                    "energy": [
+                        (len(p) + o) % 1000 for p, o in zip(payloads, offsets)
+                    ],
+                }
+            )
+
+    return chunks.mapInPandas(batches, schema=AUDIO_CHUNK_SCHEMA)

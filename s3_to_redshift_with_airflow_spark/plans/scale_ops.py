@@ -1363,3 +1363,34 @@ def q_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
         )
     )
+
+
+@query(
+    "audio_chunk_features",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id AS media_id,
+             CAST(u.i AS BIGINT) AS chunk_index,
+             CAST(u.i * 2000 AS BIGINT) AS offset_ms,
+             text
+      FROM documents,
+           UNNEST(range(0, least((n_chars * 10) // 2000 + 1, 12))) AS u(i)
+    )
+    SELECT media_id, chunk_index, offset_ms,
+           md5(text || '|' || CAST(offset_ms AS VARCHAR)) AS chunk_digest,
+           CAST((octet_length(encode(text)) + offset_ms) % 1000 AS BIGINT) AS energy
+    FROM c
+    """,
+)
+def q_audio_chunk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking + per-chunk feature decode through the multimodal
+    plumbing (operators/multimodal.py:decode_audio_chunks): 2 s chunks (cap
+    12) explode JVM-side from duration metadata, the Arrow mapInPandas
+    'decode' computes deterministic fake features (digest + pseudo-energy)
+    that the oracle reproduces exactly — so the Python batch path itself is
+    value-verified, like multimodal_features. duration_ms = n_chars*10
+    (same synthesis as video_frame_sample)."""
+    from ..operators.multimodal import decode_audio_chunks
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return decode_audio_chunks(_as_media(docs, "audio"), chunk_ms=2000, max_chunks=12)

@@ -56,3 +56,29 @@ def test_sample_video_frames(media):
 def test_size_buckets_bounded(media):
     out = with_size_buckets(media, n_buckets=8).select("size_bucket").collect()
     assert all(r["size_bucket"] is None or 0 <= r["size_bucket"] < 8 for r in out)
+
+
+def test_decode_audio_chunks(media):
+    from s3_to_redshift_with_airflow_spark.operators.multimodal import (
+        decode_audio_chunks,
+    )
+
+    rows = decode_audio_chunks(media, chunk_ms=1000, max_chunks=12).collect()
+    # media 5: 2000ms at 1s chunks → offsets 0,1000,2000 (floor(2000/1000)+1)
+    assert [r["offset_ms"] for r in rows] == [0, 1000, 2000]
+    assert all(r["media_id"] == 5 for r in rows)
+    digests = [r["chunk_digest"] for r in rows]
+    assert len(set(digests)) == 3  # offset folded into the digest
+    assert all(0 <= r["energy"] < 1000 for r in rows)
+    # determinism: second run bit-identical
+    again = decode_audio_chunks(media, chunk_ms=1000, max_chunks=12).collect()
+    assert [r["chunk_digest"] for r in again] == digests
+
+
+def test_decode_audio_chunks_strict_raises(media):
+    from s3_to_redshift_with_airflow_spark.operators.multimodal import (
+        decode_audio_chunks,
+    )
+
+    with pytest.raises(Exception, match="NotImplementedError|not in container"):
+        decode_audio_chunks(media, strict=True).collect()

@@ -221,7 +221,7 @@ def test_registry_wide_plan_audit(spark):
     Queries that execute eagerly inside their builder (streaming lifecycle,
     iterative components) are skipped — plan_report covers them; everything
     else is planned without execution."""
-    PY_OK = {"multimodal_features", "video_frame_sample"}
+    PY_OK = {"multimodal_features", "video_frame_sample", "audio_chunk_features"}
     # tpch_q11 / tpch_q22 / tfidf_topk nested loops are 1-row scalar-aggregate
     # broadcasts (decorrelated scalar subqueries) — O(N), not cross products.
     CART_OK = {
