@@ -49,3 +49,47 @@ def l2_normalize(v: Column) -> Column:
     return F.when(n == 0, as_double(v)).otherwise(
         F.transform(as_double(v), lambda x: x / n)
     )
+
+
+# --- int8 scalar quantization ----------------------------------------------
+# The storage/compute compression step of a vector index: 4× smaller than
+# float32 and integer-SIMD dot products at scan time (the faiss SQ8 /
+# Milvus IVF_SQ8 scheme). Everything below is a codegen'd JVM expression;
+# the quantized dot product is EXACT integer arithmetic, so ranking is
+# bit-reproducible on any engine/partitioning (unlike float accumulation).
+
+
+def max_abs(v: Column) -> Column:
+    return F.array_max(F.transform(as_double(v), F.abs))
+
+
+def quant_scale(v: Column) -> Column:
+    """Symmetric per-vector scale mapping [-max|x|, max|x|] → [-127, 127].
+    Zero vectors get scale 0 (quantize to all-zero)."""
+    m = max_abs(v)
+    return F.when(m > 0, F.lit(127.0) / m).otherwise(F.lit(0.0))
+
+
+def quantize_int8(v: Column) -> Column:
+    """Per-vector symmetric int8 quantization: q = clamp(floor(x*s + 0.5)).
+
+    floor(x*s + 0.5) rather than round(): half-up rounding of doubles is
+    identically defined in every engine, while round() ties differ (HALF_UP
+    vs HALF_EVEN) — this keeps the quantized codes engine-exact.
+    """
+    s = quant_scale(v)
+    return F.transform(
+        as_double(v),
+        lambda x: F.least(
+            F.greatest(F.floor(x * s + F.lit(0.5)), F.lit(-127)), F.lit(127)
+        ),
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors (bigint fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )

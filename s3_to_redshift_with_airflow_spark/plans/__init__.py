@@ -2,3 +2,4 @@ from .registry import REGISTRY, QuerySpec, oracle_sql_map, query_map  # noqa: F4
 from . import extensions  # noqa: F401  (populates REGISTRY)
 from . import scale_ops  # noqa: F401  (populates REGISTRY)
 from . import tpch  # noqa: F401  (populates REGISTRY)
+from . import training  # noqa: F401  (populates REGISTRY)

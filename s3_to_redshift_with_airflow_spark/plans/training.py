@@ -1,0 +1,317 @@
+"""Training-data assembly registry entries: sequence packing into
+fixed-capacity context windows, domain mixture sampling, int8 embedding
+quantization + quantized similarity search, and the remaining relational
+set/grouping surface (GROUPING SETS, INTERSECT/EXCEPT).
+
+Everything here is exact integer / pinned-hash arithmetic — bit-reproducible
+across engines — so every query carries a full DuckDB value oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from ..functions.vectors import int_dot, quantize_int8
+from ..operators.packing import pack_sequences, packing_stats
+from .extensions import _TOKS
+from .registry import _t, query
+
+# --- sequence packing ------------------------------------------------------
+
+_CAPACITY = 512
+
+_PACK_CTE = f"""
+    WITH t AS (
+      SELECT source AS shard, doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS doc_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, doc_tokens,
+             CAST(SUM(doc_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM t
+    ),
+    e AS (
+      SELECT shard, doc_id, doc_tokens, cum,
+             unnest(range((cum - doc_tokens) // {_CAPACITY},
+                          (cum - 1) // {_CAPACITY} + 1)) AS seq_id
+      FROM c
+    ),
+    p AS (
+      SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id, doc_tokens,
+             CAST(least(cum, (seq_id + 1) * {_CAPACITY})
+                  - greatest(cum - doc_tokens, seq_id * {_CAPACITY})
+                  AS BIGINT) AS seq_tokens,
+             CAST(greatest(cum - doc_tokens, seq_id * {_CAPACITY})
+                  - (cum - doc_tokens) AS BIGINT) AS doc_offset
+      FROM e
+    )
+"""
+
+
+@query(
+    "sequence_packing",
+    oracle=_PACK_CTE
+    + """
+    SELECT shard, seq_id, doc_id, doc_tokens, seq_tokens, doc_offset FROM p
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py): documents
+    laid end-to-end per source shard, cut every 512 tokens — one row per
+    (document, context window) overlap, with the token slice each window
+    takes. One shard-partitioned window + JVM explode; exact integers, so
+    the DuckDB oracle reproduces the packing bit-for-bit."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs,
+        capacity=_CAPACITY,
+        token_count_col=token_count(F.col("text")),
+        id_col="doc_id",
+        shard_col="source",
+    )
+
+
+@query(
+    "packing_stats",
+    oracle=_PACK_CTE
+    + f"""
+    , per_seq AS (
+      SELECT shard, seq_id, SUM(seq_tokens) AS fill,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM p GROUP BY shard, seq_id
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN fill = {_CAPACITY} THEN 1 ELSE 0 END) AS BIGINT)
+             AS full_windows,
+           CAST(SUM(fill) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_docs) AS BIGINT) AS doc_slices
+    FROM per_seq GROUP BY shard
+    """,
+)
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing efficiency per shard: every window except possibly the last
+    is exactly full (concat-and-chunk never wastes tokens), so full_windows
+    = n_windows - 1 and total_tokens = shard token count — the oracle proves
+    both invariants hold."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs,
+        capacity=_CAPACITY,
+        token_count_col=token_count(F.col("text")),
+        id_col="doc_id",
+        shard_col="source",
+    )
+    return packing_stats(packed, capacity=_CAPACITY)
+
+
+# --- domain mixture sampling -----------------------------------------------
+
+# Per-source keep rates in 16ths (md5 first-nibble thresholds): the static
+# domain-reweighting step of corpus assembly (upsample curated sources,
+# downsample crawl). Membership is a pure function of doc_id — stable under
+# corpus growth, engine-exact (same md5 both sides), granularity 1/16.
+_MIX_RATES = {f"src{i}": (16, 8, 4, 2)[i % 4] for i in range(20)}
+_HEX = "0123456789abcdef"
+
+
+@query(
+    "domain_mixture_sample",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(CASE {cases} END AS DOUBLE) / 16.0 AS keep_rate
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+          substring('0123456789abcdefg', CASE {cases} END + 1, 1)
+    """.format(
+        cases=" ".join(
+            f"WHEN source = '{s}' THEN {r}" for s, r in _MIX_RATES.items()
+        )
+    ),
+)
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: each source keeps a configured
+    fraction (16ths) of its documents, membership decided by the first md5
+    nibble of doc_id — the reproducible downsampling step that rebalances a
+    crawl-heavy corpus toward a target mixture. A doc never migrates in or
+    out as the corpus grows, and reruns are idempotent."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    rate = F.lit(None).cast("int")
+    expr = None
+    for s, r in _MIX_RATES.items():
+        cond = F.col("source") == s
+        expr = F.when(cond, r) if expr is None else expr.when(cond, r)
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    # nibble < k-th hex char ⇔ nibble index < k  (rate 16 keeps everything:
+    # the sentinel 'g' sorts after every hex digit).
+    threshold = F.substring(F.lit(_HEX + "g"), expr + 1, 1)
+    return docs.filter(nibble < threshold).select(
+        "doc_id",
+        "source",
+        (expr.cast("double") / 16.0).alias("keep_rate"),
+    )
+
+
+# --- int8 embedding quantization -------------------------------------------
+
+_SQL_QUANT = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+      FROM e
+    ),
+    s AS (
+      SELECT vec_id, v,
+             CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
+      FROM m
+    ),
+    q AS (
+      SELECT vec_id, scale, CAST(len(v) AS BIGINT) AS n_dims,
+             list_transform(
+               v, x -> least(greatest(CAST(floor(x * scale + 0.5) AS BIGINT),
+                                      -127), 127)) AS qv
+      FROM s
+    )
+"""
+
+
+@query(
+    "embedding_quantize",
+    oracle=_SQL_QUANT
+    + """
+    SELECT vec_id, n_dims, scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+             AS q_norm_sq
+    FROM q
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column
+    (functions/vectors.py:quantize_int8 — the faiss-SQ8 storage scheme: 4×
+    smaller, integer-SIMD scan). Codes are floor(x*scale+0.5) clamped to
+    ±127 with a per-vector scale, all engine-exact arithmetic — the oracle
+    verifies the integer code sums and the float32→double scale itself."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    from ..functions.vectors import quant_scale
+
+    qv = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        quant_scale(F.col("embedding")).alias("scale"),
+        F.aggregate(qv, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            F.transform(qv, lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("q_norm_sq"),
+    )
+
+
+@query(
+    "quantized_ann_topk",
+    oracle=_SQL_QUANT
+    + """
+    , qq AS (SELECT vec_id AS query_id, qv AS qa FROM q WHERE vec_id < 5),
+    d AS (
+      SELECT query_id, c.vec_id,
+             CAST(list_sum(list_transform(list_zip(qa, c.qv),
+                                          x -> x[1] * x[2])) AS BIGINT)
+               AS qdot
+      FROM q c, qq WHERE c.vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, qdot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY qdot DESC, vec_id ASC) AS rk
+      FROM d
+    )
+    SELECT query_id, vec_id, qdot, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 10
+    """,
+)
+def q_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors by EXACT integer dot product over int8-quantized
+    codes: the scan arithmetic of an SQ8 index. Broadcast query side, one
+    corpus scan, window top-k — same plan shape as ann_topk but the score
+    is a bigint fold, so ranking (incl. ties, pinned by vec_id) is
+    bit-reproducible on any engine; no float accumulation anywhere."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantize_int8(F.col("embedding")).alias("qv"))
+    queries = q.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    scored = q.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id"), "inner"
+    ).select(
+        "query_id",
+        "vec_id",
+        int_dot(F.col("qa"), F.col("qv")).alias("qdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "vec_id", "qdot", "rk")
+    )
+
+
+# --- grouping sets / set operators -----------------------------------------
+
+_GS_SQL = """
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(GROUPING(source) AS BIGINT) AS g_source,
+           CAST(GROUPING(lang) AS BIGINT) AS g_lang
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), ())
+"""
+
+
+@query("grouping_sets", oracle=_GS_SQL)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    per-(source, lang) counts, per-source subtotals, and a grand total in
+    ONE pass — Spark plans a single Expand + hash aggregate, not three
+    scans. GROUPING() markers disambiguate subtotal rows from genuine
+    NULL group values."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("gs_documents")
+    return spark.sql(_GS_SQL.replace("FROM documents", "FROM gs_documents"))
+
+
+@query(
+    "intersect_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'click' AND value > 200
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 330
+    """,
+)
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: users with a high-value purchase AND a high-value
+    click but no severe error. INTERSECT binds tighter than EXCEPT (ANSI
+    precedence, same in Spark and DuckDB); Spark plans these as left-semi /
+    left-anti hash joins over the distinct sets — no sort, no cross
+    product."""
+    (events,) = _t(spark, sf_dir, "events")
+
+    def by_type(t: str, min_value: float) -> DataFrame:
+        return events.filter(
+            (F.col("event_type") == t) & (F.col("value") > min_value)
+        ).select("user_id")
+
+    return (
+        by_type("purchase", 200)
+        .intersect(by_type("click", 200))
+        .subtract(by_type("error", 330))
+    )

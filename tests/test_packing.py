@@ -1,0 +1,88 @@
+"""Sequence packing: exact window assignment, straddling, invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_to_redshift_with_airflow_spark.operators.packing import (
+    pack_sequences,
+    packing_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # one shard; token counts chosen to exercise exact-fit, packing, and
+    # straddling at capacity 8: cum = 3, 8, 20, 21
+    rows = [
+        (1, "a", 3),  # seq 0 [0,3)
+        (2, "a", 5),  # seq 0 [3,8) — exact fill
+        (3, "a", 12),  # straddles seq 1 (8 tok) and seq 2 (4 tok)
+        (4, "a", 1),  # seq 2
+        (10, "b", 9),  # second shard: straddles seq 0 (8) / seq 1 (1)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, toks long")
+
+
+def test_pack_sequences_exact(docs):
+    out = pack_sequences(
+        docs, capacity=8, token_count_col=F.col("toks")
+    ).collect()
+    got = {
+        (r["shard"], r["seq_id"], r["doc_id"]): (r["seq_tokens"], r["doc_offset"])
+        for r in out
+    }
+    assert got == {
+        ("a", 0, 1): (3, 0),
+        ("a", 0, 2): (5, 0),
+        ("a", 1, 3): (8, 0),   # first 8 tokens of doc 3
+        ("a", 2, 3): (4, 8),   # remaining 4, starting at offset 8
+        ("a", 2, 4): (1, 0),
+        ("b", 0, 10): (8, 0),
+        ("b", 1, 10): (1, 8),
+    }
+
+
+def test_pack_sequences_invariants(docs):
+    packed = pack_sequences(docs, capacity=8, token_count_col=F.col("toks"))
+    # each doc's slices sum to its token count
+    per_doc = packed.groupBy("doc_id").agg(F.sum("seq_tokens").alias("s")).collect()
+    truth = {r["doc_id"]: r["toks"] for r in docs.collect()}
+    assert {r["doc_id"]: r["s"] for r in per_doc} == truth
+    # every window except the last per shard is exactly full
+    stats = {r["shard"]: r for r in packing_stats(packed, capacity=8).collect()}
+    assert stats["a"]["n_windows"] == 3 and stats["a"]["full_windows"] == 2
+    assert stats["b"]["n_windows"] == 2 and stats["b"]["full_windows"] == 1
+    assert stats["a"]["total_tokens"] == 21 and stats["b"]["total_tokens"] == 9
+
+
+def test_pack_sequences_rejects_bad_capacity(docs):
+    with pytest.raises(ValueError):
+        pack_sequences(docs, capacity=0, token_count_col=F.col("toks"))
+
+
+def test_quantize_int8_roundtrip(spark):
+    from s3_to_redshift_with_airflow_spark.functions.vectors import (
+        int_dot,
+        quant_scale,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]), (3, [127.0, -127.0, 63.5])],
+        "vec_id long, v array<double>",
+    ).select(
+        "vec_id",
+        quant_scale(F.col("v")).alias("s"),
+        quantize_int8(F.col("v")).alias("q"),
+        int_dot(quantize_int8(F.col("v")), quantize_int8(F.col("v"))).alias("nsq"),
+    )
+    rows = {r["vec_id"]: r for r in df.collect()}
+    # max|x|=2 → scale 63.5; codes floor(x*63.5+0.5) = 64, -127, 32
+    assert rows[1]["q"] == [64, -127, 32]
+    assert rows[1]["nsq"] == 64 * 64 + 127 * 127 + 32 * 32
+    # zero vector: scale 0, all-zero codes
+    assert rows[2]["s"] == 0.0 and rows[2]["q"] == [0, 0, 0]
+    # extreme values stay clamped to ±127
+    assert rows[3]["q"] == [127, -127, 64]

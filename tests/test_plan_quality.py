@@ -224,8 +224,10 @@ def test_registry_wide_plan_audit(spark):
     PY_OK = {"multimodal_features", "video_frame_sample", "audio_chunk_features"}
     # tpch_q11 / tpch_q22 / tfidf_topk nested loops are 1-row scalar-aggregate
     # broadcasts (decorrelated scalar subqueries) — O(N), not cross products.
+    # ann_topk / quantized_ann_topk broadcast a FIXED 5-row query side over
+    # one corpus scan — O(N·|queries|), the sanctioned brute-force baseline.
     CART_OK = {
-        "ann_topk", "embedding_neardup", "ivf_ann_topk",
+        "ann_topk", "embedding_neardup", "ivf_ann_topk", "quantized_ann_topk",
         "tpch_q11", "tpch_q22", "tfidf_topk",
     }
     SKIP = {
