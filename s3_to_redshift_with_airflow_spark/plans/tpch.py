@@ -688,3 +688,35 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "tpch_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume), spec-faithful columns and ordering.
+    The plan is star_join_agg's (scale_ops.py) — region/nation/supplier
+    broadcast, date filter pushed into the orders scan — minus the lineitem
+    count, plus the spec's revenue-descending total order."""
+    from .registry import REGISTRY
+
+    out = REGISTRY["star_join_agg"].fn(spark, sf_dir)
+    return out.select("n_name", "revenue").orderBy(
+        F.col("revenue").desc(), F.col("n_name")
+    )

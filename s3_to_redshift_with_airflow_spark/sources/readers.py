@@ -242,3 +242,18 @@ def read_streams_multi(
         .csv(paths)
         .withColumn("source_file", F.input_file_name())
     )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines source. Pass an explicit DDL schema in production —
+    schema inference is a full extra pass over the data; PERMISSIVE mode
+    plus `_corrupt_record` (see read_csv_lenient) applies here too."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (column pruning + predicate pushdown, like parquet)."""
+    return spark.read.orc(path)

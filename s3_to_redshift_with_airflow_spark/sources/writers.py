@@ -187,3 +187,43 @@ def compact_parquet(
     fs.delete(p, True)
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
     return n_files
+
+
+def write_range_partitioned(
+    df,
+    path: str,
+    sort_col: str,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, within-file-sorted parquet: the data-SKIPPING
+    layout (a one-dimensional Z-order). `repartitionByRange` gives each
+    output file a disjoint `sort_col` interval and the within-partition sort
+    tightens every row group's min/max, so a range predicate prunes to the
+    few files/row-groups whose stats overlap it — the scan cost of a
+    100 TB time-range query drops to the selected range's share.
+
+    The range exchange samples the column to pick balanced boundaries
+    (skew-robust, unlike hash partitioning on a monotone column). Combine
+    with `write_date_partitioned` for the two-level layout: directory
+    pruning by day, stats pruning within day.
+    """
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def write_jsonl(df, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one JSON object per row) — the interchange format of
+    text-corpus pipelines. Compressed splittable ingest is parquet's job;
+    JSONL is the export/exchange surface."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (predicate-pushdown-capable columnar alternative; same
+    writer surface as parquet so pipelines can switch formats per table)."""
+    df.write.mode(mode).orc(path)
