@@ -51,10 +51,15 @@ def enrich_streams(
     whenever the dims fit in executor memory (songs/users here); at dim sizes
     beyond broadcast threshold drop the hint and let AQE pick SMJ.
     """
+    from .skew import fan_out
+
     song_side = F.broadcast(songs) if broadcast_dims else songs
     user_side = F.broadcast(users) if broadcast_dims else users
+    # fan the fact out before the broadcast joins: the map-side join + hour
+    # projection otherwise runs at the scan's parallelism (1 task for a
+    # single-row-group file); no-op when the scan is already wide.
     return (
-        streams.join(song_side, on=track_key, how="inner")
+        fan_out(streams).join(song_side, on=track_key, how="inner")
         .join(user_side, on=user_key, how="inner")
         .withColumn("hour", F.hour(F.col(time_col).cast("timestamp")))
     )

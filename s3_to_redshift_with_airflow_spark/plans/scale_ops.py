@@ -281,8 +281,17 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic. One scan, one shuffle on a 6-value grouping key, 8 aggregates
     computed in a single HashAggregate with map-side partials — the shape
     every OLAP engine is judged on first."""
+    from ..operators.skew import fan_out
+
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    li = lineitem.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+    # 8 decimal aggregates make the map side CPU-bound: fan the scan out to
+    # full parallelism first (no-op on a cluster whose scan is already wide).
+    li = fan_out(
+        lineitem.select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        )
+    ).filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     charge = disc_price * (F.lit(1) + F.col("l_tax"))
     n = F.count(F.lit(1))
