@@ -25,8 +25,17 @@ partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch_us(col: Column) -> Column:
+    # unix_micros rejects TIMESTAMP_NTZ (the type Spark infers for tz-naive
+    # parquet timestamps); casting to TIMESTAMP first accepts both flavors —
+    # a no-op for LTZ, session-tz interpretation for NTZ. All uses here are
+    # differences or shared bucket boundaries, so any single consistent
+    # interpretation yields identical results.
+    return F.unix_micros(col.cast("timestamp"))
 
 
 def asof_join(
@@ -93,8 +102,8 @@ def asof_join(
         .filter(F.col("__side") == 1)
     )
     if tolerance_seconds is not None:
-        within = F.unix_micros(F.col("__last_r").getField(right_time)) >= (
-            F.unix_micros(F.col(left_time)) - int(tolerance_seconds * 1_000_000)
+        within = _epoch_us(F.col("__last_r").getField(right_time)) >= (
+            _epoch_us(F.col(left_time)) - int(tolerance_seconds * 1_000_000)
         )
         out = out.withColumn("__last_r", F.when(within, F.col("__last_r")))
     for c in carried:
@@ -128,7 +137,7 @@ def sessionize(
     # bit-equivalent.
     new_session = F.when(
         prev.isNull()
-        | ((F.unix_micros(F.col(time_col)) - F.unix_micros(prev)) >= gap_us),
+        | ((_epoch_us(F.col(time_col)) - _epoch_us(prev)) >= gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     run = Window.partitionBy(key).orderBy(time_col).rowsBetween(
@@ -185,14 +194,14 @@ def range_join(
     us = bucket_seconds * 1_000_000
 
     p = points.withColumn(
-        "__bkt", (F.unix_micros(F.col(point_col)) / us).cast("long")
+        "__bkt", (_epoch_us(F.col(point_col)) / us).cast("long")
     ).alias("__p")
     i = intervals.withColumn(
         "__bkt",
         F.explode(
             F.sequence(
-                (F.unix_micros(F.col(start_col)) / us).cast("long"),
-                (F.unix_micros(F.col(end_col)) / us).cast("long"),
+                (_epoch_us(F.col(start_col)) / us).cast("long"),
+                (_epoch_us(F.col(end_col)) / us).cast("long"),
             )
         ),
     ).alias("__i")

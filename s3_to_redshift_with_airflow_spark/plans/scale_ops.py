@@ -1318,7 +1318,7 @@ def q_trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
         .rangeBetween(-3599, Window.currentRow)
     )
     return events.select(

@@ -51,18 +51,27 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def with_ts_from_nanos(df: DataFrame, *cols: str) -> DataFrame:
-    """Rebuild timestamp columns read as raw nanosecond longs.
+    """Normalize event-time columns to plain TIMESTAMP, whatever parquet
+    physical type they arrived as.
 
-    Spark rejects parquet TIMESTAMP(NANOS) unless
-    `spark.sql.legacy.parquet.nanosAsLong=true`, under which the column
-    arrives as LongType nanos-since-epoch. Floor-division to micros matches
-    DuckDB's NANOS→TIMESTAMP truncation, so both engines see identical values.
+    - TIMESTAMP(NANOS): Spark rejects it unless
+      `spark.sql.legacy.parquet.nanosAsLong=true`, under which the column
+      arrives as LongType nanos-since-epoch. Floor-division to micros matches
+      DuckDB's NANOS→TIMESTAMP truncation, so both engines see identical
+      values.
+    - tz-naive micros (isAdjustedToUTC=false): Spark infers TIMESTAMP_NTZ,
+      which `withWatermark`/`unix_micros` reject. Cast to TIMESTAMP — under
+      the UTC session (ensure_utc) this is value-preserving.
     """
     for c in cols:
-        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+        if c not in df.columns:
+            continue
+        if isinstance(df.schema[c].dataType, T.LongType):
             # integer `div`, NOT `/`: epoch-nanos (~1.8e18) exceed double's
             # 2^53 integer range, so floor(col / 1000.0) is off by ±1 µs.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(df.schema[c].dataType, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -61,6 +61,12 @@ def stream_source(
         reader = reader.option("pathGlobFilter", path_glob_filter)
     out = reader.load(path)
     if watermark is not None:
+        if isinstance(out.schema[event_time_col].dataType, T.TimestampNTZType):
+            # withWatermark requires TIMESTAMP; tz-naive parquet micros infer
+            # as NTZ. Value-preserving under the UTC session.
+            out = out.withColumn(
+                event_time_col, F.col(event_time_col).cast("timestamp")
+            )
         out = out.withWatermark(event_time_col, watermark)
     return out
 

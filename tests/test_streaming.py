@@ -143,13 +143,19 @@ def test_streaming_session_window_equals_batch_sessionize(spark, tmp_path):
     src_dir = tmp_path / "stream_src"
     src_dir.mkdir()
     shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir / "a_events.parquet")
-    # Sentinel must match the RAW file schema (ts = nanosecond longs) or the
+    # Sentinel must match the RAW file schema (nanosecond longs or plain
+    # timestamps, depending on how the driver generated the data) or the
     # declared stream schema misparses it and the watermark never advances.
     raw = spark.read.parquet(str(src_dir / "a_events.parquet"))
-    year_ns = 365 * 86_400 * 10**9
+    from pyspark.sql import types as T
+
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        year_later = F.col("ts") + F.lit(365 * 86_400 * 10**9)
+    else:
+        year_later = F.col("ts") + F.expr("INTERVAL 365 DAYS")
     sentinel = raw.limit(1).select(
         F.col("event_id"),
-        (F.col("ts") + F.lit(year_ns)).alias("ts"),
+        year_later.alias("ts"),
         F.lit(999_999).cast("long").alias("user_id"),
         F.col("event_type"),
         F.col("value"),
