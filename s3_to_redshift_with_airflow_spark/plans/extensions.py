@@ -591,6 +591,60 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "neardup_survivors",
+    oracle=f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    f AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM f a, f b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+                 - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.8
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT u AS node, v AS r FROM e
+      UNION
+      SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u
+    ),
+    comp AS (SELECT node, LEAST(node, MIN(r)) AS component
+             FROM reach GROUP BY node)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    LEFT JOIN comp ON d.doc_id = comp.node
+    WHERE comp.node IS NULL OR comp.component = d.doc_id
+    """,
+)
+def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dedup PRODUCT: the corpus that survives MinHash
+    near-dedup — pairs (j≥0.8) → connected components → keep each
+    component's min-id representative, drop the other members. This is the
+    operation a pretraining pipeline actually ships (CCNet/RefinedWeb keep
+    one document per duplicate cluster); the pair/cluster queries above are
+    its observable intermediates.
+
+    Scale: pairs and components are near-dup-graph-sized (tiny vs corpus);
+    the final keep/drop is one broadcast-able LEFT ANTI join against the
+    loser set — the corpus itself is scanned once and never shuffled. The
+    oracle recomputes the same thing from exact brute-force pairs + a
+    recursive transitive closure (LSH == exact pair set up to ~5e-15)."""
+    from ..operators.graph import connected_components
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=64, n_bands=32, threshold=0.8)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@query(
     "deterministic_sample",
     oracle="""
     SELECT doc_id, n_chars

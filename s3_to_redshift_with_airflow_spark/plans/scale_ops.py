@@ -1403,3 +1403,57 @@ def q_audio_chunk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return decode_audio_chunks(_as_media(docs, "audio"), chunk_ms=2000, max_chunks=12)
+
+
+@query(
+    "training_shards",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    s AS (
+      SELECT doc_id, hx,
+             CAST(((instr('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+                   + (instr('0123456789abcdef', substring(hx, 2, 1)) - 1)) % 8
+                  AS BIGINT) AS shard
+      FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the export step of
+    a training pipeline: every document gets a pseudo-random but
+    key-reproducible (shard, position) so the shuffled order is identical
+    across runs, engines, and incremental rebuilds (no RAND(): a doc's slot
+    is a pure function of its id). Shard = first byte of md5(doc_id) mod 8,
+    position = rank of the md5 within the shard.
+
+    Scale: this IS repartition-by-hash + sort-within-partitions — the
+    window's PARTITION BY shard hashes docs to shard-sized groups (one
+    shuffle) and ORDER BY sorts each shard locally; no global sort, no
+    single-partition window. At 100 TB you raise the shard count so each
+    sorted run fits an executor, then write shards as files in `pos` order.
+    The hex→int arithmetic uses only instr/substring so Spark and DuckDB
+    evaluate the byte identically."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    hx = "0123456789abcdef"
+    d = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    )
+    d = d.withColumn(
+        "shard",
+        (
+            (F.expr(f"instr('{hx}', substring(__h, 1, 1))") - 1) * 16
+            + (F.expr(f"instr('{hx}', substring(__h, 2, 1))") - 1)
+        ).cast("bigint") % 8,
+    )
+    w = Window.partitionBy("shard").orderBy("__h", "doc_id")
+    return d.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
