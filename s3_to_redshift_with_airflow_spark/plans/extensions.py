@@ -1016,3 +1016,113 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_scrub(injected).alias("scrubbed"),
         *[v.alias(f"n_{k}") for k, v in counts.items()],
     )
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS} AS tk FROM documents),
+    b AS (
+      SELECT unnest(list_transform(range(2, len(tk) + 1),
+                                   i -> tk[i - 1] || ' ' || tk[i])) AS pair
+      FROM t WHERE len(tk) >= 2
+    ),
+    c AS (SELECT pair, COUNT(*) AS n FROM b GROUP BY pair)
+    SELECT pair, n
+    FROM (SELECT pair, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS rk
+          FROM c)
+    WHERE rk <= 20
+    """,
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge iteration over the corpus: count every ADJACENT token
+    pair and rank the top-20 merge candidates — the inner loop of tokenizer
+    training (Sennrich et al., ACL'16), run corpus-wide. Adjacent pairs come
+    from a JVM-side `transform(sequence(...))` over the token array (no
+    Python, no self-join); count+top-k is one shuffle plus a 20-row
+    TakeOrdered.
+
+    Scale: pair explosion is linear in corpus tokens and map-side-combines
+    into the count shuffle; the rank is over the (vocab²-bounded, heavily
+    combined) pair table, never the corpus. Deterministic tie-break
+    (count desc, pair asc) keeps the cut stable across engines."""
+    from ..functions.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    pairs = (
+        docs.select(tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(tk)),"
+                    " i -> concat(element_at(tk, i - 1), ' ', element_at(tk, i)))"
+                )
+            ).alias("pair")
+        )
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("pair", "n")
+    )
+
+
+@query(
+    "hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (
+      SELECT query_id, vec_id, {_DOT} / ({_NORM_CV} * {_NORM_QV}) AS cos_sim
+      FROM c, q WHERE label <> qlabel
+    ),
+    r AS (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rk
+      FROM s
+    )
+    SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 5
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (the 5 query vectors) the top-5 most-similar vectors with a DIFFERENT
+    label — the negatives that actually move a contrastive loss. Same
+    broadcast-one-corpus-scan shape as ann_topk with the label inequality
+    pushed into the join condition, so disqualified candidates never reach
+    the scorer; at real scale the blocked (LSH/IVF) variants swap in
+    exactly as they do for plain ANN."""
+    from ..functions.vectors import cosine
+    from ..operators.skew import fan_out
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    c = fan_out(emb).select("vec_id", "label", F.col("embedding").alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("cv"), F.col("qv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .withColumn("rk", F.col("rk").cast("bigint"))
+    )

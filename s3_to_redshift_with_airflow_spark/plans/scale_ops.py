@@ -1457,3 +1457,68 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+@query(
+    "corr_stats",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,6)) AS x,
+             CAST(hour(ts) AS DECIMAL(18,6)) AS y
+      FROM events
+    ),
+    a AS (
+      -- decimal→double goes through VARCHAR: DuckDB's direct cast divides
+      -- double(unscaled)/double(10^scale), which double-rounds once the
+      -- scale-12 unscaled value exceeds 2^53; the text path is correctly
+      -- rounded, matching the JVM's BigDecimal conversion bit-for-bit.
+      SELECT event_type,
+             COUNT(*) AS n_events,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS value_hour_corr
+    FROM a
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation (value vs hour-of-day) computed the
+    bit-deterministic way: the five moment sums accumulate as EXACT decimals
+    (order-independent), and floating point appears only in one final scalar
+    expression evaluated identically by both engines — the same discipline
+    as _exact_avg, extended to second moments. The built-in F.corr would
+    give an order-DEPENDENT double whose hash flaps across partitionings.
+
+    Scale: one scan, one map-side-combined shuffle on the group key; the
+    correlation itself is arithmetic on a 6-number-per-group table."""
+    (events,) = _t(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,6)")
+    y = F.hour(F.col("ts")).cast("decimal(18,6)")
+    a = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return a.select(
+        "event_type",
+        "n_events",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("value_hour_corr"),
+    )
