@@ -229,6 +229,9 @@ def test_registry_wide_plan_audit(spark):
     CART_OK = {
         "ann_topk", "embedding_neardup", "ivf_ann_topk", "quantized_ann_topk",
         "tpch_q11", "tpch_q22", "tfidf_topk",
+        # broadcast 5 anchors × one corpus scan with a residual label
+        # inequality — O(N·|anchors|), same sanction as ann_topk
+        "hard_negatives",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
