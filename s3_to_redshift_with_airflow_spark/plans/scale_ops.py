@@ -1522,3 +1522,97 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("value_hour_corr"),
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(datediff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day, counted on
+    each later active day as (cohort_day, day_offset) — the
+    product-analytics classic the reference's KPI layer points toward
+    (first-seen logic shared with running_distinct_users). COUNT(*) is
+    already distinct-per-user because activity rows are deduped to
+    (user, day) first — no count-distinct expansion in the final aggregate.
+
+    Scale: first-seen and the (user, day) dedup both shuffle on user_id, so
+    the join runs on co-partitioned inputs; the retention aggregate is over
+    |users|·|active days| rows at most, heavily map-side combined."""
+    (events,) = _t(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    act = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "zscore_normalize",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS x
+      FROM events
+    ),
+    m AS (
+      -- VARCHAR-mediated decimal→double: see corr_stats
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx
+      FROM e GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           (CAST(CAST(e.x AS VARCHAR) AS DOUBLE) - m.sx / m.n)
+             / sqrt(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n)) AS zscore
+    FROM e JOIN m ON e.event_type = m.event_type
+    """,
+)
+def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization (z-score): every event's value
+    rescaled by its group's mean/std — the normalization pass in front of
+    any model that eats numeric features. Moments follow the corr_stats
+    discipline (exact decimal sums, floats only in one final per-row
+    expression both engines evaluate identically), so every z-score is
+    bit-deterministic under any partitioning.
+
+    Scale: one map-side-combined shuffle for the 5-row moment table, then a
+    broadcast join back onto the stream — the corpus is scanned twice but
+    never shuffled; population (not sample) variance, n in the
+    denominator."""
+    (events,) = _t(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,6)")
+    m = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
+    return (
+        events.select("event_id", "event_type", x.alias("x"))
+        .join(F.broadcast(m), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            ((F.col("x").cast("double") - mean) / std).alias("zscore"),
+        )
+    )
