@@ -47,6 +47,9 @@ HEADLINE = [
     # paragraph dedup (explode-heavy shuffle)
     "tpch_q9",
     "paragraph_dedup",
+    # end-to-end dedup product (minhash pairs → iterative connected
+    # components → anti-join) — the only iterative-algorithm family
+    "neardup_survivors",
 ]
 
 

@@ -1616,3 +1616,66 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("x").cast("double") - mean) / std).alias("zscore"),
         )
     )
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, 1 AS stage_order, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT 'click', 2, COUNT(*) FROM c
+    UNION ALL
+    SELECT 'purchase', 3, COUNT(*) FROM p
+    """,
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user advances
+    a stage only with an event strictly AFTER their previous stage's
+    timestamp — the sequence-matching analytics classic, not three
+    independent existence checks. Each stage is a filtered min-aggregate
+    joined against the previous stage's survivors.
+
+    Scale: all three aggregates and joins hash on user_id, so the stages
+    reuse one co-partitioning; each stage's input shrinks monotonically
+    (funnel property). Event-type pushdown reaches the scan per stage —
+    no stage reads the whole table."""
+    (events,) = _t(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev, prev_t: str, t_alias: str):
+        e = events.filter(F.col("event_type") == event_type).select(
+            "user_id", "ts"
+        )
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(t_alias))
+
+    v = stage("view", None, "", "t_view")
+    c = stage("click", v, "t_view", "t_click")
+    p = stage("purchase", c, "t_click", "t_purchase")
+
+    def row(name: str, order: int, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(order).cast("int").alias("stage_order"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return row("view", 1, v).unionAll(row("click", 2, c)).unionAll(
+        row("purchase", 3, p)
+    )
