@@ -130,10 +130,13 @@ def quality_score(c: Column) -> Column:
     )
 
 
-def token_shingles(c: Column, n: int = 3) -> Column:
-    """Distinct n-gram token shingles (array<string>) — the unit set for
-    Jaccard/MinHash near-dup detection. Empty array when fewer than n tokens."""
-    toks = tokens(c)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles from an ALREADY-TOKENIZED array column.
+
+    Prefer binding the token array to a real column first (two-step select)
+    over inlining `tokens(text)` here: the tokenize expression would be
+    captured inside the per-element lambda, and anything codegen fails to
+    common-subexpression-eliminate re-runs per shingle."""
     count = F.size(toks) - (n - 1)
     # Guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not an empty array,
     # so short documents must short-circuit to [].
@@ -145,6 +148,12 @@ def token_shingles(c: Column, n: int = 3) -> Column:
             )
         )
     )
+
+
+def token_shingles(c: Column, n: int = 3) -> Column:
+    """Distinct n-gram token shingles (array<string>) — the unit set for
+    Jaccard/MinHash near-dup detection. Empty array when fewer than n tokens."""
+    return shingles_from_tokens(tokens(c), n)
 
 
 def positional_token_shingles(c: Column, n: int = 5) -> Column:

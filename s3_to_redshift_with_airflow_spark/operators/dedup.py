@@ -48,10 +48,16 @@ def exact_dedup_by_fingerprint(
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    from ..functions.text import shingles_from_tokens, tokens
     from .skew import fan_out
 
-    return fan_out(df).select(
-        F.col(id_col), token_shingles(F.col(text_col), n).alias("shingles")
+    # Two-step: bind the token array to a column before shingling so the
+    # tokenize pass runs exactly once per row (see shingles_from_tokens).
+    toked = fan_out(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+    )
+    return toked.select(
+        F.col(id_col), shingles_from_tokens(F.col("__tk"), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
 
 
