@@ -1126,3 +1126,122 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .withColumn("rk", F.col("rk").cast("bigint"))
     )
+
+
+@query(
+    "editdist_neardup",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    b AS (SELECT doc_id, nt, substring(nt, 1, 12) AS blk FROM n)
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(levenshtein(a.nt, c.nt) AS BIGINT) AS edit_dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.nt, c.nt) <= 20
+    """,
+)
+def q_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: Levenshtein distance ≤ 20 between
+    normalized texts, computed only WITHIN blocks sharing a 12-char
+    normalized prefix — the character-granular member of the dedup family
+    (catches small in-place edits that survive token-level shingling). The
+    blocking is the same banding idea as the LSH joins: the quadratic
+    distance only ever runs inside prefix buckets, never across the corpus;
+    both engines compute the identical integer distance, so the oracle is
+    exact. Prefix blocking assumes edits do not hit the first 12 chars —
+    the standard cheap block for template-derived corpora; compose with
+    other block keys (length bucket, fingerprint band) to cover prefix
+    edits at scale."""
+    from ..functions.text import norm_text
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        norm_text(F.col("text")).alias("nt"),
+        F.substring(norm_text(F.col("text")), 1, 12).alias("blk"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"), F.col("nt").alias("nt_a"), "blk"
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), F.col("nt").alias("nt_b"), "blk"
+    )
+    dist = F.levenshtein("nt_a", "nt_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= 20)
+        .select("id_a", "id_b", dist.cast("bigint").alias("edit_dist"))
+    )
+
+
+@query(
+    "ngram_lm_counts",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS} AS tk FROM documents),
+    g AS (
+      SELECT unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS tri
+      FROM t
+    ),
+    c AS (SELECT tri, COUNT(*) AS n_tri FROM g GROUP BY tri),
+    x AS (
+      SELECT tri, n_tri,
+             array_to_string(list_slice(string_split(tri, ' '), 1, 2), ' ') AS ctx
+      FROM c
+    ),
+    y AS (
+      -- window BEFORE the n_tri filter (SQL WHERE would otherwise exclude
+      -- hapax trigrams from the context denominator)
+      SELECT tri, n_tri,
+             CAST(SUM(n_tri) OVER (PARTITION BY ctx) AS BIGINT) AS n_ctx
+      FROM x
+    )
+    SELECT tri, n_tri, n_ctx,
+           CAST(n_tri AS DOUBLE) / CAST(n_ctx AS DOUBLE) AS p_mle
+    FROM y
+    WHERE n_tri >= 2
+    """,
+)
+def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram language-model counts with their bigram-context denominators
+    and MLE probability P(w3 | w1 w2) — the count-collection step of
+    classical LM training / data scoring. Context totals are derived FROM
+    the trigram counts (one window over the aggregated table), so
+    probabilities sum to 1 per context by construction.
+
+    Scale: positional trigrams explode map-side and combine into one count
+    shuffle (vocab³-bounded, heavily combined); the context window runs
+    over the aggregated count table, not the corpus. p_mle is a single
+    division of two exact longs — bit-deterministic. n_tri ≥ 2 bounds the
+    hapax tail in the output."""
+    from ..functions.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    tris = (
+        docs.select(tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 2),"
+                    " i -> concat_ws(' ', element_at(tk, i),"
+                    " element_at(tk, i + 1), element_at(tk, i + 2)))"
+                )
+            ).alias("tri")
+        )
+    )
+    counted = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("n_tri"))
+    ctx = F.concat_ws(" ", F.slice(F.split(F.col("tri"), " "), 1, 2))
+    w = Window.partitionBy(ctx)
+    return (
+        counted.withColumn("n_ctx", F.sum("n_tri").over(w))
+        .filter(F.col("n_tri") >= 2)
+        .select(
+            "tri",
+            "n_tri",
+            "n_ctx",
+            (F.col("n_tri").cast("double") / F.col("n_ctx").cast("double")).alias(
+                "p_mle"
+            ),
+        )
+    )
