@@ -191,6 +191,33 @@ def _signatures_from_shingled(
     )
 
 
+def minhash_band_keys(
+    sigs: DataFrame, id_col: str, n_bands: int, r: int
+) -> DataFrame:
+    """Explode a signature frame to (id, band, key) rows — band key = 64-bit
+    hash of the band's r signature slots. Shared by the symmetric self-join
+    (minhash_lsh_pairs) and one-sided incremental joins (new batch × corpus
+    index): band keys are a pure function of the document, so an incoming
+    batch's keys can be joined against a PERSISTED corpus band table without
+    recomputing the corpus."""
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)]).alias(
+                            "key"
+                        ),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -218,22 +245,7 @@ def minhash_lsh_pairs(
     # arrays (same rationale as in ngram_jaccard_pairs)
     sh0 = _persist_shingled(_shingled(df, id_col, text_col, n))
     sigs = _signatures_from_shingled(sh0, id_col, num_hashes, seed)
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)]).alias(
-                            "key"
-                        ),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    bands = minhash_band_keys(sigs, id_col, n_bands, r)
 
     left = bands.select(F.col(id_col).alias("id_a"), "band", "key")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "key")

@@ -1245,3 +1245,113 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "incremental_neardup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    f AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+    i AS (SELECT * FROM f WHERE doc_id % 5 = 0),
+    c AS (SELECT * FROM f WHERE doc_id % 5 <> 0)
+    SELECT i.doc_id AS incoming_id, c.doc_id AS corpus_id,
+           CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE)
+             / (CAST(len(i.sh) + len(c.sh) AS DOUBLE)
+                - CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE)) AS jaccard
+    FROM i, c
+    WHERE CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE)
+            / (CAST(len(i.sh) + len(c.sh) AS DOUBLE)
+               - CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE)) >= 0.8
+    """,
+)
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup: which documents of an incoming batch
+    (doc_id % 5 = 0 stands in for "today's crawl") duplicate the EXISTING
+    corpus (the rest) — the production shape of dedup, where each new batch
+    joins against a persisted index instead of re-pairing the whole corpus.
+    One-sided MinHash banding: both sides' band keys come from the same
+    pure function (minhash_band_keys), the candidate join is incoming ×
+    corpus only (never corpus × corpus), and candidates are exact-Jaccard
+    verified. At scale the corpus band table is a bucketed, persisted index
+    that each batch joins against; cost is O(batch) not O(corpus).
+    Oracle: brute-force cross-split Jaccard (LSH == exact up to ~5e-15 at
+    j≥0.8)."""
+    from ..operators.dedup import (
+        _persist_shingled,
+        _shingled,
+        _signatures_from_shingled,
+        minhash_band_keys,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh0 = _persist_shingled(_shingled(docs, "doc_id", "text", 3))
+    sigs = _signatures_from_shingled(sh0, "doc_id", 64, 42)
+    bands = minhash_band_keys(sigs, "doc_id", 32, 2)
+    inc = bands.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("incoming_id"), "band", "key"
+    )
+    corp = bands.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("corpus_id"), "band", "key"
+    )
+    cands = (
+        inc.join(corp, ["band", "key"]).select("incoming_id", "corpus_id").distinct()
+    )
+    a = sh0.select(F.col("doc_id").alias("incoming_id"), F.col("shingles").alias("sh_a"))
+    b = sh0.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cands.join(a, "incoming_id")
+        .join(b, "corpus_id")
+        .select("incoming_id", "corpus_id", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@query(
+    "winsorize",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           least(greatest(e.value, q.lo), q.hi) AS value_winsorized
+    FROM events e JOIN q USING (event_type)
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp values to the group's [p1, p99] — the
+    outlier-clipping pass between profiling and model input. Exact
+    interpolated percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    the parity exact_quantiles pins), broadcast back onto the stream; the
+    clamp is least/greatest on the raw doubles, so every output bit is
+    reproducible.
+
+    Scale: the percentile aggregate sorts within groups (bounded by the
+    largest group, one shuffle); the corpus itself is never shuffled —
+    same broadcast-moments shape as zscore_normalize. At 100 TB swap the
+    exact percentile for approx_percentile and keep the identical plan."""
+    (events,) = _t(spark, sf_dir, "events")
+    q = (
+        events.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.01, 0.99))").alias("__q"))
+        .select(
+            "event_type",
+            F.col("__q")[0].alias("lo"),
+            F.col("__q")[1].alias("hi"),
+        )
+    )
+    return (
+        events.join(F.broadcast(q), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+                "value_winsorized"
+            ),
+        )
+    )
