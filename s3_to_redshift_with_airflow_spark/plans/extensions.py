@@ -1355,3 +1355,92 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "vocab_growth",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    fs AS (SELECT tok, MIN(doc_id) AS first_doc FROM g GROUP BY tok),
+    nt AS (SELECT doc_id, COUNT(*) AS n_tokens
+           FROM g GROUP BY doc_id),
+    nv AS (SELECT first_doc AS doc_id, COUNT(*) AS new_types FROM fs GROUP BY 1)
+    SELECT nt.doc_id,
+           CAST(SUM(nt.n_tokens) OVER (ORDER BY nt.doc_id) AS BIGINT)
+             AS cum_tokens,
+           CAST(SUM(COALESCE(nv.new_types, 0)) OVER (ORDER BY nt.doc_id)
+                AS BIGINT) AS vocab_size
+    FROM nt LEFT JOIN nv ON nt.doc_id = nv.doc_id
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): cumulative token count vs
+    distinct-type count in doc_id order — the corpus-shape diagnostic that
+    tells you whether more data still buys vocabulary. Running distinct is
+    computed WITHOUT distinct-state: each type contributes at its
+    first-seen doc (one group-by), then a cumulative sum over the per-doc
+    table — same first-seen trick as running_distinct_users.
+
+    Scale: two token-keyed shuffles (first-seen, per-doc counts) over the
+    exploded stream, both map-side combined; the cumulative window runs
+    over the |docs|-row table, not the corpus. The single-partition
+    ORDER BY window is bounded by |docs| rows of 3 longs."""
+    from ..functions.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    g = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    fs = g.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    nt = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    nv = fs.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        nt.join(nv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("vocab_size"),
+        )
+    )
+
+
+@query(
+    "class_weights",
+    oracle="""
+    WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT)
+                   AS n_classes FROM c)
+    SELECT c.label, c.n,
+           CAST(t.total AS DOUBLE)
+             / (CAST(t.n_classes AS DOUBLE) * CAST(c.n AS DOUBLE)) AS weight
+    FROM c, t
+    """,
+)
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced class weights (sklearn's n/(k·n_c) convention) from label
+    counts — what a training loop feeds its loss to counter class
+    imbalance. Weight is one double expression over exact longs, so it is
+    bit-deterministic; the totals side is a 1-row broadcast.
+
+    Scale: one map-side-combined count shuffle; everything downstream
+    operates on the k-row class table."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        "n",
+        (
+            F.col("total").cast("double")
+            / (F.col("n_classes").cast("double") * F.col("n").cast("double"))
+        ).alias("weight"),
+    )

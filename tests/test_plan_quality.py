@@ -232,6 +232,9 @@ def test_registry_wide_plan_audit(spark):
         # broadcast 5 anchors × one corpus scan with a residual label
         # inequality — O(N·|anchors|), same sanction as ann_topk
         "hard_negatives",
+        # 1-row totals broadcast onto the k-row class table — same
+        # scalar-threshold sanction as tpch_q11
+        "class_weights",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
