@@ -1679,3 +1679,92 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row("view", 1, v).unionAll(row("click", 2, c)).unionAll(
         row("purchase", 3, p)
     )
+
+
+@query(
+    "quantile_buckets",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(NTILE(10) OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS BIGINT) AS decile
+    FROM events
+    """,
+)
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing (feature discretization): every event assigned its
+    within-group value decile — the binning step before hashed/categorical
+    feature crosses. NTILE is rank-arithmetic on a totally ordered
+    partition ((value, event_id) breaks ties), so bucket boundaries are
+    deterministic and both engines agree exactly — no float thresholds
+    involved.
+
+    Scale: one shuffle on the group key + an in-partition sort (AQE splits
+    skewed groups); at 100 TB with heavy groups, swap NTILE for a join
+    against approx-percentile boundaries — same output schema, sketch
+    accuracy."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
+
+
+@query(
+    "behavior_ngrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT unnest(list_transform(range(1, greatest(len(seq) - 2, 0) + 1),
+                    i -> seq[i] || '>' || seq[i + 1] || '>' || seq[i + 2]))
+               AS pattern
+      FROM s
+    )
+    SELECT pattern, COUNT(*) AS n
+    FROM g GROUP BY pattern
+    """,
+)
+def q_behavior_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: corpus-wide counts of per-user
+    event-type trigrams (e.g. 'view>click>purchase') — the pattern-features
+    step of churn/propensity models and the histogram funnel analyses read.
+    Each user's ordered sequence is assembled ONCE (sort_array over
+    (ts, event_id, type) structs makes the order total and deterministic),
+    trigrams explode JVM-side, counts combine map-side.
+
+    Scale: one shuffle on user_id to build sequences (state = one user's
+    events, AQE-splittable), one combined count shuffle over the
+    |event_type|³-bounded pattern space."""
+    (events,) = _t(spark, sf_dir, "events")
+    seq = (
+        events.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"), F.col("event_id"), F.col("event_type")
+                        )
+                    )
+                ),
+                lambda s: s.getField("event_type"),
+            ).alias("seq")
+        )
+    )
+    tris = (
+        seq.filter(F.size("seq") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(seq) - 2),"
+                    " i -> concat_ws('>', element_at(seq, i),"
+                    " element_at(seq, i + 1), element_at(seq, i + 2)))"
+                )
+            ).alias("pattern")
+        )
+    )
+    return tris.groupBy("pattern").agg(F.count(F.lit(1)).alias("n"))
