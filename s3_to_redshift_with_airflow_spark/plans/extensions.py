@@ -1444,3 +1444,85 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_classes").cast("double") * F.col("n").cast("double"))
         ).alias("weight"),
     )
+
+
+@query(
+    "dedup_rate_report",
+    oracle=f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    f AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM f a, f b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+                 - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.8
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT u AS node, v AS r FROM e
+      UNION
+      SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u
+    ),
+    comp AS (SELECT node, LEAST(node, MIN(r)) AS component
+             FROM reach GROUP BY node),
+    exact AS (SELECT COUNT(*) - COUNT(DISTINCT md5({_NORM})) AS n_exact_dups
+              FROM documents)
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           CAST((SELECT n_exact_dups FROM exact) AS BIGINT) AS n_exact_dups,
+           (SELECT COUNT(*) FROM comp WHERE node <> component)
+             AS n_neardup_losers,
+           (SELECT COUNT(DISTINCT component) FROM comp) AS n_neardup_clusters,
+           (SELECT COUNT(*) FROM documents)
+             - (SELECT COUNT(*) FROM comp WHERE node <> component)
+             AS n_survivors
+    """,
+)
+def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus-health summary a dedup pipeline publishes after
+    every batch: total docs, exact-duplicate rows (docs minus distinct
+    fingerprints), near-dup cluster losers/clusters (MinHash j≥0.8 →
+    connected components), and the surviving corpus size — the numbers that
+    drive 'is today's crawl worth keeping' decisions. Composes the exact
+    and near-dup operators already proven above; every count is an exact
+    integer, so the report hash-matches by construction.
+
+    Scale: the same plans as doc_dedup_exact + neardup_survivors, ending in
+    three tiny scalar aggregates; nothing new shuffles."""
+    from ..operators.graph import connected_components
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    # fully lazy: the doc count and exact-dup count come from ONE aggregate,
+    # never a driver-side .count()
+    exact = docs.select(fingerprint(F.col("text")).alias("fp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("fp"))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+    )
+    pairs = minhash_lsh_pairs(docs, num_hashes=64, n_bands=32, threshold=0.8)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    stats = comp.agg(
+        F.sum(
+            F.when(F.col("node") != F.col("component"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_neardup_losers"),
+        F.countDistinct("component").alias("n_neardup_clusters"),
+    )
+    return (
+        exact.crossJoin(stats)
+        .select(
+            "n_docs",
+            "n_exact_dups",
+            "n_neardup_losers",
+            "n_neardup_clusters",
+            (F.col("n_docs") - F.col("n_neardup_losers"))
+            .cast("bigint")
+            .alias("n_survivors"),
+        )
+    )

@@ -235,6 +235,8 @@ def test_registry_wide_plan_audit(spark):
         # 1-row totals broadcast onto the k-row class table — same
         # scalar-threshold sanction as tpch_q11
         "class_weights",
+        # two 1-row aggregates joined into the report row
+        "dedup_rate_report",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
