@@ -315,3 +315,125 @@ def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .intersect(by_type("click", 200))
         .subtract(by_type("error", 330))
     )
+
+
+@query(
+    "rank_fusion",
+    oracle=_SQL_QUANT
+    + """
+    , qq AS (SELECT vec_id AS query_id, qv AS qa FROM q WHERE vec_id < 5),
+    dq AS (
+      SELECT query_id, c.vec_id,
+             CAST(list_sum(list_transform(list_zip(qa, c.qv),
+                                          x -> x[1] * x[2])) AS BIGINT)
+               AS qdot
+      FROM q c, qq WHERE c.vec_id <> query_id
+    ),
+    rq AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY qdot DESC, vec_id ASC) AS rk
+      FROM dq
+    ),
+    tq AS (SELECT query_id, vec_id, rk FROM rq WHERE rk <= 10),
+    fe AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                               x -> x * x))) AS nrm
+           FROM embeddings),
+    fq AS (SELECT vec_id AS query_id, v AS qv2, nrm AS qn
+           FROM fe WHERE vec_id < 5),
+    dc AS (
+      SELECT query_id, fe.vec_id,
+             list_sum(list_transform(list_zip(fe.v, qv2), x -> x[1] * x[2]))
+               / (fe.nrm * qn) AS cos
+      FROM fe, fq WHERE fe.vec_id <> query_id
+    ),
+    rc AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM dc
+    ),
+    tc AS (SELECT query_id, vec_id, rk FROM rc WHERE rk <= 10),
+    u AS (
+      SELECT COALESCE(tc.query_id, tq.query_id) AS query_id,
+             COALESCE(tc.vec_id, tq.vec_id) AS vec_id,
+             tc.rk AS rk_cos, tq.rk AS rk_q
+      FROM tc FULL OUTER JOIN tq
+        ON tc.query_id = tq.query_id AND tc.vec_id = tq.vec_id
+    ),
+    rrf_s AS (
+      SELECT query_id, vec_id,
+             COALESCE(1.0 / (60.0 + CAST(rk_cos AS DOUBLE)), 0.0)
+               + COALESCE(1.0 / (60.0 + CAST(rk_q AS DOUBLE)), 0.0) AS rrf
+      FROM u
+    ),
+    fin AS (
+      SELECT query_id, vec_id, rrf,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, vec_id ASC) AS rk
+      FROM rrf_s
+    )
+    SELECT query_id, vec_id, rrf, CAST(rk AS BIGINT) AS rk
+    FROM fin WHERE rk <= 5
+    """,
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k=60) of two retrievers — exact float
+    cosine and int8-quantized dot product — into one top-5 per query: how a
+    retrieval stack combines rankings whose scores aren't comparable. Each
+    doc's fused score sums AT MOST two 1/(60+rank) terms in one scalar
+    expression (IEEE addition of two operands is commutative, so no
+    accumulation-order hazard), and ranks themselves are integers — the
+    fusion is bit-deterministic end to end.
+
+    Scale: both retrievers are the established broadcast-anchor scans; the
+    fusion joins two top-k tables (|queries|·k rows each) — negligible next
+    to retrieval. Swap either input for its LSH/IVF variant at scale, same
+    fusion."""
+    from ..operators.similarity import brute_force_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+
+    cos_t = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", "vec_id", F.col("rk").cast("bigint").alias("rk_cos")
+    )
+
+    qcodes = emb.select("vec_id", quantize_int8(F.col("embedding")).alias("qv"))
+    queries = qcodes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    scored = qcodes.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id"), "inner"
+    ).select("query_id", "vec_id", int_dot(F.col("qa"), F.col("qv")).alias("qdot"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("vec_id").asc()
+    )
+    q_t = (
+        scored.withColumn("rk_q", F.row_number().over(wq).cast("bigint"))
+        .filter(F.col("rk_q") <= 10)
+        .select("query_id", "vec_id", "rk_q")
+    )
+
+    fused = cos_t.join(q_t, ["query_id", "vec_id"], "full_outer").select(
+        "query_id",
+        "vec_id",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("rk_cos").cast("double")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("rk_q").cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("vec_id").asc()
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", "rrf", "rk")
+    )

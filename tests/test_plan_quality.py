@@ -237,6 +237,8 @@ def test_registry_wide_plan_audit(spark):
         "class_weights",
         # two 1-row aggregates joined into the report row
         "dedup_rate_report",
+        # fuses the two sanctioned broadcast-anchor retrievers
+        "rank_fusion",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
