@@ -1768,3 +1768,48 @@ def q_behavior_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tris.groupBy("pattern").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "heavy_hitters",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+    r AS (
+      SELECT user_id, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS rk
+      FROM c
+    )
+    SELECT r.user_id, r.n, CAST(r.rk AS BIGINT) AS rk,
+           CAST(r.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS frac
+    FROM r, t WHERE r.rk <= 20
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the 20 heaviest user_id keys with their
+    row share — the report you run BEFORE deciding to salt a join or rely
+    on AQE skew splitting (operators/skew.py is the treatment; this is the
+    diagnosis). frac is one division of exact longs — deterministic.
+
+    Scale: one map-side-combined count shuffle; ranking runs on the
+    |keys|-row count table and the 1-row total broadcasts. The exact
+    count-per-key is itself skew-safe (partial aggregation absorbs the hot
+    keys map-side); at extreme cardinality swap in a count-min sketch, same
+    output shape."""
+    (events,) = _t(spark, sf_dir, "events")
+    c = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    return (
+        c.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 20)
+        .crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "n",
+            "rk",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "frac"
+            ),
+        )
+    )

@@ -239,6 +239,8 @@ def test_registry_wide_plan_audit(spark):
         "dedup_rate_report",
         # fuses the two sanctioned broadcast-anchor retrievers
         "rank_fusion",
+        # 1-row total broadcast onto the 20-row heavy-key table
+        "heavy_hitters",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
