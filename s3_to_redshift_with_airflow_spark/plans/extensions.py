@@ -1526,3 +1526,67 @@ def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_survivors"),
         )
     )
+
+
+@query(
+    "source_overlap",
+    oracle=f"""
+    WITH v AS (
+      SELECT DISTINCT source, unnest({_TOKS}) AS tok FROM documents
+    ),
+    sz AS (SELECT source, COUNT(*) AS n_types FROM v GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.n_shared,
+           CAST(i.n_shared AS DOUBLE)
+             / CAST(sa.n_types + sb.n_types - i.n_shared AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sz sa ON i.source_a = sa.source
+    JOIN sz sb ON i.source_b = sb.source
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources (type-level
+    Jaccard) — the domain-similarity matrix mixture tuning reads: sources
+    whose vocabularies nearly coincide are redundant; disjoint ones add
+    coverage. The pair set comes from a posting-list self-join on the
+    distinct (source, token) table — cost O(token collisions), never
+    |docs|²; counts are exact integers and the Jaccard is one division.
+
+    Scale: the distinct (source, token) table is vocabulary-sized; the
+    self-join key is the token (heavy tokens are the only skew — cap
+    document frequency as in decontamination if a token appears in every
+    source)."""
+    from ..functions.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    v = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n_types"))
+    a = v.select(F.col("source").alias("source_a"), "tok")
+    b = v.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n_types").alias("na"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n_types").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
