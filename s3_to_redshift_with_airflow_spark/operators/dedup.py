@@ -458,3 +458,56 @@ def chunk_dedup(
         .cast("bigint")
         .alias("dropped_chunks"),
     )
+
+
+def minhash_lsh_incremental(
+    df: DataFrame,
+    incoming_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    n_bands: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """One-sided incremental near-dup: which rows satisfying `incoming_pred`
+    (the new batch) duplicate the REST of `df` (the existing corpus).
+
+    The candidate join is incoming × corpus only — never corpus × corpus —
+    so cost is O(batch band collisions); candidates are exact-Jaccard
+    verified like minhash_lsh_pairs. At production scale the corpus side of
+    the band join is a persisted, bucketed index (band keys are a pure
+    function of the document — see minhash_band_keys), and each batch joins
+    against it without recomputing the corpus.
+
+    Returns (incoming_id, corpus_id, jaccard) for pairs with
+    jaccard >= threshold.
+    """
+    r = num_hashes // n_bands
+    sh0 = _persist_shingled(_shingled(df, id_col, text_col, n))
+    sigs = _signatures_from_shingled(sh0, id_col, num_hashes, seed)
+    bands = minhash_band_keys(sigs, id_col, n_bands, r)
+    inc = bands.filter(incoming_pred).select(
+        F.col(id_col).alias("incoming_id"), "band", "key"
+    )
+    corp = bands.filter(~incoming_pred).select(
+        F.col(id_col).alias("corpus_id"), "band", "key"
+    )
+    cands = (
+        inc.join(corp, ["band", "key"]).select("incoming_id", "corpus_id").distinct()
+    )
+    a = sh0.select(
+        F.col(id_col).alias("incoming_id"), F.col("shingles").alias("sh_a")
+    )
+    b = sh0.select(
+        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cands.join(a, "incoming_id")
+        .join(b, "corpus_id")
+        .select("incoming_id", "corpus_id", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

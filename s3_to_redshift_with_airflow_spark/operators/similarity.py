@@ -323,3 +323,37 @@ def ivf_topk(
     return topk_per_group(
         cands, [query_id_col], [F.col("cos_sim").desc(), F.col(id_col).asc()], k=k
     )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors by EXACT integer dot product over int8-quantized
+    codes (the SQ8 index scan): broadcast query side, one corpus scan,
+    window top-k — brute_force_topk's shape with a bigint score, so ranking
+    (ties pinned by id) is bit-reproducible on any engine. Shared by
+    quantized_ann_topk and rank_fusion.
+
+    Returns (query_id, <id_col>, qdot, rk) with rk in 1..k."""
+    from ..functions.vectors import int_dot, quantize_int8
+    from pyspark.sql import Window
+
+    qc = corpus.select(id_col, quantize_int8(F.col(vec_col)).alias("qv"))
+    qq = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_int8(F.col(vec_col)).alias("qa"),
+    )
+    scored = qc.join(
+        F.broadcast(qq), F.col(id_col) != F.col("query_id"), "inner"
+    ).select("query_id", id_col, int_dot(F.col("qa"), F.col("qv")).alias("qdot"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )

@@ -1064,10 +1064,12 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    # TakeOrderedAndProject (total order: count desc, pair asc) — NOT a
+    # global row_number window, which would sort the whole pair table on
+    # one partition
     return (
-        counted.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        counted.orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
         .select("pair", "n")
     )
 
@@ -1276,35 +1278,11 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that each batch joins against; cost is O(batch) not O(corpus).
     Oracle: brute-force cross-split Jaccard (LSH == exact up to ~5e-15 at
     j≥0.8)."""
-    from ..operators.dedup import (
-        _persist_shingled,
-        _shingled,
-        _signatures_from_shingled,
-        minhash_band_keys,
-    )
+    from ..operators.dedup import minhash_lsh_incremental
 
     (docs,) = _t(spark, sf_dir, "documents")
-    sh0 = _persist_shingled(_shingled(docs, "doc_id", "text", 3))
-    sigs = _signatures_from_shingled(sh0, "doc_id", 64, 42)
-    bands = minhash_band_keys(sigs, "doc_id", 32, 2)
-    inc = bands.filter(F.col("doc_id") % 5 == 0).select(
-        F.col("doc_id").alias("incoming_id"), "band", "key"
-    )
-    corp = bands.filter(F.col("doc_id") % 5 != 0).select(
-        F.col("doc_id").alias("corpus_id"), "band", "key"
-    )
-    cands = (
-        inc.join(corp, ["band", "key"]).select("incoming_id", "corpus_id").distinct()
-    )
-    a = sh0.select(F.col("doc_id").alias("incoming_id"), F.col("shingles").alias("sh_a"))
-    b = sh0.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return (
-        cands.join(a, "incoming_id")
-        .join(b, "corpus_id")
-        .select("incoming_id", "corpus_id", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
+    return minhash_lsh_incremental(
+        docs, F.col("doc_id") % 5 == 0, num_hashes=64, n_bands=32, threshold=0.8
     )
 
 
@@ -1504,11 +1482,17 @@ def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = minhash_lsh_pairs(docs, num_hashes=64, n_bands=32, threshold=0.8)
     comp = connected_components(pairs.select("id_a", "id_b"))
+    # coalesce: a corpus with NO near-dup pairs yields an empty component
+    # frame, where SUM aggregates to NULL — the report must say 0, matching
+    # the oracle's scalar subqueries
     stats = comp.agg(
-        F.sum(
-            F.when(F.col("node") != F.col("component"), F.lit(1)).otherwise(
-                F.lit(0)
-            )
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("node") != F.col("component"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_neardup_losers"),

@@ -1484,9 +1484,10 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e GROUP BY event_type
     )
     SELECT event_type, n_events,
-           (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-             AS value_hour_corr
+           CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+                THEN (n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                ELSE NULL END AS value_hour_corr
     FROM a
     """,
 )
@@ -1514,13 +1515,14 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    # degenerate groups (n=1 or constant x/y) make the denominator 0 (or
+    # NaN via a tiny negative under sqrt): emit NULL in BOTH engines rather
+    # than relying on engine-specific /0 semantics
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     return a.select(
         "event_type",
         "n_events",
-        (
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
-        ).alias("value_hour_corr"),
+        F.when(den > 0, (n * sxy - sx * sy) / den).alias("value_hour_corr"),
     )
 
 
@@ -1581,8 +1583,10 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
-           (CAST(CAST(e.x AS VARCHAR) AS DOUBLE) - m.sx / m.n)
-             / sqrt(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n)) AS zscore
+           CASE WHEN sqrt(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n)) > 0
+                THEN (CAST(CAST(e.x AS VARCHAR) AS DOUBLE) - m.sx / m.n)
+                       / sqrt(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n))
+                ELSE NULL END AS zscore
     FROM e JOIN m ON e.event_type = m.event_type
     """,
 )
@@ -1613,7 +1617,11 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            ((F.col("x").cast("double") - mean) / std).alias("zscore"),
+            # constant-valued groups → std == 0 (or NaN): NULL in both
+            # engines instead of engine-specific /0 behavior
+            F.when(std > 0, (F.col("x").cast("double") - mean) / std).alias(
+                "zscore"
+            ),
         )
     )
 
@@ -1799,10 +1807,12 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     c = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    # TakeOrderedAndProject cuts to 20 rows first; the rank window then
+    # runs over those 20, never the full |keys| table on one partition
+    top = c.orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(20)
     w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
     return (
-        c.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 20)
+        top.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .crossJoin(F.broadcast(t))
         .select(
             "user_id",

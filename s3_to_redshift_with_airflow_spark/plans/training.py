@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count
-from ..functions.vectors import int_dot, quantize_int8
+from ..functions.vectors import quantize_int8
 from ..operators.packing import pack_sequences, packing_stats
 from .extensions import _TOKS
 from .registry import _t, query
@@ -242,25 +242,11 @@ def q_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan, window top-k — same plan shape as ann_topk but the score
     is a bigint fold, so ranking (incl. ties, pinned by vec_id) is
     bit-reproducible on any engine; no float accumulation anywhere."""
+    from ..operators.similarity import quantized_topk
+
     (emb,) = _t(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", quantize_int8(F.col("embedding")).alias("qv"))
-    queries = q.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
-    )
-    scored = q.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id"), "inner"
-    ).select(
-        "query_id",
-        "vec_id",
-        int_dot(F.col("qa"), F.col("qv")).alias("qdot"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("qdot").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 10)
-        .select("query_id", "vec_id", "qdot", "rk")
+    return quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", "vec_id", "qdot", "rk"
     )
 
 
@@ -391,28 +377,16 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion joins two top-k tables (|queries|·k rows each) — negligible next
     to retrieval. Swap either input for its LSH/IVF variant at scale, same
     fusion."""
-    from ..operators.similarity import brute_force_topk
+    from ..operators.similarity import brute_force_topk, quantized_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5)
 
-    cos_t = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
+    cos_t = brute_force_topk(emb, anchors, k=10).select(
         "query_id", "vec_id", F.col("rk").cast("bigint").alias("rk_cos")
     )
-
-    qcodes = emb.select("vec_id", quantize_int8(F.col("embedding")).alias("qv"))
-    queries = qcodes.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
-    )
-    scored = qcodes.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id"), "inner"
-    ).select("query_id", "vec_id", int_dot(F.col("qa"), F.col("qv")).alias("qdot"))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("qdot").desc(), F.col("vec_id").asc()
-    )
-    q_t = (
-        scored.withColumn("rk_q", F.row_number().over(wq).cast("bigint"))
-        .filter(F.col("rk_q") <= 10)
-        .select("query_id", "vec_id", "rk_q")
+    q_t = quantized_topk(emb, anchors, k=10).select(
+        "query_id", "vec_id", F.col("rk").alias("rk_q")
     )
 
     fused = cos_t.join(q_t, ["query_id", "vec_id"], "full_outer").select(
