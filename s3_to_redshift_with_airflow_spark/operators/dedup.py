@@ -18,8 +18,9 @@ family mandated for LLM training-data pipelines:
 Everything is expressed with built-in functions (xxhash64, explode,
 groupBy-join); no Python UDFs, so plans stay in whole-stage codegen.
 
-Determinism: all hash families are seeded xxhash64 — stable across runs,
-partitionings, and cluster sizes. LSH candidate sets are hash-determined;
+Determinism: all hash families are seeded xxhash64 (simhash: md5 nibbles,
+for exact SQL-oracle replicability) — stable across runs, partitionings,
+and cluster sizes. LSH candidate sets are hash-determined;
 final outputs are exact-verified (threshold on true Jaccard / hamming), so
 results are reproducible (approximate only in recall, never in precision).
 """
@@ -317,16 +318,35 @@ def simhash64(
     """64-bit SimHash fingerprint per document (Charikar 2002): per bit,
     majority vote of token-hash bits. Returns (id, simhash long).
 
+    The per-token hash is the first 64 bits of md5(token), read as 16 hex
+    nibbles (bit i = bit i%4 of nibble i//4). md5 is available and
+    bit-identical in every engine (unlike xxhash64), so the whole simhash —
+    and therefore the near-dup pair set — is replicable as an exact ANSI-SQL
+    oracle; hash quality is equivalent for the majority vote.
+
     Expressed as one aggregation over exploded tokens: 64 conditional sums
     (+1/-1 per bit) then bit assembly — single shuffle on the id."""
     toks = df.select(
         F.col(id_col),
         F.explode(token_shingles(F.col(text_col), n)).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", F.md5("tok"))
+    # nibble ci = value of hex char ci+1 of md5 (0..15)
+    toks = toks.select(
+        F.col(id_col),
+        *[
+            F.expr(
+                f"instr('0123456789abcdef', substring(h, {ci + 1}, 1)) - 1"
+            ).alias(f"d{ci}")
+            for ci in range(16)
+        ],
+    )
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col(f"d{i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(64)
         ]
@@ -408,13 +428,17 @@ def chunk_dedup(
     is identical, only the split expression differs).
 
     Scale plan: segments explode ~(len/chunk_tokens)× the corpus, then ONE
-    shuffle on the segment text picks survivors (min-struct aggregate, no
-    window over the full explode), one join back on the same key, and the
-    reassembly groupBy shuffles on the document id. All built-in expressions
-    (split/slice/posexplode/array_sort) — whole-stage codegen end to end; at
-    100 TB you'd group on xxhash64(segment) to shrink the shuffle key and
-    exact-verify within buckets, which this operator's plan shape admits
-    without restructuring.
+    shuffle picks survivors (min-struct aggregate, no window over the full
+    explode), one join back on the same key, and the reassembly groupBy
+    shuffles on the document id. The survivor-selection shuffle keys on a
+    128-bit compound hash of the segment — (xxhash64(chunk),
+    xxhash64(1, chunk)) — NOT the raw segment text, so shuffle keys are 16
+    bytes regardless of paragraph length. Two independent 64-bit hashes give
+    a pairwise collision probability < N²/2^129 — the same guarantee class
+    as exact_dedup_by_fingerprint's md5 key (scale-safe per the md5
+    birthday bound); a collision would need ~2^64 distinct segments to
+    become likely, far beyond a 100 TB corpus. All built-in expressions
+    (split/slice/posexplode/array_sort) — whole-stage codegen end to end.
     """
     from ..functions.text import tokens as _tokens
     from .skew import fan_out
@@ -428,14 +452,22 @@ def chunk_dedup(
     chunks_arr = F.when(F.size(toks) <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(0), n_chunks - F.lit(1)), chunk_at)
     )
-    ex = df.select(F.col(id_col), F.posexplode(chunks_arr).alias("pos", "chunk"))
-    keeper = ex.groupBy("chunk").agg(
+    ex = df.select(
+        F.col(id_col), F.posexplode(chunks_arr).alias("pos", "chunk")
+    ).select(
+        id_col,
+        "pos",
+        "chunk",
+        F.xxhash64("chunk").alias("__ck1"),
+        F.xxhash64(F.lit(1), F.col("chunk")).alias("__ck2"),
+    )
+    keeper = ex.groupBy("__ck1", "__ck2").agg(
         F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias(
             "keep"
         )
     )
     kept = (
-        ex.join(keeper, "chunk")
+        ex.join(keeper, ["__ck1", "__ck2"])
         .filter((F.col("keep.kid") == F.col(id_col)) & (F.col("keep.kpos") == F.col("pos")))
         .select(id_col, "pos", "chunk")
     )
@@ -483,15 +515,20 @@ def minhash_lsh_incremental(
 
     Returns (incoming_id, corpus_id, jaccard) for pairs with
     jaccard >= threshold.
+
+    Rows where `incoming_pred` evaluates to NULL are treated as corpus rows
+    (the predicate is coalesced to FALSE), so every row lands
+    deterministically on exactly one side of the split.
     """
     r = num_hashes // n_bands
     sh0 = _persist_shingled(_shingled(df, id_col, text_col, n))
     sigs = _signatures_from_shingled(sh0, id_col, num_hashes, seed)
     bands = minhash_band_keys(sigs, id_col, n_bands, r)
-    inc = bands.filter(incoming_pred).select(
+    is_incoming = F.coalesce(incoming_pred, F.lit(False))
+    inc = bands.filter(is_incoming).select(
         F.col(id_col).alias("incoming_id"), "band", "key"
     )
-    corp = bands.filter(~incoming_pred).select(
+    corp = bands.filter(~is_incoming).select(
         F.col(id_col).alias("corpus_id"), "band", "key"
     )
     cands = (

@@ -11,8 +11,15 @@ with itself; every iteration each node takes the min of its own label and
 its neighbors' labels; converged when no label changes. Iterations =
 O(graph diameter) — near-dup graphs are unions of small cliques, so 2-3
 iterations in practice. Each iteration is one shuffle (join + groupBy on
-node); `localCheckpoint` truncates the growing lineage so iteration N's plan
+node); checkpointing truncates the growing lineage so iteration N's plan
 does not replay iterations 1..N-1.
+
+Checkpoint modes: the default `localCheckpoint` stores blocks on executors
+— fast, but an executor loss mid-iteration kills the job with no recompute
+path. At cluster scale pass `reliable=True` (with `checkpoint_dir` or a
+pre-set `sparkContext.setCheckpointDir`) to stage each iteration to the
+reliable checkpoint store (HDFS/S3/local FS) so the job survives executor
+loss.
 
 Determinism: the fixpoint (min reachable id per component) is unique —
 independent of iteration order, partitioning, or cluster size.
@@ -29,21 +36,41 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label each node with the smallest node id in its component.
 
     Returns (node, component). Nodes = every id appearing in `edges`.
     Raises if not converged within max_iter (diameter > max_iter).
+
+    `reliable=True` uses reliable `checkpoint()` (persisted to the Spark
+    checkpoint directory — survives executor loss) instead of the default
+    executor-resident `localCheckpoint()`. Requires `checkpoint_dir` or a
+    checkpoint dir already set on the SparkContext. Both modes produce the
+    identical fixpoint — the choice is purely a fault-tolerance/speed trade.
     """
+    if reliable:
+        sc = edges.sparkSession.sparkContext
+        if checkpoint_dir is not None:
+            sc.setCheckpointDir(checkpoint_dir)
+        elif not sc._jsc.sc().getCheckpointDir().isDefined():
+            raise ValueError(
+                "reliable=True needs checkpoint_dir or a prior "
+                "sparkContext.setCheckpointDir(...)"
+            )
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = sym.distinct().localCheckpoint()
+    sym = ckpt(sym.distinct())
 
-    labels = (
+    labels = ckpt(
         sym.select(F.col("u").alias("node")).distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -54,7 +81,7 @@ def connected_components(
         # Carry the previous label through the update so convergence is a
         # cheap filter-count on the checkpointed result — no extra
         # old-vs-new join per iteration.
-        upd = (
+        upd = ckpt(
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
@@ -63,7 +90,6 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
         changed = upd.filter(F.col("__old") != F.col("component")).count()
         labels = upd.select("node", "component")

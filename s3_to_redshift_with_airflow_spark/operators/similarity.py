@@ -342,7 +342,7 @@ def quantized_topk(
     from ..functions.vectors import int_dot, quantize_int8
     from pyspark.sql import Window
 
-    qc = corpus.select(id_col, quantize_int8(F.col(vec_col)).alias("qv"))
+    qc = fan_out(corpus).select(id_col, quantize_int8(F.col(vec_col)).alias("qv"))
     qq = queries.select(
         F.col(id_col).alias("query_id"),
         quantize_int8(F.col(vec_col)).alias("qa"),

@@ -238,11 +238,62 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, num_hashes=64, n_bands=32, threshold=0.8)
 
 
-@query("simhash_neardup", oracle=None)
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """DuckDB twin of operators.dedup.simhash64 + simhash_neardup_pairs.
+
+    Same computation, same hash: per-token md5, 64 bit votes from the first
+    16 hex nibbles, majority-vote signature. The signature is materialized
+    as four 16-bit chunk integers (never a signed 64-bit value, avoiding
+    the sign-bit shift), and hamming = Σ bit_count(xor(chunk)). The oracle
+    brute-forces all pairs — valid because pigeonhole blocking at
+    hamming ≤ 3 over 4 chunks has recall exactly 1 (≤3 differing bits
+    cannot touch all 4 chunks), so blocked and brute-force pair sets are
+    identical by construction."""
+    unigrams = _shingles_sql(1)
+
+    def digit(ci: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {ci + 1}, 1)) - 1)"
+
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (({digit(i // 4)} >> {i % 4}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    chunks = ",\n           ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN b{c * 16 + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+        + f") AS c{c}"
+        for c in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(4))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({unigrams}) AS tok FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    votes AS (SELECT doc_id,
+             {votes}
+      FROM hashed GROUP BY doc_id),
+    sigs AS (SELECT doc_id,
+           {chunks}
+      FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({ham} AS INTEGER) AS hamming
+    FROM sigs a, sigs b
+    WHERE a.doc_id < b.doc_id AND ({ham}) <= {max_hamming}
+    """
+
+
+@query("simhash_neardup", oracle=_simhash_oracle(3))
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (hamming ≤ 3, pigeonhole-blocked). Output
-    depends on the xxhash64 family (not SQL-reproducible) → rows-only check
-    here; tests/test_dedup.py verifies recall against planted near-dups."""
+    """SimHash-64 near-dup pairs (hamming ≤ 3, pigeonhole-blocked). The
+    md5-nibble hash makes the signature engine-portable, so this carries an
+    EXACT oracle (see _simhash_oracle — brute-force is equivalent because
+    4-chunk pigeonhole blocking at hamming ≤ 3 has recall 1);
+    tests/test_dedup.py additionally verifies recall on planted near-dups."""
     (docs,) = _t(spark, sf_dir, "documents")
     return simhash_neardup_pairs(docs, max_hamming=3)
 

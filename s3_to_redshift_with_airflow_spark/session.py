@@ -55,7 +55,10 @@ def build_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g: measured on the bench box (local[32], 128 GiB) — the heavy
+        # LSH/dedup plans run 2-3× slower under an 8g heap from GC pressure
+        # alone (bench total 57-62 s at 8g vs 41 s at 16g, same code).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -112,3 +112,17 @@ def test_chunk_dedup_within_doc_repeat(spark):
     row = chunk_dedup(docs, chunk_tokens=2).collect()[0]
     assert row["clean_text"] == "red blue green white"
     assert row["kept_chunks"] == 2 and row["dropped_chunks"] == 1
+
+
+def test_chunk_dedup_shuffles_hash_not_text(spark):
+    """Scale guard: the survivor-selection exchange must key on the 128-bit
+    segment hash (__ck1, __ck2), never the raw segment text — at 100 TB a
+    text-keyed shuffle moves full document bytes as keys."""
+    from s3_to_redshift_with_airflow_spark.operators.dedup import chunk_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        chunk_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(__ck1" in plan
+    assert "hashpartitioning(chunk" not in plan

@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 
 from s3_to_redshift_with_airflow_spark.sinks.jdbc_upsert import (
+    copy_sql,
     read_table,
     upsert_sql,
     write_upsert,
@@ -173,3 +174,59 @@ def test_post_load_quality_checks(spark):
         spark, url, "kpis", ["genre"], scope_col="day", scope_value="2024-06-24"
     )
     assert res_ok == {"row_count": 1, "null_criticals": 0, "passed": True}
+
+
+def test_copy_sql_reference_shape():
+    """The key-pair form reproduces the reference's COPY statement clauses
+    (load_to_redshift.py:133-156): CSV, IGNOREHEADER 1, DATEFORMAT/TIMEFORMAT
+    'auto', credentials inline."""
+    sql = copy_sql(
+        "music_kpis",
+        "s3://bucket/staging/run1/",
+        access_key_id="AKIA_TEST",
+        secret_access_key="SECRET_TEST",
+    )
+    assert sql.startswith("COPY music_kpis")
+    assert "FROM 's3://bucket/staging/run1/'" in sql
+    assert "ACCESS_KEY_ID 'AKIA_TEST'" in sql
+    assert "SECRET_ACCESS_KEY 'SECRET_TEST'" in sql
+    assert "CSV" in sql and "IGNOREHEADER 1" in sql
+    assert "DATEFORMAT 'auto'" in sql and "TIMEFORMAT 'auto'" in sql
+
+
+def test_copy_sql_iam_role_and_options():
+    sql = copy_sql(
+        "t",
+        "s3://b/p",
+        iam_role="arn:aws:iam::123:role/load",
+        region="us-east-1",
+        extra_options="MAXERROR 10",
+    )
+    assert "IAM_ROLE 'arn:aws:iam::123:role/load'" in sql
+    assert "ACCESS_KEY_ID" not in sql
+    assert "REGION 'us-east-1'" in sql and "MAXERROR 10" in sql
+
+
+def test_copy_sql_requires_exactly_one_credential_form():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        copy_sql("t", "s3://b")
+    with _pytest.raises(ValueError):
+        copy_sql(
+            "t", "s3://b", iam_role="r", access_key_id="a", secret_access_key="s"
+        )
+
+
+def test_write_upsert_copy_path_requires_staging_ddl(spark):
+    from s3_to_redshift_with_airflow_spark.sinks.jdbc_upsert import write_upsert
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(ValueError, match="staging_create_ddl"):
+        write_upsert(
+            df,
+            url="jdbc:derby:memory:nope;create=true",
+            target_table="t",
+            keys=["id"],
+            staging_s3_path="/tmp/does-not-matter",
+        )

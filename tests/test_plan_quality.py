@@ -229,14 +229,14 @@ def test_registry_wide_plan_audit(spark):
     CART_OK = {
         "ann_topk", "embedding_neardup", "ivf_ann_topk", "quantized_ann_topk",
         "tpch_q11", "tpch_q22", "tfidf_topk",
+        # composes the three sanctioned broadcast-query ANN retrievers
+        "ann_recall_report",
         # broadcast 5 anchors × one corpus scan with a residual label
         # inequality — O(N·|anchors|), same sanction as ann_topk
         "hard_negatives",
         # 1-row totals broadcast onto the k-row class table — same
         # scalar-threshold sanction as tpch_q11
         "class_weights",
-        # two 1-row aggregates joined into the report row
-        "dedup_rate_report",
         # fuses the two sanctioned broadcast-anchor retrievers
         "rank_fusion",
         # 1-row total broadcast onto the 20-row heavy-key table

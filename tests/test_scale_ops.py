@@ -227,3 +227,34 @@ def test_incremental_agg_merge_any_cutoff(spark):
         )
         got = {r["event_type"]: (r["cnt"], r["sm"]) for r in merged.collect()}
         assert got == full, cutoff
+
+
+def test_ann_recall_report_pins_both_methods(spark):
+    """The registry-visible recall report must show ≥0.9 top-10 recall for
+    both approximate ANN paths at their registered parameters."""
+    rows = query_map()["ann_recall_report"](spark, SF_SMOKE).collect()
+    assert [r["method"] for r in rows] == ["ivf_ann_topk", "lsh_ann_topk"]
+    for r in rows:
+        assert r["n_exact"] == 50  # 5 queries × top-10 exact
+        assert r["recall_at_10"] >= 0.9, f"{r['method']} recall {r['recall_at_10']}"
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable=True (checkpoint() to a real checkpoint dir) must converge to
+    the identical fixpoint as localCheckpoint mode on a graph that needs ≥2
+    label-propagation iterations (the 1-2-3 chain has diameter 2)."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "id_a long, id_b long"
+    )
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    out = connected_components(
+        edges, reliable=True, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert {r["node"]: r["component"] for r in out.collect()} == expected
+    # both modes produce the identical fixpoint
+    local = connected_components(edges)
+    assert {r["node"]: r["component"] for r in local.collect()} == expected

@@ -304,3 +304,67 @@ def test_streaming_session_window_matches_batch(spark, events_dir):
     }
     assert expected  # sanity: closed sessions must exist
     assert got == expected
+
+
+def test_watermark_drops_beyond_late_rows(spark, tmp_path):
+    """Late-data contract of the 2-hour watermark (§2.10; the reference's
+    2-hour lookback, extract_stream_data.py:168): once the watermark has
+    advanced to max(ts) - 2h, rows arriving BEFORE it are dropped from the
+    windowed aggregate, while late rows still inside the watermark land in
+    their window.
+
+    Deterministic two-batch construction: two availableNow runs over the
+    same checkpoint — run 1 sees only file A (sets the watermark, which the
+    checkpoint persists and the restarted query recovers), run 2 sees only
+    the late file B. An update-mode foreachBatch sink (checkpoint-
+    recoverable, unlike the memory sink) exposes exactly which windows each
+    run touched."""
+    from datetime import datetime
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def t(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    def run():
+        rows = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        stream = stream_source(spark, str(src), EVENTS_SCHEMA, watermark="2 hours")
+        (
+            windowed_kpis(stream, value_col=None)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return {r["window_start"].hour: r["n_events"] for r in rows}
+
+    batch_a = [
+        (1, t(0, 10), 1, "play", 1.0),
+        (2, t(0, 20), 2, "play", 1.0),
+        (3, t(1, 10), 1, "play", 1.0),
+        (4, t(4, 10), 3, "play", 1.0),
+        (5, t(5, 30), 4, "play", 1.0),  # max ts → watermark 03:30 after run 1
+    ]
+    spark.createDataFrame(batch_a, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    assert run() == {0: 2, 1: 1, 4: 1, 5: 1}
+
+    batch_b = [
+        (6, t(1, 20), 5, "play", 1.0),  # 01:20 < 03:30 → beyond watermark
+        (7, t(4, 20), 6, "play", 1.0),  # 04:20 ≥ 03:30 → late but admitted
+    ]
+    spark.createDataFrame(batch_b, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    updated = run()
+    assert updated.get(4) == 2, "in-watermark late row must land in its window"
+    assert 1 not in updated, "beyond-watermark late row must be dropped"
