@@ -53,11 +53,15 @@ HEADLINE = [
 ]
 
 
-def run_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
+def run_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
     """Steady-state time: best of `runs` full executions (plan build +
     execution + result materialization). The first run pays JIT/codegen
     compilation that a long-lived cluster amortizes away; reporting the best
-    run measures the engine, not the JVM warm-up."""
+    run measures the engine, not the JVM warm-up. runs=3 (was 2 in rounds
+    1-2): the LSH queries' generated code is large enough that C2
+    compilation still dominates their second execution on some runs —
+    measured spread minhash_neardup 10.8/6.8/6.2/5.7 s across executions
+    1-4 in one session."""
     fn = REGISTRY[name].fn
     best = float("inf")
     for _ in range(runs):

@@ -173,6 +173,50 @@ def positional_token_shingles(c: Column, n: int = 5) -> Column:
     )
 
 
+def gopher_rules(
+    c: Column,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_fraction: float = 0.8,
+    min_stopword_hits: int = 2,
+    min_distinct_fraction: float = 0.3,
+) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 — public
+    heuristics), each as a boolean column, adapted to the signals this
+    corpus carries:
+
+      r_word_count        token count within [min_tokens, max_tokens]
+      r_mean_word_len     mean word length within [min, max]
+      r_alpha_fraction    ≥ min_alpha_fraction of tokens contain a letter
+      r_stopwords         ≥ min_stopword_hits stopword occurrences
+      r_distinct_fraction distinct-token fraction ≥ threshold (the
+                          duplicate-line signal, at token granularity)
+
+    Unlike quality_score (one blended float), these are the HARD per-rule
+    gates a pretraining pipeline applies and audits individually; compose
+    `passes` as the conjunction. All counts are integers and every float is
+    one scalar IEEE expression — engine-exact for the SQL oracle."""
+    toks = tokens(c)
+    n_tok = F.size(toks).cast("double")
+    n_nonspace = F.length(F.regexp_replace(norm_text(c), " ", "")).cast("double")
+    mean_wl = n_nonspace / F.greatest(n_tok, F.lit(1.0))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+    n_stop = stopword_count(c).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    return {
+        "r_word_count": (n_tok >= min_tokens) & (n_tok <= max_tokens),
+        "r_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "r_alpha_fraction": n_alpha / F.greatest(n_tok, F.lit(1.0))
+        >= min_alpha_fraction,
+        "r_stopwords": n_stop >= min_stopword_hits,
+        "r_distinct_fraction": n_distinct / F.greatest(n_tok, F.lit(1.0))
+        >= min_distinct_fraction,
+    }
+
+
 # Cleaning patterns: kept to the syntax subset Java regex and RE2 (DuckDB)
 # interpret identically, so cleaned text is engine-reproducible.
 HTML_TAG_PATTERN = "<[^>]+>"

@@ -24,6 +24,7 @@ from ..functions.text import (
     bpe_ish_token_count,
     char_count,
     fingerprint,
+    gopher_rules,
     lang_id,
     punct_count,
     quality_score,
@@ -165,6 +166,54 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count(t).alias("n_tokens"),
         quality_score(t).alias("quality"),
+    )
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             CAST(length(regexp_replace({_NORM}, ' ', '', 'g')) AS DOUBLE) AS n_nonspace,
+             CAST(len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) AS n_alpha,
+             CAST({_sql_count_in(EN_STOPWORDS)} AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_distinct
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             n_tok >= 10 AND n_tok <= 100000 AS r_word_count,
+             n_nonspace / greatest(n_tok, 1.0) >= 3.0
+               AND n_nonspace / greatest(n_tok, 1.0) <= 10.0 AS r_mean_word_len,
+             n_alpha / greatest(n_tok, 1.0) >= 0.8 AS r_alpha_fraction,
+             n_stop >= 2 AS r_stopwords,
+             n_distinct / greatest(n_tok, 1.0) >= 0.3 AS r_distinct_fraction
+      FROM c
+    )
+    SELECT doc_id, r_word_count, r_mean_word_len, r_alpha_fraction, r_stopwords,
+           r_distinct_fraction,
+           r_word_count AND r_mean_word_len AND r_alpha_fraction
+             AND r_stopwords AND r_distinct_fraction AS passes
+    FROM r
+    """,
+)
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard quality gates per document (functions/text.py
+    `gopher_rules`): one boolean column per rule plus the conjunction —
+    the auditable rule-by-rule pre-filter a pretraining pipeline runs
+    before any expensive stage (vs `quality_score`'s blended float).
+    Single scan, all codegen'd expressions; the oracle evaluates the
+    identical rule formulas."""
+    import functools
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    rules = gopher_rules(F.col("text"))
+    passes = functools.reduce(lambda a, b: a & b, rules.values())
+    return docs.select(
+        "doc_id",
+        *[v.alias(k) for k, v in rules.items()],
+        passes.alias("passes"),
     )
 
 
@@ -602,9 +651,10 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rk", F.col("rk").cast("bigint"))
 
 
-@query(
-    "doc_dedup_clusters",
-    oracle=f"""
+# Shared recursive-CTE skeleton: exact brute-force near-dup pairs (j≥0.8,
+# equal to the LSH pair set up to ~5e-15 miss probability) closed into
+# connected components — ends with a `comp(node, component)` CTE.
+_NEARDUP_COMPONENTS_CTE = f"""
     WITH RECURSIVE t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
     f AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
     pairs AS (
@@ -621,9 +671,18 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT u AS node, v AS r FROM e
       UNION
       SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u
-    )
-    SELECT node, LEAST(node, MIN(r)) AS component
-    FROM reach GROUP BY node
+    ),
+    comp AS (
+      SELECT node, LEAST(node, MIN(r)) AS component
+      FROM reach GROUP BY node
+    )"""
+
+
+@query(
+    "doc_dedup_clusters",
+    oracle=f"""
+    {_NEARDUP_COMPONENTS_CTE}
+    SELECT node, component FROM comp
     """,
 )
 def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,6 +698,50 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, num_hashes=64, n_bands=32, threshold=0.8)
     return connected_components(pairs.select("id_a", "id_b"))
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    {_NEARDUP_COMPONENTS_CTE}
+    SELECT d.doc_id,
+           COALESCE(comp.component, d.doc_id) AS component,
+           CASE WHEN substring(md5(CAST(COALESCE(comp.component, d.doc_id)
+                                        AS VARCHAR)), 1, 1) IN ('0', '1')
+                THEN 'eval' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split that can never leak near-duplicates across the
+    boundary: documents are first clustered by near-dup connected component
+    (MinHash j≥0.8 pairs → min-label components; singletons = their own
+    id), then the WHOLE component is assigned to eval iff the first md5
+    nibble of the component id is in {{0,1}} (~1/8 eval — the same
+    hash-membership idiom as deterministic_sample, so the split is stable
+    under corpus growth and identical across engines). Splitting by doc
+    would let a near-copy of an eval document sit in train — the classic
+    contamination bug this operator exists to prevent.
+
+    Scale: component ids ride the dedup pipeline already being run; the
+    split itself is one broadcast-free left join + a hash expression."""
+    from ..operators.graph import connected_components
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=64, n_bands=32, threshold=0.8)
+    comp = connected_components(pairs.select("id_a", "id_b")).withColumnRenamed(
+        "node", "doc_id"
+    )
+    joined = docs.select("doc_id").join(comp, "doc_id", "left")
+    component = F.coalesce(F.col("component"), F.col("doc_id"))
+    nibble = F.substring(F.md5(component.cast("string")), 1, 1)
+    return joined.select(
+        "doc_id",
+        component.alias("component"),
+        F.when(nibble.isin("0", "1"), F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
 
 
 @query(

@@ -124,6 +124,47 @@ def copy_sql(
     return "\n".join(p for p in parts if p)
 
 
+def unload_sql(
+    select_sql: str,
+    s3_path: str,
+    iam_role: str | None = None,
+    access_key_id: str | None = None,
+    secret_access_key: str | None = None,
+    fmt: str = "PARQUET",
+    parallel: bool = True,
+    extra_options: str = "",
+) -> str:
+    """Redshift `UNLOAD ('select …') TO 's3://…'` emitter — the export twin
+    of `copy_sql`, completing the warehouse bulk-transport surface (the
+    reference only loads; an engine that feeds Spark FROM the warehouse needs
+    the reverse path: UNLOAD to S3 parquet, then `spark.read.parquet` —
+    never a JDBC full-table scan through one connection).
+
+    `PARALLEL ON` (default) writes one file per Redshift slice — exactly the
+    many-files shape Spark wants to read. Same credential contract as
+    copy_sql."""
+    if (iam_role is None) == (access_key_id is None or secret_access_key is None):
+        raise ValueError("pass either iam_role or both access keys")
+    if iam_role is not None:
+        cred = f"IAM_ROLE '{iam_role}'"
+    else:
+        cred = (
+            f"ACCESS_KEY_ID '{access_key_id}' "
+            f"SECRET_ACCESS_KEY '{secret_access_key}'"
+        )
+    query = select_sql.replace("'", "''")
+    path = s3_path.replace("'", "''")
+    parts = [
+        f"UNLOAD ('{query}')",
+        f"TO '{path}'",
+        cred,
+        f"FORMAT AS {fmt}",
+        "PARALLEL ON" if parallel else "PARALLEL OFF",
+        extra_options,
+    ]
+    return "\n".join(p for p in parts if p)
+
+
 def warehouse_table_ddl(
     table: str,
     columns: dict[str, str],

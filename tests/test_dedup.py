@@ -126,3 +126,49 @@ def test_chunk_dedup_shuffles_hash_not_text(spark):
     )
     assert "hashpartitioning(__ck1" in plan
     assert "hashpartitioning(chunk" not in plan
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark):
+    """No near-dup pair may have one side in train and one in eval — the
+    invariant that distinguishes this split from a per-doc hash split."""
+    from s3_to_redshift_with_airflow_spark.plans import query_map
+
+    sf = "/root/testdata/sf0.01"
+    split = query_map()["leakage_safe_split"](spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, num_hashes=64, n_bands=32, threshold=0.8)
+    s = {r["doc_id"]: r["split"] for r in split.collect()}
+    straddlers = [
+        (r["id_a"], r["id_b"])
+        for r in pairs.collect()
+        if s[r["id_a"]] != s[r["id_b"]]
+    ]
+    assert not straddlers
+    # ~1/8 eval by hash membership; wide band guards the corpus regen case
+    frac = sum(1 for v in s.values() if v == "eval") / len(s)
+    assert 0.05 < frac < 0.22, frac
+
+
+def test_gopher_rules_semantics(spark):
+    from s3_to_redshift_with_airflow_spark.functions.text import gopher_rules
+
+    rows = [
+        (1, "the cat and the dog ran over the tall green hill yesterday"),
+        (2, "word " * 3),                     # too few tokens
+        (3, "a b c d e f g h i j k l"),      # mean word length < 3
+        (4, "the " * 20),                    # distinct fraction 1/20
+        (5, "11 22 33 44 55 66 77 88 99 00 12 34"),  # no alphabetic tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = gopher_rules(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *[v.alias(k) for k, v in rules.items()]
+        ).collect()
+    }
+    assert all(out[1][k] for k in out[1].asDict() if k.startswith("r_"))
+    assert not out[2]["r_word_count"]
+    assert not out[3]["r_mean_word_len"]
+    assert not out[4]["r_distinct_fraction"]
+    assert not out[5]["r_alpha_fraction"] and not out[5]["r_stopwords"]

@@ -230,3 +230,23 @@ def test_write_upsert_copy_path_requires_staging_ddl(spark):
             keys=["id"],
             staging_s3_path="/tmp/does-not-matter",
         )
+
+
+def test_unload_sql_shape():
+    from s3_to_redshift_with_airflow_spark.sinks.jdbc_upsert import unload_sql
+
+    sql = unload_sql(
+        "SELECT genre, total_plays FROM genre_kpis WHERE day = '2024-01-01'",
+        "s3://bucket/export/kpis_",
+        iam_role="arn:aws:iam::123:role/unload",
+    )
+    assert sql.startswith("UNLOAD ('SELECT genre")
+    assert "TO 's3://bucket/export/kpis_'" in sql
+    assert "FORMAT AS PARQUET" in sql and "PARALLEL ON" in sql
+    # embedded quotes in the query must be doubled, not raw
+    quoted = unload_sql(
+        "SELECT * FROM t WHERE d = 'x'", "s3://b/p", iam_role="r"
+    )
+    assert "d = ''x''" in quoted
+    with pytest.raises(ValueError):
+        unload_sql("SELECT 1", "s3://b/p")

@@ -248,6 +248,7 @@ def test_registry_wide_plan_audit(spark):
         # (count + localCheckpoint) at plan-build time — executing, not
         # planning — so these can't be audited as plans
         "doc_dedup_clusters", "neardup_survivors", "dedup_rate_report",
+        "leakage_safe_split",
     }
     offenders = []
     for name, spec in REGISTRY.items():
