@@ -1243,6 +1243,70 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_enrich_join",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           date_trunc('hour', e.ts) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the third member of the §2.10 join
+    family (beside the stream-stream interval join and stateful dedup): the
+    event stream joins a static dimension table (customer, broadcast) to
+    attach the market segment, then aggregates per (segment, 1h window).
+    Stream-static inner joins are STATELESS — the dimension is a snapshot
+    re-resolvable per micro-batch, so no join state accumulates and the
+    only stateful operator is the windowed aggregate (bounded by the 2h
+    watermark). This is the streaming twin of the engine's batch star-join
+    flagship; complete mode over the finite source equals the batch join,
+    so the oracle check is exact."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    src = stream_source(
+        spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+    )
+    src = with_ts_from_nanos(src, "ts").withWatermark("ts", "2 hours")
+    dim = spark.read.parquet(table_path(sf_dir, "customer")).select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    enriched = src.join(
+        F.broadcast(dim), src.user_id == dim.c_custkey, "inner"
+    )
+    agg = (
+        enriched.groupBy(
+            "mktsegment", F.window(F.col("ts"), "1 hour").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "mktsegment",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    sink_name = "streaming_enrich_join_mem"
+    (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name)
+
+
+@query(
     "streaming_dedup",
     oracle="""
     SELECT event_type,

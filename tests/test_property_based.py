@@ -246,3 +246,62 @@ def test_scd2_matches_dict_model(spark, dim, upd):
         if k not in dim:
             expected.add((k, v, EFF, "None"))        # brand-new key
     assert got == expected
+
+
+# --- chunk_dedup: hash-keyed survivor selection vs brute force -------------
+
+_texts = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=8).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _chunk_dedup_reference(rows, n):
+    """Brute force on raw text keys: first occurrence by (doc_id, pos) of
+    each chunk survives; documents reassemble survivors in position order."""
+    import math
+    import re
+
+    chunks = {}
+    for did, text in rows:
+        toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        chunks[did] = [
+            " ".join(toks[i * n : (i + 1) * n]) for i in range(math.ceil(len(toks) / n))
+        ]
+    first = {}
+    for did, cl in chunks.items():
+        for pos, c in enumerate(cl):
+            if c not in first or (did, pos) < first[c]:
+                first[c] = (did, pos)
+    return {
+        did: (
+            " ".join(c for pos, c in enumerate(cl) if first[c] == (did, pos)),
+            sum(1 for pos, c in enumerate(cl) if first[c] == (did, pos)),
+            sum(1 for pos, c in enumerate(cl) if first[c] != (did, pos)),
+        )
+        for did, cl in chunks.items()
+    }
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts)
+def test_chunk_dedup_matches_bruteforce(spark, texts):
+    """The 128-bit hash-keyed survivor shuffle must be output-identical to
+    the raw-text-keyed definition (collision probability ~2^-129/pair)."""
+    from s3_to_redshift_with_airflow_spark.operators.dedup import chunk_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = {
+        r["doc_id"]: (r["clean_text"], r["kept_chunks"], r["dropped_chunks"])
+        for r in chunk_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"), chunk_tokens=2
+        ).collect()
+    }
+    assert got == _chunk_dedup_reference(rows, 2)
