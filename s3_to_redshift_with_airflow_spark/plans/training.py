@@ -214,6 +214,80 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bpe_train_merges", oracle=None)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 learned BPE merges over the documents corpus
+    (operators/bpe.py — one corpus pass to the word-frequency table, then
+    per-merge pair counts on |vocab| rows only). Inherently iterative
+    (each merge decision conditions the next), so rows-only here; the
+    algorithm is pinned against a pure-Python reference implementation in
+    tests/test_text.py, and the output is a pure function of the corpus
+    (deterministic tie-breaks)."""
+    from ..operators.bpe import bpe_train_df
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bpe_train_df(docs, n_merges=8)
+
+
+@query(
+    "embedding_standardize",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding::DOUBLE[], 1) - 1 AS BIGINT) AS dim,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings
+    ),
+    m AS (
+      SELECT dim,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)))
+                  AS DOUBLE) AS sxx
+      FROM ex GROUP BY dim
+    )
+    SELECT e.vec_id, e.dim,
+           CASE WHEN sxx / n - (sx / n) * (sx / n) > 0
+                THEN (CAST(CAST(x AS DECIMAL(18,6)) AS DOUBLE) - sx / n)
+                       / sqrt(sxx / n - (sx / n) * (sx / n))
+                END AS z
+    FROM ex e JOIN m ON e.dim = m.dim
+    """,
+)
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding column — the
+    feature-normalization pass run before clustering / IVF training so no
+    dimension dominates the distance metric. Bit-deterministic by the
+    corr_stats discipline: moments accumulate as EXACT decimals
+    (order-independent partial sums), floats appear only in one final
+    scalar expression evaluated identically by both engines; constant
+    dimensions (zero variance) yield NULL in both.
+
+    Scale: one 64× posexplode (JVM-side), one 64-group aggregate (fully
+    map-side combined — the shuffle moves 64×n_partitions partial rows),
+    one broadcast join of the 64-row moment table back onto the stream.
+    Emits (vec_id, dim, z) rows; reassemble with collect_list if an array
+    column is needed downstream."""
+    from ..functions.vectors import as_double
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "x"),
+    ).select("vec_id", F.col("dim").cast("bigint").alias("dim"), "x")
+    x6 = F.col("x").cast("decimal(18,6)")
+    m = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x6).cast("double").alias("sx"),
+        F.sum(x6 * x6).cast("double").alias("sxx"),
+    )
+    j = ex.join(F.broadcast(m), "dim")
+    mean = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - mean * mean
+    z = (x6.cast("double") - mean) / F.sqrt(var)
+    return j.select("vec_id", "dim", F.when(var > 0, z).alias("z"))
+
+
 @query(
     "quantized_ann_topk",
     oracle=_SQL_QUANT

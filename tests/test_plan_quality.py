@@ -250,6 +250,8 @@ def test_registry_wide_plan_audit(spark):
         # planning — so these can't be audited as plans
         "doc_dedup_clusters", "neardup_survivors", "dedup_rate_report",
         "leakage_safe_split",
+        # iterative BPE trainer: per-merge argmax collects at build time
+        "bpe_train_merges",
     }
     offenders = []
     for name, spec in REGISTRY.items():

@@ -191,3 +191,67 @@ def test_pii_scrub_and_counts(spark):
     assert sum(out[2][k] for k in ("email", "phone", "ssn", "ipv4")) == 0
     assert out[3]["ssn"] == 0  # leading digit breaks the word boundary
     assert out[4]["phone"] == 2
+
+
+# --- BPE trainer vs pure-Python reference ----------------------------------
+
+
+def _bpe_reference(texts, n_merges):
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.strip().lower()).split(" "):
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): f for w, f in words.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, n))
+        nxt = {}
+        for sym, f in vocab.items():
+            out = []
+            for x in sym:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + f
+        vocab = nxt
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from s3_to_redshift_with_airflow_spark.operators.bpe import bpe_train
+
+    texts = [
+        "low lower lowest newer newest wide wider widest",
+        "low low lower new newer wide wide wide",
+        "the newest widest lowest estimates",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, n_merges=8)
+    assert got == _bpe_reference(texts, 8)
+    # merges must be learned greedily: counts non-increasing
+    counts = [n for (_, _, _, n) in got]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_bpe_train_real_corpus_prefix(spark):
+    """On the driver corpus the first merges must reproduce the reference
+    algorithm too (guards the distributed pair-count weighting)."""
+    from s3_to_redshift_with_airflow_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert bpe_train(docs, n_merges=4) == _bpe_reference(texts, 4)
