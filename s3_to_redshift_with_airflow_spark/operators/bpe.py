@@ -43,7 +43,7 @@ def _adjacent_pairs(sym_col: str) -> "F.Column":
     )
 
 
-def _merge_pair(sym_col: str, a: str, b: str) -> "F.Column":
+def _merge_pair_expr(sym: "F.Column", a: str, b: str) -> "F.Column":
     """Left-to-right single-pass merge of adjacent (a, b) into a+b.
 
     Fold building the new array: append x unless the accumulator's last
@@ -54,7 +54,7 @@ def _merge_pair(sym_col: str, a: str, b: str) -> "F.Column":
     merged = a + b
     empty = F.array().cast("array<string>")
     return F.aggregate(
-        F.col(sym_col),
+        sym,
         empty,
         lambda acc, x: F.when(
             (F.size(acc) > 0)
@@ -63,6 +63,35 @@ def _merge_pair(sym_col: str, a: str, b: str) -> "F.Column":
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
         ).otherwise(F.concat(acc, F.array(x))),
     )
+
+
+def _merge_pair(sym_col: str, a: str, b: str) -> "F.Column":
+    return _merge_pair_expr(F.col(sym_col), a, b)
+
+
+def bpe_segment(c: "F.Column", merges: list[tuple]) -> "F.Column":
+    """Segment text under a LEARNED merge list (the apply side of BPE):
+    whitespace words → character symbols → the merge folds chained in rank
+    order, flattened back to one token array per document.
+
+    The merge list is inlined as literals, so the whole segmentation is one
+    codegen'd expression — no Python, no joins; plan depth grows linearly
+    with len(merges) (fine for the short lists the registry trains; a
+    production tokenizer with 50k merges would apply via a broadcast
+    word→pieces dictionary built by segmenting the VOCAB once instead)."""
+    from ..functions.text import tokens
+
+    def seg(word):
+        sym = F.split(word, "")
+        for m in merges:
+            _, a, b = m[0], m[1], m[2]
+            sym = _merge_pair_expr(sym, a, b)
+        return sym
+
+    # drop empty words first (an all-whitespace document normalizes to [""],
+    # which would otherwise contribute a spurious empty piece)
+    words = F.filter(tokens(c), lambda t: t != "")
+    return F.flatten(F.transform(words, seg))
 
 
 def bpe_train(

@@ -229,6 +229,29 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_df(docs, n_merges=8)
 
 
+@query("bpe_tokenize_stats", oracle=None)
+def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE: segment every document under the merge table
+    learned by bpe_train (8 merges, inlined as literals into one codegen'd
+    expression — operators/bpe.py bpe_segment) and report per-document
+    piece statistics: total pieces and multi-character pieces (how much the
+    learned merges compress). rows-only (depends on the iteratively learned
+    merges); segmentation is pinned against a pure-Python reference in
+    tests/test_text.py."""
+    from ..operators.bpe import bpe_segment, bpe_train
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    pieces = bpe_segment(F.col("text"), merges)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("bigint").alias("n_pieces"),
+        F.size(F.filter(pieces, lambda p: F.length(p) > 1))
+        .cast("bigint")
+        .alias("n_multichar_pieces"),
+    )
+
+
 @query(
     "embedding_standardize",
     oracle="""
@@ -263,11 +286,13 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar expression evaluated identically by both engines; constant
     dimensions (zero variance) yield NULL in both.
 
-    Scale: one 64× posexplode (JVM-side), one 64-group aggregate (fully
-    map-side combined — the shuffle moves 64×n_partitions partial rows),
-    one broadcast join of the 64-row moment table back onto the stream.
-    Emits (vec_id, dim, z) rows; reassemble with collect_list if an array
-    column is needed downstream."""
+    Scale: the exploded frame feeds two plan branches — the 64-group moment
+    aggregate (fully map-side combined; the shuffle moves 64×n_partitions
+    partial rows) and the standardize pass the 64-row moment table
+    broadcast-joins onto — so the source is scanned twice; at 100 TB stage
+    the explode (or the moments) to parquet once instead. Emits
+    (vec_id, dim, z) rows; reassemble with collect_list if an array column
+    is needed downstream."""
     from ..functions.vectors import as_double
 
     (emb,) = _t(spark, sf_dir, "embeddings")

@@ -141,20 +141,25 @@ def write_date_partitioned(
     path: str,
     ts_col: str = "ts",
     mode: str = "overwrite",
+    dynamic: bool = False,
 ) -> None:
     """Date-partitioned parquet layout (`.../event_date=YYYY-MM-DD/...`) —
     the canonical 100 TB fact-table layout: date-range predicates become
     partition pruning (directories never listed), and day-scoped reruns
     (the reference's upsert idempotency window) become partition overwrites.
-    """
+
+    `dynamic=True` sets `partitionOverwriteMode=dynamic` on the write, so an
+    overwrite replaces ONLY the partitions present in `df` and leaves every
+    other day's files untouched — the file-layout twin of the JDBC sink's
+    `scope_date_col` rerun idempotency. The default static overwrite
+    truncates the whole table first (Spark's default), which is almost never
+    what a day-scoped rerun wants at scale."""
     from pyspark.sql import functions as F
 
-    (
-        df.withColumn("event_date", F.to_date(F.col(ts_col)))
-        .write.mode(mode)
-        .partitionBy("event_date")
-        .parquet(path)
-    )
+    writer = df.withColumn("event_date", F.to_date(F.col(ts_col))).write.mode(mode)
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy("event_date").parquet(path)
 
 
 def compact_parquet(

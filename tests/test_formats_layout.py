@@ -72,3 +72,45 @@ def test_range_partitioned_files_are_disjoint(spark, events, tmp_path_factory):
         assert prev_hi < lo
     # row count preserved
     assert spark.read.parquet(path).count() == events.count()
+
+
+def test_dynamic_partition_overwrite_rerun(spark, tmp_path_factory):
+    """Day-scoped rerun at the file layout level: a dynamic overwrite of one
+    day's partition must replace exactly that day and leave other days'
+    files untouched (the static default would truncate the whole table)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.sources.writers import (
+        write_date_partitioned,
+    )
+
+    path = str(tmp_path_factory.mktemp("dyn") / "t")
+    schema = "event_id long, ts timestamp, value double"
+    full = spark.createDataFrame(
+        [
+            (1, datetime(2024, 6, 25, 8), 1.0),
+            (2, datetime(2024, 6, 25, 9), 2.0),
+            (3, datetime(2024, 6, 26, 8), 3.0),
+        ],
+        schema,
+    )
+    write_date_partitioned(full, path)
+
+    rerun = spark.createDataFrame(
+        [(2, datetime(2024, 6, 25, 9), 20.0)], schema
+    )
+    write_date_partitioned(rerun, path, dynamic=True)
+
+    out = {
+        r["event_id"]: r["value"]
+        for r in spark.read.parquet(path).collect()
+    }
+    # day 25 fully replaced by the rerun frame; day 26 untouched
+    assert out == {2: 20.0, 3: 3.0}
+    # and the pruned read only lists the one partition directory
+    one_day = spark.read.parquet(path).filter(
+        F.col("event_date") == "2024-06-26"
+    )
+    assert one_day.count() == 1

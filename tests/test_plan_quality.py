@@ -251,7 +251,7 @@ def test_registry_wide_plan_audit(spark):
         "doc_dedup_clusters", "neardup_survivors", "dedup_rate_report",
         "leakage_safe_split",
         # iterative BPE trainer: per-merge argmax collects at build time
-        "bpe_train_merges",
+        "bpe_train_merges", "bpe_tokenize_stats",
     }
     offenders = []
     for name, spec in REGISTRY.items():

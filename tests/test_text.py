@@ -255,3 +255,53 @@ def test_bpe_train_real_corpus_prefix(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     texts = [r["text"] for r in docs.select("text").collect()]
     assert bpe_train(docs, n_merges=4) == _bpe_reference(texts, 4)
+
+
+def _bpe_apply_reference(texts, merges):
+    import re
+
+    out = []
+    for t in texts:
+        pieces = []
+        for w in re.sub(r"\s+", " ", t.strip().lower()).split(" "):
+            sym = list(w)
+            for _, a, b, *_ in merges:
+                nxt = []
+                for x in sym:
+                    if nxt and nxt[-1] == a and x == b:
+                        nxt[-1] = a + b
+                    else:
+                        nxt.append(x)
+                sym = nxt
+            pieces.extend(sym)
+        out.append(pieces)
+    return out
+
+
+def test_bpe_segment_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    texts = [
+        "low lower lowest newer newest",
+        "the lowest newest estimates are in",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=6)
+    got = [
+        r["p"]
+        for r in docs.orderBy("doc_id")
+        .select(bpe_segment(F.col("text"), merges).alias("p"))
+        .collect()
+    ]
+    assert got == _bpe_apply_reference(texts, merges)
+    # segmentation must reconstruct the original words exactly
+    joined = ["".join(p) for p in got]
+    expected = ["".join(t.split()) for t in texts]
+    assert joined == expected
