@@ -1404,6 +1404,62 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lm_familiarity",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS tri
+      FROM t
+    ),
+    c AS (SELECT tri, COUNT(*) AS n FROM g GROUP BY tri)
+    SELECT g.doc_id,
+           COUNT(*) AS n_tri,
+           CAST(SUM(CASE WHEN c.n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(c.n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS familiarity
+    FROM g JOIN c ON g.tri = c.tri
+    GROUP BY g.doc_id
+    """,
+)
+def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-LM familiarity — the exact-arithmetic stand-in
+    for the CCNet-style LM-perplexity quality filter: for each document,
+    the mean corpus frequency of its positional trigrams (high = formulaic
+    boilerplate the corpus has seen many times; low ≈ high perplexity =
+    novel or noisy text) plus the count of trigrams unique to this document.
+    A true log-perplexity would hinge on ln() being bit-identical across
+    engines (it isn't — Math.log is an unrounded intrinsic), so the score
+    is deliberately one division of exact longs, fully hash-verifiable.
+
+    Scale: positional trigrams explode map-side and feed two branches —
+    the combined count shuffle (vocab³-bounded) and the per-doc join on the
+    trigram — then one groupBy(doc). Docs with <3 tokens have no trigrams
+    and drop out, same in both engines."""
+    from ..functions.text import positional_token_shingles
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(positional_token_shingles(F.col("text"), 3)).alias("tri"),
+    )
+    c = g.groupBy("tri").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        g.join(c, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            (F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "familiarity"
+            ),
+        )
+    )
+
+
+@query(
     "incremental_neardup",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),

@@ -229,6 +229,60 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_df(docs, n_merges=8)
 
 
+def _jl_planes(n_planes: int = 8, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    from ..operators.similarity import _hyperplane
+
+    return [_hyperplane(dim, k, seed) for k in range(n_planes)]
+
+
+def _jl_oracle(n_planes: int = 8) -> str:
+    """UNION-ALL twin of the projection: one SELECT per output component,
+    plane constants inlined from the SAME generator as the Spark side (repr
+    round-trips doubles exactly, so both engines parse identical planes).
+
+    Two bit-determinism traps, both measured as real 1-ulp divergences:
+      * the sum MUST be `list_reduce` (a strict left fold, matching Spark's
+        `aggregate` expression bit-for-bit), not `list_sum` — with
+        full-mantissa plane constants the products round, so summation
+        ORDER changes the last ulp (list_sum is safe elsewhere in this
+        registry only because those dots multiply float32-mantissa values
+        whose products are exact);
+      * the constants MUST be parsed as STRING→DOUBLE — a bare numeric
+        literal goes through DECIMAL(17,16) first, which loses the last
+        ulp on 57 of these 512 constants."""
+    parts = []
+    for k, plane in enumerate(_jl_planes(n_planes)):
+        consts = "[" + ", ".join(f"'{c!r}'" for c in plane) + "]"
+        parts.append(
+            f"SELECT vec_id, CAST({k} AS BIGINT) AS k, "
+            f"list_reduce(list_prepend(0.0, "
+            f"list_transform(list_zip(embedding::DOUBLE[], {consts}::DOUBLE[]), "
+            f"x -> x[1]*x[2])), (acc, x) -> acc + x) AS proj FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("embedding_project", oracle=_jl_oracle(8))
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embedding column onto
+    8 deterministic pseudo-random hyperplanes (the same seeded generator as
+    hyperplane-LSH) — the cheap dimensionality reduction applied before
+    clustering/ANN when 64 dims are more than the distance structure needs.
+    Map-side only: 8 dot products per row inside codegen, no shuffle; the
+    dot is the engine-exact left-fold shared with ann_topk, so this carries
+    an exact oracle. Emits (vec_id, k, proj) rows."""
+    from ..functions.vectors import as_double, dot
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    dots = [
+        dot(as_double(F.col("embedding")), F.array(*[F.lit(c) for c in plane]))
+        for plane in _jl_planes(8)
+    ]
+    return emb.select(
+        "vec_id", F.posexplode(F.array(*dots)).alias("k", "proj")
+    ).select("vec_id", F.col("k").cast("bigint").alias("k"), "proj")
+
+
 @query("bpe_tokenize_stats", oracle=None)
 def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY side of BPE: segment every document under the merge table
