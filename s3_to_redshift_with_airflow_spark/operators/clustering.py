@@ -1,0 +1,212 @@
+"""Deterministic distributed k-means over int8-quantized embeddings, and the
+SemDeDup-style cluster-blocked semantic dedup built on top of it.
+
+Why integer k-means: Lloyd's algorithm over floats is not bit-reproducible —
+centroid means and distance sums depend on accumulation order, which depends
+on partitioning. Here every quantity is exact integer arithmetic:
+
+  * vectors are the int8 codes from functions/vectors.quantize_int8 (engine-
+    exact: floor(x*scale+0.5) clamp ±127);
+  * a centroid is represented as (sum_vector s: array<bigint>, count n) —
+    never divided;
+  * the assignment argmin compares n²·(x·x) − 2n·(x·s) + (s·s), which is
+    n² · ‖x − s/n‖² — the same ordering as true squared distance, all in
+    bigint. Ties break to the smallest cluster id.
+
+So the full clustering is a pure function of (input rows, k, n_iter):
+bit-identical across engines, partitionings, and executor counts, which is
+what lets plans/clustering.py carry an exact DuckDB value oracle for a
+CLUSTERING algorithm.
+
+Scale shape (100 TB): per iteration, the assignment step is one corpus scan
+against a BROADCAST k-row centroid table (O(N·k) codegen'd integer folds, no
+shuffle), and the update step is one groupBy(cluster) shuffle of k·dim
+bigints per partition after partial aggregation — the textbook distributed
+Lloyd layout. Iterations compose lazily into one plan (n_iter is small and
+fixed; there is no driver-side collect anywhere).
+
+Overflow bound: scores use n²·(x·x) ≤ n²·dim·127². With dim=64 that stays
+inside int64 while the largest cluster has under ~2.1M members. Beyond that,
+pre-aggregate per-partition sub-centroids or switch the score to
+decimal(38,0) — noted here so the limit fails loudly in review, not silently
+in production (run with spark.sql.ansi.enabled=true to make any overflow an
+error rather than a NULL).
+
+Reference parity: the reference engine has no clustering operator — this is
+part of the BASELINE.json training-pipeline extension surface (SemDeDup:
+Abbas et al. 2023, arXiv:2303.09540 — dedup within k-means clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot, norm, quantize_int8
+from .skew import fan_out
+
+
+def _int_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    qv = F.transform(quantize_int8(F.col(vec_col)), lambda x: x.cast("bigint"))
+    return emb.select(F.col(id_col), qv.alias("qv")).withColumn(
+        "xx", _int_dot(F.col("qv"), F.col("qv"))
+    )
+
+
+def kmeans_int8(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means, returning the final assignment
+    (id_col, cluster: bigint, dist_score: bigint, centroid_n: bigint) —
+    dist_score / centroid_n² is the true within-cluster squared distance
+    in quantized space (centroid_n = winning centroid's member count).
+
+    Seeding: the k rows with the smallest ids are the initial centroids
+    (cluster id = their rank), so the result is a pure function of the data
+    — no RNG. A cluster that loses all members in an update round simply
+    drops out of subsequent assignment (both engines' group-by does this
+    identically); survivors keep their original ids.
+
+    dist_score is n_c²·‖x − s_c/n_c‖² for the winning centroid c of the
+    LAST assignment pass — monotone in true distance within one pass, and
+    exact integer so the oracle can compare it bit-for-bit.
+    """
+    q = fan_out(_quantized(emb, id_col, vec_col))
+
+    # Seeds: the k smallest ids. orderBy().limit(k) executes as
+    # TakeOrderedAndProject (per-partition top-k + driver merge of k·P rows)
+    # — the row_number window then only ever sees k rows, so no global
+    # single-partition sort of the corpus happens here.
+    seed_w = Window.orderBy(F.col(id_col).asc())
+    centroids = (
+        q.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .withColumn("cid", F.row_number().over(seed_w).cast("bigint") - 1)
+        .select(
+            "cid",
+            F.col("qv").alias("s"),
+            F.lit(1).cast("bigint").alias("n"),
+        )
+    )
+
+    assign = None
+    for it in range(n_iter):
+        # Pack the ≤k centroids into ONE array-of-structs row and broadcast
+        # it; the argmin is then a per-row codegen'd fold (transform +
+        # array_min over struct<dist_score,cid>, whose lexicographic
+        # ordering IS the (min score, tie→min cid) rule). This keeps the
+        # assignment pass literally shuffle-free — the window/row_number
+        # formulation would re-shuffle the whole corpus on id every
+        # iteration just to pick a per-row minimum over k candidates.
+        packed = F.broadcast(
+            centroids.withColumn("ss", _int_dot(F.col("s"), F.col("s"))).agg(
+                F.collect_list(F.struct("cid", "s", "n", "ss")).alias("cs")
+            )
+        )
+
+        def _score(c):
+            return (
+                c["n"] * c["n"] * F.col("xx")
+                - F.lit(2) * c["n"] * _int_dot(F.col("qv"), c["s"])
+                + c["ss"]
+            )
+
+        best = F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    _score(c).alias("dist_score"),
+                    c["cid"].alias("cluster"),
+                    c["n"].alias("centroid_n"),
+                ),
+            )
+        )
+        assign = q.crossJoin(packed).select(
+            F.col(id_col),
+            "qv",
+            best["cluster"].alias("cluster"),
+            best["dist_score"].alias("dist_score"),
+            best["centroid_n"].alias("centroid_n"),
+        )
+        if it < n_iter - 1:
+            centroids = assign.groupBy("cluster").agg(
+                F.array(
+                    *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)]
+                ).alias("s"),
+                F.count("*").cast("bigint").alias("n"),
+            ).select(F.col("cluster").alias("cid"), "s", "n")
+    return assign.select(
+        F.col(id_col), F.col("cluster"), "dist_score", "centroid_n"
+    )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: semantic near-duplicate pairs found WITHIN k-means clusters
+    (cluster, id_a, id_b, cos_sim with cos_sim ≥ threshold).
+
+    The clustering (kmeans_int8 above) is the blocking structure: instead of
+    LSH bands (operators/similarity.sign_lsh_neardup_pairs), candidate pairs
+    are limited to cluster co-members, then verified by EXACT double cosine
+    on the original float vectors — the published SemDeDup recipe. By design
+    this misses pairs split across clusters (like any blocked dedup misses
+    out-of-block pairs); the oracle replicates the same clustering, so the
+    contract is exact-to-spec, and recall vs brute force is pinned in
+    tests/test_similarity.py.
+
+    Scale shape: one shuffle on the cluster id; within-cluster self-join is
+    O(Σ|cluster|²) — bounded by the largest cluster, which k controls. At
+    100 TB raise k so clusters stay ~10⁴-10⁵ rows (SemDeDup used k=11k for
+    LAION-440M) and the per-cluster quadratic work stays flat.
+    """
+    assign = kmeans_int8(emb, k=k, n_iter=n_iter, dim=dim, id_col=id_col, vec_col=vec_col)
+    vec = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    sides = assign.join(vec, id_col).select(id_col, "cluster", "v", "nrm")
+    a = sides.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = sides.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, (a.cluster == b.cluster_b) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "cluster",
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,159 @@
+"""Registry entries for the deterministic k-means family
+(operators/clustering.py): the clustering itself and the SemDeDup-style
+cluster-blocked semantic dedup built on it.
+
+The point of the integer formulation is visible right here: a CLUSTERING
+algorithm carries an exact DuckDB value oracle. The oracle below unrolls
+Lloyd's iterations as SQL CTEs over the SAME arithmetic — int8 codes from
+floor(x*scale+0.5) clamp ±127, centroids as (Σ-vector, count) never divided,
+assignment by argmin of n²(x·x) − 2n(x·s) + (s·s) with ties to the smallest
+cluster id — so every intermediate is exact integer and both engines agree
+bit-for-bit regardless of partitioning.
+
+Reference parity: the reference engine has no clustering operator — this is
+the BASELINE.json training-pipeline extension surface (SemDeDup, Abbas et
+al. 2023, arXiv:2303.09540).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.clustering import kmeans_int8, semdedup_pairs
+from .registry import _t, query
+
+_K, _N_ITER, _DIM = 8, 2, 64
+_SD_THRESHOLD = 0.4
+
+# Quantization prologue — identical arithmetic to training._SQL_QUANT but
+# keeping only what clustering needs (qv and its exact squared norm xx).
+_SQL_QK = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+      FROM e
+    ),
+    s AS (
+      SELECT vec_id, v,
+             CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
+      FROM m
+    ),
+    qx AS (
+      SELECT vec_id,
+             list_transform(
+               v, x -> least(greatest(CAST(floor(x * scale + 0.5) AS BIGINT),
+                                      -127), 127)) AS qv
+      FROM s
+    ),
+    q AS (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS xx
+      FROM qx
+    )
+"""
+
+
+def _kmeans_ctes(k: int = _K, n_iter: int = _N_ITER, dim: int = _DIM) -> str:
+    """Unrolled Lloyd iterations as CTEs; final assignment CTE is a{n_iter}."""
+    elem_sums = ", ".join(f"SUM(qv[{i + 1}])" for i in range(dim))
+    ctes = [
+        _SQL_QK,
+        f"""
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS BIGINT) - 1
+               AS cid,
+             qv AS s, CAST(1 AS BIGINT) AS n,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS ss
+      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id ASC LIMIT {k})
+    )""",
+    ]
+    for it in range(n_iter):
+        c = f"c{it}"
+        ctes.append(f"""
+    sc{it + 1} AS (
+      SELECT q.vec_id, {c}.cid, {c}.n,
+             n * n * xx
+               - 2 * n * CAST(list_sum(list_transform(
+                   list_zip(q.qv, {c}.s), p -> p[1] * p[2])) AS BIGINT)
+               + ss AS score
+      FROM q, {c}
+    ),
+    a{it + 1} AS (
+      SELECT vec_id, cid, score, n FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY score ASC, cid ASC) AS rk
+        FROM sc{it + 1})
+      WHERE rk = 1
+    )""")
+        if it < n_iter - 1:
+            ctes.append(f"""
+    c{it + 1}_raw AS (
+      SELECT cid, [{elem_sums}]::BIGINT[] AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a{it + 1} JOIN q USING (vec_id) GROUP BY cid
+    ),
+    c{it + 1} AS (
+      SELECT cid, s, n,
+             CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS ss
+      FROM c{it + 1}_raw
+    )""")
+    return ",".join(ctes)
+
+
+_SQL_KMEANS = (
+    _kmeans_ctes()
+    + f"""
+    SELECT vec_id, cid AS cluster, score AS dist_score, n AS centroid_n
+    FROM a{_N_ITER}
+    """
+)
+
+_SQL_SEMDEDUP = (
+    _kmeans_ctes()
+    + f"""
+    , v2 AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    ),
+    sides AS (
+      SELECT a{_N_ITER}.vec_id, a{_N_ITER}.cid AS cluster, v, nrm
+      FROM a{_N_ITER} JOIN v2 USING (vec_id)
+    )
+    SELECT cluster, id_a, id_b, cos_sim FROM (
+      SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+               / (a.nrm * b.nrm) AS cos_sim
+      FROM sides a JOIN sides b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+    WHERE cos_sim >= {_SD_THRESHOLD}
+    """
+)
+
+
+@query("kmeans_clusters", oracle=_SQL_KMEANS)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed Lloyd k-means over int8-quantized
+    embeddings (operators/clustering.py:kmeans_int8; k=8, 2 iterations,
+    seeds = the k smallest ids). Per iteration: assignment is ONE corpus
+    scan folding over a broadcast packed-centroid array (no shuffle);
+    update is one groupBy(cluster) of k·dim bigint partial sums. All
+    arithmetic exact integer, so the final (cluster, dist_score) per
+    vector is bit-identical to the unrolled SQL twin."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return kmeans_int8(emb, k=_K, n_iter=_N_ITER, dim=_DIM)
+
+
+@query("semdedup_pairs", oracle=_SQL_SEMDEDUP)
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): semantic near-dup pairs found WITHIN
+    k-means clusters — the clustering is the blocking structure instead of
+    LSH bands, candidates are cluster co-members, verification is exact
+    double cosine on the original floats. Scale shape: one shuffle on the
+    cluster id; per-cluster quadratic work bounded by k (raise k at scale,
+    SemDeDup used k=11k for LAION-440M)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return semdedup_pairs(
+        emb, k=_K, n_iter=_N_ITER, dim=_DIM, threshold=_SD_THRESHOLD
+    )

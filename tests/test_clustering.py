@@ -1,0 +1,102 @@
+"""Deterministic int8 k-means + SemDeDup cluster-blocked dedup
+(operators/clustering.py). The exact-value contract lives in the registry
+oracle (plans/clustering.py, replicated by test_registry_oracle); here we
+pin the algorithmic properties the oracle can't see: partitioning
+invariance, blocking recall vs brute force, and the shuffle-free
+assignment plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_to_redshift_with_airflow_spark.functions.vectors import cosine
+from s3_to_redshift_with_airflow_spark.operators.clustering import (
+    kmeans_int8,
+    semdedup_pairs,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB)
+
+
+def test_kmeans_assigns_every_vector_once(emb):
+    n = emb.count()
+    out = kmeans_int8(emb, k=8, n_iter=2)
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+    clusters = [r["cluster"] for r in out.select("cluster").distinct().collect()]
+    assert all(0 <= c < 8 for c in clusters)
+    assert len(clusters) > 1  # seeds are distinct vectors → non-degenerate
+
+
+def test_kmeans_partitioning_invariant(emb):
+    """Bit-determinism across partitionings — the property the integer
+    formulation buys. Float Lloyd would differ in dist_score here."""
+    a = kmeans_int8(emb, k=8, n_iter=2).orderBy("vec_id").collect()
+    b = kmeans_int8(emb.repartition(13), k=8, n_iter=2).orderBy("vec_id").collect()
+    assert a == b
+
+
+def test_kmeans_iteration_tightens_or_holds_inertia(emb):
+    """More Lloyd iterations never increase the (normalized) inertia:
+    sum(dist_score / n_c²) is the true within-cluster squared distance."""
+
+    def inertia(n_iter):
+        out = kmeans_int8(emb, k=8, n_iter=n_iter)
+        return out.select(
+            F.sum(
+                F.col("dist_score") / (F.col("centroid_n") * F.col("centroid_n"))
+            ).alias("i")
+        ).collect()[0]["i"]
+
+    assert inertia(2) <= inertia(1) + 1e-9
+
+
+def test_kmeans_assignment_shuffle_free(emb):
+    """The corpus is never hash-shuffled on vec_id: assignment is a fold
+    over a 1-row broadcast centroid array, so the only exchanges are the
+    k-row seed limit and the centroid-update groupBy(cluster)."""
+    plan = (
+        kmeans_int8(emb, k=8, n_iter=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(vec_id" not in plan
+
+
+def test_semdedup_pairs_are_cluster_comembers_and_verified(spark, emb):
+    pairs = semdedup_pairs(emb, k=8, n_iter=2, threshold=0.4)
+    assign = kmeans_int8(emb, k=8, n_iter=2).select("vec_id", "cluster")
+    rows = pairs.collect()
+    amap = {r["vec_id"]: r["cluster"] for r in assign.collect()}
+    assert rows, "expected at least one semantic near-dup pair in testdata"
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos_sim"] >= 0.4
+        assert amap[r["id_a"]] == amap[r["id_b"]] == r["cluster"]
+
+
+def test_semdedup_recall_vs_bruteforce(spark, emb):
+    """Cluster blocking finds a meaningful share of the true ≥0.4 pairs
+    and NEVER reports a false positive (verification is exact cosine)."""
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("c"))
+        .filter(F.col("c") >= 0.4)
+    )
+    true_pairs = {(r["id_a"], r["id_b"]) for r in truth.collect()}
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(emb, k=8, n_iter=2, threshold=0.4).collect()
+    }
+    assert found <= true_pairs  # exact verification → no false positives
+    assert len(found) / len(true_pairs) >= 0.3  # blocked recall floor

@@ -241,6 +241,9 @@ def test_registry_wide_plan_audit(spark):
         "rank_fusion",
         # 1-row total broadcast onto the 20-row heavy-key table
         "heavy_hitters",
+        # k-means assignment: a ONE-row broadcast of the packed k-centroid
+        # array folded per corpus row — O(N·k) codegen, not a cross product
+        "kmeans_clusters", "semdedup_pairs",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
