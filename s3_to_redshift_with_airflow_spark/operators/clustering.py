@@ -161,6 +161,7 @@ def semdedup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup: semantic near-duplicate pairs found WITHIN k-means clusters
     (cluster, id_a, id_b, cos_sim with cos_sim ≥ threshold).
@@ -179,7 +180,9 @@ def semdedup_pairs(
     100 TB raise k so clusters stay ~10⁴-10⁵ rows (SemDeDup used k=11k for
     LAION-440M) and the per-cluster quadratic work stays flat.
     """
-    assign = kmeans_int8(emb, k=k, n_iter=n_iter, dim=dim, id_col=id_col, vec_col=vec_col)
+    assign = assign if assign is not None else kmeans_int8(
+        emb, k=k, n_iter=n_iter, dim=dim, id_col=id_col, vec_col=vec_col
+    )
     vec = emb.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
@@ -210,3 +213,46 @@ def semdedup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semdedup_survivors(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The pruned corpus SemDeDup actually ships: every vector EXCEPT those
+    with a semantic near-duplicate of smaller id in their cluster
+    (vec_id, cluster).
+
+    Survivor rule: drop a vector iff it appears as the LARGER id of any
+    ≥threshold within-cluster pair — i.e. each duplicate relation keeps its
+    smallest-id member. Deterministic (the published recipe keeps a random
+    representative; min-id is the reproducible pin, same convention as
+    dedup.py's exact/minhash survivor selection), and monotone: the keep
+    decision for a vector never depends on other drops, so no iterative
+    closure is needed — one anti-join, unlike the connected-components
+    survivor path (plans/extensions.neardup_survivors) which this
+    intentionally mirrors at the semantic level.
+
+    Scale: kmeans (broadcast-fold assignment) + the cluster-blocked pair
+    join + one broadcast-able anti-join on the distinct loser set.
+    """
+    assign = kmeans_int8(
+        emb, k=k, n_iter=n_iter, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    pairs = semdedup_pairs(
+        emb,
+        k=k,
+        n_iter=n_iter,
+        dim=dim,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        assign=assign,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assign.join(losers, id_col, "left_anti").select(id_col, "cluster")

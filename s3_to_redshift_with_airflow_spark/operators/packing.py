@@ -106,3 +106,51 @@ def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
         F.sum("fill").cast("bigint").alias("total_tokens"),
         F.sum("n_docs").cast("bigint").alias("doc_slices"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    overlapping token-window chunks (the retrieval/RAG indexing step that
+    precedes embedding — fixed-size windows with `chunk_tokens - stride`
+    tokens of overlap so no sentence is stranded on a boundary).
+
+    Output: (id_col, chunk_idx: bigint, chunk_text, chunk_n_tokens: bigint).
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) of the
+    whitespace tokenization (functions/text.tokens — normalized text); the
+    final chunk may be shorter. A chunk is generated only while it extends
+    coverage (start ≤ n_tokens - chunk_tokens + stride - 1), so no trailing
+    chunk is a subset of its predecessor; every document yields at least
+    one chunk.
+
+    Scale shape: tokenize → `sequence` of starts → `posexplode` → `slice`,
+    all whole-stage-codegen JVM expressions with zero shuffles — the row
+    multiplication is the output's own ~n_tokens/stride fan-out. Exact
+    integer index arithmetic end-to-end, so chunk boundaries are
+    bit-reproducible on any engine (exact DuckDB oracle in
+    plans/training.py: doc_chunking).
+    """
+    from ..functions.text import tokens
+
+    n = F.size(F.col("__toks"))
+    last_start = F.greatest(
+        n - F.lit(chunk_tokens) + F.lit(stride - 1), F.lit(0)
+    )
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
+    t = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        id_col, "__toks", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    piece = F.slice(F.col("__toks"), F.col("start") + 1, chunk_tokens)
+    return t.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("chunk_n_tokens"),
+    )

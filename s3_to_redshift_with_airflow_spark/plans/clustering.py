@@ -109,7 +109,7 @@ _SQL_KMEANS = (
     """
 )
 
-_SQL_SEMDEDUP = (
+_PAIR_CTES = (
     _kmeans_ctes()
     + f"""
     , v2 AS (
@@ -120,14 +120,26 @@ _SQL_SEMDEDUP = (
     sides AS (
       SELECT a{_N_ITER}.vec_id, a{_N_ITER}.cid AS cluster, v, nrm
       FROM a{_N_ITER} JOIN v2 USING (vec_id)
+    ),
+    sd_pairs AS (
+      SELECT cluster, id_a, id_b, cos_sim FROM (
+        SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                 / (a.nrm * b.nrm) AS cos_sim
+        FROM sides a JOIN sides b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      WHERE cos_sim >= {_SD_THRESHOLD}
     )
-    SELECT cluster, id_a, id_b, cos_sim FROM (
-      SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
-             list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
-               / (a.nrm * b.nrm) AS cos_sim
-      FROM sides a JOIN sides b
-        ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
-    WHERE cos_sim >= {_SD_THRESHOLD}
+"""
+)
+
+_SQL_SEMDEDUP = _PAIR_CTES + "SELECT cluster, id_a, id_b, cos_sim FROM sd_pairs"
+
+_SQL_SD_SURVIVORS = (
+    _PAIR_CTES
+    + f"""
+    SELECT vec_id, cid AS cluster FROM a{_N_ITER}
+    WHERE vec_id NOT IN (SELECT id_b FROM sd_pairs)
     """
 )
 
@@ -155,5 +167,21 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup used k=11k for LAION-440M)."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     return semdedup_pairs(
+        emb, k=_K, n_iter=_N_ITER, dim=_DIM, threshold=_SD_THRESHOLD
+    )
+
+
+@query("semdedup_survivors", oracle=_SQL_SD_SURVIVORS)
+def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned corpus SemDeDup ships: all vectors except those with a
+    ≥threshold within-cluster duplicate of smaller id — each duplicate
+    relation keeps its smallest-id member (deterministic stand-in for the
+    paper's random representative). One anti-join over the cluster-blocked
+    pair table; no iterative closure needed because the min-id rule is
+    monotone."""
+    from ..operators.clustering import semdedup_survivors
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return semdedup_survivors(
         emb, k=_K, n_iter=_N_ITER, dim=_DIM, threshold=_SD_THRESHOLD
     )

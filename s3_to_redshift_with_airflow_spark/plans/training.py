@@ -564,3 +564,40 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "vec_id", "rrf", "rk")
     )
+
+
+# --- sliding-window document chunking (RAG indexing prep) -------------------
+
+_CHUNK_W, _CHUNK_STRIDE = 32, 16
+
+_SQL_CHUNK = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(
+               0, greatest(n - {_CHUNK_W} + {_CHUNK_STRIDE - 1}, 0),
+               {_CHUNK_STRIDE})) AS start
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           array_to_string(toks[start + 1 : start + {_CHUNK_W}], ' ')
+             AS chunk_text,
+           CAST(len(toks[start + 1 : start + {_CHUNK_W}]) AS BIGINT)
+             AS chunk_n_tokens
+    FROM c
+"""
+
+
+@query("doc_chunking", oracle=_SQL_CHUNK)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of the documents corpus (32-token windows,
+    stride 16 — the RAG/retrieval indexing step that precedes embedding;
+    operators/packing.py:chunk_documents). Tokenize → sequence of starts →
+    posexplode → slice: all codegen'd JVM expressions, zero shuffles, exact
+    integer chunk boundaries so both engines cut identical chunks."""
+    from ..operators.packing import chunk_documents
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=_CHUNK_W, stride=_CHUNK_STRIDE)

@@ -100,3 +100,21 @@ def test_semdedup_recall_vs_bruteforce(spark, emb):
     }
     assert found <= true_pairs  # exact verification → no false positives
     assert len(found) / len(true_pairs) >= 0.3  # blocked recall floor
+
+
+def test_semdedup_survivors_partition_the_corpus(spark, emb):
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        semdedup_survivors,
+    )
+
+    n = emb.count()
+    pairs = semdedup_pairs(emb, k=8, n_iter=2, threshold=0.4)
+    losers = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+    kept = {r["vec_id"] for r in semdedup_survivors(emb, k=8, n_iter=2).collect()}
+    assert losers, "testdata should contain at least one semantic dup"
+    assert not (kept & losers)
+    assert len(kept) + len(losers) == n
+    # every dropped vector has a surviving smaller-id partner in its pairs
+    pmap = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    for b in losers:
+        assert any(pb == b for _, pb in pmap)

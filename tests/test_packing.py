@@ -86,3 +86,53 @@ def test_quantize_int8_roundtrip(spark):
     assert rows[2]["s"] == 0.0 and rows[2]["q"] == [0, 0, 0]
     # extreme values stay clamped to ±127
     assert rows[3]["q"] == [127, -127, 64]
+
+
+def test_chunk_documents_covers_every_token_without_redundancy(spark):
+    from s3_to_redshift_with_airflow_spark.functions.text import token_count
+    from s3_to_redshift_with_airflow_spark.operators.packing import chunk_documents
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    W, S = 32, 16
+    out = chunk_documents(docs, chunk_tokens=W, stride=S)
+    nt = {r["doc_id"]: r["n"] for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(nt)  # every doc chunked, even short ones
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = nt[doc_id]
+        # contiguous indices from 0
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        # full coverage: last chunk reaches the final token
+        last = chunks[-1]
+        assert last["chunk_idx"] * S + last["chunk_n_tokens"] == n
+        # no redundant trailing chunk: each non-first chunk extends coverage
+        for c in chunks[1:]:
+            assert c["chunk_idx"] * S + c["chunk_n_tokens"] > (c["chunk_idx"] - 1) * S + W or c["chunk_n_tokens"] == W
+        # all full-size except possibly the last
+        assert all(c["chunk_n_tokens"] == W for c in chunks[:-1])
+        assert 1 <= last["chunk_n_tokens"] <= W
+
+
+def test_chunk_documents_overlap_is_exact(spark):
+    """Consecutive chunks share exactly W - S tokens of text."""
+    from s3_to_redshift_with_airflow_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    W, S = 32, 16
+    out = chunk_documents(docs, chunk_tokens=W, stride=S).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    checked = 0
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        for a, b in zip(chunks, chunks[1:]):
+            ta, tb = a["chunk_text"].split(" "), b["chunk_text"].split(" ")
+            assert ta[S:] == tb[: len(ta) - S]
+            checked += 1
+    assert checked > 0

@@ -243,7 +243,7 @@ def test_registry_wide_plan_audit(spark):
         "heavy_hitters",
         # k-means assignment: a ONE-row broadcast of the packed k-centroid
         # array folded per corpus row — O(N·k) codegen, not a cross product
-        "kmeans_clusters", "semdedup_pairs",
+        "kmeans_clusters", "semdedup_pairs", "semdedup_survivors",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
