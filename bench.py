@@ -50,6 +50,10 @@ HEADLINE = [
     # end-to-end dedup product (minhash pairs → iterative connected
     # components → anti-join) — the only iterative-algorithm family
     "neardup_survivors",
+    # round-3 additions: iterative integer k-means + cluster-blocked
+    # semantic dedup (SemDeDup), and the explode-heavy RAG chunker
+    "semdedup_pairs",
+    "doc_chunking",
 ]
 
 

@@ -9,9 +9,12 @@ on partitioning. Here every quantity is exact integer arithmetic:
     exact: floor(x*scale+0.5) clamp ±127);
   * a centroid is represented as (sum_vector s: array<bigint>, count n) —
     never divided;
-  * the assignment argmin compares n²·(x·x) − 2n·(x·s) + (s·s), which is
-    n² · ‖x − s/n‖² — the same ordering as true squared distance, all in
-    bigint. Ties break to the smallest cluster id.
+  * per centroid, the score n²·(x·x) − 2n·(x·s) + (s·s) = n²·‖x − s/n‖²
+    is computed entirely in bigint; the argmin compares the true squared
+    distance score/n² — ONE double division over exact integer numerator
+    and denominator, so the ordering is still bit-identical on any engine
+    (scores alone are not comparable across centroids with different
+    member counts). Ties break to the smallest cluster id.
 
 So the full clustering is a pure function of (input rows, k, n_iter):
 bit-identical across engines, partitionings, and executor counts, which is
@@ -81,8 +84,9 @@ def kmeans_int8(
     identically); survivors keep their original ids.
 
     dist_score is n_c²·‖x − s_c/n_c‖² for the winning centroid c of the
-    LAST assignment pass — monotone in true distance within one pass, and
-    exact integer so the oracle can compare it bit-for-bit.
+    LAST assignment pass — exact integer so the oracle can compare it
+    bit-for-bit; the winner itself is chosen by the true squared distance
+    dist_score/n_c² (see the argmin comment below).
     """
     q = fan_out(_quantized(emb, id_col, vec_col))
 
@@ -124,12 +128,23 @@ def kmeans_int8(
                 + c["ss"]
             )
 
+        # Argmin is on the TRUE squared distance d² = score/n² — scores
+        # alone are NOT comparable across centroids once member counts
+        # differ (score_c = n_c²·d_c²; a small cluster's score is scaled
+        # down by its n_c² and would swallow everything). numerator and
+        # denominator are exact integers, the division is one IEEE double
+        # op, so the ordering is engine- and partitioning-exact; double
+        # ties (identical bit patterns) break to the smallest cid.
         best = F.array_min(
             F.transform(
                 F.col("cs"),
                 lambda c: F.struct(
-                    _score(c).alias("dist_score"),
+                    (
+                        _score(c).cast("double")
+                        / (c["n"] * c["n"]).cast("double")
+                    ).alias("d2"),
                     c["cid"].alias("cluster"),
+                    _score(c).alias("dist_score"),
                     c["n"].alias("centroid_n"),
                 ),
             )

@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from ..operators.clustering import kmeans_int8, semdedup_pairs
 from .registry import _t, query
 
-_K, _N_ITER, _DIM = 8, 2, 64
+# k=32: SemDeDup wants clusters SMALL (the paper used k=11k for 440M rows ≈
+# 40k rows/cluster; at our test scale 32 keeps clusters ~15-60 rows) — the
+# within-cluster quadratic verify cost scales as Σ|cluster|², so k is the
+# scale knob. The oracle generator unrolls for any k.
+_K, _N_ITER, _DIM = 32, 2, 64
 _SD_THRESHOLD = 0.4
 
 # Quantization prologue — identical arithmetic to training._SQL_QUANT but
@@ -81,8 +85,10 @@ def _kmeans_ctes(k: int = _K, n_iter: int = _N_ITER, dim: int = _DIM) -> str:
     ),
     a{it + 1} AS (
       SELECT vec_id, cid, score, n FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY score ASC, cid ASC) AS rk
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id
+          ORDER BY CAST(score AS DOUBLE) / CAST(n * n AS DOUBLE) ASC,
+                   cid ASC) AS rk
         FROM sc{it + 1})
       WHERE rk = 1
     )""")
