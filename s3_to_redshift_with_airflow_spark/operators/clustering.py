@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import dot, norm, quantize_int8
+from ..functions.vectors import cosine, dot, norm, quantize_int8
 from .skew import fan_out
 
 
@@ -271,3 +271,120 @@ def semdedup_survivors(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return assign.join(losers, id_col, "left_anti").select(id_col, "cluster")
+
+
+def ivf_int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    km_k: int = 32,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k over the DETERMINISTIC int8 k-means coarse
+    quantizer (query_id, vec_id, cos_sim, rk) — the faiss IVF-Flat layout,
+    but with a bit-reproducible index: because kmeans_int8 is a pure
+    function of the corpus, the inverted lists, the probe choice, and
+    therefore the full result carry an exact value oracle
+    (plans/clustering.py: ivf_int8_ann_topk), unlike the MLlib-KMeans IVF
+    (operators/similarity.ivf_topk, rows-only).
+
+    Probe selection ranks centroids by the same exact d² = score/n² used in
+    assignment (ties → smallest cid), takes n_probe per query; candidates
+    are the probed clusters' members, re-ranked by exact double cosine.
+
+    Scale shape: the probe table is |queries|·n_probe rows and BROADCAST,
+    so the corpus side is ONE scan joined by cluster hash — the corpus is
+    never shuffled for search (the clustering itself costs one
+    groupBy(cluster) per Lloyd iteration, amortized across queries as a
+    persisted index in production). Work scanned ≈ n_probe/km_k of the
+    corpus — the IVF contract.
+    """
+    from .relational import topk_per_group
+
+    assign = kmeans_int8(
+        corpus, k=km_k, n_iter=n_iter, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster")
+    qframe = _quantized(corpus, id_col, vec_col)
+    centroids = (
+        assign.join(qframe, id_col)
+        .groupBy("cluster")
+        .agg(
+            F.array(
+                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)]
+            ).alias("s"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select(
+            F.col("cluster").alias("cid"),
+            "s",
+            "n",
+            _int_dot(F.col("s"), F.col("s")).alias("ss"),
+        )
+    )
+    packed = F.broadcast(
+        centroids.agg(F.collect_list(F.struct("cid", "s", "n", "ss")).alias("cs"))
+    )
+
+    qq = _quantized(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        ),
+        query_id_col,
+        "__qvec",
+    ).join(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        ),
+        query_id_col,
+    )
+
+    def _d2(c):
+        num = (
+            c["n"] * c["n"] * F.col("xx")
+            - F.lit(2) * c["n"] * _int_dot(F.col("qv"), c["s"])
+            + c["ss"]
+        )
+        return num.cast("double") / (c["n"] * c["n"]).cast("double")
+
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(_d2(c).alias("d2"), c["cid"].alias("cluster")),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    probes = F.broadcast(
+        qq.crossJoin(packed)
+        .select(
+            query_id_col,
+            "__qvec",
+            F.explode(ranked).alias("p"),
+        )
+        .select(query_id_col, "__qvec", F.col("p.cluster").alias("cluster"))
+    )
+
+    side = corpus.join(assign, id_col).select(
+        id_col,
+        "cluster",
+        F.col(vec_col).alias("__cvec"),
+    )
+    cands = (
+        side.join(probes, "cluster")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("__cvec"), F.col("__qvec")).alias("cos_sim"),
+        )
+    )
+    return topk_per_group(
+        cands, [query_id_col], [F.col("cos_sim").desc(), F.col(id_col).asc()], k=k
+    )

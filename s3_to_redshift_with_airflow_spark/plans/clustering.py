@@ -153,7 +153,7 @@ _SQL_SD_SURVIVORS = (
 @query("kmeans_clusters", oracle=_SQL_KMEANS)
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed Lloyd k-means over int8-quantized
-    embeddings (operators/clustering.py:kmeans_int8; k=8, 2 iterations,
+    embeddings (operators/clustering.py:kmeans_int8; k=32, 2 iterations,
     seeds = the k smallest ids). Per iteration: assignment is ONE corpus
     scan folding over a broadcast packed-centroid array (no shuffle);
     update is one groupBy(cluster) of k·dim bigint partial sums. All
@@ -191,3 +191,90 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_survivors(
         emb, k=_K, n_iter=_N_ITER, dim=_DIM, threshold=_SD_THRESHOLD
     )
+
+
+# --- deterministic IVF ANN over the int8 k-means coarse quantizer ----------
+
+_IVF_NPROBE, _IVF_TOPK = 4, 10
+
+
+def _ivf_sql(k: int = _K, n_iter: int = _N_ITER, dim: int = _DIM) -> str:
+    elem_sums = ", ".join(f"SUM(qv[{i + 1}])" for i in range(dim))
+    a = f"a{n_iter}"
+    return (
+        _kmeans_ctes(k, n_iter, dim)
+        + f"""
+    , ivf_c_raw AS (
+      SELECT cid, [{elem_sums}]::BIGINT[] AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM {a} JOIN q USING (vec_id) GROUP BY cid
+    ),
+    ivf_c AS (
+      SELECT cid, s, n,
+             CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS ss
+      FROM ivf_c_raw
+    ),
+    ivf_q AS (SELECT vec_id AS query_id, qv, xx FROM q WHERE vec_id < 5),
+    ivf_ps AS (
+      SELECT query_id, cid,
+             CAST(n * n * xx
+                    - 2 * n * CAST(list_sum(list_transform(
+                        list_zip(qv, s), p -> p[1] * p[2])) AS BIGINT)
+                    + ss AS DOUBLE) / CAST(n * n AS DOUBLE) AS d2
+      FROM ivf_q, ivf_c
+    ),
+    ivf_probe AS (
+      SELECT query_id, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY d2 ASC, cid ASC) AS prk
+        FROM ivf_ps) WHERE prk <= {_IVF_NPROBE}
+    ),
+    ivf_cand AS (
+      SELECT p.query_id, {a}.vec_id
+      FROM ivf_probe p JOIN {a} ON {a}.cid = p.cid
+      WHERE {a}.vec_id <> p.query_id
+    ),
+    ivf_scored AS (
+      SELECT c.query_id, c.vec_id,
+             list_sum(list_transform(list_zip(cv.v, qv2.v), x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(cv.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv2.v, x -> x * x))))
+               AS cos_sim
+      FROM ivf_cand c
+      JOIN e cv ON cv.vec_id = c.vec_id
+      JOIN e qv2 ON qv2.vec_id = c.query_id
+    ),
+    ivf_r AS (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rk
+      FROM ivf_scored
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM ivf_r WHERE rk <= {_IVF_TOPK}
+    """
+    )
+
+
+@query("ivf_int8_ann_topk", oracle=_ivf_sql())
+def q_ivf_int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN over the deterministic int8 k-means coarse quantizer
+    (operators/clustering.py:ivf_int8_topk; k=32 lists, 4 probes, top-10).
+    Because the quantizer is a pure function of the corpus, the inverted
+    lists, probe choice and final ranking all carry an EXACT value oracle —
+    the reproducible counterpart to ivf_ann_topk's MLlib float k-means
+    (which stays rows-only by nature). Probe table broadcast; the corpus
+    is never shuffled for search."""
+    from ..operators.clustering import ivf_int8_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    out = ivf_int8_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=_IVF_TOPK,
+        n_probe=_IVF_NPROBE,
+        km_k=_K,
+        n_iter=_N_ITER,
+        dim=_DIM,
+    )
+    return out.withColumn("rk", F.col("rk").cast("bigint"))

@@ -640,12 +640,72 @@ def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sign_lsh_neardup_pairs(emb, threshold=0.4, dim=64, band_size=4)
 
 
-@query("lsh_ann_topk", oracle=None)
+def _lsh_ann_oracle(
+    n_bits: int = 16, dim: int = 64, seed: int = 42, n_bands: int = 8
+) -> str:
+    """EXACT SQL twin of hyperplane_lsh_topk: the float hyperplane dots are
+    reproduced with the SAME strict-left-fold + string→double constant
+    parsing that makes embedding_project bit-exact (training._jl_oracle
+    documents both 1-ulp traps) — and the signature only consumes the SIGN
+    of each dot, so bit-identical dots give bit-identical buckets. The rest
+    (band split, bucket join, exact cosine re-rank, tie-pinned top-k) is
+    the ann_topk oracle pattern over the candidate set."""
+    from ..operators.similarity import _hyperplane
+
+    band_size = n_bits // n_bands
+    mask = (1 << band_size) - 1
+    terms = []
+    for b in range(n_bits):
+        consts = "[" + ", ".join(f"'{c!r}'" for c in _hyperplane(dim, b, seed)) + "]"
+        dotb = (
+            "list_reduce(list_prepend(0.0, "
+            f"list_transform(list_zip(v, {consts}::DOUBLE[]), x -> x[1]*x[2])), "
+            "(acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dotb} >= 0 THEN {1 << b} ELSE 0 END)")
+    sig = "\n           + ".join(terms)
+    bands = "[" + ", ".join(str(i) for i in range(n_bands)) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, CAST({sig} AS BIGINT) AS sig FROM e),
+    bk AS (
+      SELECT vec_id, band, (sig >> (band * {band_size})) & {mask} AS key
+      FROM (SELECT vec_id, sig, unnest({bands}) AS band FROM s)
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+      FROM bk c JOIN bk q ON c.band = q.band AND c.key = q.key
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             list_sum(list_transform(list_zip(cv.v, qv.v), x -> x[1]*x[2]))
+               / (sqrt(list_sum(list_transform(cv.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(qv.v, x -> x*x)))) AS cos_sim
+      FROM cand
+      JOIN e cv ON cv.vec_id = cand.vec_id
+      JOIN e qv ON qv.vec_id = cand.query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 10
+    """
+
+
+@query("lsh_ann_topk", oracle=_lsh_ann_oracle())
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (16-bit signatures, 4 bands): the
-    100 TB path — bucket join instead of cross product, exact cosine re-rank
-    within candidates. Hash-dependent output → rows-only here; recall vs the
-    exact baseline is pinned in tests/test_similarity.py."""
+    """Hyperplane-LSH approximate top-k (16-bit signatures, 8 two-bit
+    bands): the 100 TB path — bucket join instead of cross product, exact
+    cosine re-rank within candidates. Round 3: EXACT oracle — the bucket
+    keys are signs of strict-fold hyperplane dots, reproducible
+    bit-for-bit in SQL (see _lsh_ann_oracle), leaving ivf_ann_topk (MLlib
+    float k-means centroids) as the only hash-path rows-only ANN entry.
+    Recall vs the exact baseline stays pinned in tests/test_similarity.py."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     out = hyperplane_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
     return out.withColumn("rk", F.col("rk").cast("bigint"))

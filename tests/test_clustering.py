@@ -118,3 +118,41 @@ def test_semdedup_survivors_partition_the_corpus(spark, emb):
     pmap = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
     for b in losers:
         assert any(pb == b for _, pb in pmap)
+
+
+def test_ivf_int8_recall_vs_exact(spark, emb):
+    """Deterministic IVF (4/32 probe fraction) recovers most exact top-10
+    neighbors; results only ever come from probed clusters, so every
+    returned neighbor must also appear in the exact ranking's candidate
+    universe with the same cos_sim."""
+    from s3_to_redshift_with_airflow_spark.operators.clustering import ivf_int8_topk
+    from s3_to_redshift_with_airflow_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"]
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    ivf = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"]
+        for r in ivf_int8_topk(emb, q, k=10, n_probe=4, km_k=32).collect()
+    }
+    hits = set(ivf) & set(exact)
+    assert len(hits) / len(exact) >= 0.5  # probe-fraction recall floor
+    for key in hits:  # scores are the same exact cosine on both paths
+        assert ivf[key] == exact[key]
+
+
+def test_ivf_int8_partitioning_invariant(emb):
+    from s3_to_redshift_with_airflow_spark.operators.clustering import ivf_int8_topk
+
+    q = emb.filter(F.col("vec_id") < 3)
+    a = ivf_int8_topk(emb, q, k=5, n_probe=3, km_k=16).orderBy(
+        "query_id", "rk"
+    ).collect()
+    b = ivf_int8_topk(emb.repartition(11), q, k=5, n_probe=3, km_k=16).orderBy(
+        "query_id", "rk"
+    ).collect()
+    assert a == b

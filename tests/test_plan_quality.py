@@ -244,6 +244,7 @@ def test_registry_wide_plan_audit(spark):
         # k-means assignment: a ONE-row broadcast of the packed k-centroid
         # array folded per corpus row — O(N·k) codegen, not a cross product
         "kmeans_clusters", "semdedup_pairs", "semdedup_survivors",
+        "ivf_int8_ann_topk",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
