@@ -305,3 +305,118 @@ def test_chunk_dedup_matches_bruteforce(spark, texts):
         ).collect()
     }
     assert got == _chunk_dedup_reference(rows, 2)
+
+
+# --- integer k-means vs pure-Python reference --------------------------------
+
+import math
+
+vec4 = st.lists(
+    st.floats(min_value=-8, max_value=8, allow_nan=False, width=64),
+    min_size=4, max_size=4,
+)
+corpora = st.lists(vec4, min_size=3, max_size=10)
+
+
+def _kmeans_reference(vecs, k, n_iter):
+    """Pure-Python replica of operators/clustering.kmeans_int8 (same
+    quantization, same exact-integer score, same d²=score/n² argmin with
+    cid tie-break, same min-id seeding and empty-cluster drop)."""
+
+    def quant(v):
+        m = max(abs(x) for x in v)
+        s = 127.0 / m if m > 0 else 0.0
+        return [min(max(math.floor(x * s + 0.5), -127), 127) for x in v]
+
+    q = {i: quant(v) for i, v in vecs}
+    xx = {i: sum(c * c for c in qv) for i, qv in q.items()}
+    ids = sorted(q)
+    cents = {cid: (q[i], 1) for cid, i in enumerate(ids[: k])}
+    assign = {}
+    for it in range(n_iter):
+        assign = {}
+        for i in ids:
+            best = None
+            for cid, (s, n) in sorted(cents.items()):
+                num = (
+                    n * n * xx[i]
+                    - 2 * n * sum(a * b for a, b in zip(q[i], s))
+                    + sum(c * c for c in s)
+                )
+                key = (num / float(n * n), cid)
+                if best is None or key < best[0]:
+                    best = (key, num, n)
+            assign[i] = (best[0][1], best[1], best[2])
+        if it < n_iter - 1:
+            new = {}
+            for i, (cid, _, _) in assign.items():
+                s, n = new.get(cid, ([0] * len(q[i]), 0))
+                new[cid] = ([a + b for a, b in zip(s, q[i])], n + 1)
+            cents = new
+    return assign
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(vecs=corpora)
+def test_kmeans_int8_matches_python_reference(spark, vecs):
+    from s3_to_redshift_with_airflow_spark.operators.clustering import kmeans_int8
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist_score"], r["centroid_n"])
+        for r in kmeans_int8(df, k=3, n_iter=2, dim=4).collect()
+    }
+    expected = _kmeans_reference(rows, k=3, n_iter=2)
+    assert got == expected
+
+
+# --- sliding-window chunking vs pure-Python reference ------------------------
+
+import re
+
+ascii_text = st.text(
+    alphabet=" abcdeF 012.,", min_size=0, max_size=60
+)
+
+
+def _chunks_reference(text, W, S):
+    toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    n = len(toks)
+    out = []
+    start, idx = 0, 0
+    while start == 0 or start <= n - W + S - 1:
+        piece = toks[start : start + W]
+        out.append((idx, " ".join(piece), len(piece)))
+        idx += 1
+        start += S
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(ascii_text, min_size=1, max_size=4))
+def test_chunk_documents_matches_python_reference(spark, texts):
+    from s3_to_redshift_with_airflow_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {}
+    for r in chunk_documents(df, chunk_tokens=5, stride=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["chunk_n_tokens"])
+        )
+    for doc_id in got:
+        got[doc_id].sort()
+    expected = {
+        i: _chunks_reference(t, 5, 2) for i, t in enumerate(texts)
+    }
+    assert got == expected
