@@ -170,8 +170,9 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_recall_report", oracle=None)
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured top-10 recall of the two approximate ANN paths against the
-    exact brute-force baseline, in one plan: for each of `lsh_ann_topk` and
-    `ivf_ann_topk` (IDENTICAL parameters to those registry entries), the
+    exact brute-force baseline, in one plan: for each of `lsh_ann_topk`,
+    `ivf_ann_topk` and `ivf_int8_ann_topk` (IDENTICAL parameters to those
+    registry entries), the
     fraction of the exact top-10 neighbor set the approximate method
     retrieves. Makes the quality of the rows-only approximate queries
     visible as registry VALUES — tests/test_scale_ops.py pins
@@ -182,6 +183,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: three top-k subplans (each the sanctioned broadcast-query shape),
     two left joins on (query_id, vec_id), two 1-row aggregates, union —
     negligible cost beyond the retrievers themselves."""
+    from ..operators.clustering import ivf_int8_topk
     from ..operators.similarity import brute_force_topk, hyperplane_lsh_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -190,6 +192,9 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = {
         "ivf_ann_topk": ivf_topk(
             emb, qs, k=10, n_clusters=8, n_probe=5
+        ).select("query_id", "vec_id"),
+        "ivf_int8_ann_topk": ivf_int8_topk(
+            emb, qs, k=10, n_probe=4, km_k=32
         ).select("query_id", "vec_id"),
         "lsh_ann_topk": hyperplane_lsh_topk(emb, qs, k=10).select(
             "query_id", "vec_id"
@@ -217,7 +222,10 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-    return parts[0].unionByName(parts[1]).orderBy("method")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method")
 
 
 # --- approximate aggregates ------------------------------------------------
