@@ -1844,3 +1844,122 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- end-to-end curation funnel (capstone composition) ----------------------
+
+_SQL_CURATION = f"""
+    WITH g AS (
+      SELECT doc_id, text,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             CAST(length(regexp_replace({_NORM}, ' ', '', 'g')) AS DOUBLE)
+               AS n_nonspace,
+             CAST(len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]')))
+               AS DOUBLE) AS n_alpha,
+             CAST({_sql_count_in(EN_STOPWORDS)} AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_distinct
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, text FROM g
+      WHERE n_tok >= 10 AND n_tok <= 100000
+        AND n_nonspace / greatest(n_tok, 1.0) >= 3.0
+        AND n_nonspace / greatest(n_tok, 1.0) <= 10.0
+        AND n_alpha / greatest(n_tok, 1.0) >= 0.8
+        AND n_stop >= 2
+        AND n_distinct / greatest(n_tok, 1.0) >= 0.3
+    ),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5({_NORM}) AS fp FROM quality)
+      GROUP BY fp
+    ),
+    exact_surv AS (SELECT q.doc_id, q.text FROM quality q JOIN canon USING (doc_id)),
+    sh AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM exact_surv
+    ),
+    f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+    nd_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM f a, f b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+                 - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.8
+    ),
+    curated AS (
+      SELECT doc_id, text FROM exact_surv
+      WHERE doc_id NOT IN (SELECT id_b FROM nd_pairs)
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_raw,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM quality) AS n_quality,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_surv) AS n_exact,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM curated) AS n_curated,
+      (SELECT CAST(SUM(len({_TOKS})) AS BIGINT) FROM curated) AS total_tokens,
+      (SELECT CAST(SUM(CAST(floor(CAST(greatest(len({_TOKS}) - 17, 0) AS DOUBLE)
+                                  / 16.0) AS BIGINT) + 1) AS BIGINT)
+       FROM curated) AS n_chunks
+"""
+
+
+@query("curation_funnel", oracle=_SQL_CURATION)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining-data curation pipeline as ONE lazy plan, with
+    each stage applied to the previous stage's survivors (a sequential
+    funnel, unlike dedup_rate_report's independent per-operator counts):
+
+      raw → Gopher hard quality gates → exact fingerprint dedup (min-id
+      canonical) → MinHash-LSH near-dedup with the monotone min-id drop
+      rule (no iterative closure, so the funnel stays a pure lazy plan)
+      → final-corpus accounting (documents, whitespace tokens, and the
+      32/16 sliding-window chunk count via the closed-form
+      floor(max(n-W+S-1,0)/S)+1 — no explode needed to COUNT chunks).
+
+    One row: n_raw, n_quality, n_exact, n_curated, total_tokens, n_chunks.
+    The oracle replays the funnel with brute-force Jaccard in place of the
+    banded MinHash (equivalent at j≥0.8 up to the ~5e-15 band-miss bound,
+    the same sanction minhash_neardup carries). Scale shape: each stage is
+    the already-audited plan of its standalone operator; the five 1-row
+    stage aggregates join by broadcast."""
+    import functools
+
+    from ..functions.text import token_count
+    from ..operators.dedup import minhash_lsh_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    rules = gopher_rules(F.col("text"))
+    quality = docs.filter(functools.reduce(lambda a, b: a & b, rules.values()))
+    canon = (
+        quality.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_surv = quality.join(canon, "doc_id", "left_semi")
+    losers = (
+        minhash_lsh_pairs(exact_surv, threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    curated = exact_surv.join(losers, "doc_id", "left_anti")
+
+    n_tok = token_count(F.col("text"))
+    n_chunks_doc = (
+        F.floor(
+            F.greatest(n_tok - F.lit(17), F.lit(0)).cast("double") / F.lit(16.0)
+        ).cast("bigint")
+        + F.lit(1).cast("bigint")
+    )
+    return (
+        docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_raw"))
+        .crossJoin(quality.agg(F.count(F.lit(1)).cast("bigint").alias("n_quality")))
+        .crossJoin(exact_surv.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact")))
+        .crossJoin(
+            curated.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_curated"),
+                F.sum(n_tok).cast("bigint").alias("total_tokens"),
+                F.sum(n_chunks_doc).cast("bigint").alias("n_chunks"),
+            )
+        )
+    )

@@ -172,3 +172,25 @@ def test_gopher_rules_semantics(spark):
     assert not out[3]["r_mean_word_len"]
     assert not out[4]["r_distinct_fraction"]
     assert not out[5]["r_alpha_fraction"] and not out[5]["r_stopwords"]
+
+
+def test_curation_funnel_is_a_monotone_funnel(spark):
+    """Each curation stage only removes documents, and the stage counts
+    agree with the standalone operators run independently."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.functions.text import gopher_rules
+    from s3_to_redshift_with_airflow_spark.plans import query_map
+
+    row = query_map()["curation_funnel"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_raw"] >= row["n_quality"] >= row["n_exact"] >= row["n_curated"] > 0
+    assert row["total_tokens"] > 0
+    assert row["n_chunks"] >= row["n_curated"]  # every doc yields ≥1 chunk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert row["n_raw"] == docs.count()
+    rules = gopher_rules(F.col("text"))
+    passes = functools.reduce(lambda a, b: a & b, rules.values())
+    assert row["n_quality"] == docs.filter(passes).count()

@@ -245,6 +245,9 @@ def test_registry_wide_plan_audit(spark):
         # array folded per corpus row — O(N·k) codegen, not a cross product
         "kmeans_clusters", "semdedup_pairs", "semdedup_survivors",
         "ivf_int8_ann_topk",
+        # five 1-row stage aggregates joined by broadcast — scalar
+        # composition, same sanction as class_weights/heavy_hitters
+        "curation_funnel",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
