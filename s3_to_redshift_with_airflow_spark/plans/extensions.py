@@ -1963,3 +1963,59 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- Spark 4 Python DataSource: deterministic synthetic load generator ------
+
+_SYN_MD5 = (
+    "('0x' || substr(md5('42:' || p::VARCHAR || ':' || i::VARCHAR || ':{f}'),"
+    " 1, 16))::UBIGINT"
+)
+
+_SQL_SYNTH = f"""
+    WITH pp AS (SELECT unnest(generate_series(0, 3)) AS p),
+    ii AS (SELECT unnest(generate_series(0, 499)) AS i),
+    idx AS (SELECT p, i FROM pp, ii),
+    f AS (
+      SELECT p * 500 + i AS event_id,
+             {_SYN_MD5.format(f="e")} % 5 AS ei,
+             {_SYN_MD5.format(f="v")} % 10000 AS cents
+      FROM idx
+    )
+    SELECT ['play','pause','skip','like','share'][CAST(ei + 1 AS INTEGER)] AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(cents AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM f GROUP BY event_type
+"""
+
+
+@query("synthetic_source_agg", oracle=_SQL_SYNTH)
+def q_synthetic_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the custom Python DataSource (sources/synthetic.py,
+    Spark 4 DataSource API): 4 partitions × 500 generated events grouped by
+    event_type. The generator is a pure md5 function of (seed, partition,
+    row), so even a SOURCE WITH NO STORAGE carries an exact DuckDB oracle —
+    the oracle regenerates the same rows from the same hash. value sums go
+    through exact integer cents (floor(value·100 + 0.5) inverts the
+    generator's cents/100 exactly), never order-dependent double sums.
+    sf_dir is unused by design: this is the load-generation surface for
+    arbitrary-scale shakeout runs with zero input files."""
+    from ..sources.synthetic import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows_per_partition", 500)
+        .option("num_partitions", 4)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+        F.min("event_id").cast("bigint").alias("min_event_id"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+    )

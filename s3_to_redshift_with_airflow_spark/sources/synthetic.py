@@ -1,0 +1,116 @@
+"""Deterministic synthetic-events DataSource (Spark 4 Python DataSource API).
+
+A custom batch source registered as ``format("synthetic_events")`` that
+GENERATES the events table instead of reading storage — the load-generation
+path for benchmarking the engine at arbitrary scale without materializing
+input files (want a 10-TB shakeout run? set rows_per_partition ×
+num_partitions; nothing is written anywhere).
+
+Determinism contract: every field of row (p, i) is a pure function of
+(seed, p, i) via md5 — the same engine-portable hash discipline the
+registry's sampling/sharding operators use — so two reads with identical
+options are row-identical regardless of cluster size, task retries, or
+scheduling order (a retried task regenerates exactly its partition).
+
+Scale shape: one InputPartition per requested partition; partitions
+generate independently with zero coordination and zero shuffle, so the
+source parallelizes to any executor count. Rows are yielded through the
+Arrow batch path of the Python DataSource API. This is deliberately a
+Python-worker source (the API's design); it is a TEST/LOAD-GEN surface,
+not a hot-path scan — production scans stay on the JVM parquet/CSV/ORC
+readers in sources/readers.py.
+
+Reference parity: the reference synthesizes nothing, but its stream files
+(data/streams/streams*.csv: user_id, track_id, listen_time) are exactly
+what this generates — schema-compatible with the engine's streams role
+mapping, plus event_type/value columns matching the driver's events table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_TYPES = ["play", "pause", "skip", "like", "share"]
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("track_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _h(seed: int, p: int, i: int, field: str) -> int:
+    """64-bit md5-derived value — the portable deterministic hash."""
+    raw = hashlib.md5(f"{seed}:{p}:{i}:{field}".encode()).digest()
+    return int.from_bytes(raw[:8], "big")
+
+
+class _Partition(InputPartition):
+    def __init__(self, p: int):
+        self.p = p
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows_per_partition", 1000))
+        self.n_parts = int(options.get("num_partitions", 8))
+        self.seed = int(options.get("seed", 42))
+        self.n_users = int(options.get("n_users", 1000))
+        self.n_tracks = int(options.get("n_tracks", 200))
+        self.start = datetime.fromisoformat(
+            options.get("start_ts", "2024-06-25T00:00:00+00:00")
+        )
+
+    def partitions(self):
+        return [_Partition(p) for p in range(self.n_parts)]
+
+    def read(self, partition):
+        p, seed = partition.p, self.seed
+        for i in range(self.rows):
+            uid = _h(seed, p, i, "u") % self.n_users
+            tid = _h(seed, p, i, "t") % self.n_tracks
+            et = EVENT_TYPES[_h(seed, p, i, "e") % len(EVENT_TYPES)]
+            # events spread over 24h, second granularity, per-partition offset
+            ts = self.start + timedelta(seconds=int(_h(seed, p, i, "s") % 86_400))
+            value = (_h(seed, p, i, "v") % 10_000) / 100.0
+            yield (
+                p * self.rows + i,
+                uid,
+                tid,
+                et,
+                ts.astimezone(timezone.utc).replace(tzinfo=None),
+                value,
+            )
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "synthetic_events"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        return SyntheticEventsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration: spark.read.format('synthetic_events')."""
+    spark.dataSource.register(SyntheticEventsDataSource)
