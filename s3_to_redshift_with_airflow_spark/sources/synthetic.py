@@ -31,7 +31,12 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -114,3 +119,69 @@ class SyntheticEventsDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration: spark.read.format('synthetic_events')."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# --- streaming half of the API ---------------------------------------------
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Deterministic micro-batch stream: batch b carries rows
+    (seed, p=b, i) for i < rows_per_batch — the same generator as the
+    batch reader keyed by batch number, so replaying offsets [a, b)
+    after a failure regenerates BYTE-identical batches (the property
+    exactly-once sinks need from a replayable source; cf. the
+    file-source contract streaming/pipeline.py relies on).
+
+    Offsets are {"batch": n}; readBetweenOffsets re-derives any range
+    deterministically, so no state beyond the offset is kept anywhere.
+    """
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 42))
+        self.n_users = int(options.get("n_users", 1000))
+        self.n_tracks = int(options.get("n_tracks", 200))
+        self.start_ts = datetime.fromisoformat(
+            options.get("start_ts", "2024-06-25T00:00:00+00:00")
+        )
+
+    def initialOffset(self):
+        return {"batch": 0}
+
+    def _rows(self, b: int):
+        for i in range(self.rows):
+            uid = _h(self.seed, b, i, "u") % self.n_users
+            tid = _h(self.seed, b, i, "t") % self.n_tracks
+            et = EVENT_TYPES[_h(self.seed, b, i, "e") % len(EVENT_TYPES)]
+            ts = self.start_ts + timedelta(
+                seconds=int(_h(self.seed, b, i, "s") % 86_400)
+            )
+            value = (_h(self.seed, b, i, "v") % 10_000) / 100.0
+            yield (
+                b * self.rows + i,
+                uid,
+                tid,
+                et,
+                ts.astimezone(timezone.utc).replace(tzinfo=None),
+                value,
+            )
+
+    def read(self, start):
+        # a LIST, not a generator: the simple-reader protocol pickles the
+        # prefetched rows so uncommitted batches can be replayed
+        b = start["batch"]
+        return list(self._rows(b)), {"batch": b + 1}
+
+    def readBetweenOffsets(self, start, end):
+        for b in range(start["batch"], end["batch"]):
+            yield from self._rows(b)
+
+    def commit(self, end):
+        pass  # nothing to clean up: batches are regenerated, not stored
+
+
+def _stream_reader(self, schema):
+    return SyntheticEventsStreamReader(self.options)
+
+
+SyntheticEventsDataSource.simpleStreamReader = _stream_reader

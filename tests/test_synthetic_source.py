@@ -52,3 +52,37 @@ def test_feeds_event_time_pipeline(spark):
     )
     assert sum(r["n"] for r in out) == 600
     assert all(r["window"]["start"] is not None for r in out)
+
+
+def test_stream_reader_trigger_once_and_replay(spark, tmp_path):
+    """Streaming half of the DataSource: trigger-once processes exactly one
+    batch; a fresh checkpoint replays batch 0 byte-identically (the
+    replayable-source property exactly-once sinks rely on)."""
+    register(spark)
+
+    def one_batch(ck, out):
+        sdf = (
+            spark.readStream.format("synthetic_events")
+            .option("rows_per_batch", 40)
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+
+    a = one_batch(tmp_path / "ck_a", tmp_path / "out_a")
+    assert len(a) == 40
+    b = one_batch(tmp_path / "ck_b", tmp_path / "out_b")
+    assert a == b  # fresh checkpoint ⇒ identical batch 0
+
+    # same checkpoint again ⇒ recovery appends the NEXT batch, disjoint ids
+    both = one_batch(tmp_path / "ck_a", tmp_path / "out_a")
+    ids = [r[0] for r in both]
+    assert len(ids) == len(set(ids)) == 80
+    assert set(r[0] for r in a) < set(ids)
