@@ -203,7 +203,17 @@ def semdedup_pairs(
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nrm"),
     )
-    sides = assign.join(vec, id_col).select(id_col, "cluster", "v", "nrm")
+    # persist: the self-join below references `sides` twice, and the two
+    # projections canonicalize differently (id_a vs id_b aliases) so Spark
+    # cannot reuse an exchange — without this the ENTIRE k-means subtree
+    # (seed limit + update shuffle + both assignment folds) executes once
+    # per side. Same pattern as dedup._persist_shingled; at 100 TB this is
+    # the in-memory form of materializing the cluster index, which a
+    # production SemDeDup persists anyway (the index is reused across many
+    # downstream passes).
+    sides = (
+        assign.join(vec, id_col).select(id_col, "cluster", "v", "nrm").persist()
+    )
     a = sides.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
