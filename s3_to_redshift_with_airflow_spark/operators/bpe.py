@@ -131,9 +131,10 @@ def bpe_train(
             break
         a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
         merges.append((rank, a, b, int(n)))
-        vocab = vocab.select(
-            _merge_pair("sym", a, b).alias("sym"), "freq"
-        ).localCheckpoint()
+        if rank < n_merges - 1:  # the last merge's rewrite is never read
+            vocab = vocab.select(
+                _merge_pair("sym", a, b).alias("sym"), "freq"
+            ).localCheckpoint()
     return merges
 
 

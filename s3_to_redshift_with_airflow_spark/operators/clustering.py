@@ -210,9 +210,18 @@ def semdedup_pairs(
     # per side. Same pattern as dedup._persist_shingled; at 100 TB this is
     # the in-memory form of materializing the cluster index, which a
     # production SemDeDup persists anyway (the index is reused across many
-    # downstream passes).
+    # downstream passes). Default StorageLevel is disk-backed and
+    # LRU-evictable, so stale copies from prior calls degrade gracefully
+    # under memory pressure rather than failing.
+    # nrm > 0: a zero vector has no defined cosine — excluded from pairing
+    # on BOTH engines (without this, the unguarded division errors under
+    # Spark's default ANSI mode and NULLs under DuckDB — divergent AND
+    # wrong; zero vectors simply survive dedup instead).
     sides = (
-        assign.join(vec, id_col).select(id_col, "cluster", "v", "nrm").persist()
+        assign.join(vec, id_col)
+        .filter(F.col("nrm") > 0)
+        .select(id_col, "cluster", "v", "nrm")
+        .persist()
     )
     a = sides.select(
         F.col("cluster"),
@@ -266,9 +275,12 @@ def semdedup_survivors(
     Scale: kmeans (broadcast-fold assignment) + the cluster-blocked pair
     join + one broadcast-able anti-join on the distinct loser set.
     """
+    # persist: assign is read by the pair builder AND the anti-join base —
+    # without it the Lloyd subtree executes once per reference (the same
+    # exchange-reuse limitation documented in semdedup_pairs).
     assign = kmeans_int8(
         emb, k=k, n_iter=n_iter, dim=dim, id_col=id_col, vec_col=vec_col
-    )
+    ).persist()
     pairs = semdedup_pairs(
         emb,
         k=k,
@@ -316,9 +328,18 @@ def ivf_int8_topk(
     """
     from .relational import topk_per_group
 
-    assign = kmeans_int8(
-        corpus, k=km_k, n_iter=n_iter, dim=dim, id_col=id_col, vec_col=vec_col
-    ).select(id_col, "cluster")
+    # persist: assign feeds BOTH the centroid recomputation and the corpus
+    # scan side; the projections canonicalize differently so the Lloyd
+    # subtree would otherwise execute twice (see semdedup_pairs). This is
+    # the in-memory form of the persisted IVF index — at scale the lists
+    # live in storage and are reused across every query batch.
+    assign = (
+        kmeans_int8(
+            corpus, k=km_k, n_iter=n_iter, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+        .select(id_col, "cluster")
+        .persist()
+    )
     qframe = _quantized(corpus, id_col, vec_col)
     centroids = (
         assign.join(qframe, id_col)

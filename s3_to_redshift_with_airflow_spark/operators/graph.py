@@ -50,8 +50,8 @@ def connected_components(
     checkpoint dir already set on the SparkContext. Both modes produce the
     identical fixpoint — the choice is purely a fault-tolerance/speed trade.
     """
+    sc = edges.sparkSession.sparkContext
     if reliable:
-        sc = edges.sparkSession.sparkContext
         if checkpoint_dir is not None:
             sc.setCheckpointDir(checkpoint_dir)
         elif not sc._jsc.sc().getCheckpointDir().isDefined():
@@ -60,8 +60,43 @@ def connected_components(
                 "sparkContext.setCheckpointDir(...)"
             )
 
+    def _clean_superseded(keep_latest_only: bool = False) -> None:
+        """Delete superseded iteration checkpoints. Spark never removes
+        reliable checkpoint files on its own (absent the opt-in GC-driven
+        cleaner conf), so at corpus scale each iteration would leave a full
+        labels snapshot in the store. The effective checkpoint dir is
+        context-private (setCheckpointDir appends a per-context UUID), and
+        this engine checkpoints reliably only here, so every rdd-* entry in
+        it belongs to this computation: keep the newest (current labels)
+        plus — until convergence — the oldest (the edge table `sym`, read
+        by every iteration), delete the rest."""
+        jsc = sc._jsc.sc()
+        if not jsc.getCheckpointDir().isDefined():
+            return
+        jvm = sc._jvm
+        path = jvm.org.apache.hadoop.fs.Path(jsc.getCheckpointDir().get())
+        fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return
+        entries = [
+            (int(st.getPath().getName()[4:]), st.getPath())
+            for st in fs.listStatus(path)
+            if st.getPath().getName().startswith("rdd-")
+        ]
+        entries.sort()
+        keep = {entries[-1][0]} if entries else set()
+        if not keep_latest_only and entries:
+            keep.add(entries[0][0])
+        for rdd_id, p in entries:
+            if rdd_id not in keep:
+                fs.delete(p, True)
+
     def ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+        if not reliable:
+            return df.localCheckpoint()
+        out = df.checkpoint(eager=True)
+        _clean_superseded()
+        return out
 
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -94,5 +129,7 @@ def connected_components(
         changed = upd.filter(F.col("__old") != F.col("component")).count()
         labels = upd.select("node", "component")
         if changed == 0:
+            if reliable:  # the edge table is no longer needed either
+                _clean_superseded(keep_latest_only=True)
             return labels
     raise RuntimeError(f"connected_components: no convergence in {max_iter} iterations")

@@ -126,6 +126,7 @@ _PAIR_CTES = (
     sides AS (
       SELECT a{_N_ITER}.vec_id, a{_N_ITER}.cid AS cluster, v, nrm
       FROM a{_N_ITER} JOIN v2 USING (vec_id)
+      WHERE nrm > 0
     ),
     sd_pairs AS (
       SELECT cluster, id_a, id_b, cos_sim FROM (

@@ -74,6 +74,23 @@ def upsert_sql(
     ]
 
 
+def _credential_clause(
+    iam_role: str | None,
+    access_key_id: str | None,
+    secret_access_key: str | None,
+) -> str:
+    """Shared COPY/UNLOAD credential clause: exactly one of iam_role or the
+    access-key pair (single definition so the two emitters cannot diverge)."""
+    if (iam_role is None) == (access_key_id is None or secret_access_key is None):
+        raise ValueError("pass either iam_role or both access keys")
+    if iam_role is not None:
+        return f"IAM_ROLE '{iam_role}'"
+    return (
+        f"ACCESS_KEY_ID '{access_key_id}' "
+        f"SECRET_ACCESS_KEY '{secret_access_key}'"
+    )
+
+
 def copy_sql(
     table: str,
     s3_path: str,
@@ -100,15 +117,7 @@ def copy_sql(
     the staging frame to S3 as CSV/Parquet across all executors, then one
     warehouse-side COPY ingests it in parallel across Redshift slices.
     """
-    if (iam_role is None) == (access_key_id is None or secret_access_key is None):
-        raise ValueError("pass either iam_role or both access keys")
-    if iam_role is not None:
-        cred = f"IAM_ROLE '{iam_role}'"
-    else:
-        cred = (
-            f"ACCESS_KEY_ID '{access_key_id}' "
-            f"SECRET_ACCESS_KEY '{secret_access_key}'"
-        )
+    cred = _credential_clause(iam_role, access_key_id, secret_access_key)
     path = s3_path.replace("'", "''")
     parts = [
         f"COPY {table}",
@@ -116,8 +125,9 @@ def copy_sql(
         cred,
         fmt,
         f"IGNOREHEADER {int(ignore_header)}" if fmt.upper() == "CSV" else "",
-        f"DATEFORMAT '{dateformat}'",
-        f"TIMEFORMAT '{timeformat}'",
+        # Redshift rejects DATEFORMAT/TIMEFORMAT for columnar formats
+        f"DATEFORMAT '{dateformat}'" if fmt.upper() == "CSV" else "",
+        f"TIMEFORMAT '{timeformat}'" if fmt.upper() == "CSV" else "",
         f"REGION '{region}'" if region else "",
         extra_options,
     ]
@@ -143,15 +153,7 @@ def unload_sql(
     `PARALLEL ON` (default) writes one file per Redshift slice — exactly the
     many-files shape Spark wants to read. Same credential contract as
     copy_sql."""
-    if (iam_role is None) == (access_key_id is None or secret_access_key is None):
-        raise ValueError("pass either iam_role or both access keys")
-    if iam_role is not None:
-        cred = f"IAM_ROLE '{iam_role}'"
-    else:
-        cred = (
-            f"ACCESS_KEY_ID '{access_key_id}' "
-            f"SECRET_ACCESS_KEY '{secret_access_key}'"
-        )
+    cred = _credential_clause(iam_role, access_key_id, secret_access_key)
     query = select_sql.replace("'", "''")
     path = s3_path.replace("'", "''")
     parts = [
@@ -277,6 +279,10 @@ def write_upsert(
                 stmt.execute(staging_create_ddl)
             except Exception:  # noqa: BLE001 — "already exists" tolerated
                 conn.rollback()
+            # the table may survive a prior run (crash before DROP, or
+            # drop_staging=False): without this, COPY appends onto stale
+            # staging rows and the merge re-inserts old key versions
+            stmt.execute(f"TRUNCATE {staging_table}")
             stmt.execute(
                 copy_sql(staging_table, staging_s3_path, **(staging_copy_options or {}))
             )

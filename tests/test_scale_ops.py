@@ -264,6 +264,14 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         edges, reliable=True, checkpoint_dir=str(tmp_path / "ckpt")
     )
     assert {r["node"]: r["component"] for r in out.collect()} == expected
+    # superseded iteration checkpoints are cleaned: at most ONE rdd-* dir
+    # (the final labels) remains under the context-private checkpoint dir,
+    # and the result stays readable from it after cleanup
+    import glob
+
+    remaining = glob.glob(str(tmp_path / "ckpt" / "*" / "rdd-*"))
+    assert len(remaining) <= 1, remaining
+    assert {r["node"]: r["component"] for r in out.collect()} == expected
     # both modes produce the identical fixpoint
     local = connected_components(edges)
     assert {r["node"]: r["component"] for r in local.collect()} == expected
