@@ -246,7 +246,11 @@ def minhash_lsh_pairs(
     # arrays (same rationale as in ngram_jaccard_pairs)
     sh0 = _persist_shingled(_shingled(df, id_col, text_col, n))
     sigs = _signatures_from_shingled(sh0, id_col, num_hashes, seed)
-    bands = minhash_band_keys(sigs, id_col, n_bands, r)
+    # persist the band keys: the self-join below projects `bands` twice and
+    # the two sides canonicalize differently, so without this the 64-hash
+    # signature computation runs once PER SIDE. The frame is tiny
+    # (n_docs × n_bands rows of three scalars) — the in-memory band index.
+    bands = minhash_band_keys(sigs, id_col, n_bands, r).persist()
 
     left = bands.select(F.col(id_col).alias("id_a"), "band", "key")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "key")
