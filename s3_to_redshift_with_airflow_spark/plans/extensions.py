@@ -2019,3 +2019,52 @@ def q_synthetic_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").cast("bigint").alias("min_event_id"),
         F.max("event_id").cast("bigint").alias("max_event_id"),
     )
+
+
+# --- deterministic weighted sampling ----------------------------------------
+
+_WS_KEY_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT"
+    " AS DOUBLE) / CAST(n_chars AS DOUBLE)"
+)
+
+_SQL_WEIGHTED_SAMPLE = f"""
+    SELECT doc_id, source, n_chars, sample_key FROM (
+      SELECT doc_id, source, n_chars,
+             {_WS_KEY_SQL} AS sample_key,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_WS_KEY_SQL} ASC, doc_id ASC) AS rn
+      FROM documents WHERE n_chars > 0)
+    WHERE rn <= 5
+"""
+
+
+@query("weighted_sample", oracle=_SQL_WEIGHTED_SAMPLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted bottom-k sample: per source, the 5 documents
+    with the smallest h/w priority key, where h is a 60-bit md5 hash of
+    the doc id and w = n_chars — the priority-sampling family (Duffield,
+    Lund & Thorup, JACM 2007): selection probability rises with weight,
+    yet membership is a pure function of (key, weight), so the sample is
+    identical across runs, engines, partitionings, and corpus growth —
+    the reproducible form of length-weighted mixture draws (vs
+    stratified_sample's unweighted quota). The key is ONE IEEE double
+    division over exact integers (division is correctly rounded — unlike
+    ln/pow formulations whose libm results differ across engines), so
+    the ordering replays bit-for-bit in SQL. One shuffle on the stratum."""
+    from pyspark.sql import Window as W
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    key = h.cast("double") / F.col("n_chars").cast("double")
+    w = W.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars", key.alias("sample_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

@@ -305,3 +305,23 @@ def test_bpe_segment_matches_reference(spark):
     joined = ["".join(p) for p in got]
     expected = ["".join(t.split()) for t in texts]
     assert joined == expected
+
+
+def test_weighted_sample_favors_heavy_docs_and_is_stable(spark):
+    """Priority sampling: a document with overwhelming weight is selected;
+    the draw is invariant to partitioning (pure function of key+weight)."""
+    from s3_to_redshift_with_airflow_spark.plans import query_map
+    import tempfile, os
+
+    rows = [(i, "x" * 3, "en", "s0", 10) for i in range(50)]
+    rows.append((999, "y", "en", "s0", 10**9))  # one giant doc
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.repartition(7).write.parquet(os.path.join(d, "documents.parquet"))
+        out = query_map()["weighted_sample"](spark, d).collect()
+        ids = {r["doc_id"] for r in out}
+        assert len(out) == 5 and 999 in ids
+        out2 = query_map()["weighted_sample"](spark, d).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
