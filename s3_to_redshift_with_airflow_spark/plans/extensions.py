@@ -2068,3 +2068,65 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+_SQL_SYNTH_STREAM = f"""
+    WITH pp AS (SELECT unnest(generate_series(0, 2)) AS p),
+    ii AS (SELECT unnest(generate_series(0, 99)) AS i),
+    idx AS (SELECT p, i FROM pp, ii),
+    f AS (
+      SELECT {_SYN_MD5.format(f="e")} % 5 AS ei,
+             {_SYN_MD5.format(f="v")} % 10000 AS cents
+      FROM idx
+    )
+    SELECT ['play','pause','skip','like','share'][CAST(ei + 1 AS INTEGER)]
+             AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(cents AS BIGINT)) AS BIGINT) AS value_cents
+    FROM f GROUP BY event_type
+"""
+
+
+@query("streaming_synthetic_agg", oracle=_SQL_SYNTH_STREAM)
+def q_streaming_synthetic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming aggregation over the custom Python DataSource's
+    STREAM half (sources/synthetic.py): three trigger-once micro-batches
+    share one checkpoint, each folding 100 more generated events into a
+    complete-mode groupBy — exercising offset tracking, state-store
+    recovery between runs, and the replayable-source contract end-to-end.
+    Because each batch is a pure md5 function of its offset, even this
+    STREAMING result carries an exact DuckDB oracle (regenerate batches
+    0-2, aggregate). sf_dir unused by design (storage-free source)."""
+    import shutil
+    import tempfile
+
+    from ..sources.synthetic import register
+
+    register(spark)
+    sink = "streaming_synthetic_mem"
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 100)
+        .load()
+    )
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    d = tempfile.mkdtemp(prefix="synthstream_")
+    try:
+        for _ in range(3):
+            (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(sink)
+                .option("checkpointLocation", d + "/ck")
+                .trigger(once=True)
+                .start()
+                .awaitTermination()
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(sink)

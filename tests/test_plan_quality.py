@@ -251,7 +251,7 @@ def test_registry_wide_plan_audit(spark):
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
-        "streaming_enrich_join",
+        "streaming_enrich_join", "streaming_synthetic_agg",
         # the iterative connected-components builder runs driver-loop jobs
         # (count + localCheckpoint) at plan-build time — executing, not
         # planning — so these can't be audited as plans
