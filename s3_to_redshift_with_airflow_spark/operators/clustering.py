@@ -88,6 +88,8 @@ def kmeans_int8(
     bit-for-bit; the winner itself is chosen by the true squared distance
     dist_score/n_c² (see the argmin comment below).
     """
+    if k <= 0 or n_iter <= 0:
+        raise ValueError("k and n_iter must be positive")
     q = fan_out(_quantized(emb, id_col, vec_col))
 
     # Seeds: the k smallest ids. orderBy().limit(k) executes as

@@ -137,6 +137,14 @@ def chunk_documents(
     """
     from ..functions.text import tokens
 
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        raise ValueError(
+            f"stride {stride} > chunk_tokens {chunk_tokens} would skip "
+            "tokens between consecutive chunks — coverage requires "
+            "stride <= chunk_tokens"
+        )
     n = F.size(F.col("__toks"))
     last_start = F.greatest(
         n - F.lit(chunk_tokens) + F.lit(stride - 1), F.lit(0)

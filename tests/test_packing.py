@@ -136,3 +136,14 @@ def test_chunk_documents_overlap_is_exact(spark):
             assert ta[S:] == tb[: len(ta) - S]
             checked += 1
     assert checked > 0
+
+
+def test_chunk_documents_rejects_coverage_gaps(spark):
+    import pytest
+    from s3_to_redshift_with_airflow_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="skip"):
+        chunk_documents(docs, chunk_tokens=8, stride=9)
+    with pytest.raises(ValueError, match="positive"):
+        chunk_documents(docs, chunk_tokens=0, stride=1)
