@@ -363,17 +363,13 @@ def ivf_int8_topk(
         centroids.agg(F.collect_list(F.struct("cid", "s", "n", "ss")).alias("cs"))
     )
 
-    qq = _quantized(
+    qv = F.transform(quantize_int8(F.col("__qvec")), lambda x: x.cast("bigint"))
+    qq = (
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
-        ),
-        query_id_col,
-        "__qvec",
-    ).join(
-        queries.select(
-            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
-        ),
-        query_id_col,
+        )
+        .withColumn("qv", qv)
+        .withColumn("xx", _int_dot(F.col("qv"), F.col("qv")))
     )
 
     def _d2(c):
