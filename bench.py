@@ -54,6 +54,9 @@ HEADLINE = [
     # semantic dedup (SemDeDup), and the explode-heavy RAG chunker
     "semdedup_pairs",
     "doc_chunking",
+    # deterministic IVF ANN (broadcast-probe corpus scan over the
+    # persisted int8 k-means index)
+    "ivf_int8_ann_topk",
 ]
 
 

@@ -65,9 +65,15 @@ def max_abs(v: Column) -> Column:
 
 def quant_scale(v: Column) -> Column:
     """Symmetric per-vector scale mapping [-max|x|, max|x|] → [-127, 127].
-    Zero vectors get scale 0 (quantize to all-zero)."""
+    Zero vectors get scale 0 (quantize to all-zero); so do vectors whose
+    max|x| is so small (< ~7e-307) that 127/max|x| overflows to infinity —
+    without that guard 0·inf = NaN poisons the codes (found by the
+    hypothesis property test, not by real data)."""
     m = max_abs(v)
-    return F.when(m > 0, F.lit(127.0) / m).otherwise(F.lit(0.0))
+    s = F.lit(127.0) / m
+    return F.when(
+        m > 0, F.when(s == F.lit(float("inf")), F.lit(0.0)).otherwise(s)
+    ).otherwise(F.lit(0.0))
 
 
 def quantize_int8(v: Column) -> Column:

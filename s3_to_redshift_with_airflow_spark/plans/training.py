@@ -167,7 +167,8 @@ _SQL_QUANT = """
     ),
     s AS (
       SELECT vec_id, v,
-             CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
+             CASE WHEN maxabs > 0 AND NOT isinf(127.0 / maxabs)
+                  THEN 127.0 / maxabs ELSE 0.0 END AS scale
       FROM m
     ),
     q AS (

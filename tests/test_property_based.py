@@ -326,6 +326,8 @@ def _kmeans_reference(vecs, k, n_iter):
     def quant(v):
         m = max(abs(x) for x in v)
         s = 127.0 / m if m > 0 else 0.0
+        if math.isinf(s):  # engine contract: overflow-scale ⇒ zero vector
+            s = 0.0
         return [min(max(math.floor(x * s + 0.5), -127), 127) for x in v]
 
     q = {i: quant(v) for i, v in vecs}
