@@ -2130,3 +2130,73 @@ def q_streaming_synthetic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table(sink)
+
+
+_SQL_SOURCE_QUALITY = f"""
+    WITH g AS (
+      SELECT source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(length(regexp_replace({_NORM}, ' ', '', 'g')) AS DOUBLE)
+               AS n_nonspace,
+             CAST(len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]')))
+               AS DOUBLE) AS n_alpha,
+             CAST({_sql_count_in(EN_STOPWORDS)} AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_distinct,
+             n_chars
+      FROM documents
+    ),
+    r AS (
+      SELECT source, n_tok, n_chars,
+             CASE WHEN n_tok >= 10 AND n_tok <= 100000
+                   AND n_nonspace / greatest(CAST(n_tok AS DOUBLE), 1.0) >= 3.0
+                   AND n_nonspace / greatest(CAST(n_tok AS DOUBLE), 1.0) <= 10.0
+                   AND n_alpha / greatest(CAST(n_tok AS DOUBLE), 1.0) >= 0.8
+                   AND n_stop >= 2
+                   AND n_distinct / greatest(CAST(n_tok AS DOUBLE), 1.0) >= 0.3
+             THEN 1 ELSE 0 END AS pass
+      FROM g
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pass) AS BIGINT) AS n_pass,
+           CAST(SUM(pass) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pass_rate,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+    FROM r GROUP BY source
+"""
+
+
+@query("source_quality_report", oracle=_SQL_SOURCE_QUALITY)
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard: document count, Gopher-gate pass
+    count/rate, total whitespace tokens, mean document length — the
+    monitoring view a curation pipeline watches per ingest source (which
+    domain is degrading, which to re-crawl). One scan + one groupBy(source);
+    rates are single IEEE divisions over exact integer counts, so the row
+    values are engine-exact."""
+    import functools
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    rules = gopher_rules(F.col("text"))
+    passes = functools.reduce(lambda a, b: a & b, rules.values())
+    n_tok = token_count(F.col("text"))
+    return (
+        docs.select(
+            "source",
+            n_tok.alias("n_tok"),
+            F.col("n_chars"),
+            F.when(passes, 1).otherwise(0).alias("pass"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("pass").cast("bigint").alias("n_pass"),
+            (F.sum("pass").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "pass_rate"
+            ),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            (
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_chars"),
+        )
+    )
