@@ -2200,3 +2200,57 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_chars"),
         )
     )
+
+
+_SQL_INTRA_DOC = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+               i -> array_to_string(list_slice(toks, i*10 + 1, i*10 + 10), ' '))
+               AS segs
+      FROM t
+    ),
+    k AS (
+      SELECT doc_id, segs,
+             list_filter(segs, (x, i) -> list_position(segs, x) = i) AS kept
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(len(segs) AS BIGINT) AS n_segments,
+           CAST(len(kept) AS BIGINT) AS kept_segments,
+           array_to_string(kept, ' ') AS clean_text
+    FROM k
+"""
+
+
+@query("intra_doc_dedup", oracle=_SQL_INTRA_DOC)
+def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document segment dedup — the CCNet intra-doc repetition
+    cleaner that complements paragraph_dedup's cross-corpus pass: segment
+    each document (same fixed 10-token windows as chunk_dedup, stated
+    substitution for newline splits on this corpus), keep only each
+    segment's FIRST occurrence in document order, reassemble. Entirely
+    per-row higher-order expressions (transform/filter with index lambda;
+    first-occurrence via array_position) — zero shuffles, zero joins: the
+    ideal scale shape because intra-doc state never leaves the row."""
+    from ..functions.text import tokens
+
+    toks = tokens(F.col("text"))
+    n_seg = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    (docs,) = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", segs.alias("segs"))
+    kept = F.filter(
+        "segs", lambda x, i: F.array_position(F.col("segs"), x) == i + 1
+    )
+    return d.select(
+        "doc_id",
+        F.size("segs").cast("bigint").alias("n_segments"),
+        F.size(kept).cast("bigint").alias("kept_segments"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

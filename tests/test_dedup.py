@@ -194,3 +194,26 @@ def test_curation_funnel_is_a_monotone_funnel(spark):
     rules = gopher_rules(F.col("text"))
     passes = functools.reduce(lambda a, b: a & b, rules.values())
     assert row["n_quality"] == docs.filter(passes).count()
+
+
+def test_intra_doc_dedup_removes_repeated_segments(spark):
+    """A document whose second half repeats its first half keeps exactly the
+    first occurrence; a non-repetitive document is unchanged."""
+    import os
+    import tempfile
+
+    from s3_to_redshift_with_airflow_spark.plans import query_map
+
+    rep = " ".join(str(i % 10) for i in range(20))  # two identical 10-tok segs
+    uniq = " ".join(str(i) for i in range(20))      # two distinct segs
+    df = spark.createDataFrame(
+        [(1, rep, "en", "s0", len(rep)), (2, uniq, "en", "s0", len(uniq))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r for r in query_map()["intra_doc_dedup"](spark, d).collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["kept_segments"] == 1
+    assert out[1]["clean_text"] == " ".join(str(i % 10) for i in range(10))
+    assert out[2]["n_segments"] == 2 and out[2]["kept_segments"] == 2
+    assert out[2]["clean_text"] == uniq
