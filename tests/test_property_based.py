@@ -422,3 +422,61 @@ def test_chunk_documents_matches_python_reference(spark, texts):
         i: _chunks_reference(t, 5, 2) for i, t in enumerate(texts)
     }
     assert got == expected
+
+
+# --- weighted bottom-k sampling vs pure-Python reference ---------------------
+
+import hashlib
+
+
+def _weighted_sample_reference(rows, k=5):
+    """(doc_id, source, n_chars) → per-source k smallest h/w with doc_id
+    tie-break; h = first 15 hex chars of md5(str(doc_id))."""
+    out = {}
+    for doc_id, source, n_chars in rows:
+        if n_chars <= 0:
+            continue
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        key = (float(h) / float(n_chars), doc_id)
+        out.setdefault(source, []).append((key, doc_id, n_chars))
+    result = set()
+    for source, lst in out.items():
+        for key, doc_id, n_chars in sorted(lst)[:k]:
+            result.add((doc_id, source, n_chars))
+    return result
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),      # doc_id (dups dropped)
+            st.sampled_from(["a", "b"]),                 # source
+            st.integers(min_value=0, max_value=10**9),   # n_chars (0 excluded)
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_weighted_sample_matches_python_reference(spark, rows):
+    import os
+    import tempfile
+
+    from s3_to_redshift_with_airflow_spark.plans import query_map
+
+    df = spark.createDataFrame(
+        [(i, "t", "en", s, n) for i, s, n in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            (r["doc_id"], r["source"], r["n_chars"])
+            for r in query_map()["weighted_sample"](spark, d).collect()
+        }
+    assert got == _weighted_sample_reference(rows)
