@@ -6,9 +6,10 @@ The point of the integer formulation is visible right here: a CLUSTERING
 algorithm carries an exact DuckDB value oracle. The oracle below unrolls
 Lloyd's iterations as SQL CTEs over the SAME arithmetic — int8 codes from
 floor(x*scale+0.5) clamp ±127, centroids as (Σ-vector, count) never divided,
-assignment by argmin of n²(x·x) − 2n(x·s) + (s·s) with ties to the smallest
-cluster id — so every intermediate is exact integer and both engines agree
-bit-for-bit regardless of partitioning.
+per-centroid scores n²(x·x) − 2n(x·s) + (s·s) in exact bigint, the argmin
+on the true squared distance score/n² (one IEEE division, ties to the
+smallest cluster id) — so both engines agree bit-for-bit regardless of
+partitioning.
 
 Reference parity: the reference engine has no clustering operator — this is
 the BASELINE.json training-pipeline extension surface (SemDeDup, Abbas et
