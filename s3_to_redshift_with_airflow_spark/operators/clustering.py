@@ -28,12 +28,16 @@ bigints per partition after partial aggregation — the textbook distributed
 Lloyd layout. Iterations compose lazily into one plan (n_iter is small and
 fixed; there is no driver-side collect anywhere).
 
-Overflow bound: scores use n²·(x·x) ≤ n²·dim·127². With dim=64 that stays
-inside int64 while the largest cluster has under ~2.1M members. Beyond that,
-pre-aggregate per-partition sub-centroids or switch the score to
-decimal(38,0) — noted here so the limit fails loudly in review, not silently
-in production (run with spark.sql.ansi.enabled=true to make any overflow an
-error rather than a NULL).
+Overflow bound: the full score n²·(x·x) − 2n·(x·s) + (s·s) is bounded in
+magnitude by 4·n²·dim·127² (each of the three terms is ≤ n²·dim·127²; the
+middle one twice that). With dim=64 that stays inside int64 only while the
+largest cluster has under ~1.5M members (n² ≤ 2^63 / (4·64·127²)). Beyond
+that, pre-aggregate per-partition sub-centroids or switch the score to
+decimal(38,0). Spark's default non-ANSI mode would WRAP silently on
+overflow (wrong clustering, no error), so kmeans_int8/ivf_int8_topk refuse
+to build a plan unless spark.sql.ansi.enabled=true (the Spark 4 default,
+under which overflow is a loud error) — pass allow_non_ansi=True only for
+corpora provably below the bound.
 
 Reference parity: the reference engine has no clustering operator — this is
 part of the BASELINE.json training-pipeline extension surface (SemDeDup:
@@ -57,6 +61,25 @@ def _int_dot(a, b):
     )
 
 
+def _require_ansi(df: DataFrame, allow_non_ansi: bool) -> None:
+    """The bigint score wraps SILENTLY on overflow under non-ANSI mode
+    (clusters beyond ~1.5M members at dim=64 — see module docstring), so
+    refuse to build a plan that could be wrong without an error."""
+    if allow_non_ansi:
+        return
+    ansi = str(
+        df.sparkSession.conf.get("spark.sql.ansi.enabled", "true")
+    ).lower()
+    if ansi != "true":
+        raise ValueError(
+            "integer k-means requires spark.sql.ansi.enabled=true so a "
+            "score overflow (possible once a cluster exceeds ~1.5M members "
+            "at dim=64) fails loudly instead of wrapping silently; enable "
+            "ANSI mode or pass allow_non_ansi=True for corpora provably "
+            "below the bound"
+        )
+
+
 def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     qv = F.transform(quantize_int8(F.col(vec_col)), lambda x: x.cast("bigint"))
     return emb.select(F.col(id_col), qv.alias("qv")).withColumn(
@@ -71,6 +94,7 @@ def kmeans_int8(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_non_ansi: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd k-means, returning the final assignment
     (id_col, cluster: bigint, dist_score: bigint, centroid_n: bigint) —
@@ -90,6 +114,7 @@ def kmeans_int8(
     """
     if k <= 0 or n_iter <= 0:
         raise ValueError("k and n_iter must be positive")
+    _require_ansi(emb, allow_non_ansi)
     q = fan_out(_quantized(emb, id_col, vec_col))
 
     # Seeds: the k smallest ids. orderBy().limit(k) executes as
@@ -179,9 +204,19 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign: DataFrame | None = None,
+    unpersist_with: list | None = None,
 ) -> DataFrame:
     """SemDeDup: semantic near-duplicate pairs found WITHIN k-means clusters
     (cluster, id_a, id_b, cos_sim with cos_sim ≥ threshold).
+
+    `unpersist_with`: optional caller-managed list; the internally persisted
+    cluster-index frame is appended so the caller can `.unpersist()` it once
+    the returned (lazy) pairs plan has been consumed. Without it the cache
+    entry stays for the session — bounded, not per-call: Spark's
+    CacheManager keys entries by the analyzed plan, so re-running the SAME
+    query reuses the existing entry ("Asked to cache already cached data")
+    rather than accumulating copies; only DISTINCT corpora/params add
+    entries, and those evict under LRU memory pressure.
 
     The clustering (kmeans_int8 above) is the blocking structure: instead of
     LSH bands (operators/similarity.sign_lsh_neardup_pairs), candidate pairs
@@ -225,6 +260,8 @@ def semdedup_pairs(
         .select(id_col, "cluster", "v", "nrm")
         .persist()
     )
+    if unpersist_with is not None:
+        unpersist_with.append(sides)
     a = sides.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
@@ -276,6 +313,14 @@ def semdedup_survivors(
 
     Scale: kmeans (broadcast-fold assignment) + the cluster-blocked pair
     join + one broadcast-able anti-join on the distinct loser set.
+
+    Cache lifecycle: this function drives the expensive pair computation
+    itself (the loser-id set — narrow, one column — is materialized via an
+    eager localCheckpoint), then UNPERSISTS the cluster index and pair
+    sides before returning, so repeated calls leave no cache entries
+    behind. The returned plan re-derives the assignment once at consume
+    time (one extra Lloyd pass — broadcast-fold, no shuffle) instead of
+    pinning a session-lifetime cached copy.
     """
     # persist: assign is read by the pair builder AND the anti-join base —
     # without it the Lloyd subtree executes once per reference (the same
@@ -283,6 +328,7 @@ def semdedup_survivors(
     assign = kmeans_int8(
         emb, k=k, n_iter=n_iter, dim=dim, id_col=id_col, vec_col=vec_col
     ).persist()
+    owned: list = [assign]
     pairs = semdedup_pairs(
         emb,
         k=k,
@@ -292,8 +338,17 @@ def semdedup_survivors(
         id_col=id_col,
         vec_col=vec_col,
         assign=assign,
+        unpersist_with=owned,
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    losers = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for df in owned:
+        df.unpersist()
+    # assign is unpersisted now — the returned plan recomputes the Lloyd
+    # subtree once when consumed, rather than pinning a cached copy.
     return assign.join(losers, id_col, "left_anti").select(id_col, "cluster")
 
 
@@ -308,6 +363,7 @@ def ivf_int8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    unpersist_with: list | None = None,
 ) -> DataFrame:
     """IVF approximate top-k over the DETERMINISTIC int8 k-means coarse
     quantizer (query_id, vec_id, cos_sim, rk) — the faiss IVF-Flat layout,
@@ -334,7 +390,11 @@ def ivf_int8_topk(
     # scan side; the projections canonicalize differently so the Lloyd
     # subtree would otherwise execute twice (see semdedup_pairs). This is
     # the in-memory form of the persisted IVF index — at scale the lists
-    # live in storage and are reused across every query batch.
+    # live in storage and are reused across every query batch. Cache
+    # lifecycle: pass `unpersist_with` (a caller-managed list; the cached
+    # index frame is appended) to release it after consuming the result;
+    # otherwise the entry stays for the session — bounded per distinct
+    # (corpus, params) by CacheManager plan-keyed dedup, LRU-evictable.
     assign = (
         kmeans_int8(
             corpus, k=km_k, n_iter=n_iter, dim=dim, id_col=id_col, vec_col=vec_col
@@ -342,6 +402,8 @@ def ivf_int8_topk(
         .select(id_col, "cluster")
         .persist()
     )
+    if unpersist_with is not None:
+        unpersist_with.append(assign)
     qframe = _quantized(corpus, id_col, vec_col)
     centroids = (
         assign.join(qframe, id_col)
@@ -363,11 +425,16 @@ def ivf_int8_topk(
         centroids.agg(F.collect_list(F.struct("cid", "s", "n", "ss")).alias("cs"))
     )
 
+    # nrm > 0 on the query side: a zero vector has no defined cosine — the
+    # SQL oracle's division would yield inf/nan where cosine() returns 0.0;
+    # excluding zero-norm rows keeps both engines identical (same treatment
+    # as semdedup_pairs).
     qv = F.transform(quantize_int8(F.col("__qvec")), lambda x: x.cast("bigint"))
     qq = (
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
         )
+        .filter(norm(F.col("__qvec")) > 0)
         .withColumn("qv", qv)
         .withColumn("xx", _int_dot(F.col("qv"), F.col("qv")))
     )
@@ -400,10 +467,16 @@ def ivf_int8_topk(
         .select(query_id_col, "__qvec", F.col("p.cluster").alias("cluster"))
     )
 
-    side = corpus.join(assign, id_col).select(
-        id_col,
-        "cluster",
-        F.col(vec_col).alias("__cvec"),
+    # zero-norm corpus vectors are clustered (the index is complete) but
+    # never retrievable — no defined cosine to rank them by (see qq note).
+    side = (
+        corpus.join(assign, id_col)
+        .filter(norm(F.col(vec_col)) > 0)
+        .select(
+            id_col,
+            "cluster",
+            F.col(vec_col).alias("__cvec"),
+        )
     )
     cands = (
         side.join(probes, "cluster")

@@ -60,48 +60,67 @@ def connected_components(
                 "sparkContext.setCheckpointDir(...)"
             )
 
-    def _clean_superseded(keep_latest_only: bool = False) -> None:
-        """Delete superseded iteration checkpoints. Spark never removes
-        reliable checkpoint files on its own (absent the opt-in GC-driven
-        cleaner conf), so at corpus scale each iteration would leave a full
-        labels snapshot in the store. The effective checkpoint dir is
-        context-private (setCheckpointDir appends a per-context UUID), and
-        this engine checkpoints reliably only here, so every rdd-* entry in
-        it belongs to this computation: keep the newest (current labels)
-        plus — until convergence — the oldest (the edge table `sym`, read
-        by every iteration), delete the rest."""
+    # --- ownership-tracked reliable-checkpoint hygiene -------------------
+    # Spark never removes reliable checkpoint files on its own (absent the
+    # opt-in GC-driven cleaner conf), so at corpus scale each iteration
+    # would leave a full labels snapshot in the store. We must clean up —
+    # but ONLY the snapshots THIS invocation created: the checkpoint dir
+    # may be shared with earlier calls, unrelated user code, or concurrent
+    # invocations, and deleting their entries corrupts their lineage. So
+    # each ckpt() diffs the dir's rdd-* entries around the checkpoint call
+    # and records the new paths as owned; cleanup deletes only owned,
+    # superseded label snapshots (the edge table is owned separately and
+    # deleted at convergence). Concurrent invocations sharing one dir can
+    # still race inside the diff window — pass each a distinct
+    # checkpoint_dir to be fully isolated.
+    def _fs_and_dir():
         jsc = sc._jsc.sc()
         if not jsc.getCheckpointDir().isDefined():
-            return
-        jvm = sc._jvm
-        path = jvm.org.apache.hadoop.fs.Path(jsc.getCheckpointDir().get())
+            return None, None
+        path = sc._jvm.org.apache.hadoop.fs.Path(jsc.getCheckpointDir().get())
         fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
-        if not fs.exists(path):
-            return
-        entries = [
-            (int(st.getPath().getName()[4:]), st.getPath())
+        return fs, path
+
+    def _list_rdd_entries():
+        fs, path = _fs_and_dir()
+        if fs is None or not fs.exists(path):
+            return {}
+        return {
+            st.getPath().getName(): st.getPath()
             for st in fs.listStatus(path)
             if st.getPath().getName().startswith("rdd-")
-        ]
-        entries.sort()
-        keep = {entries[-1][0]} if entries else set()
-        if not keep_latest_only and entries:
-            keep.add(entries[0][0])
-        for rdd_id, p in entries:
-            if rdd_id not in keep:
+        }
+
+    owned_label_ckpts: list = []  # this invocation's label snapshots, oldest first
+    owned_edge_ckpts: list = []  # this invocation's edge-table snapshot(s)
+
+    def _delete_paths(paths) -> None:
+        fs, _ = _fs_and_dir()
+        if fs is None:
+            return
+        for p in paths:
+            if fs.exists(p):
                 fs.delete(p, True)
 
-    def ckpt(df: DataFrame) -> DataFrame:
+    def ckpt(df: DataFrame, is_edges: bool = False) -> DataFrame:
         if not reliable:
             return df.localCheckpoint()
+        before = set(_list_rdd_entries())
         out = df.checkpoint(eager=True)
-        _clean_superseded()
+        after = _list_rdd_entries()
+        new_paths = [p for name, p in after.items() if name not in before]
+        (owned_edge_ckpts if is_edges else owned_label_ckpts).extend(new_paths)
+        # Keep only the newest of OUR label snapshots; prior iterations'
+        # are superseded (nothing references them — each iteration reads
+        # only the edge table and the latest labels).
+        while len(owned_label_ckpts) > 1:
+            _delete_paths([owned_label_ckpts.pop(0)])
         return out
 
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = ckpt(sym.distinct())
+    sym = ckpt(sym.distinct(), is_edges=True)
 
     labels = ckpt(
         sym.select(F.col("u").alias("node")).distinct()
@@ -129,7 +148,11 @@ def connected_components(
         changed = upd.filter(F.col("__old") != F.col("component")).count()
         labels = upd.select("node", "component")
         if changed == 0:
-            if reliable:  # the edge table is no longer needed either
-                _clean_superseded(keep_latest_only=True)
+            if reliable:
+                # The edge table is no longer needed. The final labels
+                # snapshot stays — it backs the returned DataFrame.
+                _delete_paths(owned_edge_ckpts)
             return labels
+    if reliable:  # nothing references our snapshots after the failure
+        _delete_paths(owned_edge_ckpts + owned_label_ckpts)
     raise RuntimeError(f"connected_components: no convergence in {max_iter} iterations")

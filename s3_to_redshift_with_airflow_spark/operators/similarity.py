@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.vectors import as_double, cosine, dot
+from ..functions.vectors import as_double, cosine, dot, norm
 from .relational import topk_per_group
 from .skew import fan_out
 
@@ -141,12 +141,22 @@ def hyperplane_lsh_topk(
             "*",
         )
 
-    c = banded(with_signature(fan_out(corpus), vec_col, dim, n_bits, seed), "c")
+    # nrm > 0 on BOTH sides: a zero vector has no defined cosine — the SQL
+    # oracle's division would yield inf/nan while cosine() returns 0.0;
+    # excluding zero-norm rows from candidates AND queries keeps the two
+    # engines identical (same treatment as clustering.semdedup_pairs).
+    c = banded(
+        with_signature(
+            fan_out(corpus.filter(norm(F.col(vec_col)) > 0)),
+            vec_col, dim, n_bits, seed,
+        ),
+        "c",
+    )
     q = banded(
         with_signature(
             queries.select(
                 F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
-            ),
+            ).filter(norm(F.col("__qvec")) > 0),
             "__qvec",
             dim,
             n_bits,

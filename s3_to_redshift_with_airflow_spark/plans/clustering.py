@@ -217,7 +217,16 @@ def _ivf_sql(k: int = _K, n_iter: int = _N_ITER, dim: int = _DIM) -> str:
              CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS ss
       FROM ivf_c_raw
     ),
-    ivf_q AS (SELECT vec_id AS query_id, qv, xx FROM q WHERE vec_id < 5),
+    -- nrm > 0 guards mirror the Spark side's zero-norm exclusion (queries
+    -- and candidates): a zero vector has no defined cosine, and this
+    -- division would yield inf/nan where Spark's cosine() returns 0.0.
+    ivf_q AS (
+      SELECT vec_id AS query_id, qv, xx FROM q
+      WHERE vec_id < 5
+        AND vec_id IN (
+          SELECT vec_id FROM e
+          WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0)
+    ),
     ivf_ps AS (
       SELECT query_id, cid,
              CAST(n * n * xx
@@ -246,6 +255,7 @@ def _ivf_sql(k: int = _K, n_iter: int = _N_ITER, dim: int = _DIM) -> str:
       FROM ivf_cand c
       JOIN e cv ON cv.vec_id = c.vec_id
       JOIN e qv2 ON qv2.vec_id = c.query_id
+      WHERE sqrt(list_sum(list_transform(cv.v, x -> x * x))) > 0
     ),
     ivf_r AS (
       SELECT query_id, vec_id, cos_sim,

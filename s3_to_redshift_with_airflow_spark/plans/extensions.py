@@ -678,6 +678,8 @@ def _lsh_ann_oracle(
       WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
     ),
     scored AS (
+      -- nrm > 0 guards mirror the Spark side's zero-norm exclusion: a zero
+      -- vector has no defined cosine (this division would yield inf/nan).
       SELECT cand.query_id, cand.vec_id,
              list_sum(list_transform(list_zip(cv.v, qv.v), x -> x[1]*x[2]))
                / (sqrt(list_sum(list_transform(cv.v, x -> x*x)))
@@ -685,6 +687,8 @@ def _lsh_ann_oracle(
       FROM cand
       JOIN e cv ON cv.vec_id = cand.vec_id
       JOIN e qv ON qv.vec_id = cand.query_id
+      WHERE sqrt(list_sum(list_transform(cv.v, x -> x*x))) > 0
+        AND sqrt(list_sum(list_transform(qv.v, x -> x*x))) > 0
     ),
     r AS (
       SELECT query_id, vec_id, cos_sim,

@@ -275,3 +275,36 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     # both modes produce the identical fixpoint
     local = connected_components(edges)
     assert {r["node"]: r["component"] for r in local.collect()} == expected
+
+
+def test_connected_components_shared_checkpoint_dir(spark, tmp_path):
+    """Ownership-tracked cleanup: two sequential reliable calls sharing ONE
+    pre-set checkpoint dir must not delete each other's snapshots. The first
+    call's returned labels stay readable after the second call (its backing
+    checkpoint must survive), the second call converges (its edge-table
+    checkpoint is not mistaken for a superseded snapshot), and cleanup still
+    happens (at most one remaining rdd-* per call)."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import (
+        connected_components,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "shared_ckpt"))
+    edges1 = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    edges2 = spark.createDataFrame(
+        [(7, 8), (8, 9), (9, 12)], "id_a long, id_b long"
+    )
+    out1 = connected_components(edges1, reliable=True)
+    out2 = connected_components(edges2, reliable=True)
+    # out1's backing checkpoint must have survived call 2's cleanup
+    assert {r["node"]: r["component"] for r in out1.collect()} == {
+        1: 1, 2: 1, 3: 1
+    }
+    assert {r["node"]: r["component"] for r in out2.collect()} == {
+        7: 7, 8: 7, 9: 7, 12: 7
+    }
+    import glob
+
+    remaining = glob.glob(str(tmp_path / "shared_ckpt" / "*" / "rdd-*"))
+    assert len(remaining) <= 2, remaining
