@@ -57,6 +57,11 @@ HEADLINE = [
     # deterministic IVF ANN (broadcast-probe corpus scan over the
     # persisted int8 k-means index)
     "ivf_int8_ann_topk",
+    # round-4 additions: hashed linear quality gate (broadcast weight
+    # lookup over the exploded token stream) and iterative integer
+    # PageRank (3 power-iteration shuffles)
+    "quality_classifier",
+    "pagerank_centrality",
 ]
 
 

