@@ -194,14 +194,23 @@ def pagerank_scaled(
 
     Scale shape: per iteration, one groupBy(dst) shuffle of partial
     contribution sums; outdegree computed once and joined broadcast-or-
-    shuffle as the optimizer picks. n_iter is small and fixed; the
-    iterations compose into ONE lazy plan (no checkpointing needed at
-    single-digit n_iter; for deep iteration reuse connected_components'
-    checkpoint pattern).
+    shuffle as the optimizer picks. The deduplicated edge table is
+    MATERIALIZED once up front (eager localCheckpoint — blocks are
+    ContextCleaner-freed once unreferenced, no session-lifetime cache
+    pin): every iteration references it, and without materialization the
+    edge-derivation subtree (typically a scan + distinct shuffle) would
+    re-execute ~3× per iteration. The rank lineage itself stays lazy (no
+    per-iteration checkpoint needed at single-digit n_iter; for deep
+    iteration or executor-loss safety at cluster scale reuse
+    connected_components' reliable-checkpoint pattern).
     """
     if n_iter <= 0 or scale <= 0 or not (0 < damping_ppm < scale):
         raise ValueError("need n_iter > 0, scale > 0, 0 < damping_ppm < scale")
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = (
         e.select(F.col("u").alias("node"))

@@ -2033,3 +2033,107 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Spark 4 engine surface: recursive CTEs and the VARIANT type -----------
+
+_CHAIN_GAP_US = 60_000_000  # 60 s
+_CHAIN_DEPTH_CAP = 20
+
+_RCTE_BODY = f"""
+    WITH lk AS (
+      SELECT event_id, user_id, ts,
+             lead(event_id) OVER w AS nxt_id,
+             lead(ts) OVER w AS nxt_ts,
+             lag(ts) OVER w AS prev_ts
+      FROM {{src}}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    link AS (
+      SELECT event_id, nxt_id FROM lk
+      WHERE nxt_id IS NOT NULL
+        AND {{us}}(nxt_ts) - {{us}}(ts) <= {_CHAIN_GAP_US}
+    ),
+    heads AS (
+      SELECT event_id, user_id FROM lk
+      WHERE prev_ts IS NULL OR {{us}}(ts) - {{us}}(prev_ts) > {_CHAIN_GAP_US}
+    ),
+    c AS (
+      SELECT h.event_id AS head_id, h.user_id, h.event_id AS cur_id,
+             0 AS depth
+      FROM heads h
+      UNION ALL
+      SELECT c.head_id, c.user_id, l.nxt_id, c.depth + 1
+      FROM c JOIN link l ON l.event_id = c.cur_id
+      WHERE c.depth < {_CHAIN_DEPTH_CAP}
+    )
+    SELECT head_id, user_id,
+           CAST(COUNT(*) AS BIGINT) AS chain_len
+    FROM c GROUP BY head_id, user_id
+"""
+
+
+@query(
+    "recursive_event_chains",
+    oracle="WITH RECURSIVE "
+    + _RCTE_BODY.format(src="events", us="epoch_us").lstrip()[len("WITH ") :],
+)
+def q_recursive_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-chain lengths via Spark 4's RECURSIVE CTE: per user, events
+    form a linked list ordered by time; links connect events ≤ 60 s apart,
+    chain heads are events with no link in, and the recursion walks each
+    chain (UNION ALL — the only supported recursive form — is safe here
+    because the per-user next-pointer list is ACYCLIC and linear, so every
+    row extends exactly one way: no path multiplicity, no cycle risk,
+    unlike undirected closure which stays with connected_components).
+    Depth is capped at 20 on BOTH engines, making truncation part of the
+    contract. Scale shape: the recursion executes as O(depth) shuffle
+    rounds over the shrinking frontier — the same iteration cost model as
+    connected_components, now expressed in SQL-standard form."""
+    (events,) = _t(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_rcte_src")
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _RCTE_BODY.format(src="events_rcte_src", us="unix_micros").lstrip()[
+            len("WITH ") :
+        ]
+    )
+
+
+@query(
+    "variant_json_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: props JSON
+    is parsed ONCE into a variant column (parse_json — the open-format
+    binary encoding that scans ~8× faster than repeated string JSON-path
+    evaluation and supports shredded columnar storage at scale), then
+    typed fields come out with variant_get. The aggregate is an exact
+    integer rollup per event_type. The oracle reads the same fields with
+    DuckDB's JSON functions — value parity proves the variant path decodes
+    identically to string JSON-path extraction (`json_extract`'s
+    get_json_object baseline)."""
+    (events,) = _t(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("v"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
