@@ -115,7 +115,13 @@ def kmeans_int8(
     if k <= 0 or n_iter <= 0:
         raise ValueError("k and n_iter must be positive")
     _require_ansi(emb, allow_non_ansi)
-    q = fan_out(_quantized(emb, id_col, vec_col))
+    # Materialize the quantized corpus once (eager localCheckpoint,
+    # ContextCleaner-freed when unreferenced): every Lloyd iteration
+    # references it twice (assignment fold + centroid update) plus the
+    # seed scan, and without materialization each reference re-executes
+    # the scan + quantization subtree. At cluster scale this is the
+    # standard "stage the working set once per Lloyd run" layout.
+    q = fan_out(_quantized(emb, id_col, vec_col)).localCheckpoint(eager=True)
 
     # Seeds: the k smallest ids. orderBy().limit(k) executes as
     # TakeOrderedAndProject (per-partition top-k + driver merge of k·P rows)
