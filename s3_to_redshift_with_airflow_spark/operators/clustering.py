@@ -115,13 +115,16 @@ def kmeans_int8(
     if k <= 0 or n_iter <= 0:
         raise ValueError("k and n_iter must be positive")
     _require_ansi(emb, allow_non_ansi)
-    # Materialize the quantized corpus once (eager localCheckpoint,
-    # ContextCleaner-freed when unreferenced): every Lloyd iteration
-    # references it twice (assignment fold + centroid update) plus the
-    # seed scan, and without materialization each reference re-executes
-    # the scan + quantization subtree. At cluster scale this is the
-    # standard "stage the working set once per Lloyd run" layout.
-    q = fan_out(_quantized(emb, id_col, vec_col)).localCheckpoint(eager=True)
+    # Deliberately NOT materialized (measured): an eager localCheckpoint
+    # here would save the repeated scan+quantization subtree within one
+    # run, but it gives every invocation a fresh RDD identity, so plans
+    # built on top stop being equal across invocations and CacheManager's
+    # plan-keyed dedup of the downstream persisted indexes (semdedup
+    # `sides`, IVF `assign`) is defeated — measured net-slower
+    # (semdedup_pairs 1.4 → 3.4 s steady-state) for a marginal IVF gain.
+    # At cluster scale, stage the quantized working set to storage once
+    # and pass it in as `emb` instead.
+    q = fan_out(_quantized(emb, id_col, vec_col))
 
     # Seeds: the k smallest ids. orderBy().limit(k) executes as
     # TakeOrderedAndProject (per-partition top-k + driver merge of k·P rows)

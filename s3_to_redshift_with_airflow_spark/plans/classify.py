@@ -74,9 +74,14 @@ def _pagerank_sql(n_iter: int = _PR_ITER) -> str:
     ctes = [
         f"""
     WITH ev AS (
+      -- null guard: a missing/unparseable key must not create NULL edges
+      -- (NULL equi-join and DISTINCT semantics are where engines could
+      -- diverge; both sides drop them explicitly instead)
       SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
              'k:' || json_extract_string(props, '$.k') AS v
       FROM events
+      WHERE user_id IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
     ),
     e AS (
       SELECT u, v FROM ev UNION SELECT v AS u, u AS v FROM ev
@@ -115,10 +120,17 @@ def q_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per iteration: one groupBy(dst) shuffle of partial contribution sums;
     the outdegree table joins broadcast-size."""
     (events,) = _t(spark, sf_dir, "events")
-    ev = events.select(
-        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
-        F.concat(F.lit("k:"), F.get_json_object("props", "$.k")).alias("v"),
-    ).distinct()
+    ev = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
+            F.concat(F.lit("k:"), F.get_json_object("props", "$.k")).alias("v"),
+        )
+        .distinct()
+    )
     edges = ev.unionByName(
         ev.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

@@ -480,3 +480,104 @@ def test_weighted_sample_matches_python_reference(spark, rows):
             for r in query_map()["weighted_sample"](spark, d).collect()
         }
     assert got == _weighted_sample_reference(rows)
+
+
+# --- integer PageRank vs pure-Python reference ------------------------------
+
+_pr_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _py_pagerank_ref(edges, n_iter, scale=1_000_000, damp=850_000):
+    e = set(edges)
+    nodes = {u for u, _ in e} | {v for _, v in e}
+    deg = {}
+    for u, _ in e:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {n: scale for n in nodes}
+    for _ in range(n_iter):
+        in_sum = {n: 0 for n in nodes}
+        for u, v in e:
+            in_sum[v] += rank[u] // deg[u]
+        rank = {n: (scale - damp) + (damp * in_sum[n]) // scale for n in nodes}
+    return rank
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=_pr_edges, n_iter=st.integers(1, 4))
+def test_pagerank_matches_reference_on_random_graphs(spark, edges, n_iter):
+    """pagerank_scaled == the pure-Python floor-division model on arbitrary
+    directed graphs (self-loops, dangling nodes, multi-edges collapse) for
+    any iteration count — the bigint pipeline introduces no engine drift."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import pagerank_scaled
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_scaled(df, n_iter=n_iter).collect()
+    }
+    assert got == _py_pagerank_ref(edges, n_iter)
+
+
+# --- hashed linear classifier vs pure-Python reference ----------------------
+
+_clf_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab c\tXY1.")), min_size=0, max_size=24
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=_clf_texts)
+def test_classifier_matches_reference_on_random_texts(spark, texts):
+    """hashed_linear_classify == the pure-Python model for arbitrary
+    whitespace/case/empty-token shapes (normalization, hashing, margin and
+    label all replicated)."""
+    import hashlib
+    import re
+
+    from s3_to_redshift_with_airflow_spark.operators.classify import (
+        hashed_linear_classify,
+    )
+
+    def md5i(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["margin"], r["label"])
+        for r in hashed_linear_classify(df).collect()
+    }
+    want = {}
+    for doc_id, text in rows:
+        toks = [
+            t
+            for t in re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+            if t
+        ]
+        if not toks:
+            continue
+        margin = sum(
+            md5i(f"w:7:{md5i('t:7:' + t) % 4096}") % 1001 - 500 for t in toks
+        )
+        want[doc_id] = (
+            len(toks),
+            margin,
+            "keep" if margin >= 0 else "drop",
+        )
+    assert got == want
