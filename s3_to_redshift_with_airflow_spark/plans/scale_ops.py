@@ -1325,6 +1325,98 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_outer_join",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least(
+        (SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000)
+         FROM events WHERE event_type = 'click'),
+        (SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000)
+         FROM events WHERE event_type = 'purchase')
+      ) - INTERVAL 2 HOUR AS w
+    ),
+    matched AS (
+      SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+      FROM c JOIN p ON c.user_id = p.p_user
+        AND p.purchase_ts >= c.click_ts
+        AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    ),
+    unmatched AS (
+      SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+             c.click_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+      FROM c
+      WHERE NOT EXISTS (
+          SELECT 1 FROM p WHERE p.p_user = c.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+        AND c.click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the missing outer member of
+    the §2.10 join family. Matched pairs emit as produced (the inner part);
+    a click with NO purchase in its hour emits null-extended only once the
+    engine can prove no future match, i.e. when the global watermark passes
+    the click's match bound. The oracle encodes that contract exactly:
+    batch left join, null rows filtered to click_ts + 1h STRICTLY below
+    the final watermark, where the watermark is the MIN of both sides'
+    (each side's max event time floored to Spark's ms event-time-stats
+    granularity, minus the 2h delay) — the multipleWatermarkPolicy=min
+    default. Strict-<, ms flooring, and the min policy (an empty side pins
+    the watermark at epoch and withholds every null row) are probed
+    empirically and pinned in tests/test_streaming_outer_join.py."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+
+    def side(event_type: str, id_alias: str, ts_alias: str, user_alias: str):
+        src = stream_source(
+            spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+        )
+        src = with_ts_from_nanos(src, "ts")
+        return (
+            src.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "2 hours")
+        )
+
+    clicks = side("click", "click_id", "click_ts", "user_id")
+    purchases = side("purchase", "purchase_id", "purchase_ts", "p_user")
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    sink_name = "streaming_outer_join_mem"
+    (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name)
+
+
+@query(
     "streaming_enrich_join",
     oracle="""
     SELECT c.c_mktsegment AS mktsegment,
@@ -2136,4 +2228,33 @@ def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("sum_k"),
         F.min("k").cast("bigint").alias("min_k"),
         F.max("k").cast("bigint").alias("max_k"),
+    )
+
+
+@query("sketch_rollup", oracle=None)
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HLL sketch rollup (Spark 4 native DataSketches): per
+    (event_type, day) user sketches built in one pass, then MERGED per
+    event_type with hll_union_agg — the pattern that makes distinct-count
+    rollups cheap at 100 TB (store the per-partition sketches, never
+    re-scan raw data to re-aggregate at a coarser grain; a sketch is ~KB
+    regardless of cardinality). Rows-only by necessity: the estimate is a
+    DataSketches value DuckDB cannot reproduce — but it IS deterministic
+    (the sketch is a pure function of the hashed value set, order- and
+    partition-independent), so tests/test_scale_ops.py pins the estimate's
+    merge-associativity (union-of-days == direct sketch, exact equality)
+    and its error vs exact distinct."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("bigint")
+            .alias("est_users"),
+        )
+        .orderBy("event_type")
     )

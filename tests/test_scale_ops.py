@@ -308,3 +308,38 @@ def test_connected_components_shared_checkpoint_dir(spark, tmp_path):
 
     remaining = glob.glob(str(tmp_path / "shared_ckpt" / "*" / "rdd-*"))
     assert len(remaining) <= 2, remaining
+
+
+def test_sketch_rollup_merge_associativity_and_error(spark):
+    """The HLL estimate is deterministic and merge-associative: the
+    union of per-day sketches must estimate EXACTLY what one direct
+    sketch over the same rows estimates (same hashed value set), and
+    both must land within HLL error of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    rolled = {
+        r["event_type"]: r["est_users"]
+        for r in REGISTRY["sketch_rollup"].fn(spark, SF_SMOKE).collect()
+    }
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    direct = {
+        r["event_type"]: r["est"]
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+            .cast("bigint")
+            .alias("est")
+        )
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert rolled == direct  # merge-of-days == direct sketch, exactly
+    for et, n in exact.items():
+        assert abs(rolled[et] - n) <= max(2, 0.05 * n), (et, rolled[et], n)
