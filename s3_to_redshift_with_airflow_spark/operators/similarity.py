@@ -110,6 +110,7 @@ def hyperplane_lsh_topk(
     n_bits: int = 16,
     n_bands: int = 8,
     seed: int = 42,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one signature band
     (n_bits split into n_bands blocks), exact cosine re-ranks candidates.
@@ -119,20 +120,37 @@ def hyperplane_lsh_topk(
     The defaults (16 bits, 8 two-bit bands) measure ≥0.95 top-10 recall on
     the driver testdata — pinned ≥0.9 in tests/test_similarity.py so a
     parameter regression fails fast.
+
+    `multi_probe=True` additionally probes, per band, every bucket whose
+    key differs from the query's by ONE sign bit — multi-probe LSH (Lv et
+    al., VLDB'07): a near neighbor that lands one flipped hyperplane away
+    still becomes a candidate. Candidates grow ~(1 + band_size)× ONLY on
+    the query side (the corpus index is untouched — the production
+    property: recall is tuned at query time without rebuilding or
+    enlarging the stored index). Bit arithmetic only, so the probe set —
+    and therefore the whole result — still carries an exact SQL oracle.
     """
     band_size = n_bits // n_bands
     mask = (1 << band_size) - 1
 
-    def banded(df: DataFrame, side: str) -> DataFrame:
+    def banded(df: DataFrame, side: str, probe: bool = False) -> DataFrame:
+        def keys(i: int):
+            base = (
+                F.shiftright(F.col("__sig"), i * band_size)
+                .bitwiseAND(F.lit(mask))
+            )
+            if not probe:
+                return [base]
+            # the bucket itself + every single-bit flip of its key
+            return [base] + [
+                base.bitwiseXOR(F.lit(1 << j)) for j in range(band_size)
+            ]
+
         bands = F.array(
             *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftright(F.col("__sig"), i * band_size)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("key"),
-                )
+                F.struct(F.lit(i).alias("band"), k.alias("key"))
                 for i in range(n_bands)
+                for k in keys(i)
             ]
         )
         return df.withColumn("__band", F.explode(bands)).select(
@@ -163,6 +181,7 @@ def hyperplane_lsh_topk(
             seed,
         ),
         "q",
+        probe=multi_probe,
     )
     cands = (
         c.join(

@@ -640,8 +640,19 @@ def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sign_lsh_neardup_pairs(emb, threshold=0.4, dim=64, band_size=4)
 
 
+def _probe_flips(band_size: int, multi_probe: bool) -> str:
+    """Probe-key xor masks: the bucket itself (0), plus each single-bit
+    flip when multi-probing."""
+    flips = [0] + ([1 << j for j in range(band_size)] if multi_probe else [])
+    return "[" + ", ".join(str(f) for f in flips) + "]"
+
+
 def _lsh_ann_oracle(
-    n_bits: int = 16, dim: int = 64, seed: int = 42, n_bands: int = 8
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    n_bands: int = 8,
+    multi_probe: bool = False,
 ) -> str:
     """EXACT SQL twin of hyperplane_lsh_topk: the float hyperplane dots are
     reproduced with the SAME strict-left-fold + string→double constant
@@ -649,7 +660,9 @@ def _lsh_ann_oracle(
     documents both 1-ulp traps) — and the signature only consumes the SIGN
     of each dot, so bit-identical dots give bit-identical buckets. The rest
     (band split, bucket join, exact cosine re-rank, tie-pinned top-k) is
-    the ann_topk oracle pattern over the candidate set."""
+    the ann_topk oracle pattern over the candidate set. multi_probe adds
+    the query-side single-bit-flip probe keys (xor with 0 = the bucket
+    itself) — still pure bit arithmetic, still exact."""
     from ..operators.similarity import _hyperplane
 
     band_size = n_bits // n_bands
@@ -672,10 +685,15 @@ def _lsh_ann_oracle(
       SELECT vec_id, band, (sig >> (band * {band_size})) & {mask} AS key
       FROM (SELECT vec_id, sig, unnest({bands}) AS band FROM s)
     ),
+    qk AS (
+      SELECT vec_id, band, xor(key, f) AS key
+      FROM bk, (SELECT unnest({_probe_flips(band_size, multi_probe)}) AS f)
+      WHERE vec_id < 5
+    ),
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id
-      FROM bk c JOIN bk q ON c.band = q.band AND c.key = q.key
-      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+      FROM bk c JOIN qk q ON c.band = q.band AND c.key = q.key
+      WHERE c.vec_id <> q.vec_id
     ),
     scored AS (
       -- nrm > 0 guards mirror the Spark side's zero-norm exclusion: a zero
@@ -712,6 +730,25 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs the exact baseline stays pinned in tests/test_similarity.py."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     out = hyperplane_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+@query("lsh_multiprobe_ann_topk", oracle=_lsh_ann_oracle(multi_probe=True))
+def q_lsh_multiprobe_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH top-k (Lv et al., VLDB'07): per band,
+    the query additionally probes every bucket one sign-bit away, so a
+    near neighbor that landed one flipped hyperplane off still becomes a
+    candidate. Recall is tuned at QUERY time — candidates grow
+    ~(1+band_size)× on the query side only; the stored corpus index is
+    byte-identical to lsh_ann_topk's (the production property: no index
+    rebuild to trade latency for recall). Probe keys are pure bit
+    arithmetic, so the variant keeps an EXACT value oracle; recall ≥ the
+    single-probe path is pinned in tests and surfaced as a row in
+    ann_recall_report."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    out = hyperplane_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, multi_probe=True
+    )
     return out.withColumn("rk", F.col("rk").cast("bigint"))
 
 

@@ -243,20 +243,20 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_recall_report", oracle=None)
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured top-10 recall of the two approximate ANN paths against the
+    """Measured top-10 recall of the approximate ANN paths against the
     exact brute-force baseline, in one plan: for each of `lsh_ann_topk`,
-    `ivf_ann_topk` and `ivf_int8_ann_topk` (IDENTICAL parameters to those
-    registry entries), the
-    fraction of the exact top-10 neighbor set the approximate method
-    retrieves. Makes the quality of the rows-only approximate queries
-    visible as registry VALUES — tests/test_scale_ops.py pins
-    recall_at_10 ≥ 0.9 for both rows — instead of living only in test
-    output. rows-only by necessity (the measured methods themselves are
-    hash/k-means-dependent).
+    `lsh_multiprobe_ann_topk`, `ivf_ann_topk` and `ivf_int8_ann_topk`
+    (IDENTICAL parameters to those registry entries), the fraction of the
+    exact top-10 neighbor set the approximate method retrieves. Makes the
+    quality of the rows-only approximate queries visible as registry
+    VALUES — tests/test_scale_ops.py pins the per-method floors, and that
+    multi-probe recall ≥ single-probe recall — instead of living only in
+    test output. rows-only by necessity (the measured methods themselves
+    are hash/k-means-dependent).
 
-    Plan: three top-k subplans (each the sanctioned broadcast-query shape),
-    two left joins on (query_id, vec_id), two 1-row aggregates, union —
-    negligible cost beyond the retrievers themselves."""
+    Plan: four top-k subplans (each the sanctioned broadcast-query shape),
+    one left join + 1-row aggregate per method, union — negligible cost
+    beyond the retrievers themselves."""
     from ..operators.clustering import ivf_int8_topk
     from ..operators.similarity import brute_force_topk, hyperplane_lsh_topk
 
@@ -273,6 +273,9 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_ann_topk": hyperplane_lsh_topk(emb, qs, k=10).select(
             "query_id", "vec_id"
         ),
+        "lsh_multiprobe_ann_topk": hyperplane_lsh_topk(
+            emb, qs, k=10, multi_probe=True
+        ).select("query_id", "vec_id"),
     }
     parts = []
     for method in sorted(approx):

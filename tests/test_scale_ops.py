@@ -238,14 +238,27 @@ def test_ann_recall_report_pins_all_methods(spark):
     constant of the corpus, not a distribution."""
     rows = query_map()["ann_recall_report"](spark, SF_SMOKE).collect()
     assert [r["method"] for r in rows] == [
-        "ivf_ann_topk", "ivf_int8_ann_topk", "lsh_ann_topk"
+        "ivf_ann_topk",
+        "ivf_int8_ann_topk",
+        "lsh_ann_topk",
+        "lsh_multiprobe_ann_topk",
     ]
-    floors = {"ivf_ann_topk": 0.9, "ivf_int8_ann_topk": 0.6, "lsh_ann_topk": 0.9}
+    floors = {
+        "ivf_ann_topk": 0.9,
+        "ivf_int8_ann_topk": 0.6,
+        "lsh_ann_topk": 0.9,
+        "lsh_multiprobe_ann_topk": 0.9,
+    }
+    recall = {}
     for r in rows:
         assert r["n_exact"] == 50  # 5 queries × top-10 exact
         assert r["recall_at_10"] >= floors[r["method"]], (
             f"{r['method']} recall {r['recall_at_10']}"
         )
+        recall[r["method"]] = r["recall_at_10"]
+    # multi-probe supersets the single-probe candidate set → recall can
+    # only rise (exact cosine re-rank of a superset)
+    assert recall["lsh_multiprobe_ann_topk"] >= recall["lsh_ann_topk"]
 
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
