@@ -58,10 +58,13 @@ HEADLINE = [
     # persisted int8 k-means index)
     "ivf_int8_ann_topk",
     # round-4 additions: hashed linear quality gate (broadcast weight
-    # lookup over the exploded token stream) and iterative integer
-    # PageRank (3 power-iteration shuffles)
+    # lookup over the exploded token stream), iterative integer PageRank
+    # (3 power-iteration shuffles), and the stream-stream LEFT OUTER
+    # interval join (watermark-gated null emission — the stateful join
+    # whose state size the watermarks bound)
     "quality_classifier",
     "pagerank_centrality",
+    "streaming_outer_join",
 ]
 
 

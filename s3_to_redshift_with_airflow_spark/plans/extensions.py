@@ -1889,7 +1889,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- end-to-end curation funnel (capstone composition) ----------------------
 
-_SQL_CURATION = f"""
+_CURATION_CTES = f"""
     WITH g AS (
       SELECT doc_id, text,
              CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
@@ -1932,6 +1932,11 @@ _SQL_CURATION = f"""
       SELECT doc_id, text FROM exact_surv
       WHERE doc_id NOT IN (SELECT id_b FROM nd_pairs)
     )
+"""
+
+_SQL_CURATION = (
+    _CURATION_CTES
+    + f"""
     SELECT
       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_raw,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM quality) AS n_quality,
@@ -1942,6 +1947,22 @@ _SQL_CURATION = f"""
                                   / 16.0) AS BIGINT) + 1) AS BIGINT)
        FROM curated) AS n_chunks
 """
+)
+
+_SQL_CURATION_AUDIT = (
+    _CURATION_CTES
+    + """
+    SELECT d.doc_id,
+           CASE WHEN q.doc_id IS NULL THEN 'gopher'
+                WHEN c.doc_id IS NULL THEN 'exact_dup'
+                WHEN nd.id_b IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS stage
+    FROM documents d
+    LEFT JOIN quality q ON q.doc_id = d.doc_id
+    LEFT JOIN canon c ON c.doc_id = d.doc_id
+    LEFT JOIN (SELECT DISTINCT id_b FROM nd_pairs) nd ON nd.id_b = d.doc_id
+    """
+)
 
 
 @query("curation_funnel", oracle=_SQL_CURATION)
@@ -2002,6 +2023,55 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(n_tok).cast("bigint").alias("total_tokens"),
                 F.sum(n_chunks_doc).cast("bigint").alias("n_chunks"),
             )
+        )
+    )
+
+
+@query("curation_audit", oracle=_SQL_CURATION_AUDIT)
+def q_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance for the curation funnel: every document labeled
+    with the FIRST stage that dropped it — 'gopher' (failed a hard quality
+    gate), 'exact_dup' (same fingerprint as a smaller-id quality doc),
+    'near_dup' (MinHash loser among exact survivors), or 'kept'. The
+    audit table is what pipeline debugging actually needs (WHY did doc X
+    disappear; which gate dominates per source) — counts alone
+    (curation_funnel) can't answer it. Same stage plans as the funnel,
+    composed as three left joins of id-only marker frames against the raw
+    corpus: the wide text column never travels through the markers."""
+    import functools
+
+    from ..operators.dedup import minhash_lsh_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    rules = gopher_rules(F.col("text"))
+    quality = docs.filter(functools.reduce(lambda a, b: a & b, rules.values()))
+    canon = (
+        quality.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_surv = quality.join(canon, "doc_id", "left_semi")
+    nd_losers = (
+        minhash_lsh_pairs(exact_surv, threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    q_ids = quality.select("doc_id").withColumn("__q", F.lit(1))
+    c_ids = canon.withColumn("__c", F.lit(1))
+    nd_ids = nd_losers.withColumn("__nd", F.lit(1))
+    return (
+        docs.select("doc_id")
+        .join(q_ids, "doc_id", "left")
+        .join(c_ids, "doc_id", "left")
+        .join(nd_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__q").isNull(), F.lit("gopher"))
+            .when(F.col("__c").isNull(), F.lit("exact_dup"))
+            .when(F.col("__nd").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("stage"),
         )
     )
 
