@@ -1339,12 +1339,23 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'purchase'
     ),
     wm AS (
-      SELECT least(
-        (SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000)
-         FROM events WHERE event_type = 'click'),
-        (SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000)
-         FROM events WHERE event_type = 'purchase')
-      ) - INTERVAL 2 HOUR AS w
+      -- multipleWatermarkPolicy=min: a side with ZERO rows pins the global
+      -- watermark at epoch, withholding every null-extended row. DuckDB's
+      -- least() IGNORES NULLs (it would fall back to the non-empty side's
+      -- max), so the CASE forces w to NULL when either side is empty; the
+      -- unmatched filter's `< w` then evaluates to NULL and drops all rows
+      -- — exactly Spark's behavior.
+      SELECT CASE
+        WHEN cmax IS NULL OR pmax IS NULL THEN NULL
+        ELSE least(cmax, pmax) - INTERVAL 2 HOUR
+      END AS w
+      FROM (
+        SELECT
+          (SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000)
+           FROM events WHERE event_type = 'click') AS cmax,
+          (SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000)
+           FROM events WHERE event_type = 'purchase') AS pmax
+      )
     ),
     matched AS (
       SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
@@ -1376,8 +1387,11 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each side's max event time floored to Spark's ms event-time-stats
     granularity, minus the 2h delay) — the multipleWatermarkPolicy=min
     default. Strict-<, ms flooring, and the min policy (an empty side pins
-    the watermark at epoch and withholds every null row) are probed
-    empirically and pinned in tests/test_streaming_outer_join.py."""
+    the watermark at epoch and withholds every null row — encoded in the
+    oracle as a NULL-propagating CASE over least(), since DuckDB's least()
+    skips NULLs) are probed empirically and pinned in
+    tests/test_streaming_outer_join.py, including an oracle-vs-Spark
+    empty-side parity test running THIS oracle SQL on a click-only corpus."""
     from ..session import ensure_utc
 
     ensure_utc(spark)

@@ -93,3 +93,40 @@ def test_outer_join_empty_side_pins_watermark(spark, tmp_path):
     )
     got = _run_outer(spark, p, schema, "oj_pinned")
     assert got == []
+
+
+def test_outer_join_empty_side_oracle_parity(spark, tmp_path):
+    """Run the REGISTERED streaming_outer_join query AND its DuckDB oracle
+    SQL on a corpus with ZERO purchase events. Spark's min-policy watermark
+    stays at epoch, so no null-extended rows emit; the oracle's
+    NULL-propagating CASE over least() must agree (DuckDB's plain least()
+    would ignore the empty side's NULL max and wrongly emit null rows —
+    the ADVICE-r4 pitfall this test pins)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    # Single-file events.parquet (FileStreamSource glob expects a file).
+    far = dt.datetime(2024, 6, 1, 0, 0, 0)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 3], pa.int64()),
+            "ts": pa.array([T0, far], pa.timestamp("us")),
+            "user_id": pa.array([10, 99], pa.int64()),
+            "event_type": pa.array(["click", "click"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(tbl, path)
+
+    spec = REGISTRY["streaming_outer_join"]
+    got = spec.fn(spark, str(tmp_path)).collect()
+    assert got == []  # watermark pinned at epoch: nothing emits
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    oracle_rows = con.execute(spec.oracle).fetchall()
+    assert oracle_rows == []  # NULL watermark drops every unmatched row
