@@ -1,34 +1,136 @@
-"""Graph operators: connected components over pair edges.
+"""Graph operators: connected components and PageRank over pair edges.
 
 Near-dup detection yields PAIRS (dedup.py/similarity.py); turning pairs into
 dedup groups ("keep one doc per component") is a connected-components
 problem — the canonical iterative algorithm a declarative plan can't express
 in one pass (SURVEY §2.13's cluster step; same algorithm family as
 Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+PageRank is the centrality twin: same per-iteration shuffle shape, scored
+instead of labeled.
 
-Implementation: iterative min-label propagation. Each node starts labeled
-with itself; every iteration each node takes the min of its own label and
-its neighbors' labels; converged when no label changes. Iterations =
-O(graph diameter) — near-dup graphs are unions of small cliques, so 2-3
-iterations in practice. Each iteration is one shuffle (join + groupBy on
-node); checkpointing truncates the growing lineage so iteration N's plan
-does not replay iterations 1..N-1.
+Connected components: iterative min-label propagation. Each node starts
+labeled with itself; every iteration each node takes the min of its own
+label and its neighbors' labels; converged when no label changes.
+Iterations = O(graph diameter) — near-dup graphs are unions of small
+cliques, so 2-3 iterations in practice. Each iteration is one shuffle
+(join + groupBy on node); checkpointing truncates the growing lineage so
+iteration N's plan does not replay iterations 1..N-1.
 
-Checkpoint modes: the default `localCheckpoint` stores blocks on executors
-— fast, but an executor loss mid-iteration kills the job with no recompute
-path. At cluster scale pass `reliable=True` (with `checkpoint_dir` or a
-pre-set `sparkContext.setCheckpointDir`) to stage each iteration to the
-reliable checkpoint store (HDFS/S3/local FS) so the job survives executor
-loss.
+Checkpoint modes (both operators): the default `localCheckpoint` stores
+blocks on executors — fast, but an executor loss mid-iteration kills the
+job with no recompute path. At cluster scale pass `reliable=True` (with
+`checkpoint_dir` or a pre-set `sparkContext.setCheckpointDir`) to stage
+iterations to the reliable checkpoint store (HDFS/S3/local FS) so the job
+survives executor loss. Ownership-tracked cleanup (below) keeps the store
+from accumulating superseded snapshots.
 
-Determinism: the fixpoint (min reachable id per component) is unique —
-independent of iteration order, partitioning, or cluster size.
+Determinism: CC's fixpoint (min reachable id per component) is unique —
+independent of iteration order, partitioning, or cluster size. PageRank is
+all-bigint floor division, equally partition-invariant.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class _OwnedCheckpoints:
+    """Ownership-tracked reliable-checkpoint hygiene, shared by the
+    iterative graph operators.
+
+    Spark never removes reliable checkpoint files on its own (absent the
+    opt-in GC-driven cleaner conf), so at corpus scale each iteration would
+    leave a full snapshot in the store. We must clean up — but ONLY the
+    snapshots THIS invocation created: the checkpoint dir may be shared
+    with earlier calls, unrelated user code, or concurrent invocations, and
+    deleting their entries corrupts their lineage. So each ckpt() diffs the
+    dir's rdd-* entries around the checkpoint call and records the new
+    paths as owned, per named slot; a slot keeps only its newest `keep`
+    snapshots (prior iterations' are superseded — each iteration reads only
+    the edge table and the latest state). Concurrent invocations sharing
+    one dir can still race inside the diff window — pass each a distinct
+    checkpoint_dir to be fully isolated.
+
+    With reliable=False, ckpt() degrades to `localCheckpoint()` (eager,
+    executor-resident, ContextCleaner-freed) and owns nothing.
+    """
+
+    def __init__(self, sc, reliable: bool, checkpoint_dir: str | None):
+        self.sc = sc
+        self.reliable = reliable
+        if reliable:
+            if checkpoint_dir is not None:
+                sc.setCheckpointDir(checkpoint_dir)
+            elif not sc._jsc.sc().getCheckpointDir().isDefined():
+                raise ValueError(
+                    "reliable=True needs checkpoint_dir or a prior "
+                    "sparkContext.setCheckpointDir(...)"
+                )
+        self._owned: dict[str, list] = {}
+
+    def _fs_and_dir(self):
+        jsc = self.sc._jsc.sc()
+        if not jsc.getCheckpointDir().isDefined():
+            return None, None
+        path = self.sc._jvm.org.apache.hadoop.fs.Path(jsc.getCheckpointDir().get())
+        fs = path.getFileSystem(self.sc._jsc.hadoopConfiguration())
+        return fs, path
+
+    def _list_rdd_entries(self) -> dict:
+        fs, path = self._fs_and_dir()
+        if fs is None or not fs.exists(path):
+            return {}
+        return {
+            st.getPath().getName(): st.getPath()
+            for st in fs.listStatus(path)
+            if st.getPath().getName().startswith("rdd-")
+        }
+
+    def _delete_paths(self, paths) -> None:
+        fs, _ = self._fs_and_dir()
+        if fs is None:
+            return
+        for p in paths:
+            if fs.exists(p):
+                fs.delete(p, True)
+
+    def ckpt(self, df: DataFrame, slot: str, keep: int = 1) -> DataFrame:
+        if not self.reliable:
+            return df.localCheckpoint()
+        before = set(self._list_rdd_entries())
+        out = df.checkpoint(eager=True)
+        after = self._list_rdd_entries()
+        owned = self._owned.setdefault(slot, [])
+        owned.extend(p for name, p in after.items() if name not in before)
+        while len(owned) > keep:
+            self._delete_paths([owned.pop(0)])
+        return out
+
+    def drop(self, *slots: str) -> None:
+        for s in slots:
+            self._delete_paths(self._owned.pop(s, []))
+
+    def drop_all(self) -> None:
+        self.drop(*list(self._owned))
+
+
+def _require_ansi(df: DataFrame, allow_non_ansi: bool, what: str) -> None:
+    """Bigint arithmetic wraps SILENTLY on overflow under non-ANSI mode, so
+    refuse to build a plan that could be wrong without an error (same
+    policy as clustering._require_ansi)."""
+    if allow_non_ansi:
+        return
+    ansi = str(
+        df.sparkSession.conf.get("spark.sql.ansi.enabled", "true")
+    ).lower()
+    if ansi != "true":
+        raise ValueError(
+            f"{what} requires spark.sql.ansi.enabled=true so a bigint "
+            "overflow fails loudly instead of wrapping silently; enable "
+            "ANSI mode or pass allow_non_ansi=True for graphs provably "
+            "below the documented bound"
+        )
 
 
 def connected_components(
@@ -50,81 +152,17 @@ def connected_components(
     checkpoint dir already set on the SparkContext. Both modes produce the
     identical fixpoint — the choice is purely a fault-tolerance/speed trade.
     """
-    sc = edges.sparkSession.sparkContext
-    if reliable:
-        if checkpoint_dir is not None:
-            sc.setCheckpointDir(checkpoint_dir)
-        elif not sc._jsc.sc().getCheckpointDir().isDefined():
-            raise ValueError(
-                "reliable=True needs checkpoint_dir or a prior "
-                "sparkContext.setCheckpointDir(...)"
-            )
-
-    # --- ownership-tracked reliable-checkpoint hygiene -------------------
-    # Spark never removes reliable checkpoint files on its own (absent the
-    # opt-in GC-driven cleaner conf), so at corpus scale each iteration
-    # would leave a full labels snapshot in the store. We must clean up —
-    # but ONLY the snapshots THIS invocation created: the checkpoint dir
-    # may be shared with earlier calls, unrelated user code, or concurrent
-    # invocations, and deleting their entries corrupts their lineage. So
-    # each ckpt() diffs the dir's rdd-* entries around the checkpoint call
-    # and records the new paths as owned; cleanup deletes only owned,
-    # superseded label snapshots (the edge table is owned separately and
-    # deleted at convergence). Concurrent invocations sharing one dir can
-    # still race inside the diff window — pass each a distinct
-    # checkpoint_dir to be fully isolated.
-    def _fs_and_dir():
-        jsc = sc._jsc.sc()
-        if not jsc.getCheckpointDir().isDefined():
-            return None, None
-        path = sc._jvm.org.apache.hadoop.fs.Path(jsc.getCheckpointDir().get())
-        fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
-        return fs, path
-
-    def _list_rdd_entries():
-        fs, path = _fs_and_dir()
-        if fs is None or not fs.exists(path):
-            return {}
-        return {
-            st.getPath().getName(): st.getPath()
-            for st in fs.listStatus(path)
-            if st.getPath().getName().startswith("rdd-")
-        }
-
-    owned_label_ckpts: list = []  # this invocation's label snapshots, oldest first
-    owned_edge_ckpts: list = []  # this invocation's edge-table snapshot(s)
-
-    def _delete_paths(paths) -> None:
-        fs, _ = _fs_and_dir()
-        if fs is None:
-            return
-        for p in paths:
-            if fs.exists(p):
-                fs.delete(p, True)
-
-    def ckpt(df: DataFrame, is_edges: bool = False) -> DataFrame:
-        if not reliable:
-            return df.localCheckpoint()
-        before = set(_list_rdd_entries())
-        out = df.checkpoint(eager=True)
-        after = _list_rdd_entries()
-        new_paths = [p for name, p in after.items() if name not in before]
-        (owned_edge_ckpts if is_edges else owned_label_ckpts).extend(new_paths)
-        # Keep only the newest of OUR label snapshots; prior iterations'
-        # are superseded (nothing references them — each iteration reads
-        # only the edge table and the latest labels).
-        while len(owned_label_ckpts) > 1:
-            _delete_paths([owned_label_ckpts.pop(0)])
-        return out
+    store = _OwnedCheckpoints(edges.sparkSession.sparkContext, reliable, checkpoint_dir)
 
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = ckpt(sym.distinct(), is_edges=True)
+    sym = store.ckpt(sym.distinct(), "edges")
 
-    labels = ckpt(
+    labels = store.ckpt(
         sym.select(F.col("u").alias("node")).distinct()
-        .withColumn("component", F.col("node"))
+        .withColumn("component", F.col("node")),
+        "labels",
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -135,7 +173,7 @@ def connected_components(
         # Carry the previous label through the update so convergence is a
         # cheap filter-count on the checkpointed result — no extra
         # old-vs-new join per iteration.
-        upd = ckpt(
+        upd = store.ckpt(
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
@@ -143,18 +181,17 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
-            )
+            ),
+            "labels",
         )
         changed = upd.filter(F.col("__old") != F.col("component")).count()
         labels = upd.select("node", "component")
         if changed == 0:
-            if reliable:
-                # The edge table is no longer needed. The final labels
-                # snapshot stays — it backs the returned DataFrame.
-                _delete_paths(owned_edge_ckpts)
+            # The edge table is no longer needed. The final labels snapshot
+            # stays — it backs the returned DataFrame.
+            store.drop("edges")
             return labels
-    if reliable:  # nothing references our snapshots after the failure
-        _delete_paths(owned_edge_ckpts + owned_label_ckpts)
+    store.drop_all()  # nothing references our snapshots after the failure
     raise RuntimeError(f"connected_components: no convergence in {max_iter} iterations")
 
 
@@ -165,6 +202,11 @@ def pagerank_scaled(
     dst: str = "dst",
     scale: int = 1_000_000,
     damping_ppm: int = 850_000,
+    redistribute_dangling: bool = False,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
+    ckpt_every: int = 0,
+    allow_non_ansi: bool = False,
 ) -> DataFrame:
     """Integer-scaled PageRank: (node, rank) after `n_iter` power
     iterations, where rank is the stationary-probability estimate times
@@ -176,40 +218,55 @@ def pagerank_scaled(
     oracle, same design as clustering.kmeans_int8):
 
         contrib(u)  = rank(u) div outdeg(u)
+        share       = (Σ_{u dangling} rank(u)) div N    if redistribute_dangling else 0
         rank'(v)    = (scale − damping_ppm)
-                      + (damping_ppm · Σ_{u→v} contrib(u)) div scale
+                      + (damping_ppm · (Σ_{u→v} contrib(u) + share)) div scale
 
     This is the classic damped update with (1−d) = 0.15 expressed in
-    parts-per-million. Dangling nodes (no out-edges) leak their rank —
-    the standard "no dangling redistribution" variant; symmetrize the
-    edge list (every near-dup pair graph is symmetric) to avoid them.
-    Rounding: each iteration floors twice, so ranks are exact integers,
-    biased ≤ 1 scale-unit low per iteration — irrelevant at scale=1e6.
+    parts-per-million. By default dangling nodes (no out-edges) leak their
+    rank — the standard "no dangling redistribution" variant; symmetrize
+    the edge list (every near-dup pair graph is symmetric) to avoid them.
+    `redistribute_dangling=True` adds the textbook uniform-redistribution
+    term instead: one extra 1-row bigint aggregate (read on the driver,
+    exact) per iteration, still all-integer, so determinism is unchanged.
+    On a symmetric graph the dangling set is empty and both modes are
+    bit-identical. Rounding: each iteration floors (twice, plus once for
+    `share`), so ranks are exact integers, biased ≤ 1 scale-unit low per
+    floor — irrelevant at scale=1e6.
 
-    Overflow: Σ contrib ≤ N·scale, so the damped product stays inside
-    int64 while N·scale·damping_ppm < 2^63 — N under ~10⁷ nodes at the
-    defaults. For larger graphs lower `scale` (1e4 keeps 4 significant
-    digits up to N ~ 10⁹) — noted so the bound fails in review, not
-    silently (ANSI mode, the Spark 4 default, makes overflow loud).
+    Overflow: Σ contrib + share ≤ N·scale, so the damped product stays
+    inside int64 while N·scale·damping_ppm < 2^63 — N under ~10⁷ nodes at
+    the defaults. For larger graphs lower `scale` (1e4 keeps 4 significant
+    digits up to N ~ 10⁹). Non-ANSI sessions would wrap silently past the
+    bound, so the plan REFUSES to build unless ANSI mode is on (the Spark 4
+    default) or the caller passes `allow_non_ansi=True` for graphs provably
+    below it — same policy as clustering.kmeans_int8.
 
     Scale shape: per iteration, one groupBy(dst) shuffle of partial
     contribution sums; outdegree computed once and joined broadcast-or-
     shuffle as the optimizer picks. The deduplicated edge table is
-    MATERIALIZED once up front (eager localCheckpoint — blocks are
-    ContextCleaner-freed once unreferenced, no session-lifetime cache
-    pin): every iteration references it, and without materialization the
-    edge-derivation subtree (typically a scan + distinct shuffle) would
-    re-execute ~3× per iteration. The rank lineage itself stays lazy (no
-    per-iteration checkpoint needed at single-digit n_iter; for deep
-    iteration or executor-loss safety at cluster scale reuse
-    connected_components' reliable-checkpoint pattern).
+    MATERIALIZED once up front: every iteration references it, and without
+    materialization the edge-derivation subtree (typically a scan +
+    distinct shuffle) would re-execute ~3× per iteration. By default that
+    is an eager `localCheckpoint` (blocks ContextCleaner-freed once
+    unreferenced, no session-lifetime cache pin) and the rank lineage
+    stays lazy — fine at single-digit n_iter on a healthy cluster. For
+    executor-loss safety pass `reliable=True` (+ `checkpoint_dir`): the
+    edge table and the final ranks stage to the reliable checkpoint store
+    via the same ownership-tracked cleanup as connected_components, and
+    `ckpt_every=k` additionally snapshots the ranks every k iterations
+    (keeping only the newest) so deep iteration neither replays lineage
+    nor floods the store. Both modes produce bit-identical ranks.
     """
     if n_iter <= 0 or scale <= 0 or not (0 < damping_ppm < scale):
         raise ValueError("need n_iter > 0, scale > 0, 0 < damping_ppm < scale")
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    if ckpt_every < 0:
+        raise ValueError("ckpt_every must be >= 0")
+    _require_ansi(edges, allow_non_ansi, "pagerank_scaled")
+    store = _OwnedCheckpoints(edges.sparkSession.sparkContext, reliable, checkpoint_dir)
+    e = store.ckpt(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct(),
+        "edges",
     )
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = (
@@ -217,9 +274,23 @@ def pagerank_scaled(
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
     )
+    if redistribute_dangling:
+        # Dangling set and N are loop-invariant; their ranks change per
+        # iteration, so only the 1-row sum re-executes inside the loop.
+        dangling = nodes.join(deg, nodes.node == deg.u, "left_anti")
+        n_nodes = nodes.count()
     base = scale - damping_ppm
     rank = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
+        if redistribute_dangling:
+            row = (
+                rank.join(dangling, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("s"))
+                .collect()[0]  # 1-row exact bigint aggregate, sanctioned
+            )
+            share = int(row["s"]) // n_nodes
+        else:
+            share = 0
         contrib = (
             e.join(rank, e.u == rank.node)
             .join(deg, "u")
@@ -234,9 +305,18 @@ def pagerank_scaled(
                 (
                     F.lit(base)
                     + F.expr(
-                        f"({damping_ppm} * coalesce(in_sum, 0)) div {scale}"
+                        f"({damping_ppm} * (coalesce(in_sum, 0) + {share})) "
+                        f"div {scale}"
                     )
                 ).cast("bigint").alias("rank"),
             )
         )
+        if ckpt_every and (it + 1) % ckpt_every == 0 and it + 1 < n_iter:
+            rank = store.ckpt(rank, "rank")
+    if reliable:
+        # Materialize the final ranks so the edge snapshot (which the lazy
+        # rank lineage references) can be dropped from the store; the final
+        # rank snapshot stays — it backs the returned DataFrame.
+        rank = store.ckpt(rank, "rank")
+        store.drop("edges")
     return rank

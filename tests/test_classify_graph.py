@@ -85,8 +85,10 @@ def test_standin_weights_range(spark):
     assert all(-500 <= r["weight"] <= 500 for r in w)
 
 
-def _py_pagerank(edges, n_iter=3, scale=1_000_000, damp=850_000):
-    """Pure-Python floor-division PageRank reference."""
+def _py_pagerank(edges, n_iter=3, scale=1_000_000, damp=850_000,
+                 redistribute=False):
+    """Pure-Python floor-division PageRank reference (optionally with the
+    uniform dangling-mass redistribution term)."""
     e = set(edges)
     nodes = {u for u, _ in e} | {v for _, v in e}
     deg = {}
@@ -94,10 +96,17 @@ def _py_pagerank(edges, n_iter=3, scale=1_000_000, damp=850_000):
         deg[u] = deg.get(u, 0) + 1
     rank = {n: scale for n in nodes}
     for _ in range(n_iter):
+        share = (
+            sum(rank[n] for n in nodes if n not in deg) // len(nodes)
+            if redistribute else 0
+        )
         in_sum = {n: 0 for n in nodes}
         for u, v in e:
             in_sum[v] += rank[u] // deg[u]
-        rank = {n: (scale - damp) + (damp * in_sum[n]) // scale for n in nodes}
+        rank = {
+            n: (scale - damp) + (damp * (in_sum[n] + share)) // scale
+            for n in nodes
+        }
     return rank
 
 
@@ -126,9 +135,84 @@ def test_pagerank_deterministic_and_iteration_sensitive(spark):
 def test_pagerank_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     for kwargs in ({"n_iter": 0}, {"scale": 0}, {"damping_ppm": 0},
-                   {"damping_ppm": 2_000_000}):
+                   {"damping_ppm": 2_000_000}, {"ckpt_every": -1}):
         try:
             pagerank_scaled(df, **kwargs)
             raise AssertionError(f"accepted {kwargs}")
         except ValueError:
             pass
+
+
+def test_pagerank_refuses_non_ansi_session(spark):
+    """The int64 overflow bound relies on ANSI mode to fail loudly; a
+    non-ANSI session must be refused unless allow_non_ansi=True (same
+    policy as kmeans_int8 — ADVICE r4)."""
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        try:
+            pagerank_scaled(df, n_iter=1)
+            raise AssertionError("accepted non-ANSI session")
+        except ValueError as e:
+            assert "ansi" in str(e).lower()
+        got = {r["node"]: r["rank"]
+               for r in pagerank_scaled(df, n_iter=1, allow_non_ansi=True).collect()}
+        assert set(got) == {1, 2}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+
+
+def test_pagerank_dangling_redistribution_matches_python_reference(spark):
+    """redistribute_dangling=True adds the textbook uniform term; exact
+    integer parity with the extended Python reference on a graph WITH
+    dangling nodes, and the dangling sink now feeds mass back (its feeder's
+    rank strictly exceeds the leak-variant's)."""
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (5, 1)]  # 4 is dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_scaled(df, n_iter=3, redistribute_dangling=True).collect()
+    }
+    assert got == _py_pagerank(edges, redistribute=True)
+    leak = {r["node"]: r["rank"] for r in pagerank_scaled(df, n_iter=3).collect()}
+    assert got[5] > leak[5]  # redistributed mass reaches every node
+    assert got != leak
+
+
+def test_pagerank_redistribution_noop_on_symmetric_graph(spark):
+    """Symmetrized edges have no dangling nodes, so both modes are
+    bit-identical — the registry entry's oracle stays valid either way."""
+    base = [(1, 2), (2, 3), (3, 1)]
+    edges = base + [(v, u) for u, v in base]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: r["rank"] for r in pagerank_scaled(df, n_iter=3).collect()}
+    b = {
+        r["node"]: r["rank"]
+        for r in pagerank_scaled(df, n_iter=3, redistribute_dangling=True).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_reliable_checkpoint_parity_and_cleanup(spark, tmp_path):
+    """reliable=True produces bit-identical ranks AND leaves only the final
+    rank snapshot in the checkpoint dir (edge + superseded rank snapshots
+    are ownership-tracked and deleted) — mirrors the connected_components
+    reliable-mode guarantees (VERDICT r4 what's-wrong #1)."""
+    import os
+
+    edges = [(i, (i * 7) % 23) for i in range(23)] + [(i, (i + 1) % 23) for i in range(23)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = {r["node"]: r["rank"] for r in pagerank_scaled(df, n_iter=4).collect()}
+    ckdir = str(tmp_path / "pr_ck")
+    out = pagerank_scaled(
+        df, n_iter=4, reliable=True, checkpoint_dir=ckdir, ckpt_every=2
+    )
+    got = {r["node"]: r["rank"] for r in out.collect()}
+    assert got == want
+    # the checkpoint store holds exactly ONE owned snapshot: the final ranks
+    rdds = [
+        d for root, dirs, _ in os.walk(ckdir) for d in dirs if d.startswith("rdd-")
+    ]
+    assert len(rdds) == 1
+    # and the returned DataFrame is still readable (backed by that snapshot)
+    assert {r["node"]: r["rank"] for r in out.collect()} == want
