@@ -68,17 +68,20 @@ HEADLINE = [
 ]
 
 
-def run_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
-    """Steady-state time: best of `runs` full executions (plan build +
-    execution + result materialization). The first run pays JIT/codegen
-    compilation that a long-lived cluster amortizes away; reporting the best
-    run measures the engine, not the JVM warm-up. runs=3 (was 2 in rounds
-    1-2): the LSH queries' generated code is large enough that C2
-    compilation still dominates their second execution on some runs —
-    measured spread minhash_neardup 10.8/6.8/6.2/5.7 s across executions
-    1-4 in one session."""
+def run_query(spark, name: str, sf_dir: str, runs: int = 3) -> list[float]:
+    """Per-run times of `runs` full executions (plan build + execution +
+    result materialization), in execution order. The headline metric is the
+    BEST run: the first run pays JIT/codegen compilation that a long-lived
+    cluster amortizes away, so the best run measures the engine, not the
+    JVM warm-up — but ALL runs are emitted in the JSON (`runs` map) so
+    cold-start vs steady-state is visible in the artifact itself and
+    round-over-round comparisons need no side-channel prose (VERDICT r4
+    next-round #4). runs=3 (was 2 in rounds 1-2): the LSH queries'
+    generated code is large enough that C2 compilation still dominates
+    their second execution on some runs — measured spread minhash_neardup
+    10.8/6.8/6.2/5.7 s across executions 1-4 in one session."""
     fn = REGISTRY[name].fn
-    best = float("inf")
+    times = []
     for _ in range(runs):
         t0 = time.time()
         df = fn(spark, sf_dir)
@@ -87,8 +90,8 @@ def run_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
         n = df.count()
         if n <= 100_000:
             df.collect()
-        best = min(best, time.time() - t0)
-    return best
+        times.append(round(time.time() - t0, 3))
+    return times
 
 
 def main() -> None:
@@ -100,10 +103,12 @@ def main() -> None:
     run_query(spark, "agg_stats", sf_dir)
 
     timings: dict[str, float] = {}
+    per_run: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in REGISTRY:
             continue
-        timings[name] = round(run_query(spark, name, sf_dir), 3)
+        per_run[name] = run_query(spark, name, sf_dir)
+        timings[name] = min(per_run[name])
 
     print(
         json.dumps(
@@ -112,6 +117,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs": per_run,
                 "sf": sf,
             }
         )
