@@ -66,6 +66,113 @@ def standin_weights(
     )
 
 
+def log2_fp_sql(x: str, scale: int = 65536, dialect: str = "spark") -> str:
+    """Fixed-point piecewise-linear log2 as a SQL expression string, exact
+    integer arithmetic on both engines — the primitive that lets a trained
+    Naive-Bayes-style weight table carry a bit-exact value oracle.
+
+    For bigint x ≥ 1: with m = floor(log2(x)) = length(bin(x)) − 1 and
+    p = 2^m, returns m·scale + ((x − p)·scale) div p — the integer part of
+    log2 exactly, plus a linear interpolation within the octave (max error
+    ~0.086 bits, irrelevant for ranking log-odds). Every operand is a
+    non-negative bigint, so Spark's truncating `div` and DuckDB's flooring
+    `//` agree bit-for-bit (same portability rule as the md5 hash trick).
+    Overflow: (x − p)·scale < x·scale, safe while x < 2^63/scale (~1.4e14
+    at the default scale) — far beyond any token-count this sees.
+    """
+    m = f"(length(bin({x})) - 1)"
+    if dialect == "spark":
+        p = f"shiftleft(cast(1 as bigint), {m})"
+        return f"(cast({m} as bigint) * {scale} + (({x} - {p}) * {scale}) div {p})"
+    p = f"(1::BIGINT << {m})"
+    return f"(CAST({m} AS BIGINT) * {scale} + (({x} - {p}) * {scale}) // {p})"
+
+
+def train_hashed_weights(
+    docs: DataFrame,
+    label_col: str,
+    n_buckets: int = 4096,
+    seed: int = 7,
+    scale: int = 65536,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the hashed linear model: one-pass per-class token counts →
+    integer-quantized Naive-Bayes log-odds weights. Returns the FULL
+    (bucket, n_pos, n_neg, weight) table — all `n_buckets` rows, zero
+    counts included — ready to pass as `hashed_linear_classify(weights=)`.
+
+    `docs` must carry a boolean `label_col` (the training label — e.g. a
+    heuristic gate like gopher_rules' conjunction for distillation, or
+    human labels joined upstream); NULL-labeled rows are ignored. Keeping
+    the label a column of `docs` (not a separate keyed table) means the
+    token stream never joins or shuffles to learn its label — it is carried
+    through the explode from the same row.
+
+    Weight (Laplace α=1, B = n_buckets, all fixed-point via log2_fp_sql):
+
+        w(b) = [lg(n_pos_b + 1) − lg(pos_tot + B)]
+             − [lg(n_neg_b + 1) − lg(neg_tot + B)]
+
+    i.e. scale·log2 of the smoothed class-likelihood ratio
+    P(b|pos)/P(b|neg) — the multinomial Naive-Bayes per-feature log-odds.
+    All-bigint, so training is exact, partition-invariant, and carries a
+    DuckDB value oracle just like the margin it feeds.
+
+    Scale shape (100 TB): single corpus scan → JVM explode (label carried
+    along) → ONE groupBy(bucket) shuffle of pre-aggregated partial counts
+    (map-side combine; ≤ n_buckets groups). Totals re-aggregate the tiny
+    bucket table (1 row, broadcast back); the range(n_buckets) frame join
+    is broadcast-size. No Python anywhere.
+    """
+    if n_buckets <= 0 or scale <= 0:
+        raise ValueError("n_buckets and scale must be positive")
+    spark = docs.sparkSession
+    y = F.col(label_col)
+    tok = (
+        docs.filter(y.isNotNull())
+        .select(
+            y.alias("__y"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn(
+            "bucket",
+            _md5_int60(F.concat(F.lit(f"t:{seed}:"), F.col("tok"))) % n_buckets,
+        )
+    )
+    counts = tok.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("bigint").alias("n_neg"),
+    )
+    full = (
+        spark.range(n_buckets)
+        .select(F.col("id").cast("bigint").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_pos", F.lit(0)).cast("bigint").alias("n_pos"),
+            F.coalesce("n_neg", F.lit(0)).cast("bigint").alias("n_neg"),
+        )
+    )
+    totals = full.agg(
+        F.sum("n_pos").cast("bigint").alias("__pt"),
+        F.sum("n_neg").cast("bigint").alias("__nt"),
+    )
+    lg = lambda x: log2_fp_sql(x, scale)  # noqa: E731
+    return (
+        full.join(F.broadcast(totals))  # 1-row totals broadcast (sanctioned)
+        .withColumn(
+            "weight",
+            F.expr(
+                f"({lg('n_pos + 1')} - {lg(f'__pt + {n_buckets}')})"
+                f" - ({lg('n_neg + 1')} - {lg(f'__nt + {n_buckets}')})"
+            ).cast("bigint"),
+        )
+        .select("bucket", "n_pos", "n_neg", "weight")
+    )
+
+
 def hashed_linear_classify(
     docs: DataFrame,
     weights: DataFrame | None = None,

@@ -13,9 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.classify import hashed_linear_classify
+from ..functions.text import EN_STOPWORDS, gopher_rules
+from ..operators.classify import (
+    hashed_linear_classify,
+    log2_fp_sql,
+    train_hashed_weights,
+)
 from ..operators.graph import pagerank_scaled
-from .extensions import _TOKS
+from .extensions import _NORM, _TOKS, _sql_count_in
 from .registry import _t, query
 
 _N_BUCKETS, _SEED, _W_MAX = 4096, 7, 500
@@ -60,6 +65,93 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the identical plan."""
     (docs,) = _t(spark, sf_dir, "documents")
     return hashed_linear_classify(docs, n_buckets=_N_BUCKETS, seed=_SEED)
+
+
+# --- Naive-Bayes training for the hashed linear classifier -----------------
+
+_LG = lambda x: log2_fp_sql(x, dialect="duck")  # noqa: E731
+
+_SQL_TRAIN = f"""
+    WITH lab AS (
+      SELECT text,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             CAST(length(regexp_replace({_NORM}, ' ', '', 'g')) AS DOUBLE)
+               AS n_nonspace,
+             CAST(len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]')))
+               AS DOUBLE) AS n_alpha,
+             CAST({_sql_count_in(EN_STOPWORDS)} AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_distinct
+      FROM documents
+    ),
+    y AS (
+      SELECT text,
+             (n_tok >= 10 AND n_tok <= 100000
+              AND n_nonspace / greatest(n_tok, 1.0) >= 3.0
+              AND n_nonspace / greatest(n_tok, 1.0) <= 10.0
+              AND n_alpha / greatest(n_tok, 1.0) >= 0.8
+              AND n_stop >= 2
+              AND n_distinct / greatest(n_tok, 1.0) >= 0.3) AS y
+      FROM lab
+    ),
+    tok AS (
+      SELECT y, unnest({_TOKS}) AS tok FROM y WHERE y IS NOT NULL
+    ),
+    b AS (
+      SELECT y,
+             CAST(('0x' || substr(md5('t:{_SEED}:' || tok), 1, 15))::UBIGINT
+                  % {_N_BUCKETS} AS BIGINT) AS bucket
+      FROM tok WHERE tok <> ''
+    ),
+    c AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+      FROM b GROUP BY bucket
+    ),
+    f AS (
+      SELECT CAST(range AS BIGINT) AS bucket,
+             COALESCE(n_pos, 0::BIGINT) AS n_pos,
+             COALESCE(n_neg, 0::BIGINT) AS n_neg
+      FROM range({_N_BUCKETS}) r LEFT JOIN c ON c.bucket = CAST(range AS BIGINT)
+    ),
+    t AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS pt, CAST(SUM(n_neg) AS BIGINT) AS nt
+      FROM f
+    )
+    SELECT bucket, n_pos, n_neg,
+           CAST(({_LG('n_pos + 1')} - {_LG(f'pt + {_N_BUCKETS}')})
+              - ({_LG('n_neg + 1')} - {_LG(f'nt + {_N_BUCKETS}')}) AS BIGINT)
+             AS weight
+    FROM f, t
+"""
+
+
+@query("quality_classifier_train", oracle=_SQL_TRAIN)
+def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the hashed linear quality gate (operators/classify.
+    train_hashed_weights): distill the Gopher hard-rule conjunction
+    (functions/text.gopher_rules — the auditable heuristic gate) into the
+    4096-bucket fastText-shape model via one-pass per-class token counts →
+    integer-quantized Naive-Bayes log-odds weights. The fixed-point
+    piecewise-linear log2 (log2_fp_sql: bin()-length exponent + one integer
+    interpolation, all non-negative bigint div) is what lets a TRAINER
+    carry a bit-exact DuckDB value oracle — the same determinism discipline
+    as the margin it feeds. Single corpus scan, label computed inline (no
+    label join), one groupBy(bucket) shuffle of map-side-combined partial
+    counts, 1-row totals broadcast; the trained table slots straight into
+    `hashed_linear_classify(weights=)` (pinned in tests)."""
+    import functools
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    passes = functools.reduce(
+        lambda a, b: a & b, gopher_rules(F.col("text")).values()
+    )
+    return train_hashed_weights(
+        docs.withColumn("__label", passes),
+        "__label",
+        n_buckets=_N_BUCKETS,
+        seed=_SEED,
+    )
 
 
 # --- integer PageRank over the user↔prop-key bipartite graph ---------------

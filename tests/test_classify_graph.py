@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from s3_to_redshift_with_airflow_spark.operators.classify import (
     hashed_linear_classify,
     standin_weights,
+    train_hashed_weights,
 )
 from s3_to_redshift_with_airflow_spark.operators.graph import pagerank_scaled
 
@@ -83,6 +84,98 @@ def test_standin_weights_range(spark):
     w = standin_weights(spark, n_buckets=512).collect()
     assert len(w) == 512
     assert all(-500 <= r["weight"] <= 500 for r in w)
+
+
+def _py_log2fp(x: int, scale: int = 65536) -> int:
+    m = x.bit_length() - 1
+    p = 1 << m
+    return m * scale + ((x - p) * scale) // p
+
+
+def _py_train(labeled: dict[int, tuple[str, bool]], n_buckets=4096, seed=7,
+              scale=65536):
+    """Pure-Python reference of train_hashed_weights: per-class hashed
+    token counts -> fixed-point Naive-Bayes log-odds."""
+    import re
+
+    n_pos = [0] * n_buckets
+    n_neg = [0] * n_buckets
+    for text, y in labeled.values():
+        toks = [t for t in re.sub(r"\s+", " ", text.strip().lower()).split(" ") if t]
+        for t in toks:
+            b = _md5_int60(f"t:{seed}:{t}") % n_buckets
+            (n_pos if y else n_neg)[b] += 1
+    pt, nt = sum(n_pos), sum(n_neg)
+    lg = _py_log2fp
+    return {
+        b: (
+            n_pos[b],
+            n_neg[b],
+            (lg(n_pos[b] + 1) - lg(pt + n_buckets))
+            - (lg(n_neg[b] + 1) - lg(nt + n_buckets)),
+        )
+        for b in range(n_buckets)
+    }
+
+
+_TRAIN_FIXTURE = [
+    # discriminative vocabulary: pos docs share "signal" words, neg docs
+    # share "noise" words, both share "the"
+    (1, "the good clean prose flows well", True),
+    (2, "the clean prose reads well and flows", True),
+    (3, "good clean writing flows the best", True),
+    (4, "the xxx spam zzz click here", False),
+    (5, "spam zzz xxx buy now the", False),
+]
+
+
+def test_train_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        _TRAIN_FIXTURE, "doc_id long, text string, y boolean"
+    )
+    got = {
+        r["bucket"]: (r["n_pos"], r["n_neg"], r["weight"])
+        for r in train_hashed_weights(df, "y").collect()
+    }
+    want = _py_train({i: (t, y) for i, t, y in _TRAIN_FIXTURE})
+    assert got == want
+    assert len(got) == 4096  # full table, zero-count buckets included
+
+
+def test_train_ignores_null_labels_and_rejects_bad_params(spark):
+    rows = _TRAIN_FIXTURE + [(6, "the good clean prose", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    got = {
+        r["bucket"]: (r["n_pos"], r["n_neg"], r["weight"])
+        for r in train_hashed_weights(df, "y").collect()
+    }
+    assert got == _py_train({i: (t, y) for i, t, y in _TRAIN_FIXTURE})
+    for kwargs in ({"n_buckets": 0}, {"scale": 0}):
+        try:
+            train_hashed_weights(df, "y", **kwargs)
+            raise AssertionError(f"accepted {kwargs}")
+        except ValueError:
+            pass
+
+
+def test_trained_weights_flow_into_classifier(spark):
+    """The trained (bucket, weight) table slots into the EXISTING classify
+    plan and separates the classes perfectly on vocabulary-discriminative
+    docs — the learned gate replacing the md5 stand-in (VERDICT r4 #5)."""
+    df = spark.createDataFrame(
+        _TRAIN_FIXTURE, "doc_id long, text string, y boolean"
+    )
+    w = train_hashed_weights(df, "y").select("bucket", "weight")
+    pred = hashed_linear_classify(df, weights=w)
+    got = {r["doc_id"]: r["label"] for r in pred.collect()}
+    assert got == {1: "keep", 2: "keep", 3: "keep", 4: "drop", 5: "drop"}
+    # unseen docs made of the learned vocabulary classify correctly too
+    new = spark.createDataFrame(
+        [(10, "clean prose flows"), (11, "zzz spam click")],
+        "doc_id long, text string",
+    )
+    got_new = {r["doc_id"]: r["label"] for r in hashed_linear_classify(new, weights=w).collect()}
+    assert got_new == {10: "keep", 11: "drop"}
 
 
 def _py_pagerank(edges, n_iter=3, scale=1_000_000, damp=850_000,

@@ -248,6 +248,9 @@ def test_registry_wide_plan_audit(spark):
         # five 1-row stage aggregates joined by broadcast — scalar
         # composition, same sanction as class_weights/heavy_hitters
         "curation_funnel",
+        # 1-row (pos_tot, neg_tot) totals broadcast onto the 4096-row
+        # bucket table — same scalar-threshold sanction as tpch_q11
+        "quality_classifier_train",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
