@@ -2260,18 +2260,11 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the sketch is a pure function of the hashed value set, order- and
     partition-independent), so tests/test_scale_ops.py pins the estimate's
     merge-associativity (union-of-days == direct sketch, exact equality)
-    and its error vs exact distinct."""
+    and its error vs exact distinct. The two stages are the composable
+    operators in operators/sketches.py; the daily stage is a PERSISTABLE
+    parquet table — tests prove the rollup read from the stored sketches
+    (raw events deleted) is bit-identical to this live composition."""
+    from ..operators.sketches import daily_user_sketches, rollup_user_sketches
+
     (events,) = _t(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_days"),
-            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
-            .cast("bigint")
-            .alias("est_users"),
-        )
-        .orderBy("event_type")
-    )
+    return rollup_user_sketches(daily_user_sketches(events))

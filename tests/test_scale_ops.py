@@ -356,3 +356,44 @@ def test_sketch_rollup_merge_associativity_and_error(spark):
     assert rolled == direct  # merge-of-days == direct sketch, exactly
     for et, n in exact.items():
         assert abs(rolled[et] - n) <= max(2, 0.05 * n), (et, rolled[et], n)
+
+
+def test_sketch_table_survives_raw_data_deletion(spark, tmp_path):
+    """Persist-and-merge end-to-end: write the per-day sketch table to
+    parquet, DELETE the raw events, and the rollup built by READING the
+    sketch table is bit-identical to the live two-stage composition —
+    proving coarser grains never re-scan raw data (VERDICT r4 #6)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        daily_user_sketches,
+        rollup_user_sketches,
+    )
+    from s3_to_redshift_with_airflow_spark.sources.readers import (
+        with_ts_from_nanos,
+    )
+
+    raw = str(tmp_path / "events_raw")
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").write.parquet(raw)
+    events = with_ts_from_nanos(spark.read.parquet(raw), "ts")
+    want = [tuple(r) for r in rollup_user_sketches(
+        daily_user_sketches(events)).collect()]
+
+    sk_path = str(tmp_path / "sketch_table")
+    daily_user_sketches(events).write.parquet(sk_path)
+    shutil.rmtree(raw)  # the raw data is gone
+
+    got = [tuple(r) for r in rollup_user_sketches(
+        spark.read.parquet(sk_path)).collect()]
+    assert got == want
+    # and a COARSER grain (all types together) also needs only the sketches
+    total = (
+        spark.read.parquet(sk_path)
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("bigint"))
+        .collect()[0][0]
+    )
+    n_users = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id").distinct().count()
+    assert abs(total - n_users) <= max(2, 0.05 * n_users)
