@@ -52,3 +52,21 @@ def test_query_matches_oracle(name, spark, oracle_con):
     # is dtype-sensitive, so a lenient check here would let width mismatches
     # (e.g. DuckDB HUGEINT sums vs Spark BIGINT) escape to round scoring.
     pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
+
+
+def test_readme_counts_match_registry():
+    """README's '<N> queries, <M> with exact DuckDB oracles' claim is
+    DERIVED from the registry here, so the numbers cannot silently drift
+    when queries land (ADVICE r4)."""
+    from pathlib import Path
+
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    total = len(REGISTRY)
+    oracles = sum(1 for s in REGISTRY.values() if s.oracle)
+    readme = (Path(__file__).resolve().parent.parent / "README.md").read_text()
+    claim = f"{total} queries, {oracles} with exact DuckDB"
+    assert claim in readme, (
+        f"README is stale: expected the sentence fragment {claim!r} "
+        f"(registry has {total} queries / {oracles} oracles)"
+    )
