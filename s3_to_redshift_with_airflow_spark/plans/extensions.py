@@ -2132,6 +2132,42 @@ def q_synthetic_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- JVM-side synthetic documents (scale-study load generation) -------------
+
+
+def _sql_synth_docs() -> str:
+    from ..sources.synthetic import synthetic_documents_sql
+
+    return f"""
+    WITH g AS ({synthetic_documents_sql(2000)})
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5(text) AS text_md5
+    FROM g
+    """
+
+
+@query("synthetic_docs_stats", oracle=_sql_synth_docs())
+def q_synthetic_docs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Determinism contract of the JVM-side synthetic documents generator
+    (sources/synthetic.synthetic_documents — the whole-stage-codegen
+    load-gen that drives the 10-50x scale studies in tools/scale_study.py):
+    2000 generated docs, per-doc token count and md5 of the FULL text. The
+    oracle regenerates the corpus in DuckDB from the same md5 token draws
+    (synthetic_documents_sql), so a value-hash match proves the generated
+    text is bit-identical across engines — scale-study inputs are portable
+    and re-runnable anywhere. sf_dir is unused by design (zero input
+    files)."""
+    from ..sources.synthetic import synthetic_documents
+
+    docs = synthetic_documents(spark, 2000)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
 # --- deterministic weighted sampling ----------------------------------------
 
 _WS_KEY_SQL = (

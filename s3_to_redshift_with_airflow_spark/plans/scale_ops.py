@@ -1434,6 +1434,132 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_full_outer_join",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      -- NULL-propagating min watermark: see streaming_outer_join (an empty
+      -- side pins the global watermark at epoch; w = NULL then drops every
+      -- null-extended row on BOTH sides, matching Spark's min policy)
+      SELECT CASE
+        WHEN cmax IS NULL OR pmax IS NULL THEN NULL
+        ELSE least(cmax, pmax) - INTERVAL 2 HOUR
+      END AS w
+      FROM (
+        SELECT
+          (SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000)
+           FROM events WHERE event_type = 'click') AS cmax,
+          (SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000)
+           FROM events WHERE event_type = 'purchase') AS pmax
+      )
+    ),
+    matched AS (
+      SELECT c.click_id, p.purchase_id, c.user_id AS join_user,
+             c.click_ts, p.purchase_ts
+      FROM c JOIN p ON c.user_id = p.p_user
+        AND p.purchase_ts >= c.click_ts
+        AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    ),
+    unmatched_c AS (
+      SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+             c.user_id AS join_user, c.click_ts,
+             CAST(NULL AS TIMESTAMP) AS purchase_ts
+      FROM c
+      WHERE NOT EXISTS (
+          SELECT 1 FROM p WHERE p.p_user = c.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+        AND c.click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    ),
+    unmatched_p AS (
+      SELECT CAST(NULL AS BIGINT) AS click_id, p.purchase_id,
+             p.p_user AS join_user, CAST(NULL AS TIMESTAMP) AS click_ts,
+             p.purchase_ts
+      FROM p
+      WHERE NOT EXISTS (
+          SELECT 1 FROM c WHERE c.user_id = p.p_user
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+        AND p.purchase_ts < (SELECT w FROM wm)
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched_c
+    UNION ALL SELECT * FROM unmatched_p
+    """,
+)
+def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the §2.10 join
+    family (inner / left-outer / full-outer). Matched pairs emit as
+    produced; each side's unmatched rows emit null-extended only once the
+    watermark proves no future partner can arrive. The two sides have
+    ASYMMETRIC emission bounds, both derived from the interval condition
+    purchase_ts ∈ [click_ts, click_ts + 1h]:
+
+      * a click's null row needs watermark > click_ts + 1h (a future
+        purchase could match until then) — same bound as the left-outer;
+      * a purchase's null row needs only watermark > purchase_ts (any
+        future click has click_ts > watermark ≥ purchase_ts, violating
+        click_ts ≤ purchase_ts) — it flushes a full hour earlier.
+
+    Both bounds are strict-< at Spark's ms event-time-stats granularity
+    under the multipleWatermarkPolicy=min global watermark (NULL-propagated
+    in the oracle for the empty-side case), probed empirically and pinned
+    in tests/test_streaming_outer_join.py."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+
+    def side(event_type: str, id_alias: str, ts_alias: str, user_alias: str):
+        src = stream_source(
+            spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+        )
+        src = with_ts_from_nanos(src, "ts")
+        return (
+            src.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "2 hours")
+        )
+
+    clicks = side("click", "click_id", "click_ts", "user_id")
+    purchases = side("purchase", "purchase_id", "purchase_ts", "p_user")
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user")).alias("join_user"),
+        "click_ts",
+        "purchase_ts",
+    )
+    sink_name = "streaming_full_outer_join_mem"
+    (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name)
+
+
+@query(
     "streaming_enrich_join",
     oracle="""
     SELECT c.c_mktsegment AS mktsegment,

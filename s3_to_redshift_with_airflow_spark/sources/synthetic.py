@@ -185,3 +185,95 @@ def _stream_reader(self, schema):
 
 
 SyntheticEventsDataSource.simpleStreamReader = _stream_reader
+
+
+# --- JVM-side synthetic corpora (scale-study load generation) --------------
+#
+# Unlike the Python DataSource above (the API showcase, Python-worker
+# bound at ~2M rows/s), these generate entirely inside whole-stage codegen
+# from spark.range() — no Python, no storage, no shuffle — so they can
+# drive 10-100x scale studies where the measurement must be the OPERATOR,
+# not the generator. Same md5 determinism contract: every field is a pure
+# function of (seed, row id), reproducible bit-for-bit in DuckDB SQL (the
+# synthetic_docs_stats registry query pins this), so scale-study inputs
+# are portable and re-runnable anywhere.
+
+
+def _md60(col):
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def synthetic_documents(
+    spark,
+    n_docs: int,
+    group: int = 10,
+    vocab: int = 5000,
+    min_tokens: int = 30,
+    tok_spread: int = 30,
+    seed: int = 11,
+):
+    """Deterministic synthetic documents table (doc_id, text), generated
+    JVM-side at any scale. Docs come in near-dup groups of `group`: all
+    members share the base text (30-59 'w<k>' tokens drawn from a
+    `vocab`-word vocabulary by md5 of (seed, base, position)) and differ
+    only in a trailing per-copy salt token 'c<i>' — so MinHash/SimHash
+    find each group (Jaccard ≈ (L-1)/(L+1) ≈ 0.94 for L≈30 shingle sets)
+    and the expected near-dup pair count grows LINEARLY with n_docs
+    (group size is constant), which is what makes throughput curves
+    comparable across scales. Set group=1 for a dup-free corpus."""
+    from pyspark.sql import functions as F
+
+    if n_docs <= 0 or group <= 0 or vocab <= 0 or min_tokens <= 0:
+        raise ValueError("n_docs, group, vocab, min_tokens must be positive")
+    base = F.expr(f"id div {group}").cast("string")
+    length = (
+        F.lit(min_tokens)
+        + _md60(F.concat(F.lit(f"len:{seed}:"), base)) % tok_spread
+    ).cast("int")
+    toks = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda j: F.concat(
+            F.lit("w"),
+            (
+                _md60(
+                    F.concat(
+                        F.lit(f"tok:{seed}:"), base, F.lit(":"), j.cast("string")
+                    )
+                )
+                % vocab
+            ).cast("string"),
+        ),
+    )
+    text = F.concat(
+        F.array_join(toks, " "),
+        F.lit(" c"),
+        (F.col("id") % group).cast("string"),
+    )
+    return spark.range(n_docs).select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def synthetic_documents_sql(
+    n_docs: int,
+    group: int = 10,
+    vocab: int = 5000,
+    min_tokens: int = 30,
+    tok_spread: int = 30,
+    seed: int = 11,
+) -> str:
+    """DuckDB SQL regenerating synthetic_documents bit-for-bit (the oracle
+    side of the determinism contract)."""
+    h = lambda s: f"('0x' || substr(md5({s}), 1, 15))::UBIGINT"  # noqa: E731
+    base = f"(r.range // {group})::VARCHAR"
+    len_key = f"'len:{seed}:' || {base}"
+    tok_key = f"'tok:{seed}:' || {base} || ':' || j::VARCHAR"
+    length = f"({min_tokens} + {h(len_key)} % {tok_spread})::BIGINT"
+    word = f"'w' || ({h(tok_key)} % {vocab})::VARCHAR"
+    return f"""
+    SELECT r.range AS doc_id,
+           array_to_string(
+             list_transform(generate_series(1, {length}), j -> {word}), ' ')
+             || ' c' || (r.range % {group})::VARCHAR AS text
+    FROM range({n_docs}) r
+    """

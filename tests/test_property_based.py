@@ -581,3 +581,41 @@ def test_classifier_matches_reference_on_random_texts(spark, texts):
             "keep" if margin >= 0 else "drop",
         )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(xs=st.lists(st.integers(min_value=1, max_value=10**12),
+                   min_size=1, max_size=20, unique=True))
+def test_log2_fp_sql_matches_python_on_both_engines(spark, xs):
+    """The fixed-point log2 primitive behind the classifier trainer: the
+    Spark and DuckDB SQL renderings must both equal the integer reference
+    (bit_length exponent + floored octave interpolation) for arbitrary
+    positive bigints — the portability contract that lets the trainer
+    carry an exact value oracle."""
+    import duckdb
+
+    from s3_to_redshift_with_airflow_spark.operators.classify import log2_fp_sql
+
+    def ref(x: int, s: int = 65536) -> int:
+        m = x.bit_length() - 1
+        p = 1 << m
+        return m * s + ((x - p) * s) // p
+
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got_spark = {
+        r["x"]: r["lg"]
+        for r in df.selectExpr("x", f"{log2_fp_sql('x')} AS lg").collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(f"({x})" for x in xs)
+    got_duck = dict(
+        con.execute(
+            f"SELECT x, {log2_fp_sql('x', dialect='duck')} FROM "
+            f"(VALUES {vals}) t(x)"
+        ).fetchall()
+    )
+    want = {x: ref(x) for x in xs}
+    assert got_spark == want
+    assert got_duck == want

@@ -130,3 +130,120 @@ def test_outer_join_empty_side_oracle_parity(spark, tmp_path):
     con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
     oracle_rows = con.execute(spec.oracle).fetchall()
     assert oracle_rows == []  # NULL watermark drops every unmatched row
+
+
+def _run_full_outer(spark, src_dir, schema, name):
+    def side(et, ida, tsa, ua):
+        s = spark.readStream.schema(schema).parquet(src_dir)
+        return (
+            s.filter(F.col("event_type") == et)
+            .select(
+                F.col("event_id").alias(ida),
+                F.col("user_id").alias(ua),
+                F.col("ts").alias(tsa),
+            )
+            .withWatermark(tsa, "0 seconds")
+        )
+
+    joined = side("click", "click_id", "click_ts", "user_id").join(
+        side("purchase", "purchase_id", "purchase_ts", "p_user"),
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select("click_id", "purchase_id")
+    (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return sorted(
+        ((r["click_id"] or -1), (r["purchase_id"] or -1))
+        for r in spark.table(name).collect()
+    )
+
+
+def test_full_outer_purchase_null_row_held_at_exact_bound(spark, tmp_path):
+    """Right-side (purchase) unmatched rows need watermark strictly past
+    purchase_ts: at watermark == purchase_ts the null row is held."""
+    p, schema = _write(
+        spark,
+        tmp_path,
+        [
+            (1, "purchase", T0, 10),  # unmatched; w == T0 -> held
+            (2, "click", T0, 99),
+            (3, "purchase", T0, 99),  # matched pair, drives both watermarks
+        ],
+    )
+    got = _run_full_outer(spark, p, schema, "foj_held")
+    assert got == [(2, 3)]
+
+
+def test_full_outer_purchase_null_row_emits_past_bound(spark, tmp_path):
+    """1 ms past purchase_ts the purchase's null row emits — a full hour
+    EARLIER than a click's null row would (asymmetric bounds from the
+    interval condition), which the companion asymmetry test pins."""
+    wm = dt.datetime(2024, 1, 1, 0, 0, 0, 1000)  # T0 + 1 ms
+    p, schema = _write(
+        spark,
+        tmp_path,
+        [
+            (1, "purchase", T0, 10),  # unmatched; w = T0+1ms > T0 -> emits
+            (2, "click", wm, 99),
+            (3, "purchase", wm, 99),  # matched pair, drives w to T0+1ms
+        ],
+    )
+    got = _run_full_outer(spark, p, schema, "foj_emits")
+    assert got == [(-1, 1), (2, 3)]
+
+
+def test_full_outer_asymmetric_bounds(spark, tmp_path):
+    """With w = T0+1ms: an unmatched purchase at T0 emits (bound
+    purchase_ts < w) while an unmatched click at T0 is held (bound
+    click_ts + 1h < w) — the asymmetry the oracle encodes."""
+    wm = dt.datetime(2024, 1, 1, 0, 0, 0, 1000)
+    p, schema = _write(
+        spark,
+        tmp_path,
+        [
+            (1, "click", T0, 10),  # unmatched, held
+            (2, "purchase", T0, 20),  # unmatched, emits
+            (6, "click", wm, 99),
+            (7, "purchase", wm, 99),  # matched, drives w
+        ],
+    )
+    got = _run_full_outer(spark, p, schema, "foj_asym")
+    assert got == [(-1, 2), (6, 7)]
+
+
+def test_full_outer_empty_side_oracle_parity(spark, tmp_path):
+    """Click-only corpus: min-policy watermark stays at epoch, so NEITHER
+    side emits null rows; the registered oracle's NULL-propagating
+    watermark must agree."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    far = dt.datetime(2024, 6, 1, 0, 0, 0)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 3], pa.int64()),
+            "ts": pa.array([T0, far], pa.timestamp("us")),
+            "user_id": pa.array([10, 99], pa.int64()),
+            "event_type": pa.array(["click", "click"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(tbl, path)
+
+    spec = REGISTRY["streaming_full_outer_join"]
+    assert spec.fn(spark, str(tmp_path)).collect() == []
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    assert con.execute(spec.oracle).fetchall() == []

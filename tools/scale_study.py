@@ -1,0 +1,220 @@
+"""Empirical scale curves for the headline operator families (VERDICT r4
+next-round #2): drive each family at x1 / x10 / x50 of the sf0.1 row count
+with the engine's synthetic load generators — the Python DataSource for
+events (sources/synthetic.py) and the JVM whole-stage-codegen document
+generator (synthetic_documents) — and measure time-vs-rows curvature.
+
+Inputs are MATERIALIZED (eager localCheckpoint) before the timed window,
+so the measurement is the operator, not the generator; the generation
+time is reported separately (gen_sec), which also refreshes the Python
+DataSource throughput number. Each measurement is best-of-2 full
+executions (JIT warm-up in run 1, same policy as bench.py; per-run values
+are emitted).
+
+Usage:
+    python tools/scale_study.py [--scales x1,x10,x50] [--families a,b,...]
+
+Prints one JSON line per (family, scale) with rows/sec/rows_per_sec plus a
+final summary line with per-family linearity ratios
+    lin_10_50 = (t_x50 / t_x10) / (rows_x50 / rows_x10)
+(1.0 = perfectly linear; > 1 = super-linear growth — the scale smell).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from s3_to_redshift_with_airflow_spark.operators.classify import (  # noqa: E402
+    hashed_linear_classify,
+)
+from s3_to_redshift_with_airflow_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs,
+    release_shingle_cache,
+)
+from s3_to_redshift_with_airflow_spark.operators.graph import (  # noqa: E402
+    pagerank_scaled,
+)
+from s3_to_redshift_with_airflow_spark.session import build_session  # noqa: E402
+from s3_to_redshift_with_airflow_spark.sources.synthetic import (  # noqa: E402
+    register,
+    synthetic_documents,
+)
+
+SCALES = {"x1": 1, "x10": 10, "x50": 50}
+BASE_EVENTS = 100_000  # sf0.1 events rows
+BASE_DOCS = 5_000  # sf0.1 documents rows
+BASE_LINEITEM = 600_000  # sf0.1 lineitem rows
+
+
+def _events(spark, n):
+    """Python-DataSource events, scaled id spaces so distinct (user, track)
+    edges grow ~linearly with n (fixed spaces would saturate)."""
+    register(spark)
+    return (
+        spark.read.format("synthetic_events")
+        .option("rows_per_partition", n // 32)
+        .option("num_partitions", 32)
+        .option("n_users", max(1000, n // 100))
+        .option("n_tracks", max(200, n // 500))
+        .load()
+    )
+
+
+def _lineitem(spark, n):
+    """JVM-generated TPC-H q1-shaped lineitem (codegen, no storage)."""
+    h = lambda f: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit(f + ":"), F.col("id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return spark.range(n).select(
+        (h("q") % 50 + 1).cast("decimal(12,2)").alias("l_quantity"),
+        ((h("p") % 10_000_000) / 100).cast("decimal(12,2)").alias("l_extendedprice"),
+        ((h("d") % 11) / 100).cast("decimal(12,2)").alias("l_discount"),
+        ((h("t") % 9) / 100).cast("decimal(12,2)").alias("l_tax"),
+        F.element_at(F.array(F.lit("A"), F.lit("N"), F.lit("R")), (h("r") % 3 + 1).cast("int")).alias("l_returnflag"),
+        F.element_at(F.array(F.lit("O"), F.lit("F")), (h("s") % 2 + 1).cast("int")).alias("l_linestatus"),
+    )
+
+
+def fam_hourly_agg(spark, mult):
+    inp = _events(spark, BASE_EVENTS * mult).localCheckpoint()
+
+    def run():
+        return (
+            inp.groupBy(F.hour("ts").alias("hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias(
+                    "cents"
+                ),
+                F.approx_count_distinct("user_id").alias("approx_users"),
+            )
+            .collect()
+        )
+
+    return inp, BASE_EVENTS * mult, run
+
+
+def fam_pagerank(spark, mult):
+    ev = _events(spark, BASE_EVENTS * mult)
+    # bipartite user->track edges, symmetrized like the registry entry
+    # (track ids offset into their own id space)
+    e = ev.select(
+        F.col("user_id").alias("u"), (F.col("track_id") + 10_000_000_000).alias("v")
+    )
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    n_edges = edges.count()
+
+    def run():
+        return pagerank_scaled(edges, n_iter=3, src="u", dst="v").count()
+
+    return edges, n_edges, run
+
+
+def fam_minhash(spark, mult):
+    docs = synthetic_documents(spark, BASE_DOCS * mult).localCheckpoint()
+
+    def run():
+        release_shingle_cache()  # measure the full pipeline, not a warm cache
+        return minhash_lsh_pairs(docs, threshold=0.8).count()
+
+    return docs, BASE_DOCS * mult, run
+
+
+def fam_classifier(spark, mult):
+    docs = synthetic_documents(spark, BASE_DOCS * mult).localCheckpoint()
+
+    def run():
+        return hashed_linear_classify(docs).count()
+
+    return docs, BASE_DOCS * mult, run
+
+
+def fam_tpch_q1(spark, mult):
+    inp = _lineitem(spark, BASE_LINEITEM * mult).localCheckpoint()
+
+    def run():
+        return (
+            inp.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ).alias("sum_disc_price"),
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                    * (F.lit(1) + F.col("l_tax"))
+                ).alias("sum_charge"),
+                F.avg("l_quantity").alias("avg_qty"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .collect()
+        )
+
+    return inp, BASE_LINEITEM * mult, run
+
+
+FAMILIES = {
+    "hourly_agg": fam_hourly_agg,
+    "pagerank": fam_pagerank,
+    "minhash": fam_minhash,
+    "classifier": fam_classifier,
+    "tpch_q1": fam_tpch_q1,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="x1,x10,x50")
+    ap.add_argument("--families", default=",".join(FAMILIES))
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+    spark = build_session(app_name="scale_study")
+    results: dict[str, dict[str, dict]] = {}
+    for fam in args.families.split(","):
+        results[fam] = {}
+        for scale in args.scales.split(","):
+            mult = SCALES[scale]
+            t0 = time.time()
+            inp, rows, run = FAMILIES[fam](spark, mult)
+            gen_sec = round(time.time() - t0, 3)
+            runs = []
+            for _ in range(args.runs):
+                t0 = time.time()
+                run()
+                runs.append(round(time.time() - t0, 3))
+            inp.unpersist()
+            rec = {
+                "family": fam,
+                "scale": scale,
+                "rows": rows,
+                "gen_sec": gen_sec,
+                "sec": min(runs),
+                "runs": runs,
+                "rows_per_sec": int(rows / min(runs)),
+            }
+            results[fam][scale] = rec
+            print(json.dumps(rec), flush=True)
+    summary = {}
+    for fam, recs in results.items():
+        if "x10" in recs and "x50" in recs:
+            t_ratio = recs["x50"]["sec"] / recs["x10"]["sec"]
+            n_ratio = recs["x50"]["rows"] / recs["x10"]["rows"]
+            summary[fam] = round(t_ratio / n_ratio, 3)
+    print(json.dumps({"lin_10_50": summary}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
