@@ -65,6 +65,13 @@ HEADLINE = [
     "quality_classifier",
     "pagerank_centrality",
     "streaming_outer_join",
+    # round-5 additions: the Naive-Bayes trainer (one groupBy(bucket)
+    # shuffle of per-class token counts) and the stream-stream FULL OUTER
+    # interval join (two-sided watermark-gated null emission; its state
+    # partitioning is now sized deliberately — see
+    # streaming.pipeline.sized_state_partitions)
+    "quality_classifier_train",
+    "streaming_full_outer_join",
 ]
 
 

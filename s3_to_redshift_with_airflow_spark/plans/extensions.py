@@ -2262,18 +2262,22 @@ def q_streaming_synthetic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("value_cents"),
     )
+    from ..streaming.pipeline import sized_state_partitions
+
     d = tempfile.mkdtemp(prefix="synthstream_")
     try:
-        for _ in range(3):
-            (
-                agg.writeStream.outputMode("complete")
-                .format("memory")
-                .queryName(sink)
-                .option("checkpointLocation", d + "/ck")
-                .trigger(once=True)
-                .start()
-                .awaitTermination()
-            )
+        # storage-free source -> no input bytes -> floor partition count
+        with sized_state_partitions(spark):
+            for _ in range(3):
+                (
+                    agg.writeStream.outputMode("complete")
+                    .format("memory")
+                    .queryName(sink)
+                    .option("checkpointLocation", d + "/ck")
+                    .trigger(once=True)
+                    .start()
+                    .awaitTermination()
+                )
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table(sink)

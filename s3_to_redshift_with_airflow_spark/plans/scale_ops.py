@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..operators.multimodal import decode_image_features, sample_video_frames
 from ..operators.similarity import ivf_topk
 from ..sources.readers import table_path, with_ts_from_nanos
-from ..streaming.pipeline import stream_source
+from ..streaming.pipeline import sized_state_partitions, stream_source
 from .registry import _t, query
 
 # --- multimodal columns ----------------------------------------------------
@@ -135,14 +135,15 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = "streaming_window_agg_mem"
-    (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink_name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with sized_state_partitions(spark, table_path(sf_dir, "events")):
+        (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(sink_name)
 
 
@@ -209,14 +210,15 @@ def q_streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = "streaming_session_agg_mem"
-    (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with sized_state_partitions(spark, table_path(sf_dir, "events")):
+        (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(sink_name)
 
 
@@ -1316,14 +1318,15 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
     sink_name = "streaming_join_mem"
-    (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with sized_state_partitions(spark, table_path(sf_dir, "events")):
+        (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(sink_name)
 
 
@@ -1422,14 +1425,15 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
     sink_name = "streaming_outer_join_mem"
-    (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with sized_state_partitions(spark, table_path(sf_dir, "events")):
+        (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(sink_name)
 
 
@@ -1548,14 +1552,15 @@ def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
     )
     sink_name = "streaming_full_outer_join_mem"
-    (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with sized_state_partitions(spark, table_path(sf_dir, "events")):
+        (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(sink_name)
 
 
@@ -1612,14 +1617,15 @@ def q_streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = "streaming_enrich_join_mem"
-    (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink_name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with sized_state_partitions(spark, table_path(sf_dir, "events")):
+        (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(sink_name)
 
 
@@ -1663,14 +1669,15 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
     )
     sink_name = "streaming_dedup_mem"
-    (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink_name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with sized_state_partitions(spark, table_path(sf_dir, "events")):
+        (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(sink_name)
 
 

@@ -467,3 +467,28 @@ def test_transform_with_state_plan_builds(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == [
         "user_id", "n_events", "total_value",
     ]
+
+
+def test_sized_state_partitions_sizing_and_restore(spark):
+    """State-partition sizing: floor with no/empty input, byte-proportional
+    with a real file, clamped to the session ceiling; session conf is
+    restored on exit (streaming has no AQE, so this knob is deliberate)."""
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        sized_state_partitions,
+    )
+
+    from .conftest import SF_SMOKE
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    ev = f"{SF_SMOKE}/events.parquet"
+    with sized_state_partitions(spark) as n:
+        assert n == 4  # no paths -> floor
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # 1 byte per partition -> want = file bytes -> clamped to session ceiling
+    with sized_state_partitions(spark, ev, bytes_per_partition=1) as n:
+        assert n == int(before)
+    # a missing path contributes zero bytes
+    with sized_state_partitions(spark, "/nonexistent/nope.parquet") as n:
+        assert n == 4
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
