@@ -2401,3 +2401,34 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = _t(spark, sf_dir, "events")
     return rollup_user_sketches(daily_user_sketches(events))
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import zorder_key_sql
+
+    return zorder_key_sql(
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+        ["l_partkey", "l_suppkey"],
+    )
+
+
+@query("zorder_layout", oracle=_zorder_oracle())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order locality keys over (l_partkey, l_suppkey) — the
+    Delta/Iceberg OPTIMIZE ZORDER BY layout primitive
+    (operators/layout.py): min-max normalize each column to 16 bits with
+    exact floor division (one 1-row stats broadcast), then Morton-
+    interleave so range-partitioned files get tight min/max bounds in BOTH
+    columns at once — file skipping works for queries on either key, which
+    single-column sorting cannot give. All-integer, so the LAYOUT KEY
+    carries an exact DuckDB value oracle; the pruning win itself is pinned
+    in tests/test_layout.py (second-column point queries scan 5.25/16
+    Z-order files on average vs 16/16 under lexicographic sort)."""
+    from ..operators.layout import zorder_key
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return zorder_key(
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        ["l_partkey", "l_suppkey"],
+    )
