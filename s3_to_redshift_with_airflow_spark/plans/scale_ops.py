@@ -2432,3 +2432,114 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
         ["l_partkey", "l_suppkey"],
     )
+
+
+@query(
+    "streaming_join_window_agg",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      -- NULL-propagating min watermark (see streaming_outer_join)
+      SELECT CASE
+        WHEN cmax IS NULL OR pmax IS NULL THEN NULL
+        ELSE least(cmax, pmax) - INTERVAL 2 HOUR
+      END AS w
+      FROM (
+        SELECT
+          (SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000)
+           FROM events WHERE event_type = 'click') AS cmax,
+          (SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000)
+           FROM events WHERE event_type = 'purchase') AS pmax
+      )
+    ),
+    m AS (
+      SELECT c.click_ts, p.purchase_ts, c.user_id
+      FROM c JOIN p ON c.user_id = p.p_user
+        AND p.purchase_ts >= c.click_ts
+        AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    ),
+    wa AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, click_ts) AS window_start,
+             CAST(COUNT(*) AS BIGINT) AS n_conversions,
+             CAST(SUM(epoch_us(purchase_ts) - epoch_us(click_ts)) AS BIGINT)
+               AS total_lag_us
+      FROM m GROUP BY 1
+    )
+    SELECT window_start, n_conversions, total_lag_us
+    FROM wa
+    -- the chained-stateful emission bound: the join retains click rows
+    -- until watermark > click_ts + 1h, so the downstream window
+    -- finalizes only when watermark passes window_end + 1h, STRICTLY
+    WHERE window_start + INTERVAL 1 HOUR + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    """,
+)
+def q_streaming_join_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming (Spark 3.5+/4 multiple-stateful-operator
+    support): stream-stream inner interval join feeding an append-mode
+    tumbling-window aggregate — per-hour conversion counts and total
+    click→purchase lag, the composition a real funnel pipeline runs. The
+    subtle contract is the DOWNSTREAM watermark: the join holds click rows
+    until the global watermark passes click_ts + 1h (its state retention,
+    derived from the interval condition), so the window over click_ts
+    finalizes only when watermark > window_end + 1h — strictly, at ms
+    granularity, probed empirically at the exact bound and pinned in
+    tests/test_streaming_outer_join.py. The oracle encodes precisely that:
+    batch join → hourly bucket → filter window_end + 1h < the
+    NULL-propagating min-policy watermark. Lag sums are integer µs —
+    exact."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+
+    def side(event_type: str, id_alias: str, ts_alias: str, user_alias: str):
+        src = stream_source(
+            spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+        )
+        src = with_ts_from_nanos(src, "ts")
+        return (
+            src.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "2 hours")
+        )
+
+    clicks = side("click", "click_id", "click_ts", "user_id")
+    purchases = side("purchase", "purchase_id", "purchase_ts", "p_user")
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    agg = (
+        joined.groupBy(F.window("click_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            F.sum(
+                F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+            ).cast("bigint").alias("total_lag_us"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_conversions", "total_lag_us")
+    )
+    sink_name = "streaming_join_window_agg_mem"
+    with sized_state_partitions(spark, table_path(sf_dir, "events")):
+        (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return spark.table(sink_name)

@@ -247,3 +247,73 @@ def test_full_outer_empty_side_oracle_parity(spark, tmp_path):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
     assert con.execute(spec.oracle).fetchall() == []
+
+
+def _run_join_window(spark, src_dir, schema, name):
+    j = _side_pair(spark, src_dir, schema)
+    agg = (
+        j.groupBy(F.window("click_ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return sorted((str(r["ws"]), r["n"]) for r in spark.table(name).collect())
+
+
+def _side_pair(spark, src_dir, schema):
+    def side(et, ida, tsa, ua):
+        s = spark.readStream.schema(schema).parquet(src_dir)
+        return (
+            s.filter(F.col("event_type") == et)
+            .select(
+                F.col("event_id").alias(ida),
+                F.col("user_id").alias(ua),
+                F.col("ts").alias(tsa),
+            )
+            .withWatermark(tsa, "0 seconds")
+        )
+
+    return side("click", "click_id", "click_ts", "user_id").join(
+        side("purchase", "purchase_id", "purchase_ts", "p_user"),
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+
+
+def test_chained_window_held_at_join_state_bound(spark, tmp_path):
+    """Chained stateful ops: the join retains clicks until watermark >
+    click_ts + 1h, so the downstream window [00:00, 01:00) does NOT
+    finalize at watermark == 02:00 (window_end + 1h exactly)."""
+    t_in = dt.datetime(2024, 1, 1, 0, 30, 0)
+    w_drv = dt.datetime(2024, 1, 1, 2, 0, 0)
+    p, schema = _write(
+        spark,
+        tmp_path,
+        [(1, "click", t_in, 10), (2, "purchase", t_in, 10),
+         (3, "click", w_drv, 99), (4, "purchase", w_drv, 99)],
+    )
+    got = _run_join_window(spark, p, schema, "jw_held")
+    assert got == []
+
+
+def test_chained_window_emits_past_join_state_bound(spark, tmp_path):
+    """1 ms past window_end + 1h the window finalizes — the strict-< bound
+    the streaming_join_window_agg oracle encodes."""
+    t_in = dt.datetime(2024, 1, 1, 0, 30, 0)
+    w_drv = dt.datetime(2024, 1, 1, 2, 0, 0, 1000)
+    p, schema = _write(
+        spark,
+        tmp_path,
+        [(1, "click", t_in, 10), (2, "purchase", t_in, 10),
+         (3, "click", w_drv, 99), (4, "purchase", w_drv, 99)],
+    )
+    got = _run_join_window(spark, p, schema, "jw_emits")
+    assert got == [("2024-01-01 00:00:00", 1)]
