@@ -221,3 +221,60 @@ def range_join(
         *[F.col(f"__p.{c}") for c in points.columns],
         *[F.col(f"__i.{c}").alias(c) for c in ival_cols],
     )
+
+
+def gap_fill(
+    series: DataFrame,
+    key: str,
+    time_col: str,
+    value_cols: dict[str, str],
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Densify a per-key time series onto a regular grid and fill the gaps —
+    the missing-bucket repair every downstream window/trend computation
+    assumes has already happened (pandas `resample().ffill()` twin,
+    Spark-first).
+
+    `series` must hold ONE row per (key, bucket) with `time_col` already
+    bucket-aligned (aggregate first); `value_cols` maps each value column
+    to its fill policy: 'zero' (additive metrics — a missing bucket means
+    nothing happened) or 'ffill' (level/state metrics — carry the last
+    observation forward; leading gaps stay NULL). Adds `observed`
+    (boolean) so filled rows stay distinguishable.
+
+    Plan: per-key min/max (one aggregate) → `sequence()` grid explode →
+    left join observations on (key, bucket) → `last(ignoreNulls)` window
+    per key for the ffill columns. Two shuffles total (the grid join and
+    the window share the key partitioning; Catalyst reuses it), all
+    codegen. Scale note: grid size per key is span/step — bound the span
+    upstream for keys with years of sparse history, or the explode IS the
+    data you asked for."""
+    if not value_cols or any(p not in ("zero", "ffill") for p in value_cols.values()):
+        raise ValueError("value_cols must map columns to 'zero' or 'ffill'")
+    if step_seconds <= 0:
+        raise ValueError("step_seconds must be positive")
+    step = F.expr(f"INTERVAL {int(step_seconds)} SECOND")
+    grid = (
+        series.groupBy(key)
+        .agg(F.min(time_col).alias("__mn"), F.max(time_col).alias("__mx"))
+        .select(
+            key,
+            F.explode(F.sequence(F.col("__mn"), F.col("__mx"), step)).alias(time_col),
+        )
+    )
+    joined = grid.join(series, [key, time_col], "left")
+    observed = F.greatest(
+        *[F.col(c).isNotNull() for c in value_cols]
+    ) if len(value_cols) > 1 else F.col(next(iter(value_cols))).isNotNull()
+    out_cols = [F.col(key), F.col(time_col), observed.alias("observed")]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c, policy in value_cols.items():
+        if policy == "zero":
+            out_cols.append(F.coalesce(F.col(c), F.lit(0)).alias(c))
+        else:
+            out_cols.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
+    return joined.select(*out_cols)

@@ -2543,3 +2543,58 @@ def q_streaming_join_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .awaitTermination()
         )
     return spark.table(sink_name)
+
+
+@query(
+    "gap_fill_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS level_value
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+      FROM (SELECT user_id, MIN(hour_ts) AS mn, MAX(hour_ts) AS mx
+            FROM b GROUP BY 1)
+    ),
+    j AS (
+      SELECT g.user_id, g.hour_ts, b.n_events, b.level_value
+      FROM g LEFT JOIN b ON b.user_id = g.user_id AND b.hour_ts = g.hour_ts
+    )
+    SELECT user_id, hour_ts,
+           n_events IS NOT NULL OR level_value IS NOT NULL AS observed,
+           COALESCE(n_events, 0)::BIGINT AS n_events,
+           last_value(level_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour_ts
+             ROWS UNBOUNDED PRECEDING) AS level_value
+    FROM j
+    """,
+)
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (operators/timeseries.gap_fill — the
+    resample().ffill() twin): the per-user hourly series densified onto a
+    regular grid; missing hours get n_events = 0 (additive) and the last
+    observed hourly value carried forward (level), with `observed`
+    marking synthesized rows. Grid = sequence() explode of per-key
+    min/max; observations left-join on (key, hour); ffill =
+    last(ignoreNulls) window — the join and the window share the user_id
+    partitioning. Hourly sums go through exact decimals so the carried
+    level is bit-deterministic."""
+    from ..operators.timeseries import gap_fill
+
+    (events,) = _t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("level_value"),
+    )
+    return gap_fill(
+        hourly,
+        key="user_id",
+        time_col="hour_ts",
+        value_cols={"n_events": "zero", "level_value": "ffill"},
+    )

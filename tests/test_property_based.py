@@ -619,3 +619,41 @@ def test_log2_fp_sql_matches_python_on_both_engines(spark, xs):
     want = {x: ref(x) for x in xs}
     assert got_spark == want
     assert got_duck == want
+
+
+def test_gap_fill_matches_reference_semantics(spark):
+    """gap_fill densifies per-key grids, zero-fills additive columns,
+    forward-fills level columns (leading gaps stay NULL), and marks
+    synthesized rows."""
+    import datetime as dt
+
+    from s3_to_redshift_with_airflow_spark.operators.timeseries import gap_fill
+
+    h = lambda i: dt.datetime(2024, 1, 1, i, 0, 0)  # noqa: E731
+    rows = [
+        ("a", h(0), 2, 5.0),
+        ("a", h(3), 1, 7.0),
+        ("b", h(1), 4, None),  # level never observed -> ffill stays NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, t timestamp, n long, v double"
+    )
+    out = {
+        (r["k"], r["t"].hour): (r["observed"], r["n"], r["v"])
+        for r in gap_fill(
+            df, key="k", time_col="t", value_cols={"n": "zero", "v": "ffill"}
+        ).collect()
+    }
+    assert out == {
+        ("a", 0): (True, 2, 5.0),
+        ("a", 1): (False, 0, 5.0),
+        ("a", 2): (False, 0, 5.0),
+        ("a", 3): (True, 1, 7.0),
+        ("b", 1): (True, 4, None),
+    }
+    for bad in ({}, {"n": "mean"}):
+        try:
+            gap_fill(df, "k", "t", bad)
+            raise AssertionError(f"accepted {bad}")
+        except ValueError:
+            pass
