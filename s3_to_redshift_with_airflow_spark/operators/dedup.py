@@ -552,3 +552,78 @@ def minhash_lsh_incremental(
         .select("incoming_id", "corpus_id", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def repeated_window_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 10,
+    stride: int = 1,
+) -> DataFrame:
+    """Cross-document repeated-span detection — the signal behind
+    ExactSubstr-style dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": cut spans that occur verbatim in more
+    than one document). A true distributed suffix array is not
+    Spark-expressible; dense w-token windows (w-gram shingles, stride 1)
+    are the standard approximation: a verbatim clone of ≥ w tokens shares
+    at least one full window REGARDLESS of its alignment in each document,
+    so recall on long clones is exactly 1 and only sub-w repeats are
+    missed — the honest trade documented here. stride > 1 is offered ONLY
+    for same-alignment uses (e.g. self-comparison of one layout): two
+    documents' stride grids generally have different phases, so a clone
+    can straddle both grids and a strided cross-doc scan has NO recall
+    guarantee (a unit test pins the stride-1 guarantee instead).
+
+    Returns (id, n_windows, n_repeated, repeated_fraction) per document
+    with ≥ 1 window (shorter docs have no w-token window to test);
+    repeated_fraction = n_repeated/n_windows, the per-doc duplication
+    score a curation pipeline thresholds on.
+
+    Scale plan: windows explode ~len× the corpus at stride 1, but each
+    window is immediately md5-fingerprinted and the text dropped, so the
+    cross-doc frequency shuffle keys on 128-bit hashes (same discipline
+    as chunk_dedup); one groupBy(fp) for distinct-doc counts, one join
+    back, one groupBy(doc). No window function over the explode."""
+    from ..functions.text import tokens
+
+    if window_tokens <= 0 or stride <= 0 or stride > window_tokens:
+        raise ValueError("need 0 < stride <= window_tokens")
+    toks = tokens(F.col(text_col))
+    starts = F.when(
+        F.size(toks) >= window_tokens,
+        F.sequence(
+            F.lit(1), F.size(toks) - window_tokens + 1, F.lit(stride)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    win = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda st: F.concat_ws(
+                        " ", F.slice(tokens(F.col(text_col)), st, window_tokens)
+                    ),
+                )
+            ).alias("__w"),
+        )
+        .select(F.col(id_col), F.md5(F.col("__w")).alias("fp"))
+    )
+    freq = win.groupBy("fp").agg(
+        F.count_distinct(F.col(id_col)).alias("__docs")
+    )
+    return (
+        win.join(freq, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repeated"),
+        )
+        .withColumn(
+            "repeated_fraction",
+            F.col("n_repeated").cast("double") / F.col("n_windows").cast("double"),
+        )
+    )

@@ -2405,3 +2405,49 @@ def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("bigint").alias("kept_segments"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+@query(
+    "repeated_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(CASE WHEN len(toks) >= 10
+                         THEN generate_series(1, len(toks) - 9, 1)
+                         ELSE CAST([] AS BIGINT[]) END) AS st
+      FROM t
+    ),
+    w AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, st, st + 9), ' ')) AS fp
+      FROM s
+    ),
+    f AS (SELECT fp, COUNT(DISTINCT doc_id) AS docs FROM w GROUP BY fp),
+    d AS (
+      SELECT w.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN f.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeated
+      FROM w JOIN f USING (fp) GROUP BY 1
+    )
+    SELECT doc_id, n_windows, n_repeated,
+           CAST(n_repeated AS DOUBLE) / CAST(n_windows AS DOUBLE)
+             AS repeated_fraction
+    FROM d
+    """,
+)
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span report
+    (operators/dedup.repeated_window_stats): dense 10-token windows
+    (10-gram shingles) fingerprinted and counted across documents; any
+    verbatim clone of ≥ 10 tokens shares a full window whatever its
+    alignment, so cross-doc duplication is caught with recall 1 and scored per doc
+    as repeated_fraction — the signal ExactSubstr dedup cuts on (Lee et
+    al. 2022). Window text is md5'd before any shuffle; one fp groupBy,
+    one join back, one doc groupBy. The single float division happens
+    once per output row — engine-exact."""
+    from ..operators.dedup import repeated_window_stats
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return repeated_window_stats(docs, window_tokens=10, stride=1)

@@ -217,3 +217,35 @@ def test_intra_doc_dedup_removes_repeated_segments(spark):
     assert out[1]["clean_text"] == " ".join(str(i % 10) for i in range(10))
     assert out[2]["n_segments"] == 2 and out[2]["kept_segments"] == 2
     assert out[2]["clean_text"] == uniq
+
+
+def test_repeated_window_stats_detects_long_clones(spark):
+    """A verbatim clone of >= w + s - 1 tokens must contain a fully
+    repeated window (recall 1 on long clones); unique docs score 0; docs
+    shorter than w have no windows and are excluded."""
+    from s3_to_redshift_with_airflow_spark.operators.dedup import (
+        repeated_window_stats,
+    )
+
+    clone = " ".join(f"t{i}" for i in range(10))  # exactly w tokens
+    rows = [
+        (1, clone + " aaa bbb"),         # clone at offset 0
+        (2, "xxx yyy zzz " + clone),     # clone at offset 3 (different phase)
+        (3, " ".join(f"u{i}" for i in range(16))),  # unique, 0 repeated
+        (4, "too short"),  # < 10 tokens -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_windows"], r["n_repeated"])
+        for r in repeated_window_stats(df, window_tokens=10).collect()
+    }
+    assert 4 not in out
+    assert out[3] == (7, 0)
+    # alignment-independent: the w-token clone is caught in BOTH docs
+    assert out[1] == (3, 1) and out[2] == (4, 1)
+    for kwargs in ({"stride": 0}, {"stride": 11}, {"window_tokens": 0}):
+        try:
+            repeated_window_stats(df, **{"window_tokens": 10, **kwargs})
+            raise AssertionError(f"accepted {kwargs}")
+        except ValueError:
+            pass
