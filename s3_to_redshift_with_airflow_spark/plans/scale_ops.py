@@ -2598,3 +2598,68 @@ def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_col="hour_ts",
         value_cols={"n_events": "zero", "level_value": "ffill"},
     )
+
+
+@query(
+    "rollup_kpis",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN GROUPING(event_type) = 0 THEN date_trunc('hour', ts) END
+             AS hour_ts,
+           CAST(GROUPING(event_type) * 2 + GROUPING(date_trunc('hour', ts))
+                AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
+    """,
+)
+def q_rollup_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain aggregation in ONE pass: ROLLUP(event_type, hour)
+    produces the (type, hour), (type), and grand-total grains together —
+    at 100 TB this replaces three scans with one (Spark expands grouping
+    sets map-side and the partial aggregates still combine before the
+    shuffle). `grp` is the GROUPING_ID disambiguating real NULLs from
+    subtotal rows — the contract consumers key on; value sums go through
+    exact decimals. One subtlety the oracle mirrors: GROUPING() masks the
+    rolled-up hour column with NULL at coarser grains on both engines."""
+    (events,) = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    return (
+        events.rollup(F.col("event_type"), hour.alias("hour_ts"))
+        .agg(
+            F.grouping_id().cast("bigint").alias("grp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            .alias("total_value"),
+        )
+        .select("event_type", "hour_ts", "grp", "n_events", "total_value")
+    )
+
+
+@query(
+    "pivot_kpis",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_pivot_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: hourly event counts spread into one column per event type —
+    the wide KPI table dashboards read. The value list is EXPLICIT
+    (pivot(col, values)): without it Spark runs an extra distinct scan to
+    discover values and the output schema becomes data-dependent — both
+    wrong at 100 TB. Pivot compiles to conditional aggregation (exactly
+    the oracle's FILTER form), so the partials combine map-side like any
+    groupBy."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)).cast("bigint"))
+        .na.fill(0, ["click", "view", "purchase"])
+    )
