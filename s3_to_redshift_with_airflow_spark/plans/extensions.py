@@ -2451,3 +2451,64 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return repeated_window_stats(docs, window_tokens=10, stride=1)
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ),
+    t AS (SELECT source, tok FROM tok WHERE tok <> ''),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok
+        ORDER BY cnt DESC, tok ASC LIMIT 1000
+      )
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM t LEFT JOIN vocab v USING (tok)
+    GROUP BY source
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-1000 token vocab
+    (count desc, token asc — the deterministic tie-break every top-k here
+    uses) and measure each source's out-of-vocabulary OCCURRENCE rate —
+    the number a tokenizer/vocab decision is judged by before committing
+    to a pretraining run. The vocab is broadcast (1000 rows) against the
+    exploded token stream, so the corpus shuffles once for the counts and
+    once for the per-source rollup; the single float division per source
+    row is engine-exact."""
+    from ..functions.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(1000)
+        .select("tok", F.lit(1).alias("__v"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("oov_tokens").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
