@@ -2663,3 +2663,104 @@ def q_pivot_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint"))
         .na.fill(0, ["click", "view", "purchase"])
     )
+
+
+@query(
+    "streaming_right_outer_join",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      -- NULL-propagating min watermark (see streaming_outer_join)
+      SELECT CASE
+        WHEN cmax IS NULL OR pmax IS NULL THEN NULL
+        ELSE least(cmax, pmax) - INTERVAL 2 HOUR
+      END AS w
+      FROM (
+        SELECT
+          (SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000)
+           FROM events WHERE event_type = 'click') AS cmax,
+          (SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000)
+           FROM events WHERE event_type = 'purchase') AS pmax
+      )
+    ),
+    matched AS (
+      SELECT c.click_id, p.purchase_id, p.p_user AS join_user,
+             c.click_ts, p.purchase_ts
+      FROM c JOIN p ON c.user_id = p.p_user
+        AND p.purchase_ts >= c.click_ts
+        AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    ),
+    unmatched_p AS (
+      SELECT CAST(NULL AS BIGINT) AS click_id, p.purchase_id,
+             p.p_user AS join_user, CAST(NULL AS TIMESTAMP) AS click_ts,
+             p.purchase_ts
+      FROM p
+      WHERE NOT EXISTS (
+          SELECT 1 FROM c WHERE c.user_id = p.p_user
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+        AND p.purchase_ts < (SELECT w FROM wm)
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched_p
+    """,
+)
+def q_streaming_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join — the last member of the
+    §2.10 join family (inner / left / right / full). Only the purchase
+    side null-extends, with the EARLY bound the full-outer query derives:
+    a purchase's null row needs just watermark > purchase_ts (any future
+    click has click_ts > watermark ≥ purchase_ts, violating click_ts ≤
+    purchase_ts), strict at ms granularity under the NULL-propagating
+    min-policy watermark — the purchase-side bounds probed and pinned in
+    tests/test_streaming_outer_join.py."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+
+    def side(event_type: str, id_alias: str, ts_alias: str, user_alias: str):
+        src = stream_source(
+            spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+        )
+        src = with_ts_from_nanos(src, "ts")
+        return (
+            src.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "2 hours")
+        )
+
+    clicks = side("click", "click_id", "click_ts", "user_id")
+    purchases = side("purchase", "purchase_id", "purchase_ts", "p_user")
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "right_outer",
+    ).select(
+        "click_id", "purchase_id",
+        F.col("p_user").alias("join_user"),
+        "click_ts", "purchase_ts",
+    )
+    sink_name = "streaming_right_outer_join_mem"
+    with sized_state_partitions(spark, table_path(sf_dir, "events")):
+        (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return spark.table(sink_name)
