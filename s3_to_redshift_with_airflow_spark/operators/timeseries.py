@@ -244,11 +244,15 @@ def gap_fill(
 
     Plan: per-key min/max (one aggregate) → `sequence()` grid explode →
     left join observations on (key, bucket) → `last(ignoreNulls)` window
-    per key for the ffill columns. Two shuffles total (the grid join and
-    the window share the key partitioning; Catalyst reuses it), all
-    codegen. Scale note: grid size per key is span/step — bound the span
-    upstream for keys with years of sparse history, or the explode IS the
-    data you asked for."""
+    per key for the ffill columns. The grid aggregate partitions by key
+    and the ffill window reuses that partitioning (verified: no exchange
+    between join and Window when the observation side broadcasts, the
+    common case since the input is an already-aggregated series). When
+    the series is too big to broadcast the join becomes a (key, bucket)
+    SMJ and the window adds one key-only exchange — still three shuffles
+    of the AGGREGATED series, never the raw events. Scale note: grid size
+    per key is span/step — bound the span upstream for keys with years of
+    sparse history, or the explode IS the data you asked for."""
     if not value_cols or any(p not in ("zero", "ffill") for p in value_cols.values()):
         raise ValueError("value_cols must map columns to 'zero' or 'ffill'")
     if step_seconds <= 0:

@@ -296,3 +296,36 @@ def test_pagerank_no_cartesian_and_partial_aggregation(spark):
     plan = _plan(spark, "pagerank_centrality")
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_pivot_is_single_scan_conditional_agg(spark):
+    """pivot with an explicit value list must compile to one scan +
+    conditional aggregation — no value-discovery scan, no join."""
+    df = REGISTRY["pivot_kpis"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan
+
+
+def test_rollup_is_single_scan(spark):
+    """ROLLUP grains expand map-side from ONE scan — three grains must not
+    mean three scans."""
+    df = REGISTRY["rollup_kpis"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan  # the grouping-sets operator
+
+
+def test_zorder_layout_is_one_range_shuffle(spark):
+    """The Z-order write layout costs exactly one range shuffle of the
+    keyed data (plus the 1-row stats broadcast) — the same as any global
+    sort."""
+    from s3_to_redshift_with_airflow_spark.operators.layout import zorder_layout
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    out = zorder_layout(li, ["l_partkey", "l_suppkey"], num_files=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
