@@ -234,3 +234,54 @@ def q_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=_PR_SCALE,
         damping_ppm=_PR_DAMP,
     ).select(F.col("node"), F.col("rank"))
+
+
+_SQL_TRAINED_CLASSIFIER = f"""
+    WITH tw AS ({_SQL_TRAIN}),
+    tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('t:{_SEED}:' || tok), 1, 15))::UBIGINT
+                  % {_N_BUCKETS} AS BIGINT) AS bucket
+      FROM tok WHERE tok <> ''
+    ),
+    s AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(weight) AS BIGINT) AS margin
+      FROM b JOIN tw USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, margin,
+           CASE WHEN margin >= 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM s
+"""
+
+
+@query("quality_classifier_trained", oracle=_SQL_TRAINED_CLASSIFIER)
+def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END learned gate: train the Naive-Bayes weights
+    (quality_classifier_train's plan) and score every document with them
+    through the SAME broadcast-lookup classify plan, in one lazy DAG — the
+    full distill-then-gate pipeline with a single exact oracle (the train
+    SQL composes as a CTE into the classify SQL). On this synthetic corpus
+    the pure-likelihood margin is keep-heavy (drop labels here are driven
+    by length, which bag-of-words margins encode only weakly — measured
+    honestly, threshold tuning belongs to the caller via `bias`); the
+    engine contract being pinned is bit-exact trained margins at corpus
+    scale."""
+    import functools
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    passes = functools.reduce(
+        lambda a, b: a & b, gopher_rules(F.col("text")).values()
+    )
+    weights = train_hashed_weights(
+        docs.withColumn("__label", passes),
+        "__label",
+        n_buckets=_N_BUCKETS,
+        seed=_SEED,
+    ).select("bucket", "weight")
+    return hashed_linear_classify(
+        docs, weights=weights, n_buckets=_N_BUCKETS, seed=_SEED
+    )

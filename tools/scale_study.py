@@ -47,7 +47,7 @@ from s3_to_redshift_with_airflow_spark.sources.synthetic import (  # noqa: E402
     synthetic_documents,
 )
 
-SCALES = {"x1": 1, "x10": 10, "x50": 50}
+SCALES = {"x1": 1, "x10": 10, "x50": 50, "x100": 100, "x200": 200}
 BASE_EVENTS = 100_000  # sf0.1 events rows
 BASE_DOCS = 5_000  # sf0.1 documents rows
 BASE_LINEITEM = 600_000  # sf0.1 lineitem rows
