@@ -2764,3 +2764,175 @@ def q_streaming_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .awaitTermination()
         )
     return spark.table(sink_name)
+
+
+@query(
+    "streaming_temporal_enrich",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             TIMESTAMP '1970-01-01 00:00:00' AS valid_from,
+             TIMESTAMP '2024-01-15 00:00:00' AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment || '_v2',
+             TIMESTAMP '2024-01-15 00:00:00', NULL
+      FROM customer
+    )
+    SELECT d.seg AS segment,
+           date_trunc('hour', e.ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e
+    JOIN dim d ON e.user_id = d.k
+      AND e.ts >= d.valid_from
+      AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (SCD2 as-of) stream enrichment: each event resolves the
+    dimension VERSION valid at its event time — the pattern that makes
+    slowly-changing attributes correct in streaming pipelines, where a
+    plain key join would retroactively re-label history with today's
+    attributes. The versioned dimension is built deterministically from
+    `customer` (version 1 until the mid-corpus pivot, a '_v2' segment
+    after), and the stream joins it with the standard interval predicate
+    (valid_from ≤ ts < valid_to, open version NULL-bounded). Stream-STATIC
+    non-equi joins are stateless — the dimension snapshot broadcasts per
+    micro-batch, no join state accumulates — so the only stateful operator
+    is the windowed count (watermark-bounded). Complete-mode over the
+    finite source equals the batch join: exact oracle."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    pivot = "2024-01-15 00:00:00"
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    src = stream_source(
+        spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+    )
+    src = with_ts_from_nanos(src, "ts").withWatermark("ts", "2 hours")
+    cust = spark.read.parquet(table_path(sf_dir, "customer"))
+    v1 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(pivot).cast("timestamp").alias("valid_to"),
+    )
+    v2 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.concat(F.col("c_mktsegment"), F.lit("_v2")).alias("seg"),
+        F.lit(pivot).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    enriched = src.join(
+        F.broadcast(dim),
+        (src.user_id == dim.k)
+        & (src.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (src.ts < dim.valid_to)),
+        "inner",
+    )
+    agg = (
+        enriched.groupBy(
+            F.col("seg").alias("segment"),
+            F.window(F.col("ts"), "1 hour").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select("segment", F.col("w.start").alias("window_start"), "n_events")
+    )
+    sink_name = "streaming_temporal_enrich_mem"
+    with sized_state_partitions(spark, table_path(sf_dir, "events")):
+        (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return spark.table(sink_name)
+
+
+_CMS_D, _CMS_W = 4, 1024
+_CMS_HASH_SQL = (
+    "CAST(('0x' || substr(md5('cms:' || d || ':' || CAST(user_id AS VARCHAR)),"
+    f" 1, 15))::UBIGINT % {_CMS_W} AS BIGINT)"
+)
+
+
+@query(
+    "cms_point_queries",
+    oracle=f"""
+    WITH dd AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d),
+    keyed AS (SELECT e.user_id, dd.d, {_CMS_HASH_SQL} AS bucket
+              FROM events e, dd),
+    cms AS (
+      SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM keyed GROUP BY d, bucket
+    ),
+    top AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id ASC LIMIT 20
+    ),
+    probes AS (SELECT t.user_id, t.exact_n, dd.d, {_CMS_HASH_SQL.replace("e.user_id", "t.user_id").replace("user_id AS VARCHAR", "t.user_id AS VARCHAR")} AS bucket
+               FROM top t, dd)
+    SELECT p.user_id, p.exact_n,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+    FROM probes p JOIN cms c ON c.d = p.d AND c.bucket = p.bucket
+    GROUP BY p.user_id, p.exact_n
+    """,
+)
+def q_cms_point_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan) point queries — the
+    frequency sketch for cardinalities where an exact per-key count table
+    no longer fits: d=4 md5 hash rows × w=1024 buckets, estimate =
+    min over rows of the bucket count (never underestimates). Unlike the
+    HLL rollup (whose DataSketches binary DuckDB cannot reproduce), the
+    CMS CONTENT is plain integer counts under the engine-portable md5
+    hash, so the whole sketch AND its estimates carry an exact DuckDB
+    value oracle. Build = one groupBy over a 4× explode (map-side
+    combined, ≤ d·w groups); the 4096-row sketch broadcasts against the
+    20 probe keys. Output (user_id, exact_n, cms_est) with
+    cms_est ≥ exact_n by construction — the one-sided error bound a test
+    also pins."""
+    from ..operators.classify import _md5_int60
+
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.select("user_id")
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    _md5_int60(
+                        F.concat(
+                            F.lit(f"cms:{d}:"), F.col("user_id").cast("string")
+                        )
+                    )
+                    % _CMS_W
+                ).alias("bucket"),
+            )
+            for d in range(_CMS_D)
+        ]
+    )
+    cms = (
+        ev.select(F.explode(hashes).alias("h"))
+        .select("h.d", "h.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    probes = top.select(
+        "user_id", "exact_n", F.explode(hashes).alias("h")
+    ).select("user_id", "exact_n", "h.d", "h.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+    )

@@ -397,3 +397,16 @@ def test_sketch_table_survives_raw_data_deletion(spark, tmp_path):
     n_users = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
         "user_id").distinct().count()
     assert abs(total - n_users) <= max(2, 0.05 * n_users)
+
+
+def test_cms_estimates_are_one_sided_and_tight_at_low_load(spark):
+    """Count-min guarantees est >= exact always; at sf0.001's load factor
+    (distinct users << d*w) collisions are rare, so the top keys'
+    estimates should also be close (within 2x)."""
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    rows = REGISTRY["cms_point_queries"].fn(spark, SF_SMOKE).collect()
+    assert 1 <= len(rows) <= 20  # sf0.001 has fewer than 20 distinct users
+    for r in rows:
+        assert r["cms_est"] >= r["exact_n"], r
+        assert r["cms_est"] <= 2 * r["exact_n"], r
