@@ -2936,3 +2936,69 @@ def q_cms_point_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "exact_n")
         .agg(F.min("cnt").cast("bigint").alias("cms_est"))
     )
+
+
+@query(
+    "state_store_audit",
+    oracle="""
+    WITH wm AS (
+      SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000)
+             - INTERVAL 2 HOUR AS w
+      FROM events
+    ),
+    h AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT h.window_start, h.n_events
+    FROM h, wm
+    WHERE h.window_start + INTERVAL 1 HOUR > wm.w
+    """,
+)
+def q_state_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming STATE introspection (Spark 4 state-store data source):
+    run the watermarked hourly aggregate to a checkpoint, then read the
+    live aggregation state back as a DataFrame with
+    `spark.read.format("statestore")` — the operational audit that lets
+    you inspect (or debug, or migrate) checkpointed state without
+    replaying the stream. The state after an availableNow run is exactly
+    the append-mode emission COMPLEMENT: windows whose end > the final
+    watermark (emission itself uses end ≤ w — probed at the exact bound:
+    a window whose end equals the watermark is emitted and leaves state),
+    so even the state contents carry an exact batch oracle. The temp
+    checkpoint is left in place — the returned DataFrame reads it
+    lazily."""
+    import tempfile
+
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    src = stream_source(
+        spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+    )
+    src = with_ts_from_nanos(src, "ts").withWatermark("ts", "2 hours")
+    agg = src.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ck = tempfile.mkdtemp(prefix="state_audit_ck_")
+    sink_name = "state_store_audit_mem"
+    with sized_state_partitions(spark, table_path(sf_dir, "events")):
+        (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return (
+        spark.read.format("statestore")
+        .load(ck)
+        .select(
+            F.col("key.window.start").alias("window_start"),
+            F.col("value.count").cast("bigint").alias("n_events"),
+        )
+    )
