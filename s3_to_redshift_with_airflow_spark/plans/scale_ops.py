@@ -3002,3 +3002,68 @@ def q_state_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value.count").cast("bigint").alias("n_events"),
         )
     )
+
+
+@query(
+    "set_ops",
+    oracle="""
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    viewers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+    SELECT user_id, 'click_and_buy' AS cohort FROM
+      (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+    UNION ALL
+    SELECT user_id, 'view_no_buy' AS cohort FROM
+      (SELECT user_id FROM viewers EXCEPT SELECT user_id FROM buyers)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators — cohort algebra (users who both
+    clicked and purchased; viewers who never purchased). Spark compiles
+    INTERSECT to a left-semi and EXCEPT to a left-anti aggregate join, so
+    both are one shuffle over the DISTINCT key sets, never the raw
+    events."""
+    (events,) = _t(spark, sf_dir, "events")
+
+    def ids(et):
+        return events.filter(F.col("event_type") == et).select("user_id").distinct()
+
+    both = ids("click").intersect(ids("purchase")).withColumn(
+        "cohort", F.lit("click_and_buy")
+    )
+    lost = ids("view").exceptAll(ids("purchase")).withColumn(
+        "cohort", F.lit("view_no_buy")
+    )
+    return both.unionByName(lost)
+
+
+@query(
+    "unpivot_kpis",
+    oracle="""
+    WITH hours AS (SELECT DISTINCT date_trunc('hour', ts) AS hour_ts FROM events),
+    types AS (SELECT unnest(['click', 'view', 'purchase']) AS event_type),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+      GROUP BY 1, 2
+    )
+    SELECT h.hour_ts, t.event_type,
+           COALESCE(c.n_events, 0)::BIGINT AS n_events
+    FROM hours h CROSS JOIN types t
+    LEFT JOIN counts c ON c.hour_ts = h.hour_ts AND c.event_type = t.event_type
+    """,
+)
+def q_unpivot_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of pivot_kpis: the wide hourly KPI
+    table melts back to long (hour, event_type, n) form, zero cells
+    included (the round-trip contract: unpivot(pivot(x)) = x densified
+    onto the full hour × type grid). `melt` is pure projection+explode —
+    no shuffle beyond the pivot's own aggregate."""
+    wide = q_pivot_kpis(spark, sf_dir)
+    return wide.melt(
+        ids=["hour_ts"],
+        values=["click", "view", "purchase"],
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    ).select("hour_ts", "event_type", F.col("n_events").cast("bigint"))
