@@ -72,6 +72,11 @@ HEADLINE = [
     # streaming.pipeline.sized_state_partitions)
     "quality_classifier_train",
     "streaming_full_outer_join",
+    # round-5 layout/reshape/timeseries families: one-range-shuffle Z-order
+    # keying, single-scan grouping sets, and the grid-densify + ffill plan
+    "zorder_layout",
+    "rollup_kpis",
+    "gap_fill_hourly",
 ]
 
 

@@ -251,6 +251,9 @@ def test_registry_wide_plan_audit(spark):
         # 1-row (pos_tot, neg_tot) totals broadcast onto the 4096-row
         # bucket table — same scalar-threshold sanction as tpch_q11
         "quality_classifier_train",
+        # composes the trainer above, so it carries the same 1-row
+        # totals broadcast
+        "quality_classifier_trained",
         # 1-row min/max stats broadcast for the Z-order normalization —
         # same scalar sanction
         "zorder_layout",
