@@ -201,3 +201,69 @@ def scd2_apply(
         F.lit(None).cast("timestamp").alias(valid_to),
     )
     return closed_rows.unionByName(survivors).unionByName(new_versions)
+
+
+def diff_tables(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Snapshot diff — the ETL QA primitive behind "what changed between
+    loads": full-outer join on the business keys, rows classified as
+    'added' (key only in new), 'removed' (key only in old), or 'changed'
+    (key in both, any non-key column differing; NULL-safe via <=>).
+    Unchanged rows are dropped — on a 100 TB table the diff output is
+    proportional to the CHANGE volume, not the table. One co-partitioned
+    shuffle on the keys; non-key comparison happens post-join in codegen.
+
+    Both frames must share a schema; returns keys + change_type."""
+    if not keys or old.columns != new.columns:
+        raise ValueError("need non-empty keys and identical schemas")
+    attrs = [c for c in old.columns if c not in keys]
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in old.columns]
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in new.columns]
+    )
+    cond = [o[f"__o_{k}"] == n[f"__n_{k}"] for k in keys]
+    j = o.join(n, cond, "full_outer")
+    any_diff = (
+        F.lit(False)
+        if not attrs
+        else ~F.expr(
+            " AND ".join(f"(`__o_{c}` <=> `__n_{c}`)" for c in attrs)
+        )
+    )
+    out = j.select(
+        *[
+            F.coalesce(F.col(f"__n_{k}"), F.col(f"__o_{k}")).alias(k)
+            for k in keys
+        ],
+        F.when(F.col(f"__o_{keys[0]}").isNull(), F.lit("added"))
+        .when(F.col(f"__n_{keys[0]}").isNull(), F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+        .alias("change_type"),
+    )
+    return out.filter(F.col("change_type").isNotNull())
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-independent table fingerprint for migration/load validation:
+    (n_rows, checksum) where checksum = bit_xor over rows of a 60-bit
+    md5 of the '|'-joined column values (NULL encoded as a sentinel).
+    XOR is commutative/associative, so the digest is identical on any
+    engine, partitioning, or row order — compare source and target
+    checksums after a copy instead of shipping the rows back. One
+    map-side-combined aggregate, no shuffle beyond the 1-row combine.
+
+    Collision note: 60-bit xor digests collide only adversarially, not
+    by chance at any realistic table size; this is a drift tripwire, not
+    a cryptographic proof."""
+    cols = cols or df.columns
+    row_repr = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
+    )
+    row_hash = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("bigint")
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.bit_xor(row_hash).cast("bigint").alias("checksum"),
+    )

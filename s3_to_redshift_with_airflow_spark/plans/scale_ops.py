@@ -3067,3 +3067,99 @@ def q_unpivot_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="event_type",
         valueColumnName="n_events",
     ).select("hour_ts", "event_type", F.col("n_events").cast("bigint"))
+
+
+@query(
+    "table_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                 FROM orders),
+    new AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 103 = 0
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                      AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                      AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                  THEN 'changed'
+           END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                     AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                     AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                 THEN 'changed'
+          END IS NOT NULL
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/relational.diff_tables) — "what changed
+    between loads": a deterministic v2 of orders (every 97th key removed,
+    every 101st repriced, every 103rd re-added under a new key) diffed
+    against v1 via ONE co-partitioned full-outer join; output rows ∝
+    change volume, never table volume, classified added/removed/changed
+    with NULL-safe comparison. The ETL-QA primitive the reference's
+    load-validation step implies but computes row-by-row in pandas."""
+    from ..operators.relational import diff_tables
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    new = (
+        old.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 103 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+    return diff_tables(old, new, keys=["o_orderkey"])
+
+
+@query(
+    "table_checksum_audit",
+    oracle="""
+    WITH r AS (
+      SELECT ('0x' || substr(md5(
+               COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'null') || '|' ||
+               COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null') || '|' ||
+               COALESCE(o_orderstatus, chr(0) || 'null') || '|' ||
+               COALESCE(o_orderpriority, chr(0) || 'null')
+             ), 1, 15))::UBIGINT AS h
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS checksum
+    FROM r
+    """,
+)
+def q_table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint
+    (operators/relational.table_checksum): 60-bit md5 per row XOR-folded —
+    commutative, so the digest is identical on any engine, partitioning,
+    or row order. The migration/copy tripwire: compare source and target
+    (n_rows, checksum) instead of shipping rows back. Restricted here to
+    integer/string columns — float columns must be explicitly formatted
+    (e.g. exact decimal cast) before hashing, because double→string
+    rendering is NOT engine-portable."""
+    from ..operators.relational import table_checksum
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return table_checksum(
+        orders,
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )

@@ -85,3 +85,46 @@ def test_scd2_apply_idempotent_and_null_safe(spark):
     # idempotency: the same delta applied to the merged result is a no-op
     twice = scd2_apply(once, updates, ["k"], ["v"], "2024-07-01 00:00:00")
     assert snap(twice) == got
+
+
+def test_diff_tables_classifies_and_is_null_safe(spark):
+    from s3_to_redshift_with_airflow_spark.operators.relational import diff_tables
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),        # unchanged -> dropped from output
+         (2, "b", None),      # NULL == NULL under <=> -> unchanged
+         (3, "c", 31),        # changed
+         (5, "e", 50)],       # added; 4 removed
+        "k long, s string, v long",
+    )
+    got = {r["k"]: r["change_type"] for r in diff_tables(old, new, ["k"]).collect()}
+    assert got == {3: "changed", 4: "removed", 5: "added"}
+    try:
+        diff_tables(old, new.select("k", "v", "s"), ["k"])
+        raise AssertionError("accepted mismatched schemas")
+    except ValueError:
+        pass
+
+
+def test_table_checksum_is_order_invariant_and_detects_drift(spark):
+    from s3_to_redshift_with_airflow_spark.operators.relational import (
+        table_checksum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "k long, s string"
+    )
+    base = table_checksum(df).collect()[0]
+    shuffled = table_checksum(df.orderBy(F.col("k").desc()).repartition(5)).collect()[0]
+    assert (base["n_rows"], base["checksum"]) == (3, shuffled["checksum"]) == (
+        3,
+        base["checksum"],
+    )
+    drifted = table_checksum(
+        df.withColumn("s", F.coalesce("s", F.lit("X")))
+    ).collect()[0]
+    assert drifted["checksum"] != base["checksum"]  # NULL vs 'X' must differ
