@@ -3163,3 +3163,63 @@ def q_table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
     )
+
+
+@query(
+    "incremental_mv_merge",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-(type, day) KPI
+    view is REFRESHED by merging yesterday's stored partial aggregates
+    with only the NEW day's partials — never rescanning history. The
+    algebra that makes it correct: store MERGEABLE partials (count, exact
+    decimal sum), combine by key-wise addition, and derive non-mergeable
+    measures (avg) only at read time. This query simulates the cycle —
+    "stored" partials for days before the corpus's last day, an
+    "increment" from just the last day, merged by a key-wise sum — and
+    the oracle is the full-history aggregate, proving merge == recompute
+    bit-for-bit (decimal partials keep even the derived double avg
+    deterministic). At 100 TB the stored side is a parquet table keyed by
+    day, the merge touches one day's partitions, and history is never
+    re-read — the same never-rescan contract as the sketch rollup, for
+    exact measures."""
+    (events,) = _t(spark, sf_dir, "events")
+    last_day = F.to_date(F.lit("2024-01-30"))
+    day = F.date_trunc("day", "ts")
+
+    def partials(df):
+        return df.groupBy(
+            F.col("event_type"), day.alias("day")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("__sum"),
+        )
+
+    stored = partials(events.filter(day < last_day))  # the existing MV
+    increment = partials(events.filter(day >= last_day))  # the new load
+    merged = (
+        stored.unionByName(increment)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("__sum").alias("__sum"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("__sum").cast("double").alias("total_value"),
+        (F.col("__sum").cast("double") / F.col("n_events")).cast("double").alias(
+            "avg_value"
+        ),
+    )
