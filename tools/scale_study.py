@@ -75,6 +75,8 @@ def _lineitem(spark, n):
         10,
     ).cast("bigint")
     return spark.range(n).select(
+        (h("pk") % 200_000).alias("l_partkey"),
+        (h("sk") % 10_000).alias("l_suppkey"),
         (h("q") % 50 + 1).cast("decimal(12,2)").alias("l_quantity"),
         ((h("p") % 10_000_000) / 100).cast("decimal(12,2)").alias("l_extendedprice"),
         ((h("d") % 11) / 100).cast("decimal(12,2)").alias("l_discount"),
@@ -166,12 +168,31 @@ def fam_tpch_q1(spark, mult):
     return inp, BASE_LINEITEM * mult, run
 
 
+def fam_zorder(spark, mult):
+    """Range-shuffle family: Z-order keying + repartitionByRange +
+    within-partition sort, forced to full execution with the noop sink."""
+    from s3_to_redshift_with_airflow_spark.operators.layout import zorder_layout
+
+    inp = _lineitem(spark, BASE_LINEITEM * mult).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    ).localCheckpoint()
+
+    def run():
+        zorder_layout(inp, ["l_partkey", "l_suppkey"], num_files=64).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return None
+
+    return inp, BASE_LINEITEM * mult, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
     "minhash": fam_minhash,
     "classifier": fam_classifier,
     "tpch_q1": fam_tpch_q1,
+    "zorder": fam_zorder,
 }
 
 
