@@ -657,3 +657,37 @@ def test_gap_fill_matches_reference_semantics(spark):
             raise AssertionError(f"accepted {bad}")
         except ValueError:
             pass
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(
+    old=st.dictionaries(keys, st.tuples(values, st.booleans()), max_size=8),
+    new=st.dictionaries(keys, st.tuples(values, st.booleans()), max_size=8),
+)
+def test_diff_tables_matches_dict_model(spark, old, new):
+    """diff_tables vs the obvious dict model: keys only in new -> added,
+    only in old -> removed, in both with differing attrs -> changed,
+    identical -> absent (NULL-safe on the nullable attr)."""
+    from s3_to_redshift_with_airflow_spark.operators.relational import diff_tables
+
+    def rows(d):
+        return [(k, v, None if b else "s") for k, (v, b) in d.items()]
+
+    schema = "k long, v long, s string"
+    df_old = spark.createDataFrame(rows(old), schema)
+    df_new = spark.createDataFrame(rows(new), schema)
+    got = {
+        r["k"]: r["change_type"]
+        for r in diff_tables(df_old, df_new, ["k"]).collect()
+    }
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        elif old[k] != new[k]:
+            want[k] = "changed"
+    assert got == want
