@@ -3223,3 +3223,105 @@ def q_incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value"
         ),
     )
+
+
+@query(
+    "moving_range_frame",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour_ts, n_events,
+           CAST(SUM(n_events) OVER (
+             PARTITION BY event_type ORDER BY hour_ts
+             RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_4h,
+           CAST(COUNT(*) OVER (
+             PARTITION BY event_type ORDER BY hour_ts
+             RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS frame_hours
+    FROM h
+    """,
+)
+def q_moving_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE window frames — the moving aggregate real dashboards
+    need: per type, each hour's count plus the rolling 4-hour sum (RANGE
+    BETWEEN 3 HOURS PRECEDING, which follows EVENT TIME, not row
+    position — a ROWS frame silently miscounts whenever hours are
+    missing, the bug this query exists to avoid; `frame_hours` exposes
+    how many observed hours the frame actually held). Spark expresses
+    the interval frame as rangeBetween over epoch seconds — identical
+    frame semantics, integer sums, exact oracle. One shuffle for the
+    hourly rollup; the window reuses its partitioning."""
+    (events,) = _t(spark, sf_dir, "events")
+    h = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("hour_ts"))
+        .rangeBetween(-3 * 3600, 0)
+    )
+    return h.select(
+        "event_type",
+        "hour_ts",
+        "n_events",
+        F.sum("n_events").over(w).cast("bigint").alias("rolling_4h"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("frame_hours"),
+    )
+
+
+@query(
+    "first_touch_attribution",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    first_touch AS (
+      SELECT user_id, event_type AS first_channel FROM ranked WHERE rn = 1
+    ),
+    conv AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT f.first_channel,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(COALESCE(c.n_purchases, 0)) AS BIGINT)
+             AS attributed_purchases
+    FROM first_touch f LEFT JOIN conv c ON c.user_id = f.user_id
+    GROUP BY f.first_channel
+    """,
+)
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every user's purchases credit the channel
+    of their FIRST-ever event (deterministic tie-break on (ts, event_id));
+    output per channel: users acquired and purchases attributed. The
+    first-touch pick is a row_number window, not a groupBy-min-join — one
+    user_id shuffle shared by the window and the conversion rollup."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_touch = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_channel"))
+    )
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+    )
+    return (
+        first_touch.join(conv, "user_id", "left")
+        .groupBy("first_channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.coalesce("n_purchases", F.lit(0)))
+            .cast("bigint")
+            .alias("attributed_purchases"),
+        )
+    )
