@@ -410,3 +410,37 @@ def test_cms_estimates_are_one_sided_and_tight_at_low_load(spark):
     for r in rows:
         assert r["cms_est"] >= r["exact_n"], r
         assert r["cms_est"] <= 2 * r["exact_n"], r
+
+
+def test_range_frame_handles_missing_buckets_where_rows_frame_cannot(spark):
+    """The moving_range_frame contract demonstrated concretely: with hour
+    3 missing, the 4h RANGE frame at hour 4 covers hours {1..4}-observed
+    = {1,2,4}, while a 4-ROWS frame would wrongly reach back to hour 0."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [("a", dt.datetime(2024, 1, 1, h), n)
+            for h, n in [(0, 1), (1, 2), (2, 4), (4, 8)]]  # hour 3 missing
+    h = spark.createDataFrame(rows, "event_type string, hour_ts timestamp, n_events long")
+    range_w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("hour_ts"))
+        .rangeBetween(-3 * 3600, 0)
+    )
+    rows_w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-3, 0)
+    )
+    got = {
+        r["hour_ts"].hour: (r["rng"], r["rws"])
+        for r in h.select(
+            "hour_ts",
+            F.sum("n_events").over(range_w).alias("rng"),
+            F.sum("n_events").over(rows_w).alias("rws"),
+        ).collect()
+    }
+    assert got[4] == (2 + 4 + 8, 1 + 2 + 4 + 8)  # RANGE excludes hour 0; ROWS wrongly includes it
+    assert got[2] == (1 + 2 + 4, 1 + 2 + 4)      # no gap yet: frames agree
