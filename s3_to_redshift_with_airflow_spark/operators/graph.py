@@ -320,3 +320,71 @@ def pagerank_scaled(
         rank = store.ckpt(rank, "rank")
         store.drop("edges")
     return rank
+
+
+def triangle_counts(edges: DataFrame, src: str = "u1", dst: str = "u2") -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    `edges` must hold one row per unordered edge (src < dst, no
+    duplicates, no self-loops) — the canonical form the co-occurrence /
+    near-dup pair builders already emit. Returns (node, n_tri) for every
+    node in at least one triangle; total triangles = sum(n_tri) / 3.
+
+    Algorithm — degree-ordered orientation (Schank & Wagner '05; the
+    MapReduce formulation is Suri & Vassilvitskii, WWW'11): orient every
+    edge from its lower endpoint to its higher endpoint under the total
+    order (degree, node id). The orientation is acyclic and each triangle
+    has exactly ONE node with both its triangle edges outgoing, so counting
+    wedges (a→y, a→z, y < z) closed by the unordered edge {y, z} counts
+    each triangle exactly once. Why this is THE scale formulation: wedge
+    generation is Σ outdeg(v)² with outdeg bounded by O(√m) after
+    orientation — O(m^1.5) total even on power-law graphs — whereas naive
+    wedge counting is Σ deg(v)², which detonates on hub nodes (a degree-1M
+    hub contributes 5e11 naive wedges but at most ~m oriented ones).
+
+    Plan shape: two broadcast-size degree joins, one self-join on the wedge
+    apex `a` (shuffle keyed by apex — the only O(wedges) stage), one
+    equi-join against the canonical edge set to close wedges, one corner
+    explode + groupBy(node). Determinism: counts are partition-invariant
+    integers; ties in the degree order break by node id, so the oriented
+    edge set is unique — both engines replay it bit-for-bit.
+    """
+    e = edges.select(F.col(src).alias("u1"), F.col(dst).alias("u2"))
+    deg = (
+        e.select(F.col("u1").alias("u"))
+        .unionAll(e.select(F.col("u2").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = e.join(
+        F.broadcast(deg.select(F.col("u").alias("u1"), F.col("d").alias("d1"))),
+        "u1",
+    ).join(
+        F.broadcast(deg.select(F.col("u").alias("u2"), F.col("d").alias("d2"))),
+        "u2",
+    )
+    lower_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("u1") < F.col("u2"))
+    )
+    o = ed.select(
+        F.when(lower_first, F.col("u1")).otherwise(F.col("u2")).alias("a"),
+        F.when(lower_first, F.col("u2")).otherwise(F.col("u1")).alias("b"),
+    )
+    wedges = (
+        o.select("a", F.col("b").alias("y"))
+        .join(o.select("a", F.col("b").alias("z")), "a")
+        .filter(F.col("y") < F.col("z"))
+    )
+    # Closing edges canonicalized by node id (y < z) — orientation order and
+    # id order can disagree, so re-key the edge set rather than probing both
+    # directions.
+    closing = o.select(
+        F.least("a", "b").alias("y"), F.greatest("a", "b").alias("z")
+    )
+    tri = wedges.join(closing, ["y", "z"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

@@ -19,7 +19,7 @@ from ..operators.classify import (
     log2_fp_sql,
     train_hashed_weights,
 )
-from ..operators.graph import pagerank_scaled
+from ..operators.graph import pagerank_scaled, triangle_counts
 from .extensions import _NORM, _TOKS, _sql_count_in
 from .registry import _t, query
 
@@ -285,3 +285,102 @@ def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_classify(
         docs, weights=weights, n_buckets=_N_BUCKETS, seed=_SEED
     )
+
+
+# --- triangle counting over the hour-scoped co-occurrence graph ------------
+
+_TRI_DF_CAP = 50
+
+_SQL_TRIANGLES = f"""
+    WITH uk AS (
+      SELECT DISTINCT user_id AS u,
+             json_extract_string(props, '$.k') AS k,
+             date_trunc('hour', ts) AS h
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+        AND ts IS NOT NULL
+    ),
+    kdf AS (
+      SELECT k, h, CAST(COUNT(*) AS BIGINT) AS df FROM uk GROUP BY k, h
+    ),
+    ukc AS (
+      SELECT u, uk.k, uk.h FROM uk JOIN kdf USING (k, h)
+      WHERE df <= {_TRI_DF_CAP}
+    ),
+    e AS (
+      SELECT DISTINCT a.u AS u1, b.u AS u2
+      FROM ukc a JOIN ukc b USING (k, h) WHERE a.u < b.u
+    ),
+    deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u1 AS u FROM e UNION ALL SELECT u2 AS u FROM e)
+      GROUP BY u
+    ),
+    o AS (
+      SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u1 < e.u2)
+                  THEN e.u1 ELSE e.u2 END AS a,
+             CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u1 < e.u2)
+                  THEN e.u2 ELSE e.u1 END AS b
+      FROM e JOIN deg d1 ON d1.u = e.u1 JOIN deg d2 ON d2.u = e.u2
+    ),
+    wedge AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b
+    ),
+    tri AS (
+      SELECT x, y, z FROM wedge
+      JOIN (SELECT least(a, b) AS y2, greatest(a, b) AS z2 FROM o) c
+        ON c.y2 = wedge.y AND c.z2 = wedge.z
+    ),
+    corner AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM corner GROUP BY node
+"""
+
+
+@query("triangle_count", oracle=_SQL_TRIANGLES)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the hour-scoped user co-occurrence
+    graph (two users linked iff they emitted the same prop-key within the
+    same hour) — the community-density / clustering-coefficient numerator,
+    third member of the graph family after components and PageRank.
+
+    Graph construction is posting-list discipline end-to-end: the
+    co-occurrence self-join runs per (key, hour) posting list with a df
+    cap (same hot-key rule as decontamination — an unbounded hot key would
+    emit df² pairs), and triangle counting uses degree-ordered orientation
+    so wedge generation is O(m^1.5) worst-case instead of hub-quadratic
+    (see operators/graph.triangle_counts). Counts are partition-invariant
+    integers with a unique oriented edge set (degree ties break by node
+    id), so a structurally combinatorial query still carries an exact
+    value oracle."""
+    (events,) = _t(spark, sf_dir, "events")
+    uk = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.get_json_object("props", "$.k").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").alias("k"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .distinct()
+    )
+    kdf = uk.groupBy("k", "h").agg(F.count(F.lit(1)).alias("df"))
+    ukc = uk.join(kdf.filter(F.col("df") <= _TRI_DF_CAP), ["k", "h"]).select(
+        "u", "k", "h"
+    )
+    edges = (
+        ukc.select("k", "h", F.col("u").alias("u1"))
+        .join(ukc.select("k", "h", F.col("u").alias("u2")), ["k", "h"])
+        .filter(F.col("u1") < F.col("u2"))
+        .select("u1", "u2")
+        .distinct()
+    )
+    return triangle_counts(edges)

@@ -29,6 +29,7 @@ from ..functions.text import (
     punct_count,
     quality_score,
     token_count,
+    tokens,
 )
 from ..operators.dedup import (
     exact_dedup_by_fingerprint,
@@ -2510,5 +2511,101 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "oov_rate",
             F.col("oov_tokens").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+# --- PMI collocation mining -------------------------------------------------
+
+
+def _pmi_oracle() -> str:
+    from ..operators.classify import log2_fp_sql
+
+    lg = lambda x: log2_fp_sql(x, dialect="duck")  # noqa: E731
+    return f"""
+    WITH t AS (SELECT {_TOKS} AS tk FROM documents),
+    g AS (
+      SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                    i -> [tk[i], tk[i + 1]])) AS bg
+      FROM t
+    ),
+    c AS (
+      SELECT bg[1] AS w1, bg[2] AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM g WHERE bg[1] <> '' AND bg[2] <> '' GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT w1, w2, c_xy,
+             CAST(SUM(c_xy) OVER (PARTITION BY w1) AS BIGINT) AS c_left,
+             CAST(SUM(c_xy) OVER (PARTITION BY w2) AS BIGINT) AS c_right
+      FROM c
+    ),
+    tot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_total FROM c)
+    SELECT w1, w2, c_xy, c_left, c_right,
+           {lg("c_xy")} + {lg("n_total")} - {lg("c_left")} - {lg("c_right")}
+             AS pmi_fp
+    FROM win, tot WHERE c_xy >= 5
+    """
+
+
+@query("token_pmi", oracle=_pmi_oracle())
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining over adjacent token
+    bigrams — the classical phrase detector (Church & Hanks '90; the
+    word2vec-phrases preprocessing step): PMI(x,y) = log2(p(xy) /
+    (p(x·)·p(·y))) with the marginals taken as left-slot / right-slot
+    bigram occupancy, so probabilities share one denominator and the score
+    is four integer-log terms. High-PMI pairs are multiword units worth
+    fusing into single tokens before tokenizer training; the c_xy ≥ 5
+    support floor is the standard hapax guard.
+
+    Exactness: pmi_fp is the fixed-point piecewise-linear log2 over exact
+    bigint counts (operators/classify.log2_fp_sql, scale 65536 ≈ 1/65536
+    bit resolution, max interpolation error ~0.086 bit) — all-integer on
+    both engines, so an information-theoretic score carries a bit-exact
+    oracle. Scale: bigrams explode map-side into one combined count
+    shuffle (vocab²-bounded); the marginal windows run over the AGGREGATED
+    bigram table keyed by single tokens, never the corpus; the grand total
+    is a 1-row aggregate broadcast back — no corpus-wide window, no second
+    corpus scan."""
+    from ..operators.classify import log2_fp_sql
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    bigrams = (
+        docs.select(tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> array(element_at(tk, i), element_at(tk, i + 1)))"
+                )
+            ).alias("bg")
+        )
+        .select(
+            F.col("bg").getItem(0).alias("w1"),
+            F.col("bg").getItem(1).alias("w2"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    counted = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+    win = counted.withColumn(
+        "c_left", F.sum("c_xy").over(Window.partitionBy("w1"))
+    ).withColumn("c_right", F.sum("c_xy").over(Window.partitionBy("w2")))
+    total = counted.agg(F.sum("c_xy").cast("bigint").alias("n_total"))
+    lg = lambda x: F.expr(log2_fp_sql(x, dialect="spark"))  # noqa: E731
+    return (
+        win.join(F.broadcast(total))
+        .filter(F.col("c_xy") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_left",
+            "c_right",
+            (lg("c_xy") + lg("n_total") - lg("c_left") - lg("c_right")).alias(
+                "pmi_fp"
+            ),
         )
     )
