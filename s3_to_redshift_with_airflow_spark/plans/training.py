@@ -602,3 +602,62 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_tokens=_CHUNK_W, stride=_CHUNK_STRIDE)
+
+
+# --- int8 Gram matrix (the distributed half of quantized PCA) ---------------
+
+
+@query(
+    "gram_matrix_int8",
+    oracle=_SQL_QUANT
+    + """
+    , dims AS (SELECT CAST(range AS BIGINT) AS i FROM range(64))
+    SELECT d1.i AS i, d2.i AS j,
+           CAST(SUM(qv[d1.i + 1] * qv[d2.i + 1]) AS BIGINT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM q, dims d1, dims d2 WHERE d1.i <= d2.i GROUP BY 1, 2
+    """,
+)
+def q_gram_matrix_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular Gram matrix X'X over the int8-quantized embedding
+    codes — the distributed step of PCA / whitening / SemDeDup's spectral
+    variants (MLlib RowMatrix.computePrincipalComponents has the same
+    shape: accumulate the d×d Gram in one pass, eigendecompose the tiny
+    result driver-side). d=64 → 2080 (i ≤ j) cells; each row contributes
+    its local products map-side, partial aggregation combines them before
+    the single 2080-group shuffle — the shuffle volume is O(partitions·d²)
+    regardless of corpus size, which is what makes one-pass PCA viable at
+    100 TB. Pair products are generated by a nested JVM transform + one
+    explode (no posexplode self-join — the corpus is never joined to
+    itself).
+
+    Exactness: codes are bigints in ±127, so products ≤ 16129 and the sum
+    stays within bigint up to ~5.7e14 vectors — every cell is an exact
+    integer on both engines, giving a linear-algebra kernel a bit-exact
+    value oracle (the same int8-first discipline as kmeans_int8; centering
+    to a covariance uses embedding_quantize's q_sum means downstream)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    qv = quantize_int8(F.col("embedding"))
+    # Name the code array so the SQL lambda can index it (Spark brackets
+    # are 0-based; the DuckDB oracle's are 1-based, hence its qv[i + 1]).
+    cells = (
+        emb.select(qv.alias("__gram_qv"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(sequence(0, size(__gram_qv) - 1), i ->"
+                        " transform(sequence(i, size(__gram_qv) - 1), j ->"
+                        "  struct(cast(i as bigint) as i, cast(j as bigint)"
+                        "   as j, __gram_qv[i] * __gram_qv[j] as p)))"
+                    )
+                )
+            ).alias("c")
+        )
+    )
+    return cells.groupBy(
+        F.col("c.i").alias("i"), F.col("c.j").alias("j")
+    ).agg(
+        F.sum("c.p").cast("bigint").alias("g"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

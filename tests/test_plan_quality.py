@@ -257,6 +257,9 @@ def test_registry_wide_plan_audit(spark):
         # 1-row min/max stats broadcast for the Z-order normalization —
         # same scalar sanction
         "zorder_layout",
+        # 1-row corpus-total broadcast onto the aggregated bigram table —
+        # same scalar sanction as heavy_hitters
+        "token_pmi",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",

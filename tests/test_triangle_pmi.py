@@ -117,3 +117,37 @@ def test_token_pmi_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert again == base
+
+
+def test_gram_matrix_matches_numpy_and_is_psd(spark):
+    """Registry Gram vs a numpy reference over Python-side re-quantized
+    codes, plus positive-semidefiniteness of the assembled matrix (what
+    the downstream driver-side eigendecomposition relies on)."""
+    import math
+
+    import numpy as np
+
+    rows = REGISTRY["gram_matrix_int8"].fn(spark, SF_SMOKE).collect()
+    d = 64
+    assert len(rows) == d * (d + 1) // 2
+    G = np.zeros((d, d), dtype=np.int64)
+    n_vecs = {r["n_vecs"] for r in rows}
+    assert len(n_vecs) == 1  # every cell saw every vector exactly once
+    for r in rows:
+        G[r["i"], r["j"]] = r["g"]
+        G[r["j"], r["i"]] = r["g"]
+    vecs = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("embedding")
+        .collect()
+    )
+    Q = []
+    for (v,) in vecs:
+        maxabs = max(abs(x) for x in v)
+        scale = 127.0 / maxabs if maxabs > 0 and not math.isinf(127.0 / maxabs) else 0.0
+        Q.append([min(max(int(math.floor(x * scale + 0.5)), -127), 127) for x in v])
+    Q = np.array(Q, dtype=np.int64)
+    assert Q.shape[0] == n_vecs.pop()
+    assert np.array_equal(G, Q.T @ Q)
+    # X'X is PSD by construction; integer arithmetic must preserve that.
+    assert np.linalg.eigvalsh(G.astype(np.float64)).min() > -1e-6
