@@ -186,6 +186,131 @@ def fam_zorder(spark, mult):
     return inp, BASE_LINEITEM * mult, run
 
 
+def fam_triangles(spark, mult):
+    """Degree-ordered triangle counting over a synthetic random graph with
+    scale-stable average degree (~8): nodes = m/4, so wedge work should
+    grow near-linearly with edges when orientation is doing its job."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import triangle_counts
+
+    m = BASE_EVENTS * mult  # edge rows before dedup
+    n_nodes = max(1000, m // 4)
+    h = lambda f: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit(f + ":"), F.col("id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    edges = (
+        spark.range(m)
+        .select((h("a") % n_nodes).alias("u1"), (h("b") % n_nodes).alias("u2"))
+        .filter(F.col("u1") < F.col("u2"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+
+    def run():
+        return triangle_counts(edges).count()
+
+    return edges, n_edges, run
+
+
+def fam_pmi(spark, mult):
+    """Adjacent-bigram PMI mining over synthetic documents — explode +
+    combined count shuffle + marginal windows over the aggregated table."""
+    docs = synthetic_documents(spark, BASE_DOCS * mult).localCheckpoint()
+
+    def run():
+        from s3_to_redshift_with_airflow_spark.plans.registry import REGISTRY
+
+        # registry fn reads parquet; replicate its plan over the synthetic
+        # docs via a temp view + the same builder internals is overkill —
+        # the bigram pipeline below IS the registry plan minus the scan.
+        from s3_to_redshift_with_airflow_spark.functions.text import tokens
+        from s3_to_redshift_with_airflow_spark.operators.classify import (
+            log2_fp_sql,
+        )
+        from pyspark.sql import Window
+
+        bigrams = (
+            docs.select(tokens(F.col("text")).alias("tk"))
+            .filter(F.size("tk") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(tk) - 1),"
+                        " i -> array(element_at(tk, i), element_at(tk, i + 1)))"
+                    )
+                ).alias("bg")
+            )
+            .select(
+                F.col("bg").getItem(0).alias("w1"),
+                F.col("bg").getItem(1).alias("w2"),
+            )
+            .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        )
+        counted = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+        win = counted.withColumn(
+            "c_left", F.sum("c_xy").over(Window.partitionBy("w1"))
+        ).withColumn("c_right", F.sum("c_xy").over(Window.partitionBy("w2")))
+        total = counted.agg(F.sum("c_xy").cast("bigint").alias("n_total"))
+        lg = lambda x: F.expr(log2_fp_sql(x, dialect="spark"))  # noqa: E731
+        return (
+            win.join(F.broadcast(total))
+            .filter(F.col("c_xy") >= 5)
+            .select(
+                "w1", "w2",
+                (lg("c_xy") + lg("n_total") - lg("c_left") - lg("c_right")).alias(
+                    "pmi_fp"
+                ),
+            )
+            .count()
+        )
+
+    return docs, BASE_DOCS * mult, run
+
+
+def fam_gram(spark, mult):
+    """int8 Gram matrix over synthetic 64-d embeddings — the O(n·d²)
+    map-side explode into a fixed 2080-group shuffle; time should be
+    linear in rows with a constant-size shuffle."""
+    from s3_to_redshift_with_airflow_spark.functions.vectors import quantize_int8
+
+    n = BASE_DOCS * mult
+    emb = (
+        spark.range(n)
+        .select(
+            F.expr(
+                "transform(sequence(0, 63), d -> cast("
+                " (conv(substring(md5(concat(cast(id as string), ':', d)), 1, 15),"
+                "  16, 10) % 2001 - 1000) / 1000.0 as float))"
+            ).alias("embedding")
+        )
+        .localCheckpoint()
+    )
+
+    def run():
+        qv = quantize_int8(F.col("embedding"))
+        cells = emb.select(qv.alias("__gram_qv")).select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(sequence(0, size(__gram_qv) - 1), i ->"
+                        " transform(sequence(i, size(__gram_qv) - 1), j ->"
+                        "  struct(cast(i as bigint) as i, cast(j as bigint)"
+                        "   as j, __gram_qv[i] * __gram_qv[j] as p)))"
+                    )
+                )
+            ).alias("c")
+        )
+        return (
+            cells.groupBy(F.col("c.i"), F.col("c.j"))
+            .agg(F.sum("c.p").cast("bigint").alias("g"))
+            .count()
+        )
+
+    return emb, n, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -193,6 +318,9 @@ FAMILIES = {
     "classifier": fam_classifier,
     "tpch_q1": fam_tpch_q1,
     "zorder": fam_zorder,
+    "triangles": fam_triangles,
+    "pmi": fam_pmi,
+    "gram": fam_gram,
 }
 
 
