@@ -77,6 +77,12 @@ HEADLINE = [
     "zorder_layout",
     "rollup_kpis",
     "gap_fill_hourly",
+    # late round-5 families: degree-oriented triangle counting (wedge
+    # self-join), PMI bigram mining (explode + marginal windows), and the
+    # int8 Gram kernel (n·d² map-side products, constant-size shuffle)
+    "triangle_count",
+    "token_pmi",
+    "gram_matrix_int8",
 ]
 
 

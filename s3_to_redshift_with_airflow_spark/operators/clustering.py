@@ -499,3 +499,57 @@ def ivf_int8_topk(
     return topk_per_group(
         cands, [query_id_col], [F.col("cos_sim").desc(), F.col(id_col).asc()], k=k
     )
+
+
+def gram_int8_arrow(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Arrow-batched int8 Gram matrix X'X — the production fast path of
+    plans/training.gram_matrix_int8 (same exact result, BLAS throughput).
+
+    Each partition accumulates ONE local int64 d×d partial via numpy
+    matmul over the Arrow-decoded batch and emits the d(d+1)/2 upper
+    triangle once, so the shuffle is O(partitions·d²) no matter the corpus
+    size and all floating-point work happens in vectorized C. Sanctioned
+    Python path (Arrow mapInPandas, like the multimodal decoders): the
+    quantization replays functions/vectors.quantize_int8 bit-for-bit —
+    float32→float64 promotion, 127/maxabs double scale with the zero/inf
+    guard, floor(x·s + 0.5) half-up, clamp ±127 — so the codes, and
+    therefore every integer cell, are identical to the JVM plan's (pinned
+    in tests and by sharing the JVM twin's DuckDB oracle).
+
+    Overflow: per-cell |g| ≤ 127²·n ≈ 1.6e4·n — int64-safe to ~5.7e14
+    rows, same bound as the JVM twin."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        G = np.zeros((dim, dim), dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            m = np.abs(X).max(axis=1)
+            with np.errstate(divide="ignore"):
+                s = np.where(m > 0, 127.0 / m, 0.0)
+            s = np.where(np.isinf(s), 0.0, s)
+            Q = np.clip(np.floor(X * s[:, None] + 0.5), -127, 127).astype(
+                np.int64
+            )
+            G += Q.T @ Q
+            n += len(pdf)
+        iu = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {"i": iu[0], "j": iu[1], "g": G[iu], "n_vecs": n}
+        )
+
+    out = df.select(vec_col).mapInPandas(
+        partials, "i long, j long, g long, n_vecs long"
+    )
+    return out.groupBy("i", "j").agg(
+        F.sum("g").cast("bigint").alias("g"),
+        F.sum("n_vecs").cast("bigint").alias("n_vecs"),
+    )

@@ -384,3 +384,119 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(edges)
+
+
+_SQL_LCC = f"""
+    WITH uk AS (
+      SELECT DISTINCT user_id AS u,
+             json_extract_string(props, '$.k') AS k,
+             date_trunc('hour', ts) AS h
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+        AND ts IS NOT NULL
+    ),
+    kdf AS (
+      SELECT k, h, CAST(COUNT(*) AS BIGINT) AS df FROM uk GROUP BY k, h
+    ),
+    ukc AS (
+      SELECT u, uk.k, uk.h FROM uk JOIN kdf USING (k, h)
+      WHERE df <= {_TRI_DF_CAP}
+    ),
+    e AS (
+      SELECT DISTINCT a.u AS u1, b.u AS u2
+      FROM ukc a JOIN ukc b USING (k, h) WHERE a.u < b.u
+    ),
+    deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u1 AS u FROM e UNION ALL SELECT u2 AS u FROM e)
+      GROUP BY u
+    ),
+    o AS (
+      SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u1 < e.u2)
+                  THEN e.u1 ELSE e.u2 END AS a,
+             CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u1 < e.u2)
+                  THEN e.u2 ELSE e.u1 END AS b
+      FROM e JOIN deg d1 ON d1.u = e.u1 JOIN deg d2 ON d2.u = e.u2
+    ),
+    wedge AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b
+    ),
+    tri AS (
+      SELECT x, y, z FROM wedge
+      JOIN (SELECT least(a, b) AS y2, greatest(a, b) AS z2 FROM o) c
+        ON c.y2 = wedge.y AND c.z2 = wedge.z
+    ),
+    corner AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    nt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM corner GROUP BY node)
+    SELECT deg.u AS node, COALESCE(nt.n_tri, 0) AS n_tri, deg.d AS degree,
+           CASE WHEN deg.d >= 2
+                THEN (2 * COALESCE(nt.n_tri, 0) * 65536) // (deg.d * (deg.d - 1))
+                ELSE 0 END AS lcc_fp
+    FROM deg LEFT JOIN nt ON nt.node = deg.u
+"""
+
+
+@query("clustering_coefficient", oracle=_SQL_LCC)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — 2·triangles / (deg·(deg−1))
+    in 1/65536 fixed point over the same df-capped co-occurrence graph as
+    triangle_count, completing the community-structure metric (Watts &
+    Strogatz '98). Degree-2+ nodes with zero triangles and isolated-edge
+    nodes both report honestly (0), via a left join from the degree table.
+    All-integer floor division on non-negative bigints, so Spark's `div`
+    and DuckDB's `//` agree bit-for-bit — one more combinatorial metric
+    with an exact value oracle. Plan adds exactly one broadcast-size left
+    join over triangle_count's plan (the degree table is |V|, tiny
+    relative to edges at any scale)."""
+    (events,) = _t(spark, sf_dir, "events")
+    uk = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.get_json_object("props", "$.k").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").alias("k"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .distinct()
+    )
+    kdf = uk.groupBy("k", "h").agg(F.count(F.lit(1)).alias("df"))
+    ukc = uk.join(kdf.filter(F.col("df") <= _TRI_DF_CAP), ["k", "h"]).select(
+        "u", "k", "h"
+    )
+    edges = (
+        ukc.select("k", "h", F.col("u").alias("u1"))
+        .join(ukc.select("k", "h", F.col("u").alias("u2")), ["k", "h"])
+        .filter(F.col("u1") < F.col("u2"))
+        .select("u1", "u2")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u1").alias("u"))
+        .unionAll(edges.select(F.col("u2").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    nt = triangle_counts(edges)
+    joined = deg.join(nt, deg.u == nt.node, "left").select(
+        F.col("u").alias("node"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
+        F.col("degree").cast("bigint").alias("degree"),
+    )
+    return joined.withColumn(
+        "lcc_fp",
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("(2 * n_tri * 65536) div (degree * (degree - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )

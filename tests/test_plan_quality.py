@@ -221,7 +221,12 @@ def test_registry_wide_plan_audit(spark):
     Queries that execute eagerly inside their builder (streaming lifecycle,
     iterative components) are skipped — plan_report covers them; everything
     else is planned without execution."""
-    PY_OK = {"multimodal_features", "video_frame_sample", "audio_chunk_features"}
+    PY_OK = {
+        "multimodal_features", "video_frame_sample", "audio_chunk_features",
+        # Arrow mapInPandas BLAS partials, held to the JVM twin's exact
+        # oracle — the sanctioned fast path of gram_matrix_int8
+        "gram_matrix_int8_fast",
+    }
     # tpch_q11 / tpch_q22 / tfidf_topk nested loops are 1-row scalar-aggregate
     # broadcasts (decorrelated scalar subqueries) — O(N), not cross products.
     # ann_topk / quantized_ann_topk broadcast a FIXED 5-row query side over

@@ -151,3 +151,48 @@ def test_gram_matrix_matches_numpy_and_is_psd(spark):
     assert np.array_equal(G, Q.T @ Q)
     # X'X is PSD by construction; integer arithmetic must preserve that.
     assert np.linalg.eigvalsh(G.astype(np.float64)).min() > -1e-6
+
+
+def test_clustering_coefficient_invariants(spark):
+    """lcc is a proper ratio: 0 for degree<2 nodes, ≤ 1.0 (65536 fp)
+    everywhere, and consistent with the node's own triangle count."""
+    rows = REGISTRY["clustering_coefficient"].fn(spark, SF_SMOKE).collect()
+    tri = {
+        r["node"]: r["n_tri"]
+        for r in REGISTRY["triangle_count"].fn(spark, SF_SMOKE).collect()
+    }
+    assert rows
+    for r in rows:
+        if r["degree"] < 2:
+            assert r["lcc_fp"] == 0
+        else:
+            assert 0 <= r["lcc_fp"] <= 65536
+            expect = (2 * r["n_tri"] * 65536) // (r["degree"] * (r["degree"] - 1))
+            assert r["lcc_fp"] == expect
+        assert tri.get(r["node"], 0) == r["n_tri"]
+
+
+def test_gram_fast_path_matches_jvm_twin(spark):
+    """The Arrow/numpy fast path must reproduce the JVM explode plan's
+    cells bit-for-bit (the sanctioned-Python bar: same oracle, same
+    integers) — including under a different partitioning, where each
+    partition emits a differently-sliced partial."""
+    jvm = {
+        (r["i"], r["j"]): (r["g"], r["n_vecs"])
+        for r in REGISTRY["gram_matrix_int8"].fn(spark, SF_SMOKE).collect()
+    }
+    fast = {
+        (r["i"], r["j"]): (r["g"], r["n_vecs"])
+        for r in REGISTRY["gram_matrix_int8_fast"].fn(spark, SF_SMOKE).collect()
+    }
+    assert fast == jvm
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        gram_int8_arrow,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").repartition(7)
+    repart = {
+        (r["i"], r["j"]): (r["g"], r["n_vecs"])
+        for r in gram_int8_arrow(emb).collect()
+    }
+    assert repart == jvm
