@@ -311,6 +311,32 @@ def fam_gram(spark, mult):
     return emb, n, run
 
 
+def fam_gram_fast(spark, mult):
+    """Arrow/numpy fast path of the Gram kernel over the same synthetic
+    embeddings as fam_gram — measures the BLAS-vs-codegen gap at volume."""
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        gram_int8_arrow,
+    )
+
+    n = BASE_DOCS * mult
+    emb = (
+        spark.range(n)
+        .select(
+            F.expr(
+                "transform(sequence(0, 63), d -> cast("
+                " (conv(substring(md5(concat(cast(id as string), ':', d)), 1, 15),"
+                "  16, 10) % 2001 - 1000) / 1000.0 as float))"
+            ).alias("embedding")
+        )
+        .localCheckpoint()
+    )
+
+    def run():
+        return gram_int8_arrow(emb).count()
+
+    return emb, n, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -321,6 +347,7 @@ FAMILIES = {
     "triangles": fam_triangles,
     "pmi": fam_pmi,
     "gram": fam_gram,
+    "gram_fast": fam_gram_fast,
 }
 
 
