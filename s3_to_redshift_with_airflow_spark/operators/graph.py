@@ -322,7 +322,14 @@ def pagerank_scaled(
     return rank
 
 
-def triangle_counts(edges: DataFrame, src: str = "u1", dst: str = "u2") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "u1",
+    dst: str = "u2",
+    materialize: bool = True,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph.
 
     `edges` must hold one row per unordered edge (src < dst, no
@@ -348,7 +355,21 @@ def triangle_counts(edges: DataFrame, src: str = "u1", dst: str = "u2") -> DataF
     explode + groupBy(node). Determinism: counts are partition-invariant
     integers; ties in the degree order break by node id, so the oriented
     edge set is unique — both engines replay it bit-for-bit.
+
+    `materialize=True` (default) checkpoints the ORIENTED edge table before
+    the three-way fan-out (wedge left/right + closing set). Without it the
+    edge-builder subtree is cloned into every branch and Spark does not
+    reuse the exchanges — measured on the co-occurrence registry graph, the
+    un-materialized plan held 180 FileScans / 499 Exchanges / 0 reuse and
+    ran 3× slower. Same checkpoint-mode contract as connected_components:
+    the default `localCheckpoint` is executor-resident (fast, no recompute
+    path on executor loss); pass `reliable=True` (+ `checkpoint_dir`) at
+    cluster scale. `materialize=False` keeps the operator fully lazy for
+    composition into larger single-pass plans.
     """
+    store = _OwnedCheckpoints(
+        edges.sparkSession.sparkContext, reliable, checkpoint_dir
+    )
     e = edges.select(F.col(src).alias("u1"), F.col(dst).alias("u2"))
     deg = (
         e.select(F.col("u1").alias("u"))
@@ -370,6 +391,11 @@ def triangle_counts(edges: DataFrame, src: str = "u1", dst: str = "u2") -> DataF
         F.when(lower_first, F.col("u1")).otherwise(F.col("u2")).alias("a"),
         F.when(lower_first, F.col("u2")).otherwise(F.col("u1")).alias("b"),
     )
+    if materialize:
+        # The final snapshot backs the returned DataFrame, so it is never
+        # dropped here; reliable-mode callers sharing a checkpoint dir get
+        # ownership-tracked hygiene for free.
+        o = store.ckpt(o, "oriented")
     wedges = (
         o.select("a", F.col("b").alias("y"))
         .join(o.select("a", F.col("b").alias("z")), "a")
