@@ -340,3 +340,52 @@ def test_zorder_layout_is_one_range_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange rangepartitioning") == 1, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_star_joins_are_runtime_bloom_filter_eligible(spark):
+    """At 100 TB a selective dimension can exceed the broadcast threshold;
+    Spark then protects the fact-side scan by injecting a bloom runtime
+    filter built from the dim side (on by default,
+    spark.sql.optimizer.runtime.bloomFilter.enabled). The default size
+    thresholds (10 GB application side) never trip at test scale, so this
+    pins the PLAN SHAPE: with thresholds lowered and broadcast disabled,
+    the optimizer must find an injection site in our star joins — i.e.
+    the filters sit where the rewrite can see them. A plan that stops
+    being eligible (e.g. a filter pushed above the join, or a
+    non-equi-join rewrite) regresses the 100 TB scan story silently."""
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in ("tpch_q17", "star_join_agg"):
+            plan = (
+                REGISTRY[name]
+                .fn(spark, SF_SMOKE)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, (
+                f"{name}: no bloom runtime filter injected — join no longer "
+                "runtime-filter-eligible"
+            )
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
