@@ -553,3 +553,168 @@ def gram_int8_arrow(
         F.sum("g").cast("bigint").alias("g"),
         F.sum("n_vecs").cast("bigint").alias("n_vecs"),
     )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    m_subspaces: int = 8,
+    k_centroids: int = 16,
+    n_iter: int = 2,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allow_non_ansi: bool = False,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI'11 — the faiss IVF-PQ
+    storage scheme): split each int8-quantized vector into `m_subspaces`
+    subvectors, Lloyd-train a tiny codebook per subspace, store each
+    corpus vector as m codebook ids (here 8 × 4 bits = 4 bytes/vector vs
+    256 for float32 — the compression that lets a 100 TB corpus' index
+    live in RAM), and answer queries by asymmetric distance computation
+    (ADC): d²(q, x) ≈ Σ_m d²(q_m, centroid[m][code_m(x)]).
+
+    Returns (query_id, vec_id, adc_d2, rk) — top-k per query by (adc_d2
+    asc, id asc).
+
+    Subspaces are DATA, not unrolled code: vectors explode into
+    (id, m, subvector) rows and ONE Lloyd recursion trains all m codebooks
+    simultaneously — centroid updates groupBy (m, cid), assignments join
+    the packed per-m codebook broadcast (m × k_centroids rows total). Same
+    exact-integer discipline as kmeans_int8 (scores n²(x·x) − 2n(x·s) + ss
+    in bigint, argmin on score/n² with ties to the smallest cid, seeds =
+    the k smallest ids), so the whole pipeline — codebooks, codes, and ADC
+    scores — carries a bit-exact value oracle. The ADC sum folds the m
+    per-subspace doubles in STRICT m order (sort_array + aggregate), never
+    an accumulation-order-dependent SUM.
+
+    Scale shape: training shuffles (m·N) rows into (m·k) groups per
+    iteration; encoding is one broadcast-join argmin pass; search joins
+    the code table against the m·k-row codebook and the m·|queries|-row
+    query side (both broadcast) — the corpus is never shuffled for search,
+    only the final per-query top-k runs a window. Overflow bound is
+    kmeans_int8's (~1.5M members per subspace cluster at int8 scale);
+    `_require_ansi` refuses sessions where it would wrap silently.
+    """
+    if dim % m_subspaces != 0:
+        raise ValueError("dim must divide evenly into m_subspaces")
+    _require_ansi(emb, allow_non_ansi)
+    sub = dim // m_subspaces
+    from .relational import topk_per_group
+
+    def _subspaces(df: DataFrame) -> DataFrame:
+        q = _quantized(df, id_col, vec_col)
+        return q.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m_subspaces - 1}), m ->"
+                    f" struct(cast(m as bigint) as m,"
+                    f" slice(qv, m * {sub} + 1, {sub}) as sv))"
+                )
+            ).alias("t"),
+        ).select(
+            id_col,
+            F.col("t.m").alias("m"),
+            F.col("t.sv").alias("sv"),
+        ).withColumn("sxx", _int_dot(F.col("sv"), F.col("sv")))
+
+    subs = _subspaces(emb)
+
+    # Seeds: the k_centroids smallest ids seed EVERY subspace codebook
+    # (TakeOrderedAndProject + broadcast semi-join — no corpus window).
+    seed_w = Window.orderBy(F.col(id_col).asc())
+    seed_ids = (
+        emb.select(id_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k_centroids)
+        .withColumn("cid", F.row_number().over(seed_w).cast("bigint") - 1)
+    )
+    centroids = subs.join(F.broadcast(seed_ids), id_col).select(
+        "m",
+        "cid",
+        F.col("sv").alias("s"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+
+    assign = None
+    for it in range(n_iter):
+        packed = F.broadcast(
+            centroids.withColumn("ss", _int_dot(F.col("s"), F.col("s")))
+            .groupBy("m")
+            .agg(F.collect_list(F.struct("cid", "s", "n", "ss")).alias("cs"))
+        )
+
+        def _score(c):
+            return (
+                c["n"] * c["n"] * F.col("sxx")
+                - F.lit(2) * c["n"] * _int_dot(F.col("sv"), c["s"])
+                + c["ss"]
+            )
+
+        best = F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    (
+                        _score(c).cast("double")
+                        / (c["n"] * c["n"]).cast("double")
+                    ).alias("d2"),
+                    c["cid"].alias("cluster"),
+                ),
+            )
+        )
+        assign = subs.join(packed, "m").select(
+            F.col(id_col), "m", "sv", "sxx", best["cluster"].alias("cluster")
+        )
+        if it < n_iter - 1:
+            centroids = assign.groupBy("m", "cluster").agg(
+                F.array(
+                    *[F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(sub)]
+                ).alias("s"),
+                F.count("*").cast("bigint").alias("n"),
+            ).select("m", F.col("cluster").alias("cid"), "s", "n")
+
+    codes = assign.select(id_col, "m", "cluster")
+    codebook = centroids.withColumn("ss", _int_dot(F.col("s"), F.col("s")))
+
+    qsub = _subspaces(queries).select(
+        F.col(id_col).alias("query_id"),
+        "m",
+        F.col("sv").alias("qv_m"),
+        F.col("sxx").alias("qxx_m"),
+    )
+    scored = (
+        codes.join(
+            F.broadcast(codebook.select("m", F.col("cid").alias("cluster"), "s", "n", "ss")),
+            ["m", "cluster"],
+        )
+        .join(F.broadcast(qsub), "m")
+        .select(
+            "query_id",
+            id_col,
+            "m",
+            (
+                (
+                    F.col("n") * F.col("n") * F.col("qxx_m")
+                    - F.lit(2) * F.col("n") * _int_dot(F.col("qv_m"), F.col("s"))
+                    + F.col("ss")
+                ).cast("double")
+                / (F.col("n") * F.col("n")).cast("double")
+            ).alias("d2"),
+        )
+    )
+    adc = scored.groupBy("query_id", id_col).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("m", "d2"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["d2"],
+        ).alias("adc_d2")
+    )
+    return topk_per_group(
+        adc,
+        ["query_id"],
+        [F.col("adc_d2").asc(), F.col(id_col).asc()],
+        k=k,
+    )

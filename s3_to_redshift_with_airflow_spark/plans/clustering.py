@@ -291,3 +291,137 @@ def q_ivf_int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=_DIM,
     )
     return out.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+# --- product-quantization ANN ------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_ITER, _PQ_SUB, _PQ_TOPK = 8, 16, 2, 8, 10
+
+
+def _pq_sql(
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    n_iter: int = _PQ_ITER,
+    sub: int = _PQ_SUB,
+    topk: int = _PQ_TOPK,
+) -> str:
+    """PQ replay: one subspace-exploded Lloyd recursion (subspaces are rows
+    keyed by m, so the unroll depth is n_iter, not n_iter × m), then ADC
+    with a STRICT m-ordered fold (list(d2 ORDER BY m) + list_reduce) —
+    the same accumulation order as the Spark plan's sort_array +
+    aggregate, so the summed doubles match bit-for-bit."""
+    elem_sums = ", ".join(f"SUM(sv[{i + 1}])" for i in range(sub))
+    parts = [
+        _SQL_QK,
+        f"""
+    subx AS (
+      SELECT vec_id, CAST(range AS BIGINT) AS m,
+             list_slice(qv, range * {sub} + 1, range * {sub} + {sub}) AS sv,
+             CAST(list_sum(list_transform(
+               list_slice(qv, range * {sub} + 1, range * {sub} + {sub}),
+               x -> x * x)) AS BIGINT) AS sxx
+      FROM q, range({m})
+    ),
+    seed AS (
+      SELECT vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS BIGINT) - 1
+               AS cid
+      FROM (SELECT vec_id FROM q ORDER BY vec_id ASC LIMIT {k})
+    ),
+    c0 AS (
+      SELECT sx.m, seed.cid, sx.sv AS s, CAST(1 AS BIGINT) AS n
+      FROM subx sx JOIN seed USING (vec_id)
+    )""",
+    ]
+    for it in range(n_iter):
+        parts.append(f"""
+    sc{it + 1} AS (
+      SELECT sx.vec_id, sx.m, c.cid, c.n,
+             c.n * c.n * sx.sxx
+               - 2 * c.n * CAST(list_sum(list_transform(
+                   list_zip(sx.sv, c.s), p -> p[1] * p[2])) AS BIGINT)
+               + CAST(list_sum(list_transform(c.s, x -> x * x)) AS BIGINT)
+               AS score
+      FROM subx sx JOIN c{it} c ON c.m = sx.m
+    ),
+    a{it + 1} AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, m
+          ORDER BY CAST(score AS DOUBLE) / CAST(n * n AS DOUBLE) ASC,
+                   cid ASC) AS rk
+        FROM sc{it + 1})
+      WHERE rk = 1
+    )""")
+        if it < n_iter - 1:
+            parts.append(f"""
+    c{it + 1} AS (
+      SELECT a.m, a.cid, [{elem_sums}]::BIGINT[] AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a{it + 1} a JOIN subx USING (vec_id, m) GROUP BY a.m, a.cid
+    )""")
+    parts.append(f"""
+    qsub AS (
+      SELECT vec_id AS query_id, m, sv AS qv_m, sxx AS qxx_m
+      FROM subx WHERE vec_id < 5
+    ),
+    cb AS (
+      SELECT m, cid, s, n,
+             CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS ss
+      FROM c{n_iter - 1}
+    ),
+    dparts AS (
+      SELECT qs.query_id, a.vec_id, a.m,
+             CAST(cb.n * cb.n * qs.qxx_m
+                  - 2 * cb.n * CAST(list_sum(list_transform(
+                      list_zip(qs.qv_m, cb.s), p -> p[1] * p[2])) AS BIGINT)
+                  + cb.ss AS DOUBLE) / CAST(cb.n * cb.n AS DOUBLE) AS d2
+      FROM a{n_iter} a
+      JOIN cb ON cb.m = a.m AND cb.cid = a.cid
+      JOIN qsub qs ON qs.m = a.m
+    ),
+    adc AS (
+      SELECT query_id, vec_id,
+             list_reduce(list_prepend(0.0, list(d2 ORDER BY m)),
+                         (acc, x) -> acc + x) AS adc_d2
+      FROM dparts GROUP BY query_id, vec_id
+    )""")
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT query_id, vec_id, adc_d2, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_d2 ASC, vec_id ASC) AS BIGINT)
+        AS rk
+      FROM adc) WHERE rk <= {topk}
+    """
+    )
+
+
+@query("pq_ann_topk", oracle=_pq_sql())
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/clustering.pq_topk — the faiss
+    IVF-PQ storage scheme): 8 subspace codebooks Lloyd-trained in ONE
+    recursion (subspaces are rows, not unrolled plans), 4-bit codes per
+    subspace (4 bytes/vector — the compression that keeps a 100 TB corpus'
+    index in RAM), asymmetric-distance search for the 5 anchor queries.
+    Codebooks, codes, AND the folded ADC doubles are all engine-exact, so
+    a learned-compression index carries a full value oracle; search never
+    shuffles the corpus (codebook and queries broadcast)."""
+    from ..operators.clustering import pq_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    out = pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        m_subspaces=_PQ_M,
+        k_centroids=_PQ_K,
+        n_iter=_PQ_ITER,
+        k=_PQ_TOPK,
+    )
+    return out.select(
+        F.col("query_id"),
+        F.col("vec_id"),
+        F.col("adc_d2"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )

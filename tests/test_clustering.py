@@ -156,3 +156,64 @@ def test_ivf_int8_partitioning_invariant(emb):
         "query_id", "rk"
     ).collect()
     assert a == b
+
+
+def test_pq_topk_shape_and_rank_order(spark, emb):
+    """Exactly k rows per query, rk dense 1..k, and ADC distance
+    non-decreasing along the ranking (ties broken by id in the window,
+    so adjacent equal distances are legal)."""
+    from s3_to_redshift_with_airflow_spark.operators.clustering import pq_topk
+
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, 11))
+        d = [r["adc_d2"] for r in rows]
+        assert all(x >= 0.0 for x in d)
+        assert all(a <= b for a, b in zip(d, d[1:]))
+
+
+def test_pq_topk_partitioning_invariant(emb):
+    """Bit-determinism across partitionings: integer codebook training,
+    smallest-cid argmin ties, and the strict m-ordered ADC fold leave no
+    accumulation-order freedom."""
+    from s3_to_redshift_with_airflow_spark.operators.clustering import pq_topk
+
+    q = emb.filter(F.col("vec_id") < 3)
+    a = pq_topk(emb, q, k=5).orderBy("query_id", "rk").collect()
+    b = pq_topk(emb.repartition(11), q, k=5).orderBy("query_id", "rk").collect()
+    assert a == b
+
+
+def test_pq_topk_recall_vs_exact_l2_on_quantized(spark, emb):
+    """ADC approximates L2 over the int8-quantized vectors (NOT cosine over
+    the floats — PQ's contract is distance-to-reconstruction). With 8
+    subspaces × 16 centroids × 2 Lloyd iterations on sf0.001's
+    unstructured synthetic embeddings the measured recall@10 is 0.24;
+    pin a 0.15 floor so codebook or ADC regressions surface."""
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        _quantized,
+        pq_topk,
+    )
+
+    rows = {
+        r["vec_id"]: r["qv"]
+        for r in _quantized(emb, "vec_id", "embedding").collect()
+    }
+    exact = {}
+    for qi in range(5):
+        qv = rows[qi]
+        d2 = {
+            vid: sum((a - b) ** 2 for a, b in zip(v, qv))
+            for vid, v in rows.items()
+        }
+        exact[qi] = set(sorted(d2, key=lambda v: (d2[v], v))[:10])
+    got = {}
+    for r in pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(got[q] & exact[q]) for q in exact)
+    assert hits / 50 >= 0.15
