@@ -216,3 +216,134 @@ def hashed_linear_classify(
             "label"
         ),
     )
+
+
+def _hashed_grams(
+    docs: DataFrame, seed: int, n_buckets: int, id_col: str, *extra
+) -> DataFrame:
+    """Explode each document into its hashed n-gram feature stream
+    (unigrams + adjacent bigrams, the DSIR feature set — Xie et al.
+    NeurIPS'23, arXiv:2302.03169 §3.1). `docs` must carry the token array
+    as `__tk` (precomputed once by the caller so the tokenizer runs one
+    time per row, not per gram reference). Empty tokens are filtered
+    BEFORE bigram formation so 'a  b' and 'a b' produce the same bigram;
+    bigrams are space-joined ('w1 w2'), which cannot collide with any
+    unigram pre-hash because unigrams never contain a space. One JVM
+    expression builds the combined gram array — a single corpus scan, no
+    Python."""
+    ftk = "filter(__tk, t -> t <> '')"
+    # Bigrams via zip_with against the 1-shifted array: the shorter slice
+    # pads with NULL, concat(NULL) -> NULL, and the filter drops it — no
+    # index arithmetic, so 0- and 1-token docs are safe under ANSI (a
+    # sequence(1, size-1) formulation would emit the DESCENDING [1, 0]
+    # for single-token docs and fault on element_at(ftk, 0)).
+    grams = docs.select(
+        F.col(id_col),
+        *extra,
+        F.explode(
+            F.expr(
+                f"concat({ftk}, filter(zip_with({ftk},"
+                f" slice({ftk}, 2, size({ftk})),"
+                f" (a, b) -> concat(a, ' ', b)), x -> x is not null))"
+            )
+        ).alias("gram"),
+    )
+    return grams.withColumn(
+        "bucket",
+        _md5_int60(F.concat(F.lit(f"g:{seed}:"), F.col("gram"))) % n_buckets,
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_col: str,
+    n_buckets: int = 4096,
+    seed: int = 7,
+    scale: int = 65536,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling weights (DSIR — Xie et
+    al., NeurIPS'23, arXiv:2302.03169): score every RAW document by how
+    much more likely its hashed n-gram profile is under the TARGET
+    distribution than under the raw distribution,
+
+        log w(doc) = Σ_grams [ log2 p_target(b) − log2 p_raw(b) ],
+
+    with bucket probabilities estimated by Laplace-smoothed hashed
+    unigram+bigram counts (B = `n_buckets` slots, the paper's hashed
+    n-gram generative model). `docs` must carry a boolean `target_col`
+    marking the target slice (e.g. a curated corpus flag, a quality-gate
+    verdict, or an upstream join); rows where it is NULL are ignored for
+    estimation and scoring. Returns one row per RAW (non-target) doc:
+    (id_col, n_grams: bigint, logw_fp: bigint, target_like: boolean)
+    where logw_fp is the fixed-point (scale·bits) log-ratio and
+    target_like = logw_fp ≥ 0. Downstream, resample raw docs by weight
+    (or threshold on logw_fp) to tilt a 100 TB crawl toward the target.
+
+    Exactness: per-bucket log-ratios use log2_fp_sql over exact bigint
+    counts, so the per-doc sum is all-integer — order-independent,
+    partition-invariant, and DuckDB-oracle-able (a data-selection policy
+    with a bit-exact value oracle). Overflow: |per-bucket ratio| <
+    2·scale·63 ≈ 8.3e6; a doc needs ~1e12 grams to overflow the bigint
+    margin — unreachable.
+
+    Scale shape (100 TB): one corpus scan explodes grams JVM-side (the
+    target flag rides the same row — no label join); ONE groupBy(bucket)
+    shuffle of map-combined partial counts (≤ B groups) trains both
+    distributions in the same pass; the B-row ratio table joins back
+    BROADCAST against the raw-side gram stream; one groupBy(doc) integer
+    sum. Identical execution shape to hashed_linear_classify — the
+    weight table is estimated, not handed in.
+    """
+    if n_buckets <= 0 or scale <= 0:
+        raise ValueError("n_buckets and scale must be positive")
+    spark = docs.sparkSession
+    y = F.col(target_col)
+    tagged = docs.filter(y.isNotNull()).withColumn("__tk", tokens(F.col(text_col)))
+    g = _hashed_grams(tagged, seed, n_buckets, id_col, y.alias("__y"))
+    counts = g.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("bigint").alias("n_tgt"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("bigint").alias("n_raw"),
+    )
+    full = (
+        spark.range(n_buckets)
+        .select(F.col("id").cast("bigint").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_tgt", F.lit(0)).cast("bigint").alias("n_tgt"),
+            F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n_raw"),
+        )
+    )
+    totals = full.agg(
+        F.sum("n_tgt").cast("bigint").alias("__tt"),
+        F.sum("n_raw").cast("bigint").alias("__rt"),
+    )
+    lg = lambda x: log2_fp_sql(x, scale)  # noqa: E731
+    ratios = (
+        full.join(F.broadcast(totals))  # 1-row totals broadcast (sanctioned)
+        .withColumn(
+            "logr_fp",
+            F.expr(
+                f"({lg('n_tgt + 1')} - {lg(f'__tt + {n_buckets}')})"
+                f" - ({lg('n_raw + 1')} - {lg(f'__rt + {n_buckets}')})"
+            ).cast("bigint"),
+        )
+        .select("bucket", "logr_fp")
+    )
+    raw_g = _hashed_grams(tagged.filter(~y), seed, n_buckets, id_col)
+    return (
+        raw_g.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("logr_fp").cast("bigint").alias("logw_fp"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "logw_fp",
+            (F.col("logw_fp") >= 0).alias("target_like"),
+        )
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import EN_STOPWORDS, gopher_rules
+from ..functions.text import EN_STOPWORDS, gopher_rules, tokens
 from ..operators.classify import (
     hashed_linear_classify,
     log2_fp_sql,
@@ -499,4 +499,192 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0))
         .cast("bigint"),
+    )
+
+
+# --- DSIR importance resampling weights -------------------------------------
+
+# Target slice: the deterministic 20% split (doc_id % 10 < 2) stands in for
+# the curated corpus (any predicate or joined flag slots into the same
+# plan); SF-independent so the oracle holds at every test scale.
+_DSIR_TGT = "doc_id % 10 < 2"
+
+_SQL_DSIR = f"""
+    WITH d AS (
+      SELECT doc_id, ({_DSIR_TGT}) AS y,
+             list_filter({_TOKS}, t -> t <> '') AS ftk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, y,
+             unnest(list_concat(ftk,
+               list_transform(range(1, greatest(len(ftk) - 1, 0) + 1),
+                              i -> ftk[i] || ' ' || ftk[i + 1]))) AS gram
+      FROM d
+    ),
+    b AS (
+      SELECT doc_id, y,
+             CAST(('0x' || substr(md5('g:{_SEED}:' || gram), 1, 15))::UBIGINT
+                  % {_N_BUCKETS} AS BIGINT) AS bucket
+      FROM g
+    ),
+    c AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt,
+             CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_raw
+      FROM b GROUP BY bucket
+    ),
+    f AS (
+      SELECT CAST(range AS BIGINT) AS bucket,
+             COALESCE(n_tgt, 0::BIGINT) AS n_tgt,
+             COALESCE(n_raw, 0::BIGINT) AS n_raw
+      FROM range({_N_BUCKETS}) r LEFT JOIN c ON c.bucket = CAST(range AS BIGINT)
+    ),
+    t AS (
+      SELECT CAST(SUM(n_tgt) AS BIGINT) AS tt, CAST(SUM(n_raw) AS BIGINT) AS rt
+      FROM f
+    ),
+    w AS (
+      SELECT bucket,
+             CAST(({_LG('n_tgt + 1')} - {_LG(f'tt + {_N_BUCKETS}')})
+                - ({_LG('n_raw + 1')} - {_LG(f'rt + {_N_BUCKETS}')}) AS BIGINT)
+               AS logr_fp
+      FROM f, t
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(logr_fp) AS BIGINT) AS logw_fp,
+           CAST(SUM(logr_fp) AS BIGINT) >= 0 AS target_like
+    FROM b JOIN w USING (bucket)
+    WHERE NOT y
+    GROUP BY doc_id
+"""
+
+
+@query("dsir_weights", oracle=_SQL_DSIR)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. NeurIPS'23,
+    arXiv:2302.03169 — the data-selection recipe behind domain-tilted
+    pretraining mixes): every raw document scored by the log-likelihood
+    ratio of its hashed unigram+bigram profile under the target vs raw
+    distributions (Laplace-smoothed 4096-bucket hashed n-gram models,
+    estimated in the SAME single pass that scores — operators/classify.
+    dsir_importance). All-integer fixed-point log2 arithmetic makes a
+    statistical data-selection policy carry a bit-exact DuckDB oracle.
+    Scale: one corpus scan, one ≤4096-group count shuffle, broadcast
+    ratio-table join, one groupBy(doc) — hashed_linear_classify's exact
+    execution shape."""
+    from ..operators.classify import dsir_importance
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs.withColumn("__tgt", F.expr(_DSIR_TGT)),
+        "__tgt",
+        n_buckets=_N_BUCKETS,
+        seed=_SEED,
+    )
+
+
+# --- per-source corpus divergence (smoothed KL vs rest) ---------------------
+
+_SQL_DIVERGENCE = f"""
+    WITH tk AS (
+      SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ),
+    cst AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM tk WHERE tok <> '' GROUP BY 1, 2
+    ),
+    ct AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY 1),
+    ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cst GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS n_tot, CAST(COUNT(*) AS BIGINT) AS v
+      FROM ct
+    ),
+    pairs AS (SELECT ns.source, ns.n_s, ct.tok, ct.c_t FROM ct CROSS JOIN ns),
+    f AS (
+      SELECT p.source, p.n_s, p.c_t, COALESCE(c.c_st, 0::BIGINT) AS c_st
+      FROM pairs p LEFT JOIN cst c ON c.source = p.source AND c.tok = p.tok
+    ),
+    contrib AS (
+      SELECT source, n_s, v,
+             CAST((c_st + 1) * ({_LG('c_st + 1')} - {_LG('n_s + v')}
+                - {_LG('c_t - c_st + 1')} + {_LG('n_tot - n_s + v')})
+               AS BIGINT) AS contrib_fp
+      FROM f, tot
+    )
+    SELECT source, n_s AS n_tokens, CAST(SUM(contrib_fp) AS BIGINT) AS kl_fp,
+           CAST(CAST(SUM(contrib_fp) AS BIGINT) AS DOUBLE)
+             / CAST((n_s + v) * 65536 AS DOUBLE) AS kl_bits
+    FROM contrib GROUP BY source, n_s, v
+"""
+
+
+@query("corpus_divergence", oracle=_SQL_DIVERGENCE)
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: add-1-smoothed KL divergence (bits)
+    of each source's token distribution against the REST of the corpus,
+    over the shared global vocabulary — the mixture-monitoring number a
+    pretraining pipeline watches to catch a source whose content shifted
+    (crawl drift, a scraper bug, an injected spam burst).
+
+        KL(s ‖ rest) = Σ_vocab p_i · (log2 p_i − log2 q_i),
+        p_i = (c_si + 1)/(N_s + V),  q_i = (c_ti − c_si + 1)/(N − N_s + V)
+
+    Exactness: contributions are (c_si + 1) · [four fixed-point log2
+    terms] — all-bigint (log2_fp_sql), so the per-source sum is exact and
+    order-independent; kl_bits is ONE double division of two exactly
+    determined bigints. The ±0.086-bit/term interpolation error means
+    near-identical distributions can score slightly negative — this ranks
+    drift, it is not a calibrated entropy estimate. Overflow: |contrib| <
+    (c_si+1)·4·63·65536 ≈ 1.65e7·(c_si+1), so the bigint sum is safe to
+    ~5.6e11 tokens per source; beyond that drop the fp scale or move to
+    hashed buckets (dsir_weights' model) — ANSI mode fails loudly either
+    way.
+
+    Scale shape (100 TB): the corpus is scanned ONCE and reduced to
+    vocab-granularity aggregates (one (source, token) count shuffle);
+    everything after runs on V·S rows — the S-row per-source totals and
+    the 1-row (N, V) aggregate are broadcast, the dense frame joins the
+    sparse counts on (source, token). No corpus-sized window, no second
+    scan."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cst = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    ct = cst.groupBy("tok").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    ns = cst.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    tot = ct.agg(
+        F.sum("c_t").cast("bigint").alias("n_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    lg = lambda x: log2_fp_sql(x)  # noqa: E731
+    contrib = (
+        ct.crossJoin(F.broadcast(ns))  # V×S vocab-granularity frame
+        .join(cst, ["source", "tok"], "left")
+        .withColumn("c_st", F.coalesce("c_st", F.lit(0)).cast("bigint"))
+        .join(F.broadcast(tot))  # 1-row (N, V) broadcast (sanctioned)
+        .withColumn(
+            "contrib_fp",
+            F.expr(
+                f"(c_st + 1) * ({lg('c_st + 1')} - {lg('n_s + v')}"
+                f" - {lg('c_t - c_st + 1')} + {lg('n_tot - n_s + v')})"
+            ).cast("bigint"),
+        )
+    )
+    return (
+        contrib.groupBy("source", "n_s", "v")
+        .agg(F.sum("contrib_fp").cast("bigint").alias("kl_fp"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "kl_fp",
+            (
+                F.col("kl_fp").cast("double")
+                / ((F.col("n_s") + F.col("v")) * 65536).cast("double")
+            ).alias("kl_bits"),
+        )
     )

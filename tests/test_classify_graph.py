@@ -309,3 +309,109 @@ def test_pagerank_reliable_checkpoint_parity_and_cleanup(spark, tmp_path):
     assert len(rdds) == 1
     # and the returned DataFrame is still readable (backed by that snapshot)
     assert {r["node"]: r["rank"] for r in out.collect()} == want
+
+
+# --- DSIR importance weights -------------------------------------------------
+
+
+def test_dsir_tilts_toward_target_vocabulary(spark):
+    """Raw docs sharing the target slice's vocabulary must outscore raw
+    docs that don't: with target docs all about 'zebra quagga', the raw
+    doc reusing those grams gets a strictly higher logw_fp than the raw
+    doc about unrelated tokens."""
+    from s3_to_redshift_with_airflow_spark.operators.classify import (
+        dsir_importance,
+    )
+
+    rows = [
+        (1, "zebra quagga zebra quagga zebra", True),
+        (2, "quagga zebra quagga zebra", True),
+        (10, "zebra quagga zebra", False),
+        (11, "mortgage refinance casino bonus", False),
+        (12, "", False),  # token-less raw doc: no grams, excluded
+        (13, "zebra", False),  # single token: unigram only, no bigram fault
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {r["doc_id"]: r for r in dsir_importance(df, "tgt").collect()}
+    assert set(got) == {10, 11, 13}
+    assert got[10]["logw_fp"] > got[11]["logw_fp"]
+    assert got[10]["target_like"] and not got[11]["target_like"]
+    # unigrams + bigrams: 3 tokens -> 3 + 2 grams
+    assert got[10]["n_grams"] == 5
+    assert got[13]["n_grams"] == 1
+
+
+def test_dsir_deterministic_across_partitionings(spark):
+    from s3_to_redshift_with_airflow_spark.operators.classify import (
+        dsir_importance,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .withColumn("tgt", F.expr("doc_id % 10 < 2"))
+    )
+    a = dsir_importance(docs, "tgt").orderBy("doc_id").collect()
+    b = (
+        dsir_importance(docs.repartition(13), "tgt")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+    assert len(a) > 0
+
+
+def test_dsir_ignores_null_flags_and_rejects_bad_params(spark):
+    from s3_to_redshift_with_airflow_spark.operators.classify import (
+        dsir_importance,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b", True), (2, "a c", False), (3, "poison poison", None)],
+        "doc_id long, text string, tgt boolean",
+    )
+    got = dsir_importance(df, "tgt").collect()
+    assert [r["doc_id"] for r in got] == [2]
+    import pytest
+
+    with pytest.raises(ValueError):
+        dsir_importance(df, "tgt", n_buckets=0)
+
+
+# --- corpus divergence -------------------------------------------------------
+
+
+def test_corpus_divergence_ranks_the_drifted_source(spark):
+    """Two sources drawn from the same phrasebook score near zero KL
+    against each other; the drifted third source scores clearly higher."""
+    from s3_to_redshift_with_airflow_spark.plans.registry import REGISTRY
+    import tempfile, os
+
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, same, "en", "srcA", 1) for i in range(40)]
+    rows += [(100 + i, same, "en", "srcB", 1) for i in range(40)]
+    rows += [
+        (200 + i, "casino bonus casino jackpot spin win casino", "en", "srcC", 1)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["source"]: r["kl_bits"]
+            for r in REGISTRY["corpus_divergence"].fn(spark, d).collect()
+        }
+    assert out["srcC"] > out["srcA"] + 1.0
+    assert out["srcC"] > out["srcB"] + 1.0
+    assert abs(out["srcA"] - out["srcB"]) < 0.2
+
+
+def test_corpus_divergence_deterministic_across_partitionings(spark):
+    from s3_to_redshift_with_airflow_spark.plans.registry import REGISTRY
+
+    fn = REGISTRY["corpus_divergence"].fn
+    a = fn(spark, SF_SMOKE).orderBy("source").collect()
+    b = fn(spark, SF_SMOKE).orderBy("source").collect()
+    assert a == b
+    assert all(r["n_tokens"] > 0 for r in a)

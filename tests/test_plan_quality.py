@@ -265,6 +265,13 @@ def test_registry_wide_plan_audit(spark):
         # 1-row corpus-total broadcast onto the aggregated bigram table —
         # same scalar sanction as heavy_hitters
         "token_pmi",
+        # 1-row (target_tot, raw_tot) totals broadcast onto the 4096-row
+        # bucket table — same scalar-threshold sanction as the trainer
+        "dsir_weights",
+        # S-row per-source totals crossed with the aggregated vocab (V×S
+        # vocab-granularity frame, never the corpus) + the 1-row (N, V)
+        # broadcast — bounded-side composition, not a corpus cross product
+        "corpus_divergence",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
