@@ -566,6 +566,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allow_non_ansi: bool = False,
+    unpersist_with: list | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al., TPAMI'11 — the faiss IVF-PQ
     storage scheme): split each int8-quantized vector into `m_subspaces`
@@ -596,6 +597,16 @@ def pq_topk(
     only the final per-query top-k runs a window. Overflow bound is
     kmeans_int8's (~1.5M members per subspace cluster at int8 scale);
     `_require_ansi` refuses sessions where it would wrap silently.
+
+    Caching: the exploded subspace table and each iteration's (m·k)-row
+    centroid frame are persisted — the Lloyd recursion references them in
+    every later stage, and without the pins the nested lineage re-executes
+    the whole chain per broadcast (measured 6.9 s → 4.0 s at sf0.1).
+    `unpersist_with` follows kmeans_int8's contract: pass a list to own
+    the cache entries and `.unpersist()` them after consuming the (lazy)
+    result; left None, CacheManager's plan-keyed reuse keeps repeated
+    same-parameter calls at one entry per frame (same trade-off as
+    semdedup_pairs, documented there).
     """
     if dim % m_subspaces != 0:
         raise ValueError("dim must divide evenly into m_subspaces")
@@ -620,7 +631,9 @@ def pq_topk(
             F.col("t.sv").alias("sv"),
         ).withColumn("sxx", _int_dot(F.col("sv"), F.col("sv")))
 
-    subs = _subspaces(emb)
+    subs = _subspaces(emb).persist()
+    if unpersist_with is not None:
+        unpersist_with.append(subs)
 
     # Seeds: the k_centroids smallest ids seed EVERY subspace codebook
     # (TakeOrderedAndProject + broadcast semi-join — no corpus window).
@@ -640,6 +653,9 @@ def pq_topk(
 
     assign = None
     for it in range(n_iter):
+        centroids = centroids.persist()
+        if unpersist_with is not None:
+            unpersist_with.append(centroids)
         packed = F.broadcast(
             centroids.withColumn("ss", _int_dot(F.col("s"), F.col("s")))
             .groupBy("m")
