@@ -347,3 +347,55 @@ def dsir_importance(
             (F.col("logw_fp") >= 0).alias("target_like"),
         )
     )
+
+
+def corpus_kl_divergence(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group add-1-smoothed KL divergence (bits) of each group's token
+    distribution against the REST of the corpus, over the shared global
+    vocabulary. Returns (group_col, n_tokens, kl_fp, kl_bits). Semantics,
+    exactness, and the 100 TB shape are documented on the registry entry
+    (plans/classify.q_corpus_divergence), which delegates here; this lives
+    at operator level so the scale study can drive it over synthetic
+    corpora at any volume."""
+    tok = (
+        docs.select(group_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cst = tok.groupBy(group_col, "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    ct = cst.groupBy("tok").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    ns = cst.groupBy(group_col).agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    tot = ct.agg(
+        F.sum("c_t").cast("bigint").alias("n_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    lg = lambda x: log2_fp_sql(x)  # noqa: E731
+    contrib = (
+        ct.crossJoin(F.broadcast(ns))  # V×S vocab-granularity frame
+        .join(cst, [group_col, "tok"], "left")
+        .withColumn("c_st", F.coalesce("c_st", F.lit(0)).cast("bigint"))
+        .join(F.broadcast(tot))  # 1-row (N, V) broadcast (sanctioned)
+        .withColumn(
+            "contrib_fp",
+            F.expr(
+                f"(c_st + 1) * ({lg('c_st + 1')} - {lg('n_s + v')}"
+                f" - {lg('c_t - c_st + 1')} + {lg('n_tot - n_s + v')})"
+            ).cast("bigint"),
+        )
+    )
+    return (
+        contrib.groupBy(group_col, "n_s", "v")
+        .agg(F.sum("contrib_fp").cast("bigint").alias("kl_fp"))
+        .select(
+            group_col,
+            F.col("n_s").alias("n_tokens"),
+            "kl_fp",
+            (
+                F.col("kl_fp").cast("double")
+                / ((F.col("n_s") + F.col("v")) * 65536).cast("double")
+            ).alias("kl_bits"),
+        )
+    )

@@ -647,44 +647,7 @@ def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row (N, V) aggregate are broadcast, the dense frame joins the
     sparse counts on (source, token). No corpus-sized window, no second
     scan."""
+    from ..operators.classify import corpus_kl_divergence
+
     (docs,) = _t(spark, sf_dir, "documents")
-    tok = (
-        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
-        .filter(F.col("tok") != "")
-    )
-    cst = tok.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_st")
-    )
-    ct = cst.groupBy("tok").agg(F.sum("c_st").cast("bigint").alias("c_t"))
-    ns = cst.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
-    tot = ct.agg(
-        F.sum("c_t").cast("bigint").alias("n_tot"),
-        F.count(F.lit(1)).cast("bigint").alias("v"),
-    )
-    lg = lambda x: log2_fp_sql(x)  # noqa: E731
-    contrib = (
-        ct.crossJoin(F.broadcast(ns))  # V×S vocab-granularity frame
-        .join(cst, ["source", "tok"], "left")
-        .withColumn("c_st", F.coalesce("c_st", F.lit(0)).cast("bigint"))
-        .join(F.broadcast(tot))  # 1-row (N, V) broadcast (sanctioned)
-        .withColumn(
-            "contrib_fp",
-            F.expr(
-                f"(c_st + 1) * ({lg('c_st + 1')} - {lg('n_s + v')}"
-                f" - {lg('c_t - c_st + 1')} + {lg('n_tot - n_s + v')})"
-            ).cast("bigint"),
-        )
-    )
-    return (
-        contrib.groupBy("source", "n_s", "v")
-        .agg(F.sum("contrib_fp").cast("bigint").alias("kl_fp"))
-        .select(
-            "source",
-            F.col("n_s").alias("n_tokens"),
-            "kl_fp",
-            (
-                F.col("kl_fp").cast("double")
-                / ((F.col("n_s") + F.col("v")) * 65536).cast("double")
-            ).alias("kl_bits"),
-        )
-    )
+    return corpus_kl_divergence(docs)

@@ -337,6 +337,81 @@ def fam_gram_fast(spark, mult):
     return emb, n, run
 
 
+def fam_dsir(spark, mult):
+    """DSIR importance weights over synthetic documents (target = the
+    deterministic 20% slice): one gram explode, one <=4096-group count
+    shuffle, broadcast ratio join, one groupBy(doc) — should track the
+    classifier family's linearity."""
+    from s3_to_redshift_with_airflow_spark.operators.classify import (
+        dsir_importance,
+    )
+
+    docs = (
+        synthetic_documents(spark, BASE_DOCS * mult)
+        .withColumn("tgt", F.expr("doc_id % 10 < 2"))
+        .localCheckpoint()
+    )
+
+    def run():
+        return dsir_importance(docs, "tgt").count()
+
+    return docs, BASE_DOCS * mult, run
+
+
+def fam_divergence(spark, mult):
+    """Per-source corpus KL divergence over synthetic documents split into
+    20 synthetic sources: the corpus reduces to vocab-granularity
+    aggregates in one scan, so time should be near-linear in rows with a
+    vocab-bounded tail."""
+    from s3_to_redshift_with_airflow_spark.operators.classify import (
+        corpus_kl_divergence,
+    )
+
+    docs = (
+        synthetic_documents(spark, BASE_DOCS * mult)
+        .withColumn("source", F.concat(F.lit("src"), (F.col("doc_id") % 20)))
+        .localCheckpoint()
+    )
+
+    def run():
+        return corpus_kl_divergence(docs).count()
+
+    return docs, BASE_DOCS * mult, run
+
+
+def fam_pq(spark, mult):
+    """Product-quantization ANN over synthetic 64-d embeddings (same
+    generator as fam_gram): training shuffles m*N rows into m*k groups per
+    iteration, encoding + ADC search are broadcast joins — near-linear in
+    corpus size with a constant-size codebook."""
+    from s3_to_redshift_with_airflow_spark.operators.clustering import pq_topk
+
+    n = BASE_DOCS * mult
+    emb = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("bigint").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), d -> cast("
+                " (conv(substring(md5(concat(cast(id as string), ':', d)), 1, 15),"
+                "  16, 10) % 2001 - 1000) / 1000.0 as float))"
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+
+    def run():
+        owned = []
+        got = pq_topk(
+            emb, emb.filter(F.col("vec_id") < 5), unpersist_with=owned
+        ).count()
+        for df in owned:
+            df.unpersist()
+        return got
+
+    return emb, n, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -348,6 +423,9 @@ FAMILIES = {
     "pmi": fam_pmi,
     "gram": fam_gram,
     "gram_fast": fam_gram_fast,
+    "dsir": fam_dsir,
+    "divergence": fam_divergence,
+    "pq": fam_pq,
 }
 
 
