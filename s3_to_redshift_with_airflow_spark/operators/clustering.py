@@ -734,3 +734,103 @@ def pq_topk(
         [F.col("adc_d2").asc(), F.col(id_col).asc()],
         k=k,
     )
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-covariance PCA: the classical dimensionality reduction a
+    training pipeline runs before clustering / visualization / whitening.
+    The 100 TB split is the textbook one — the only corpus-sized work is
+    two aggregation passes (per-dim moment sums and the d(d+1)/2
+    upper-triangle product sums, both as EXACT decimal partials — the
+    corr_stats discipline, so the covariance matrix is bit-identical under
+    any partitioning); the d×d eigendecomposition is O(d³) DRIVER-side
+    model-state work (numpy.linalg.eigh on a 64×64 matrix — bounded,
+    like BPE's vocab-table collect); the projection broadcasts the k×d
+    component matrix back as a LITERAL expression and runs as
+    whole-stage-codegen strict-index-order folds (bit-deterministic, no
+    Python in the per-row path).
+
+    Returns (id_col, pc0..pc{k-1}: double) — each document's centered
+    coordinates along the top-k principal axes (eigenvalue descending).
+    Component sign is fixed deterministically (the largest-|w| element is
+    made positive, first index on ties), so repeated fits agree.
+
+    No SQL oracle CAN exist (eigendecomposition is not expressible in
+    DuckDB SQL) — registered rows-only; the numerical contract is pinned
+    in tests instead: orthonormal components, descending explained
+    variance, numpy full-PCA projection parity, and bit-equality across
+    partitionings.
+    """
+    if not 1 <= k <= dim:
+        raise ValueError("k must be in [1, dim]")
+    import numpy as np
+
+    from ..functions.vectors import as_double
+
+    ex = emb.select(
+        F.posexplode(as_double(F.col(vec_col))).alias("i", "x")
+    ).select(F.col("i").cast("bigint").alias("i"), F.col("x").cast("decimal(18,6)").alias("x6"))
+    mom = {
+        int(r["i"]): (int(r["n"]), float(r["sx"]))
+        for r in ex.groupBy("i")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x6").cast("double").alias("sx"))
+        .collect()
+    }
+    n = mom[0][0]
+    if n < 2:
+        raise ValueError("need at least 2 vectors to fit PCA")
+    # Upper-triangle product sums: same nested-transform explode as
+    # gram_matrix_int8, decimal instead of int8 products.
+    cells = emb.select(
+        F.transform(as_double(F.col(vec_col)), lambda x: x.cast("decimal(18,6)")).alias("v")
+    ).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(v) - 1), i ->"
+                " transform(sequence(i, size(v) - 1), j ->"
+                "  struct(cast(i as bigint) as i, cast(j as bigint) as j,"
+                "   v[i] * v[j] as p))))"
+            )
+        ).alias("c")
+    )
+    sums = {
+        (int(r["i"]), int(r["j"])): float(r["sp"])
+        for r in cells.groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").cast("double").alias("sp"))
+        .collect()
+    }
+    mu = np.array([mom[i][1] / n for i in range(dim)])
+    cov = np.empty((dim, dim))
+    for i in range(dim):
+        for j in range(i, dim):
+            cij = sums[(i, j)] / n - mu[i] * mu[j]
+            cov[i, j] = cov[j, i] = cij
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        w = vecs[:, idx]
+        if w[int(np.argmax(np.abs(w)))] < 0:
+            w = -w
+        comps.append(w)
+    # Projection: strict-index-order fold of w·x minus the precomputed
+    # w·mu offset — one double op chain, identical on every partitioning.
+    out_cols = [F.col(id_col)]
+    for c_i, w in enumerate(comps):
+        arr = "array(" + ", ".join(repr(float(x)) for x in w) + ")"
+        off = repr(float(np.dot(w, mu)))
+        out_cols.append(
+            F.expr(
+                f"aggregate(sequence(0, {dim - 1}), cast(0.0 as double),"
+                f" (acc, i) -> acc + element_at({arr}, i + 1)"
+                f" * cast(element_at({vec_col}, i + 1) as double))"
+                f" - {off}"
+            ).alias(f"pc{c_i}")
+        )
+    return emb.select(*out_cols)

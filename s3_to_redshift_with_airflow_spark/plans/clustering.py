@@ -425,3 +425,23 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc_d2"),
         F.col("rk").cast("bigint").alias("rk"),
     )
+
+
+# --- exact-covariance PCA ---------------------------------------------------
+
+
+@query("pca_project")
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-covariance PCA projection (operators/clustering.pca_project):
+    top-8 principal components of the embeddings table, fitted from
+    bit-exact decimal moment/product sums (two corpus aggregation passes),
+    eigendecomposed driver-side (64×64 — bounded model state, the BPE
+    vocab-collect sanction), projected back as whole-stage-codegen
+    strict-order folds. Rows-only BY NECESSITY: eigendecomposition is not
+    expressible in DuckDB SQL; the numerical contract (orthonormality,
+    descending explained variance, numpy parity, partition-invariant
+    bit-equality) is pinned in tests/test_clustering.py instead."""
+    from ..operators.clustering import pca_project
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return pca_project(emb, k=8, dim=_DIM)

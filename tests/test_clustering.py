@@ -217,3 +217,66 @@ def test_pq_topk_recall_vs_exact_l2_on_quantized(spark, emb):
         got.setdefault(r["query_id"], set()).add(r["vec_id"])
     hits = sum(len(got[q] & exact[q]) for q in exact)
     assert hits / 50 >= 0.15
+
+
+def test_pca_project_matches_numpy_and_contract(spark, emb):
+    """Full numerical contract of the PCA operator: the Spark projection
+    must match numpy's eigh-based PCA (same centering, same sign fix)
+    within float tolerance; components orthonormal; per-component variance
+    descending."""
+    import numpy as np
+
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        pca_project,
+    )
+
+    X = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").collect()]
+    # numpy reference with the exact-decimal quantization the operator uses
+    Xq = np.round(X * 1e6) / 1e6
+    mu = Xq.mean(axis=0)
+    cov = (Xq.T @ Xq) / len(Xq) - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:4]
+    W = []
+    for idx in order:
+        w = vecs[:, idx]
+        if w[int(np.argmax(np.abs(w)))] < 0:
+            w = -w
+        W.append(w)
+    W = np.array(W)
+    want = (X - mu) @ W.T  # operator centers the RAW floats via w·mu offset
+    got = pca_project(emb, k=4).orderBy("vec_id").collect()
+    G = np.array([[r[f"pc{j}"] for j in range(4)] for r in got])
+    assert [r["vec_id"] for r in got] == ids
+    # centering: operator subtracts w·mu with mu from decimal sums of the
+    # DOUBLE-cast floats; compare against the same construction
+    assert np.max(np.abs(G - want)) < 1e-6, np.max(np.abs(G - want))
+    assert np.allclose(W @ W.T, np.eye(4), atol=1e-9)
+    v = G.var(axis=0)
+    assert all(a >= b - 1e-9 for a, b in zip(v, v[1:]))
+
+
+def test_pca_project_partitioning_invariant_bits(spark, emb):
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        pca_project,
+    )
+
+    a = pca_project(emb, k=3).orderBy("vec_id").collect()
+    b = pca_project(emb.repartition(17), k=3).orderBy("vec_id").collect()
+    assert a == b
+
+
+def test_pca_project_rejects_bad_k(spark, emb):
+    import pytest
+
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        pca_project,
+    )
+
+    with pytest.raises(ValueError):
+        pca_project(emb, k=0)
+    with pytest.raises(ValueError):
+        pca_project(emb, k=65)

@@ -283,6 +283,9 @@ def test_registry_wide_plan_audit(spark):
         "leakage_safe_split",
         # iterative BPE trainer: per-merge argmax collects at build time
         "bpe_train_merges", "bpe_tokenize_stats",
+        # PCA fit collects the bounded moment/Gram model state (64 + 2080
+        # rows) at build time — same sanction as the BPE vocab collect
+        "pca_project",
     }
     offenders = []
     for name, spec in REGISTRY.items():
