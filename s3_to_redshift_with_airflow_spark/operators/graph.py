@@ -414,3 +414,62 @@ def triangle_counts(
         .unionAll(tri.select(F.col("z").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    n_iter: int = 3,
+    src: str = "u1",
+    dst: str = "u2",
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core peeling over an undirected graph — the classical density
+    filter (Seidman '83; in pipeline terms: keep the community kernel,
+    shed the long tail of weakly-connected spam/drive-by nodes before
+    expensive per-node analytics like PageRank or embeddings).
+
+    `edges` must hold one row per unordered edge (src < dst, no
+    duplicates, no self-loops) — the same canonical form the other graph
+    operators consume. Runs `n_iter` FIXED peeling rounds; round t
+    computes degrees over the surviving edge set, drops nodes with
+    degree < k, and restricts edges to surviving endpoints. Returns
+    (node, degree) for nodes alive entering round `n_iter` with
+    degree ≥ k, where `degree` is measured at the START of that round —
+    a deterministic PARTIAL peel that equals the true k-core once the
+    peel has converged (each round strictly shrinks the node set, so
+    convergence is detectable as a fixpoint; fixed rounds keep the
+    result expressible as an unrolled DuckDB CTE chain, the same
+    bounded-unroll contract as pagerank_scaled's oracle).
+
+    Scale shape (100 TB): each round is ONE degree aggregation (map-side
+    combined, keyed by node) plus two semi-joins restricting the edge
+    table — both equi-joins AQE can broadcast as soon as the surviving
+    set shrinks, which it does geometrically on real graphs. The edge
+    table is re-materialized per round (default eager localCheckpoint;
+    `reliable=True` + `checkpoint_dir` for the executor-loss-safe mode,
+    ownership-tracked cleanup shared with connected_components), so round
+    t+1 reads a concrete table instead of re-executing rounds 1..t.
+    All-integer, partition-invariant, exact-oracle-able.
+    """
+    if k < 1 or n_iter < 1:
+        raise ValueError("k and n_iter must be >= 1")
+    store = _OwnedCheckpoints(edges.sparkSession.sparkContext, reliable, checkpoint_dir)
+    e = edges.select(F.col(src), F.col(dst))
+    deg = None
+    for it in range(n_iter):
+        if it > 0:
+            e = store.ckpt(e, "kcore-edges")
+        deg = (
+            e.select(F.col(src).alias("node"))
+            .unionAll(e.select(F.col(dst).alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        )
+        if it < n_iter - 1:
+            surv = deg.filter(F.col("degree") >= k).select("node")
+            e = e.join(
+                surv.select(F.col("node").alias(src)), src, "left_semi"
+            ).join(surv.select(F.col("node").alias(dst)), dst, "left_semi")
+    return deg.filter(F.col("degree") >= k)

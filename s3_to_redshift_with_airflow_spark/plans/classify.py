@@ -651,3 +651,98 @@ def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return corpus_kl_divergence(docs)
+
+
+# --- k-core decomposition ---------------------------------------------------
+
+_KCORE_K, _KCORE_ITER = 3, 3
+
+
+def _kcore_sql(k: int = _KCORE_K, n_iter: int = _KCORE_ITER) -> str:
+    """Unrolled peeling replay over the same co-occurrence edge CTEs as
+    the triangle oracle — round t's degree table feeds round t's survivor
+    set feeds round t's restricted edge set (the pagerank-oracle
+    bounded-unroll contract)."""
+    parts = [
+        f"""
+    WITH uk AS (
+      SELECT DISTINCT user_id AS u,
+             json_extract_string(props, '$.k') AS k,
+             date_trunc('hour', ts) AS h
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+        AND ts IS NOT NULL
+    ),
+    kdf AS (
+      SELECT k, h, CAST(COUNT(*) AS BIGINT) AS df FROM uk GROUP BY k, h
+    ),
+    ukc AS (
+      SELECT u, uk.k, uk.h FROM uk JOIN kdf USING (k, h)
+      WHERE df <= {_TRI_DF_CAP}
+    ),
+    e0 AS (
+      SELECT DISTINCT a.u AS u1, b.u AS u2
+      FROM ukc a JOIN ukc b USING (k, h) WHERE a.u < b.u
+    )"""
+    ]
+    for t in range(n_iter):
+        parts.append(f"""
+    d{t + 1} AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT u1 AS node FROM e{t} UNION ALL SELECT u2 FROM e{t})
+      GROUP BY node
+    )""")
+        if t < n_iter - 1:
+            parts.append(f"""
+    s{t + 1} AS (SELECT node FROM d{t + 1} WHERE degree >= {k}),
+    e{t + 1} AS (
+      SELECT u1, u2 FROM e{t}
+      WHERE u1 IN (SELECT node FROM s{t + 1})
+        AND u2 IN (SELECT node FROM s{t + 1})
+    )""")
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT node, degree FROM d{n_iter} WHERE degree >= {k}
+    """
+    )
+
+
+@query("kcore_nodes", oracle=_kcore_sql())
+def q_kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core density filter (operators/graph.kcore_peel) over the
+    hour-scoped user co-occurrence graph: 3 fixed peeling rounds at k=3
+    keep the community kernel and shed weakly-connected tail nodes —
+    the standard pre-filter before per-node analytics. Each round is one
+    degree shuffle + two semi-joins over a freshly materialized edge
+    table; all-integer and partition-invariant, so the iterative peel
+    carries an exact unrolled-CTE oracle like pagerank_centrality."""
+    from ..operators.graph import kcore_peel
+
+    (events,) = _t(spark, sf_dir, "events")
+    uk = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.get_json_object("props", "$.k").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").alias("k"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .distinct()
+    )
+    kdf = uk.groupBy("k", "h").agg(F.count(F.lit(1)).alias("df"))
+    ukc = uk.join(kdf.filter(F.col("df") <= _TRI_DF_CAP), ["k", "h"]).select(
+        "u", "k", "h"
+    )
+    edges = (
+        ukc.select("k", "h", F.col("u").alias("u1"))
+        .join(ukc.select("k", "h", F.col("u").alias("u2")), ["k", "h"])
+        .filter(F.col("u1") < F.col("u2"))
+        .select("u1", "u2")
+        .distinct()
+    )
+    return kcore_peel(edges, k=_KCORE_K, n_iter=_KCORE_ITER)

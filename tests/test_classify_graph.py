@@ -415,3 +415,62 @@ def test_corpus_divergence_deterministic_across_partitionings(spark):
     b = fn(spark, SF_SMOKE).orderBy("source").collect()
     assert a == b
     assert all(r["n_tokens"] > 0 for r in a)
+
+
+# --- k-core peeling ----------------------------------------------------------
+
+
+def _py_kcore(edges, k, n_iter):
+    """Pure-Python replay of the fixed-round peel contract."""
+    e = list(edges)
+    deg = {}
+    for t in range(n_iter):
+        deg = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        if t < n_iter - 1:
+            surv = {u for u, d in deg.items() if d >= k}
+            e = [(a, b) for a, b in e if a in surv and b in surv]
+    return {u: d for u, d in deg.items() if d >= k}
+
+
+def test_kcore_matches_python_reference(spark):
+    """K4 ∪ a pendant chain: the chain peels away round by round, the
+    clique survives at k=3; also a cycle (2-core but not 3-core)."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import kcore_peel
+
+    edges = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]  # K4
+        + [(3, 10), (10, 11), (11, 12)]  # pendant chain off the clique
+        + [(20, 21), (21, 22), (20, 22)]  # triangle: its own 2-core, 3-core at deg 2? no — degrees 2 < 3, peels
+    )
+    df = spark.createDataFrame(edges, "u1 long, u2 long")
+    for k, n_iter in [(3, 3), (2, 2), (2, 4), (1, 1)]:
+        got = {r["node"]: r["degree"] for r in kcore_peel(df, k=k, n_iter=n_iter).collect()}
+        assert got == _py_kcore(edges, k, n_iter), (k, n_iter)
+    # at k=3 after 3 rounds only the K4 survives, each at degree 3
+    got3 = {r["node"]: r["degree"] for r in kcore_peel(df, k=3, n_iter=3).collect()}
+    assert got3 == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_partitioning_invariant_and_reliable(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.operators.graph import kcore_peel
+
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)] + [
+        (5, 100 + i) for i in range(4)
+    ] + [(100 + i, 200 + i) for i in range(4)]
+    df = spark.createDataFrame(edges, "u1 long, u2 long")
+    a = kcore_peel(df, k=3, n_iter=3).orderBy("node").collect()
+    b = kcore_peel(df.repartition(7), k=3, n_iter=3).orderBy("node").collect()
+    assert a == b
+    c = (
+        kcore_peel(df, k=3, n_iter=3, reliable=True, checkpoint_dir=str(tmp_path))
+        .orderBy("node")
+        .collect()
+    )
+    assert a == c
+    import pytest
+
+    with pytest.raises(ValueError):
+        kcore_peel(df, k=0)
