@@ -473,3 +473,72 @@ def kcore_peel(
                 surv.select(F.col("node").alias(src)), src, "left_semi"
             ).join(surv.select(F.col("node").alias(dst)), dst, "left_semi")
     return deg.filter(F.col("degree") >= k)
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "u1",
+    dst: str = "u2",
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) over an undirected graph, made fully deterministic: every node
+    starts labeled with its own id; each round a node adopts the label
+    that is most frequent among its neighbors' previous-round labels,
+    ties broken by SMALLEST label (the same count-desc/key-asc contract
+    as the deterministic mode operator, relational.mode_per_group).
+    Runs `n_iter` FIXED synchronous rounds — deterministic and
+    partition-invariant by construction, so like pagerank_scaled and
+    kcore_peel it carries an exact unrolled-CTE oracle (asynchronous/
+    randomized LPA variants converge faster but are unorderable).
+
+    `edges` must be canonical undirected form (src < dst, distinct, no
+    self-loops). Returns (node, label) after the final round.
+
+    Scale shape (100 TB): the symmetrized adjacency is materialized ONCE
+    (eager localCheckpoint; `reliable=True` for the executor-loss-safe
+    mode with ownership-tracked cleanup); each round is one equi-join of
+    the label table onto adjacency (both keyed by node id — co-hashed)
+    plus two map-side-combinable integer aggregations: count labels per
+    (node, neighbor-label), then min-struct((-count, label)) per node —
+    no window sort, no Python. Label state is re-materialized per round
+    so round t+1 reads a concrete table instead of re-executing rounds
+    1..t.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    store = _OwnedCheckpoints(edges.sparkSession.sparkContext, reliable, checkpoint_dir)
+    e = edges.select(F.col(src), F.col(dst))
+    adj = store.ckpt(
+        e.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
+            e.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        ),
+        "lpa-adj",
+    )
+    labels = adj.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for t in range(n_iter):
+        counts = (
+            adj.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
+            )
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        labels = (
+            counts.select(
+                F.col("a").alias("node"),
+                F.struct(
+                    (-F.col("cnt")).alias("nc"), F.col("label").alias("l")
+                ).alias("s"),
+            )
+            .groupBy("node")
+            .agg(F.min("s").alias("s"))
+            .select("node", F.col("s.l").alias("label"))
+        )
+        if t < n_iter - 1:
+            labels = store.ckpt(labels, "lpa-labels")
+    return labels

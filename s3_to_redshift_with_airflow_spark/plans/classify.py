@@ -746,3 +746,108 @@ def q_kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore_peel(edges, k=_KCORE_K, n_iter=_KCORE_ITER)
+
+
+# --- label-propagation communities ------------------------------------------
+
+_LPA_ITER = 3
+
+
+def _lpa_sql(n_iter: int = _LPA_ITER) -> str:
+    """Unrolled synchronous-LPA replay over the same co-occurrence edge
+    CTEs as the triangle/k-core oracles: round t counts previous-round
+    neighbor labels per node and keeps the (count DESC, label ASC)
+    winner — the bounded-unroll contract shared with pagerank/kcore."""
+    parts = [
+        f"""
+    WITH uk AS (
+      SELECT DISTINCT user_id AS u,
+             json_extract_string(props, '$.k') AS k,
+             date_trunc('hour', ts) AS h
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+        AND ts IS NOT NULL
+    ),
+    kdf AS (
+      SELECT k, h, CAST(COUNT(*) AS BIGINT) AS df FROM uk GROUP BY k, h
+    ),
+    ukc AS (
+      SELECT u, uk.k, uk.h FROM uk JOIN kdf USING (k, h)
+      WHERE df <= {_TRI_DF_CAP}
+    ),
+    e0 AS (
+      SELECT DISTINCT a.u AS u1, b.u AS u2
+      FROM ukc a JOIN ukc b USING (k, h) WHERE a.u < b.u
+    ),
+    adj AS (
+      SELECT u1 AS a, u2 AS b FROM e0 UNION ALL SELECT u2, u1 FROM e0
+    ),
+    l0 AS (
+      SELECT node, node AS label
+      FROM (SELECT u1 AS node FROM e0 UNION SELECT u2 FROM e0)
+    )"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""
+    c{t} AS (
+      SELECT adj.a AS node, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM adj JOIN l{t - 1} l ON l.node = adj.b
+      GROUP BY 1, 2
+    ),
+    l{t} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{t}
+      ) WHERE rn = 1
+    )""")
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT node, label FROM l{n_iter}
+    """
+    )
+
+
+@query("lpa_communities", oracle=_lpa_sql())
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (operators/graph.label_propagation) over the hour-scoped user
+    co-occurrence graph: 3 fixed rounds of adopt-the-most-frequent-
+    neighbor-label (ties to the smallest label) yield community labels —
+    the lightweight community detector that needs no edge weights or
+    modularity optimization. Per round: one co-hashed equi-join of the
+    label table onto the materialized adjacency plus two integer
+    aggregations; deterministic and partition-invariant, so the
+    iterative plan carries an exact unrolled-CTE oracle like
+    pagerank_centrality and kcore_nodes."""
+    from ..operators.graph import label_propagation
+
+    (events,) = _t(spark, sf_dir, "events")
+    uk = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.get_json_object("props", "$.k").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").alias("k"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .distinct()
+    )
+    kdf = uk.groupBy("k", "h").agg(F.count(F.lit(1)).alias("df"))
+    ukc = uk.join(kdf.filter(F.col("df") <= _TRI_DF_CAP), ["k", "h"]).select(
+        "u", "k", "h"
+    )
+    edges = (
+        ukc.select("k", "h", F.col("u").alias("u1"))
+        .join(ukc.select("k", "h", F.col("u").alias("u2")), ["k", "h"])
+        .filter(F.col("u1") < F.col("u2"))
+        .select("u1", "u2")
+        .distinct()
+    )
+    return label_propagation(edges, n_iter=_LPA_ITER)

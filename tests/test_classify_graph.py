@@ -474,3 +474,69 @@ def test_kcore_partitioning_invariant_and_reliable(spark, tmp_path):
 
     with pytest.raises(ValueError):
         kcore_peel(df, k=0)
+
+
+# --- label propagation --------------------------------------------------------
+
+
+def _py_lpa(edges, n_iter):
+    """Pure-Python replay of the synchronous deterministic-LPA contract:
+    adopt the most frequent neighbor label, ties to the smallest label."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {u: u for u in adj}
+    for _ in range(n_iter):
+        nxt = {}
+        for u, nbrs in adj.items():
+            counts = {}
+            for v in nbrs:
+                lv = labels[v]
+                counts[lv] = counts.get(lv, 0) + 1
+            nxt[u] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    return labels
+
+
+def test_lpa_matches_python_reference(spark):
+    """Two K4 cliques joined by a single bridge edge: each clique converges
+    to its own min-id label and the bridge does not merge them."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import label_propagation
+
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = k4a + k4b + [(3, 10)] + [(20, 21)]  # plus an isolated pair
+    df = spark.createDataFrame(edges, "u1 long, u2 long")
+    for n_iter in (1, 2, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, n_iter=n_iter).collect()
+        }
+        assert got == _py_lpa(edges, n_iter), n_iter
+    got3 = {r["node"]: r["label"] for r in label_propagation(df, n_iter=3).collect()}
+    assert {got3[u] for u in range(4)} == {0}
+    assert {got3[u] for u in range(10, 14)} == {10}
+    assert got3[20] == 21 and got3[21] == 20  # 2-cycle oscillation: synchronous LPA contract
+
+
+def test_lpa_partitioning_invariant_and_reliable(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.operators.graph import label_propagation
+
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)] + [
+        (4, 50), (50, 51), (51, 52), (52, 53), (53, 50)
+    ]
+    df = spark.createDataFrame(edges, "u1 long, u2 long")
+    a = label_propagation(df, n_iter=3).orderBy("node").collect()
+    b = label_propagation(df.repartition(7), n_iter=3).orderBy("node").collect()
+    assert a == b
+    c = (
+        label_propagation(df, n_iter=3, reliable=True, checkpoint_dir=str(tmp_path))
+        .orderBy("node")
+        .collect()
+    )
+    assert a == c
+    import pytest
+
+    with pytest.raises(ValueError):
+        label_propagation(df, n_iter=0)
