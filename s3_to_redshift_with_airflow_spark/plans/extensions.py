@@ -2609,3 +2609,96 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _cluster_keywords_oracle() -> str:
+    from .clustering import _N_ITER as _KM_ITER
+    from .clustering import _kmeans_ctes
+
+    return (
+        _kmeans_ctes()
+        + f"""
+    , ctoks AS (
+      SELECT a.cid AS cluster, unnest({_TOKS}) AS term
+      FROM a{_KM_ITER} a JOIN documents d ON d.doc_id = a.vec_id
+    ),
+    ctf AS (
+      SELECT cluster, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM ctoks
+      WHERE NOT list_contains({{stoplist}}, term) AND term <> ''
+      GROUP BY cluster, term
+    ),
+    nc AS (
+      SELECT CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clusters
+      FROM a{_KM_ITER}
+    ),
+    csc AS (
+      SELECT cluster, term, tf,
+             CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+      FROM ctf
+    )
+    SELECT cluster, term, tf, df,
+           CAST(tf * n_clusters AS DOUBLE) / df AS score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+                                   ORDER BY CAST(tf * n_clusters AS DOUBLE) / df DESC,
+                                            term) AS BIGINT) AS rnk
+    FROM csc, nc
+    QUALIFY rnk <= 5
+    """
+    ).replace("{stoplist}", _sql_list(EN_STOPWORDS))
+
+
+@query("cluster_keywords", oracle=_cluster_keywords_oracle())
+def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per k-means cluster — class-TF-IDF
+    (BERTopic's c-TF-IDF, Grootendorst 2022, log-free variant): treat
+    each cluster's member documents as ONE pseudo-document, score term t
+    in cluster c as tf(t,c) · n_clusters / df_clusters(t). This is the
+    "describe your clusters" step every embedding-curation pipeline needs
+    after SemDeDup-style clustering: the same deterministic int8 k-means
+    assignment (kmeans_clusters) composed with the tfidf_topk token
+    machinery, so the FULL composition — Lloyd iterations through keyword
+    ranking — still carries an exact DuckDB oracle. Log dropped for the
+    same last-ulp reason as tfidf_topk; ranks are identical whenever ties
+    break by df.
+
+    Plan: the narrow (vec_id, cluster) assignment joins documents on the
+    shared key, tokens explode map-side AFTER text is projected away from
+    the shuffle, one groupBy(cluster, term), cluster-df via one window
+    over term, n_clusters broadcast as a 1-row aggregate, top-5 via
+    row_number. At 100 TB the per-(cluster, term) frame is bounded by
+    k · vocabulary, not corpus size."""
+    from ..operators.clustering import kmeans_int8
+    from ..functions.text import tokens as _tok
+    from .clustering import _DIM as _KM_DIM
+    from .clustering import _K as _KM_K
+    from .clustering import _N_ITER as _KM_ITER
+
+    docs, emb = _t(spark, sf_dir, "documents", "embeddings")
+    assign = kmeans_int8(emb, k=_KM_K, n_iter=_KM_ITER, dim=_KM_DIM).select(
+        "vec_id", "cluster"
+    )
+    toks = (
+        docs.join(assign, docs.doc_id == assign.vec_id)
+        .select("cluster", F.explode(_tok(F.col("text"))).alias("term"))
+        .filter(~F.col("term").isin(EN_STOPWORDS) & (F.col("term") != ""))
+    )
+    tf = toks.groupBy("cluster", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    nc = assign.agg(F.countDistinct("cluster").cast("bigint").alias("n_clusters"))
+    sc = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("bigint")
+    )
+    scored = sc.join(F.broadcast(nc)).withColumn(
+        "score",
+        (F.col("tf") * F.col("n_clusters")).cast("double") / F.col("df"),
+    )
+    rw = Window.partitionBy("cluster").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("cluster", "term", "tf", "df", "score", "rnk")
+    )

@@ -272,6 +272,9 @@ def test_registry_wide_plan_audit(spark):
         # vocab-granularity frame, never the corpus) + the 1-row (N, V)
         # broadcast — bounded-side composition, not a corpus cross product
         "corpus_divergence",
+        # k-means assignment broadcast (same sanction as kmeans_clusters)
+        # plus the tfidf-style 1-row n_clusters broadcast
+        "cluster_keywords",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
