@@ -83,6 +83,14 @@ HEADLINE = [
     "triangle_count",
     "token_pmi",
     "gram_matrix_int8",
+    # final round-5 families: PQ ANN (8x16 codebook train + broadcast ADC
+    # scan), fixed-round k-core peel and deterministic label propagation
+    # (per-round degree/label shuffles over re-materialized state), and
+    # the k-means x c-TF-IDF cluster-keyword composition
+    "pq_ann_topk",
+    "kcore_nodes",
+    "lpa_communities",
+    "cluster_keywords",
 ]
 
 

@@ -412,6 +412,53 @@ def fam_pq(spark, mult):
     return emb, n, run
 
 
+def _random_graph(spark, mult, avg_deg=8):
+    """Synthetic random graph with scale-stable average degree (~avg_deg):
+    shared input builder for the iterative graph families."""
+    m = BASE_EVENTS * mult
+    n_nodes = max(1000, m // (avg_deg // 2))
+    h = lambda f: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit(f + ":"), F.col("id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    edges = (
+        spark.range(m)
+        .select((h("a") % n_nodes).alias("u1"), (h("b") % n_nodes).alias("u2"))
+        .filter(F.col("u1") < F.col("u2"))
+        .distinct()
+        .localCheckpoint()
+    )
+    return edges, edges.count()
+
+
+def fam_kcore(spark, mult):
+    """Fixed-round k-core peel: per round one degree aggregation + two
+    semi-joins over a re-materialized edge table — time should track the
+    (shrinking) surviving edge set, i.e. sub-linear once peeling bites."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import kcore_peel
+
+    edges, n_edges = _random_graph(spark, mult)
+
+    def run():
+        return kcore_peel(edges, k=5, n_iter=3).count()
+
+    return edges, n_edges, run
+
+
+def fam_lpa(spark, mult):
+    """Synchronous deterministic LPA: per round one label join onto the
+    materialized adjacency + two integer aggregations — linear in edges."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import label_propagation
+
+    edges, n_edges = _random_graph(spark, mult)
+
+    def run():
+        return label_propagation(edges, n_iter=3).count()
+
+    return edges, n_edges, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -426,6 +473,8 @@ FAMILIES = {
     "dsir": fam_dsir,
     "divergence": fam_divergence,
     "pq": fam_pq,
+    "kcore": fam_kcore,
+    "lpa": fam_lpa,
 }
 
 
