@@ -540,3 +540,34 @@ def test_lpa_partitioning_invariant_and_reliable(spark, tmp_path):
 
     with pytest.raises(ValueError):
         label_propagation(df, n_iter=0)
+
+
+def test_kcore_and_lpa_on_seeded_random_graphs(spark):
+    """Randomized cross-check: Erdős–Rényi-ish graphs from seeded numpy
+    draws, Spark result vs the pure-Python replay — catches contract
+    drift the hand-built fixtures can't (odd degree sequences, near-empty
+    survivor sets, label oscillation on random bipartite-ish regions)."""
+    import numpy as np
+
+    from s3_to_redshift_with_airflow_spark.operators.graph import (
+        kcore_peel,
+        label_propagation,
+    )
+
+    for seed, n_nodes, m in [(7, 40, 120), (11, 60, 90), (13, 25, 200)]:
+        rng = np.random.RandomState(seed)
+        raw = rng.randint(0, n_nodes, size=(m, 2))
+        edges = sorted({(int(min(a, b)), int(max(a, b))) for a, b in raw if a != b})
+        df = spark.createDataFrame(edges, "u1 long, u2 long")
+        for k, n_iter in [(2, 2), (3, 3)]:
+            got = {
+                r["node"]: r["degree"]
+                for r in kcore_peel(df, k=k, n_iter=n_iter).collect()
+            }
+            assert got == _py_kcore(edges, k, n_iter), (seed, k, n_iter)
+        for n_iter in (1, 3):
+            got = {
+                r["node"]: r["label"]
+                for r in label_propagation(df, n_iter=n_iter).collect()
+            }
+            assert got == _py_lpa(edges, n_iter), (seed, n_iter)
