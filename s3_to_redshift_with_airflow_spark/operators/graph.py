@@ -542,3 +542,93 @@ def label_propagation(
         if t < n_iter - 1:
             labels = store.ckpt(labels, "lpa-labels")
     return labels
+
+
+def hits_scaled(
+    edges: DataFrame,
+    n_iter: int = 2,
+    src: str = "u",
+    dst: str = "i",
+    scale: int = 65_536,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
+    allow_non_ansi: bool = False,
+) -> DataFrame:
+    """Integer-scaled HITS (Kleinberg '99) over a DIRECTED edge list:
+    hubs point, authorities are pointed at. Returns one row per node with
+    (side, node, score) — side 'hub' for src-nodes, 'authority' for
+    dst-nodes, node cast to string so bipartite graphs with differently
+    typed sides still fit one frame.
+
+    Update rule (all bigint — deterministic on any engine/partitioning,
+    so a HITS carries an exact value oracle like pagerank_scaled):
+
+        auth_raw(i) = Σ_{u→i} hub(u);   auth = auth_raw·scale div max(auth_raw)
+        hub_raw(u)  = Σ_{u→i} auth(i);  hub  = hub_raw·scale div max(hub_raw)
+
+    i.e. the classic power iteration with max-normalization instead of
+    the L2 norm — same fixed point ordering, but floor division on
+    integers instead of a square root on floats, which is what keeps both
+    engines bit-identical. Every hub starts at exactly `scale`; after
+    each half-step the max score is exactly `scale`, so scores are
+    directly readable as fractions of the top hub/authority.
+
+    Overflow: raw ≤ max_in_degree·scale and the rescale computes
+    raw·scale, so the bound is max_degree·scale² < 2^63 — degree up to
+    ~2·10⁹ at the default scale 2^16 (drop scale for denser graphs).
+    Non-ANSI sessions would wrap silently past that, so like
+    pagerank_scaled this refuses to build unless ANSI is on
+    (`allow_non_ansi=True` to override).
+
+    Scale shape (100 TB): per half-step one equi-join of the score table
+    onto the edge list (both keyed by node id) + one map-side-combinable
+    bigint sum + a 1-row max broadcast for the rescale; score state is
+    re-materialized per half-step (eager localCheckpoint; `reliable=True`
+    + ownership-tracked cleanup for the executor-loss-safe mode) so later
+    steps read concrete tables. Nothing wider than (node, score) ever
+    shuffles.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    _require_ansi(edges, allow_non_ansi, "hits_scaled")
+    store = _OwnedCheckpoints(edges.sparkSession.sparkContext, reliable, checkpoint_dir)
+    e = store.ckpt(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("i")).distinct(),
+        "hits-edges",
+    )
+
+    def _rescale(raw: DataFrame, node: str) -> DataFrame:
+        mx = raw.agg(F.max("s").alias("mx"))
+        return raw.join(F.broadcast(mx)).select(
+            node, F.expr(f"(s * CAST({scale} AS BIGINT)) div mx").alias("s")
+        )
+
+    hub = e.select("u").distinct().withColumn("s", F.lit(scale).cast("bigint"))
+    auth = None
+    for t in range(n_iter):
+        auth = store.ckpt(
+            _rescale(
+                e.join(hub, "u")
+                .groupBy("i")
+                .agg(F.sum("s").cast("bigint").alias("s")),
+                "i",
+            ),
+            "hits-auth",
+        )
+        hub = _rescale(
+            e.join(auth, "i").groupBy("u").agg(F.sum("s").cast("bigint").alias("s")),
+            "u",
+        )
+        if t < n_iter - 1:
+            hub = store.ckpt(hub, "hits-hub")
+    return auth.select(
+        F.lit("authority").alias("side"),
+        F.col("i").cast("string").alias("node"),
+        F.col("s").alias("score"),
+    ).unionAll(
+        hub.select(
+            F.lit("hub").alias("side"),
+            F.col("u").cast("string").alias("node"),
+            F.col("s").alias("score"),
+        )
+    )

@@ -851,3 +851,82 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return label_propagation(edges, n_iter=_LPA_ITER)
+
+
+# --- HITS hubs & authorities -------------------------------------------------
+
+_HITS_ITER, _HITS_SCALE = 2, 65_536
+
+
+def _hits_sql(n_iter: int = _HITS_ITER, scale: int = _HITS_SCALE) -> str:
+    """Unrolled integer-HITS replay: each half-step is one join-sum plus a
+    max-normalizing floor division (DuckDB `//` == Spark `div` on the
+    non-negative bigints used here) — the pagerank/kcore/lpa
+    bounded-unroll contract."""
+    parts = [
+        f"""
+    WITH ue AS (
+      SELECT DISTINCT user_id AS u,
+             json_extract_string(props, '$.k') AS i
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    h0 AS (
+      SELECT u, CAST({scale} AS BIGINT) AS s
+      FROM (SELECT DISTINCT u FROM ue)
+    )"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""
+    a{t}r AS (
+      SELECT i, CAST(SUM(h.s) AS BIGINT) AS s
+      FROM ue JOIN h{t - 1} h USING (u) GROUP BY i
+    ),
+    a{t} AS (
+      SELECT i, s * CAST({scale} AS BIGINT) // mx AS s
+      FROM a{t}r, (SELECT MAX(s) AS mx FROM a{t}r)
+    ),
+    h{t}r AS (
+      SELECT u, CAST(SUM(a.s) AS BIGINT) AS s
+      FROM ue JOIN a{t} a USING (i) GROUP BY u
+    ),
+    h{t} AS (
+      SELECT u, s * CAST({scale} AS BIGINT) // mx AS s
+      FROM h{t}r, (SELECT MAX(s) AS mx FROM h{t}r)
+    )""")
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT 'authority' AS side, CAST(i AS VARCHAR) AS node, s AS score FROM a{n_iter}
+    UNION ALL
+    SELECT 'hub' AS side, CAST(u AS VARCHAR) AS node, s AS score FROM h{n_iter}
+    """
+    )
+
+
+@query("hits_scores", oracle=_hits_sql())
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities (operators/graph.hits_scaled) over the
+    DIRECTED bipartite user→prop-key graph: authorities are the keys the
+    best-connected users touch, hubs the users who touch authoritative
+    keys — the mutually-recursive centrality PageRank can't express.
+    Two max-normalized integer power iterations; every half-step is one
+    co-hashed join-sum plus a 1-row max broadcast, all bigint, so the
+    directed link-analysis pair (PageRank + HITS) both carry exact
+    unrolled-CTE oracles."""
+    from ..operators.graph import hits_scaled
+
+    (events,) = _t(spark, sf_dir, "events")
+    ue = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").alias("i"),
+        )
+        .distinct()
+    )
+    return hits_scaled(ue, n_iter=_HITS_ITER, scale=_HITS_SCALE)

@@ -571,3 +571,78 @@ def test_kcore_and_lpa_on_seeded_random_graphs(spark):
                 for r in label_propagation(df, n_iter=n_iter).collect()
             }
             assert got == _py_lpa(edges, n_iter), (seed, n_iter)
+
+
+# --- HITS ---------------------------------------------------------------------
+
+
+def _py_hits(edges, n_iter, scale=65536):
+    """Pure-Python replay of the max-normalized integer-HITS contract."""
+    hubs = {u for u, _ in edges}
+    hub = {u: scale for u in hubs}
+    auth = {}
+    for _ in range(n_iter):
+        auth = {}
+        for u, i in edges:
+            auth[i] = auth.get(i, 0) + hub[u]
+        mx = max(auth.values())
+        auth = {i: s * scale // mx for i, s in auth.items()}
+        hub = {}
+        for u, i in edges:
+            hub[u] = hub.get(u, 0) + auth[i]
+        mx = max(hub.values())
+        hub = {u: s * scale // mx for u, s in hub.items()}
+    return auth, hub
+
+
+def test_hits_matches_python_reference(spark):
+    """Bipartite star: one power-user touching every item dominates hubs;
+    the item every user touches dominates authorities."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import hits_scaled
+
+    edges = (
+        [(0, f"item{j}") for j in range(5)]           # power user
+        + [(u, "item0") for u in range(1, 8)]          # hot item
+        + [(u, f"item{u % 3 + 1}") for u in range(1, 8)]
+    )
+    df = spark.createDataFrame(edges, "u long, i string")
+    for n_iter in (1, 2, 3):
+        rows = hits_scaled(df, n_iter=n_iter).collect()
+        got_a = {r["node"]: r["score"] for r in rows if r["side"] == "authority"}
+        got_h = {r["node"]: r["score"] for r in rows if r["side"] == "hub"}
+        exp_a, exp_h = _py_hits(edges, n_iter)
+        assert got_a == {str(k): v for k, v in exp_a.items()}, n_iter
+        assert got_h == {str(k): v for k, v in exp_h.items()}, n_iter
+    rows = hits_scaled(df, n_iter=2).collect()
+    auth = {r["node"]: r["score"] for r in rows if r["side"] == "authority"}
+    hub = {r["node"]: r["score"] for r in rows if r["side"] == "hub"}
+    assert max(auth, key=auth.get) == "item0"
+    assert max(hub, key=hub.get) == "0"
+    assert auth["item0"] == 65536 and hub["0"] == 65536  # max-normalized tops
+
+
+def test_hits_partitioning_invariant_reliable_and_guards(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.operators.graph import hits_scaled
+
+    edges = [(u, f"k{(u * 7 + j) % 11}") for u in range(20) for j in range(3)]
+    df = spark.createDataFrame(edges, "u long, i string")
+    a = hits_scaled(df, n_iter=2).orderBy("side", "node").collect()
+    b = hits_scaled(df.repartition(9), n_iter=2).orderBy("side", "node").collect()
+    assert a == b
+    c = (
+        hits_scaled(df, n_iter=2, reliable=True, checkpoint_dir=str(tmp_path))
+        .orderBy("side", "node")
+        .collect()
+    )
+    assert a == c
+    import pytest
+
+    with pytest.raises(ValueError):
+        hits_scaled(df, n_iter=0)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(ValueError, match="ansi"):
+            hits_scaled(df, n_iter=1)
+        assert hits_scaled(df, n_iter=1, allow_non_ansi=True) is not None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")

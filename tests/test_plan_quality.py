@@ -275,6 +275,9 @@ def test_registry_wide_plan_audit(spark):
         # k-means assignment broadcast (same sanction as kmeans_clusters)
         # plus the tfidf-style 1-row n_clusters broadcast
         "cluster_keywords",
+        # HITS max-normalization: one 1-row MAX broadcast per half-step —
+        # same scalar sanction as tpch_q11/heavy_hitters
+        "hits_scores",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
