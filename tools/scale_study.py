@@ -459,6 +459,33 @@ def fam_lpa(spark, mult):
     return edges, n_edges, run
 
 
+def fam_hits(spark, mult):
+    """Integer HITS over a synthetic bipartite user→item graph with
+    scale-stable item fan-in: per half-step one join-sum + a 1-row max
+    broadcast — the same fixed iterative shape as pagerank."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import hits_scaled
+
+    m = BASE_EVENTS * mult
+    n_users, n_items = max(1000, m // 8), max(200, m // 40)
+    h = lambda f: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit(f + ":"), F.col("id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    edges = (
+        spark.range(m)
+        .select((h("u") % n_users).alias("u"), (h("i") % n_items).alias("i"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+
+    def run():
+        return hits_scaled(edges, n_iter=2).count()
+
+    return edges, n_edges, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -475,6 +502,7 @@ FAMILIES = {
     "pq": fam_pq,
     "kcore": fam_kcore,
     "lpa": fam_lpa,
+    "hits": fam_hits,
 }
 
 
