@@ -2702,3 +2702,88 @@ def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("cluster", "term", "tf", "df", "score", "rnk")
     )
+
+
+# --- conjunctive keyword search ---------------------------------------------
+
+_SEARCH_TERMS = ["vector", "merge", "window"]
+_SEARCH_SCALE = 1000
+_SEARCH_K = 20
+
+
+@query(
+    "keyword_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    qt AS (SELECT unnest({_sql_list(_SEARCH_TERMS)}) AS term),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks JOIN qt USING (term)
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    hits AS (
+      SELECT doc_id,
+             CAST(SUM(tf * n_docs * {_SEARCH_SCALE} // df) AS BIGINT) AS score
+      FROM tf JOIN df USING (term), n
+      GROUP BY doc_id
+      HAVING COUNT(*) = {len(_SEARCH_TERMS)}
+    )
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+             AS rnk
+    FROM hits
+    QUALIFY rnk <= {_SEARCH_K}
+    """,
+)
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) keyword retrieval: top-20 documents containing
+    ALL query terms, ranked by summed scaled TF-IDF — the boolean-search
+    primitive every corpus-inspection tool needs ("show me the docs about
+    X and Y"). Scoring is Σ_t (tf·N·1000 div df_t) in exact bigint: one
+    floor division per term makes the per-term contributions integers, so
+    the sum is associative and partition-order-independent — a ranking
+    both engines reproduce bit-for-bit (the float Σ tf·N/df would hash-
+    flap on addition order).
+
+    Plan (100 TB): tokens are filtered to the |Q| query terms BEFORE any
+    shuffle (the inverted-index posting lists are built only for queried
+    terms — corpus tokens never shuffle); per-(doc, term) tf is one
+    map-side-combinable aggregation; df is an aggregate of the tf frame
+    itself (3 rows, broadcast back); the AND is HAVING count = |Q|; final
+    top-20 is sort+limit (TakeOrderedAndProject — never a global sort)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    from ..functions.text import tokens as _tok
+
+    toks = docs.select(
+        "doc_id", F.explode(_tok(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(_SEARCH_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    hits = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "contrib",
+            F.expr(f"(tf * n_docs * {_SEARCH_SCALE}) div df"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").cast("bigint").alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(_SEARCH_TERMS))
+    )
+    top = hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        _SEARCH_K
+    )
+    rw = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(rw).cast("bigint")).select(
+        "doc_id", "score", "rnk"
+    )

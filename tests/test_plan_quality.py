@@ -278,6 +278,9 @@ def test_registry_wide_plan_audit(spark):
         # HITS max-normalization: one 1-row MAX broadcast per half-step —
         # same scalar sanction as tpch_q11/heavy_hitters
         "hits_scores",
+        # 1-row n_docs broadcast onto the query-term tf frame — same
+        # scalar sanction as tfidf_topk
+        "keyword_search",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
