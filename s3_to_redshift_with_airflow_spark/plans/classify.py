@@ -10,7 +10,7 @@ graph centrality over behavioral/near-dup graphs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import EN_STOPWORDS, gopher_rules, tokens
@@ -930,3 +930,118 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hits_scaled(ue, n_iter=_HITS_ITER, scale=_HITS_SCALE)
+
+
+# --- market-basket lift (association-rule mining) ---------------------------
+
+_BL_CAP, _BL_MINSUP, _BL_SCALE, _BL_K = 60, 5, 1000, 20
+
+_SQL_BASKET_LIFT = f"""
+    WITH uk AS (
+      SELECT DISTINCT user_id AS u,
+             json_extract_string(props, '$.k') AS k
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    bsize AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS bs FROM uk GROUP BY u
+    ),
+    ukc AS (
+      SELECT uk.u, uk.k FROM uk JOIN bsize USING (u) WHERE bs <= {_BL_CAP}
+    ),
+    nu AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users FROM ukc),
+    nk AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM ukc GROUP BY k
+    ),
+    pairs AS (
+      SELECT a.k AS x, b.k AS y, CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM ukc a JOIN ukc b ON a.u = b.u AND a.k < b.k
+      GROUP BY a.k, b.k
+      HAVING COUNT(*) >= {_BL_MINSUP}
+    ),
+    scored AS (
+      SELECT x, y, n_xy,
+             n_xy * n_users * {_BL_SCALE} // (nx.n_k * ny.n_k)
+               AS lift_scaled
+      FROM pairs
+      JOIN nk nx ON nx.k = pairs.x
+      JOIN nk ny ON ny.k = pairs.y, nu
+    )
+    SELECT x, y, n_xy, lift_scaled,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY lift_scaled DESC, x ASC, y ASC) AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= {_BL_K}
+"""
+
+
+@query("basket_lift", oracle=_SQL_BASKET_LIFT)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining: top-20 prop-key pairs by LIFT over
+    per-user key baskets — "users who touch X disproportionately touch
+    Y", the market-basket co-visitation signal behind every
+    related-items/recommendation heuristic. lift(x,y) =
+    P(x,y)/(P(x)P(y)) computed as (n_xy·n_users·1000) div (n_x·n_y) in
+    exact bigint — one floor division, so both engines rank identically
+    (ties by pair id). int64 bound: n_xy·n_users·1000 < 2^63 holds to
+    ~10⁸ capped users at scale 1000; drop the scale (or pre-aggregate
+    per-segment) beyond that, same documented-knob policy as
+    pagerank_scaled.
+
+    Plan (100 TB): baskets are capped at 60 keys BEFORE the pair
+    self-join (the per-user posting-list join is bounded at C(cap,2)
+    pairs/user — the same hot-entity rule as the df-capped co-occurrence
+    graph and decontamination); per-key supports aggregate to catalog
+    granularity and broadcast back onto the aggregated pair table;
+    n_users is a 1-row broadcast; top-20 via sort+limit, never a global
+    sort. Corpus rows shuffle exactly twice (basket-size semi-filter,
+    pair count)."""
+    (events,) = _t(spark, sf_dir, "events")
+    uk = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").alias("k"),
+        )
+        .distinct()
+    )
+    bsize = uk.groupBy("u").agg(F.count(F.lit(1)).alias("bs"))
+    ukc = uk.join(bsize.filter(F.col("bs") <= _BL_CAP).select("u"), "u")
+    nu = ukc.agg(F.countDistinct("u").cast("bigint").alias("n_users"))
+    nk = ukc.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+    pairs = (
+        ukc.select("u", F.col("k").alias("x"))
+        .join(ukc.select("u", F.col("k").alias("y")), "u")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+        .filter(F.col("n_xy") >= _BL_MINSUP)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(nk.select(F.col("k").alias("x"), F.col("n_k").alias("nx"))),
+            "x",
+        )
+        .join(
+            F.broadcast(nk.select(F.col("k").alias("y"), F.col("n_k").alias("ny"))),
+            "y",
+        )
+        .join(F.broadcast(nu))
+        .withColumn(
+            "lift_scaled",
+            F.expr(f"(n_xy * n_users * {_BL_SCALE}) div (nx * ny)"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("lift_scaled").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(_BL_K)
+    rw = Window.orderBy(
+        F.col("lift_scaled").desc(), F.col("x").asc(), F.col("y").asc()
+    )
+    return top.withColumn("rnk", F.row_number().over(rw).cast("bigint")).select(
+        "x", "y", "n_xy", "lift_scaled", "rnk"
+    )
