@@ -2787,3 +2787,100 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(rw).cast("bigint")).select(
         "doc_id", "score", "rnk"
     )
+
+
+# --- proximity search (positional index) ------------------------------------
+
+_PROX_A, _PROX_B, _PROX_K = "hash", "join", 20
+
+
+@query(
+    "proximity_search",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+             unnest(toks) AS term
+      FROM d
+    ),
+    occ AS (
+      SELECT doc_id, pos, term,
+             lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_term,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+      FROM pos WHERE term IN ('{_PROX_A}', '{_PROX_B}')
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(MIN(CASE WHEN prev_term <> term
+                           THEN pos - prev_pos END) AS BIGINT) AS min_gap,
+             CAST(SUM(CASE WHEN term = '{_PROX_A}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN term = '{_PROX_B}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b
+      FROM occ GROUP BY doc_id
+    )
+    SELECT doc_id, min_gap, n_a, n_b,
+           CAST(ROW_NUMBER() OVER (ORDER BY min_gap ASC, doc_id ASC)
+             AS BIGINT) AS rnk
+    FROM agg WHERE min_gap IS NOT NULL
+    QUALIFY rnk <= {_PROX_K}
+    """,
+)
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval over a positional inverted index: top-20
+    documents where the query terms 'hash' and 'join' appear CLOSEST
+    together (min token gap), plus per-term occurrence counts — the
+    near-operator ("X NEAR Y") that conjunctive keyword_search cannot
+    express, and the positional-postings primitive phrase/slop queries
+    build on.
+
+    The naive plan crosses every A-occurrence with every B-occurrence per
+    document (n_a x n_b pairs — quadratic in occurrence count for hot
+    docs). This plan never builds pairs: with both terms' positions
+    merged in sorted order, the globally closest opposite-term pair is
+    always ADJACENT in that order, so one window lag per occurrence
+    finds min_gap in linear work — gaps, counts, and ranks are all exact
+    integers, so both engines rank identically (ties by doc_id).
+
+    Plan (100 TB): tokens are position-exploded and filtered to the |Q|
+    query terms BEFORE any shuffle (corpus tokens never travel — same
+    posting-list discipline as keyword_search); the only shuffle is the
+    partitionBy(doc_id) window over query-term occurrences; min_gap and
+    the occurrence counts come out of the same single groupBy(doc_id);
+    top-20 is sort+limit (TakeOrderedAndProject, never a global sort)."""
+    from ..functions.text import tokens as _tok
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    occ = (
+        docs.select("doc_id", F.posexplode(_tok(F.col("text"))).alias("pos", "term"))
+        .filter(F.col("term").isin([_PROX_A, _PROX_B]))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lagged = occ.withColumn("prev_term", F.lag("term").over(w)).withColumn(
+        "prev_pos", F.lag("pos").over(w)
+    )
+    agg = (
+        lagged.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("prev_term") != F.col("term"),
+                    F.col("pos") - F.col("prev_pos"),
+                )
+            )
+            .cast("bigint")
+            .alias("min_gap"),
+            F.sum(F.when(F.col("term") == _PROX_A, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("term") == _PROX_B, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+        .filter(F.col("min_gap").isNotNull())
+    )
+    top = agg.orderBy(F.col("min_gap").asc(), F.col("doc_id").asc()).limit(_PROX_K)
+    rw = Window.orderBy(F.col("min_gap").asc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(rw).cast("bigint")).select(
+        "doc_id", "min_gap", "n_a", "n_b", "rnk"
+    )
