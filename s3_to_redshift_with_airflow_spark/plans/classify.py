@@ -1045,3 +1045,113 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(rw).cast("bigint")).select(
         "x", "y", "n_xy", "lift_scaled", "rnk"
     )
+
+
+# --- multi-source BFS reachability ------------------------------------------
+
+_BFS_ROUNDS = 3
+
+
+def _bfs_sql(n_rounds: int = _BFS_ROUNDS) -> str:
+    """Unrolled frontier-BFS replay over the same co-occurrence edge CTEs
+    as the triangle/k-core/LPA oracles: round t joins the dist-t frontier
+    through the symmetric adjacency and min-folds the candidates — the
+    bounded-unroll contract shared by every iterative graph oracle."""
+    parts = [
+        f"""
+    WITH uk AS (
+      SELECT DISTINCT user_id AS u,
+             json_extract_string(props, '$.k') AS k,
+             date_trunc('hour', ts) AS h
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+        AND ts IS NOT NULL
+    ),
+    kdf AS (
+      SELECT k, h, CAST(COUNT(*) AS BIGINT) AS df FROM uk GROUP BY k, h
+    ),
+    ukc AS (
+      SELECT u, uk.k, uk.h FROM uk JOIN kdf USING (k, h)
+      WHERE df <= {_TRI_DF_CAP}
+    ),
+    e0 AS (
+      SELECT DISTINCT a.u AS u1, b.u AS u2
+      FROM ukc a JOIN ukc b USING (k, h) WHERE a.u < b.u
+    ),
+    gnodes AS (SELECT u1 AS node FROM e0 UNION SELECT u2 FROM e0),
+    d0 AS (
+      SELECT DISTINCT user_id AS node, CAST(0 AS BIGINT) AS dist
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND user_id IN (SELECT node FROM gnodes)
+    )"""
+    ]
+    for t in range(n_rounds):
+        parts.append(f"""
+    f{t} AS (SELECT node FROM d{t} WHERE dist = {t}),
+    c{t} AS (
+      SELECT u2 AS node FROM e0 JOIN f{t} ON u1 = f{t}.node
+      UNION ALL
+      SELECT u1 AS node FROM e0 JOIN f{t} ON u2 = f{t}.node
+    ),
+    d{t + 1} AS (
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d{t}
+        UNION ALL
+        SELECT node, CAST({t + 1} AS BIGINT) AS dist FROM c{t}
+      ) GROUP BY node
+    )""")
+    return ",".join(parts) + f"""
+    SELECT node, dist FROM d{n_rounds}
+    """
+
+
+@query("bfs_reach", oracle=_bfs_sql())
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influence radius via multi-source BFS (operators/graph.bfs_hops):
+    exact minimum hop distance from the CONVERTER set (users with a
+    purchase event) to every user within 3 hops on the hour-scoped
+    co-occurrence graph — the behavioral-distance feature ("how close is
+    this user to a converter?") a growth/targeting pipeline joins back
+    onto the user table. Frontier expansion: round t joins only the
+    newly-settled dist-t nodes through the materialized symmetric
+    adjacency, then one min fold — equal to full relaxation, join input
+    shrinks geometrically. All-integer and partition-invariant, so the
+    bounded-depth BFS carries an exact unrolled-CTE oracle like
+    pagerank/kcore/lpa."""
+    from ..operators.graph import bfs_hops
+
+    (events,) = _t(spark, sf_dir, "events")
+    uk = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.get_json_object("props", "$.k").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").alias("k"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .distinct()
+    )
+    kdf = uk.groupBy("k", "h").agg(F.count(F.lit(1)).alias("df"))
+    ukc = uk.join(kdf.filter(F.col("df") <= _TRI_DF_CAP), ["k", "h"]).select(
+        "u", "k", "h"
+    )
+    edges = (
+        ukc.select("k", "h", F.col("u").alias("u1"))
+        .join(ukc.select("k", "h", F.col("u").alias("u2")), ["k", "h"])
+        .filter(F.col("u1") < F.col("u2"))
+        .select("u1", "u2")
+        .distinct()
+    )
+    seeds = (
+        events.filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    return bfs_hops(edges, seeds, n_rounds=_BFS_ROUNDS)

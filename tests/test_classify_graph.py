@@ -646,3 +646,76 @@ def test_hits_partitioning_invariant_reliable_and_guards(spark, tmp_path):
         assert hits_scaled(df, n_iter=1, allow_non_ansi=True) is not None
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "true")
+
+
+# --- multi-source BFS ---------------------------------------------------------
+
+
+def _py_bfs(edges, seeds, n_rounds):
+    """Pure-Python bounded multi-source BFS over the undirected graph,
+    graph-scoped seeds (isolated seeds dropped)."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds if s in adj}
+    frontier = set(dist)
+    for t in range(n_rounds):
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = t + 1
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_matches_python_reference(spark):
+    """Chain off a clique: distances grow along the chain; the second
+    seed caps distances on its own side; an off-graph seed is dropped."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import bfs_hops
+
+    edges = (
+        [(a, b) for a in range(3) for b in range(a + 1, 3)]  # triangle 0-1-2
+        + [(2, 10), (10, 11), (11, 12), (12, 13)]  # chain
+        + [(20, 21)]  # disconnected pair, never reached
+    )
+    df = spark.createDataFrame(edges, "u1 long, u2 long")
+    for seed_ids, n_rounds in [([0], 1), ([0], 3), ([0, 13], 2), ([99], 3)]:
+        seeds = spark.createDataFrame([(s,) for s in seed_ids], "node long")
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_hops(df, seeds, n_rounds=n_rounds).collect()
+        }
+        assert got == _py_bfs(edges, seed_ids, n_rounds), (seed_ids, n_rounds)
+
+
+def test_bfs_partitioning_invariant_and_reliable(spark, tmp_path):
+    import random
+
+    import pytest
+
+    from s3_to_redshift_with_airflow_spark.operators.graph import bfs_hops
+
+    rng = random.Random(7)
+    edges = sorted({tuple(sorted(rng.sample(range(60), 2))) for _ in range(150)})
+    seed_ids = [0, 1, 2]
+    df = spark.createDataFrame(edges, "u1 long, u2 long")
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], "node long")
+    a = bfs_hops(df, seeds, n_rounds=3).orderBy("node").collect()
+    b = (
+        bfs_hops(df.repartition(7), seeds.repartition(3), n_rounds=3)
+        .orderBy("node")
+        .collect()
+    )
+    assert a == b
+    c = (
+        bfs_hops(df, seeds, n_rounds=3, reliable=True, checkpoint_dir=str(tmp_path))
+        .orderBy("node")
+        .collect()
+    )
+    assert a == c
+    assert {r["node"]: r["dist"] for r in a} == _py_bfs(edges, seed_ids, 3)
+    with pytest.raises(ValueError):
+        bfs_hops(df, seeds, n_rounds=0)
