@@ -627,3 +627,77 @@ def repeated_window_stats(
             F.col("n_repeated").cast("double") / F.col("n_windows").cast("double"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT pairwise n-gram Jaccard CONTAINMENT C(A,B) = |A∩B| / |A|,
+    ordered pairs above threshold — the asymmetric complement of
+    ngram_jaccard_pairs. Containment catches "A is mostly inside B"
+    (a quoted article inside an aggregator page, a doc re-posted with a
+    long appendix) where symmetric Jaccard is diluted by the size gap:
+    |A|=100 fully inside |B|=1000 has C=1.0 but J≈0.1, invisible to every
+    symmetric near-dup operator at any useful threshold.
+
+    Candidate generation is the asymmetric prefix filter (same family as
+    AllPairs/PPJoin, Bayardo et al. WWW'07): C(A,B) ≥ t needs
+    |A∩B| ≥ ceil(t·|A|), so B must hit one of A's first
+    |A| - ceil(t·|A|) + 1 shingles under the global frequency-ascending
+    canonical order. Only A-prefixes join — but against B's FULL posting
+    lists (containment puts no constraint on |B|, so the B side cannot be
+    prefix-pruned; that is inherent to the predicate, not a plan choice).
+    The canonical order keeps prefixes on the RAREST shingles, so the
+    posting lists actually joined stay short. Survivors are verified with
+    the exact set intersection; output equals the brute-force definition.
+
+    At scale: one shingle-keyed shuffle for postings/frequencies, one
+    prefix⋈postings join on rare keys, one exact verify join on id pairs.
+    Both directions of a mutual near-dup pair emit (the relation is not
+    symmetric); downstream dedup keeps the larger container via a
+    (n_a, id) argmax, same survivor discipline as dedup_survivor.
+    """
+    sh = _persist_shingled(_shingled(df, id_col, text_col, n))
+    posts = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    freq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("shingle").asc())
+    sized = posts.join(freq, "shingle").withColumn("rnk", F.row_number().over(w))
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+    )
+    prefixes = (
+        sized.join(sizes, id_col)
+        .filter(F.col("rnk") <= prefix_len)
+        .select(id_col, "shingle")
+    )
+    cands = (
+        prefixes.alias("a")
+        .join(posts.alias("b"), "shingle")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            F.size("sh_a").cast("bigint").alias("n_a"),
+            (inter.cast("double") / F.size("sh_a").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

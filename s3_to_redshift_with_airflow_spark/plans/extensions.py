@@ -2884,3 +2884,42 @@ def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(rw).cast("bigint")).select(
         "doc_id", "min_gap", "n_a", "n_b", "rnk"
     )
+
+
+# --- asymmetric containment near-dup ----------------------------------------
+
+_CONT_T = 0.8
+
+
+@query(
+    "containment_neardup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    f AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+           CAST(len(a.sh) AS BIGINT) AS n_a,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(a.sh) AS DOUBLE) AS containment
+    FROM f a, f b
+    WHERE a.doc_id <> b.doc_id
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(a.sh) AS DOUBLE) >= {_CONT_T}
+    """,
+)
+def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (operators/dedup.containment_pairs):
+    ordered pairs where ≥ 80% of doc A's 3-gram shingles appear in doc B —
+    the quote/re-post/subset detector symmetric Jaccard misses when sizes
+    differ (C(A,B)=1.0 can coexist with J≈0.1). Candidates come from the
+    asymmetric prefix filter (A-prefix ⋈ full postings under the global
+    frequency-ascending order), verified with the exact intersection, so
+    the output equals the brute-force O(N²) definition the oracle states.
+    On THIS synthetic corpus every containment pair is a mutual near-dup
+    (both directions emit); the operator's value is the asymmetric case,
+    pinned separately in tests. containment is one double division of two
+    exact bigints — bit-deterministic on both engines."""
+    from ..operators.dedup import containment_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=_CONT_T)

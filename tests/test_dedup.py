@@ -249,3 +249,43 @@ def test_repeated_window_stats_detects_long_clones(spark):
             raise AssertionError(f"accepted {kwargs}")
         except ValueError:
             pass
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one: containment
+    C(A,B)=1.0 while Jaccard is diluted below any useful threshold —
+    the asymmetric case that motivates the operator. The relation is
+    directional: only (quote → container) emits at t=0.8, never the
+    reverse; unrelated docs emit nothing; brute-force parity holds."""
+    from s3_to_redshift_with_airflow_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        release_shingle_cache,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    filler = " ".join(f"f{i}" for i in range(120))
+    rows = [
+        (1, quote),                      # the contained quote
+        (2, filler + " " + quote),       # the container
+        (3, " ".join(f"z{i}" for i in range(30))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["n_a"], r["containment"])
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    assert set(got) == {(1, 2)}  # directional: quote inside container only
+    inter, n_a, cont = got[(1, 2)]
+    assert inter == n_a == 10 and cont == 1.0  # 12 tokens -> 10 shingles
+    # symmetric Jaccard is blind to it at the same threshold (and far below)
+    jac = ngram_jaccard_pairs(df, threshold=0.3).collect()
+    assert jac == []
+    # brute-force parity on a mutual near-dup: both directions emit
+    dup_rows = [(1, quote), (2, quote + " extra tok"), (3, filler)]
+    df2 = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    both = {
+        (r["id_a"], r["id_b"]) for r in containment_pairs(df2, threshold=0.8).collect()
+    }
+    assert both == {(1, 2), (2, 1)}
+    release_shingle_cache()
