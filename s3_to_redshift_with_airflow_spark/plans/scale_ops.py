@@ -3325,3 +3325,159 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attributed_purchases"),
         )
     )
+
+
+# --- skyline (Pareto frontier) ----------------------------------------------
+
+
+@query(
+    "skyline_frontier",
+    oracle="""
+    WITH g AS (
+      SELECT p_retailprice,
+             CAST(MAX(p_size) AS BIGINT) AS best_size,
+             CAST(COUNT(*) AS BIGINT) AS n_at_price
+      FROM part GROUP BY p_retailprice
+    ),
+    r AS (
+      SELECT p_retailprice, best_size, n_at_price,
+             MAX(best_size) OVER (ORDER BY p_retailprice
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_best
+      FROM g
+    )
+    SELECT p_retailprice, best_size, n_at_price,
+           CAST(ROW_NUMBER() OVER (ORDER BY p_retailprice ASC) AS BIGINT)
+             AS rnk
+    FROM r
+    WHERE prev_best IS NULL OR best_size > prev_best
+    """,
+)
+def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (Börzsönyi, Kossmann & Stocker,
+    ICDE'01 — the classical OLAP operator): the parts no other part
+    dominates on (cheaper price, larger size) — "best value at every
+    price point", the multi-criteria shortlist behind every
+    price/quality trade-off screen. The naive definition is an O(N²)
+    NOT-EXISTS anti-join; for a 2-dimensional skyline the frontier is
+    exactly the strictly-increasing envelope of max-size per price, so
+    the whole operator collapses to one aggregation plus one
+    running-max window — O(N) work after the group-by, and every value
+    (prices pass through untouched, sizes/counts are integers) is exact
+    on both engines.
+
+    Plan (100 TB): one map-side-combinable groupBy(price) reduces the
+    part table to price-point granularity (catalog cardinality, not row
+    count) BEFORE the only ordered window; the global window therefore
+    sorts thousands of price points, never the raw table — same
+    aggregate-then-window discipline as heavy_hitters. Dominated points
+    drop with a null-safe running-max comparison; rank is assigned on
+    the surviving frontier only."""
+    (part,) = _t(spark, sf_dir, "part")
+    g = part.groupBy("p_retailprice").agg(
+        F.max("p_size").cast("bigint").alias("best_size"),
+        F.count(F.lit(1)).cast("bigint").alias("n_at_price"),
+    )
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn("prev_best", F.max("best_size").over(w))
+    frontier = r.filter(
+        F.col("prev_best").isNull() | (F.col("best_size") > F.col("prev_best"))
+    )
+    rw = Window.orderBy(F.col("p_retailprice").asc())
+    return frontier.withColumn(
+        "rnk", F.row_number().over(rw).cast("bigint")
+    ).select("p_retailprice", "best_size", "n_at_price", "rnk")
+
+
+# --- CUSUM changepoint detection --------------------------------------------
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH hb AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, h
+    ),
+    s AS (
+      SELECT event_type, h, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+               AS BIGINT) AS t,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY h)
+               AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_buckets
+      FROM hb
+    ),
+    scored AS (
+      SELECT event_type, h, t, n_buckets, total,
+             abs(n_buckets * cum - t * total) AS s_abs
+      FROM s
+    )
+    SELECT event_type, h AS cp_hour, t AS cp_index, s_abs, total, n_buckets
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY s_abs DESC, t ASC) = 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page '54) per event type: the hour
+    where the cumulative deviation of hourly event counts from the
+    series mean peaks — the standard "when did the rate shift?" monitor
+    a pipeline runs over ingest volumes to localize a scraper break or a
+    traffic regime change. The textbook statistic S_t = Σ_{i≤t}(c_i − μ)
+    is fractional (μ = total/n); multiplying through by n gives
+    S_t·n = n·cum_t − t·total — EXACT bigint, so the argmax hour is
+    bit-reproducible on both engines (ties broken by earliest index;
+    overflow needs n·total < 2^63 ≈ safe to ~3e9 buckets × 3e9 events —
+    ANSI fails loudly beyond, the pagerank/kcore knob policy).
+
+    Plan (100 TB): raw events reduce to (type, hour) granularity in one
+    map-side-combinable aggregation BEFORE any window; the cumulative /
+    total / rank windows and the final argmax all run partitioned by
+    event_type over bucket-granularity rows (hours-per-type cardinality,
+    not event cardinality). No global sort, no Python, one shuffle to
+    the bucket table plus the per-type window exchange."""
+    events = with_ts_from_nanos(
+        _t(spark, sf_dir, "events")[0], "ts"
+    )
+    hb = (
+        events.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("h")
+    wa = Window.partitionBy("event_type")
+    s = (
+        hb.withColumn("t", F.row_number().over(wo).cast("bigint"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+        )
+        .withColumn("total", F.sum("c").over(wa).cast("bigint"))
+        .withColumn("n_buckets", F.count(F.lit(1)).over(wa).cast("bigint"))
+    )
+    scored = s.withColumn(
+        "s_abs", F.abs(F.col("n_buckets") * F.col("cum") - F.col("t") * F.col("total"))
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("s_abs").desc(), F.col("t").asc()
+    )
+    return (
+        scored.withColumn("pk", F.row_number().over(pick))
+        .filter(F.col("pk") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("cp_hour"),
+            F.col("t").alias("cp_index"),
+            "s_abs",
+            "total",
+            "n_buckets",
+        )
+    )

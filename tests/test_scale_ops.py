@@ -444,3 +444,45 @@ def test_range_frame_handles_missing_buckets_where_rows_frame_cannot(spark):
     }
     assert got[4] == (2 + 4 + 8, 1 + 2 + 4 + 8)  # RANGE excludes hour 0; ROWS wrongly includes it
     assert got[2] == (1 + 2 + 4, 1 + 2 + 4)      # no gap yet: frames agree
+
+
+def test_cusum_localizes_an_injected_rate_shift(spark):
+    """A series that runs at 2/hour for 24h then jumps to 10/hour for 24h:
+    the scaled CUSUM statistic |n*cum - t*total| peaks exactly at the last
+    pre-shift bucket (t=24), and a flat series scores 0 everywhere (argmax
+    ties broken to the FIRST bucket)."""
+    import datetime as dt
+
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+    from s3_to_redshift_with_airflow_spark.plans.scale_ops import q_cusum_changepoint
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        rate = 2 if h < 24 else 10
+        for i in range(rate):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=i), "shift", 0.0, None))
+            eid += 1
+    for h in range(48):  # flat control series: 3/hour throughout
+        for i in range(3):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=i), "flat", 0.0, None))
+            eid += 1
+    df = spark.createDataFrame(
+        [(e, t, None, ty, v, p) for (e, t, ty, v, p) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {
+            r["event_type"]: (r["cp_index"], r["s_abs"])
+            for r in q_cusum_changepoint(spark, d).collect()
+        }
+    # shift series: peak deviation at the boundary bucket t=24:
+    # cum_24 = 48, total = 288, n = 48 -> |48*48 - 24*288| = 4608
+    assert out["shift"] == (24, 4608)
+    # flat series: statistic is identically 0; earliest bucket wins the tie
+    assert out["flat"] == (1, 0)
+    assert "cusum_changepoint" in REGISTRY
