@@ -3481,3 +3481,100 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_buckets",
         )
     )
+
+
+# --- seasonal-naive forecast evaluation -------------------------------------
+
+
+@query(
+    "seasonal_naive_skill",
+    oracle="""
+    WITH hb AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, h
+    ),
+    ev AS (
+      SELECT cur.event_type, cur.c,
+             s.c AS c_seasonal, p.c AS c_persist
+      FROM hb cur
+      JOIN hb s ON s.event_type = cur.event_type
+               AND s.h = cur.h - INTERVAL 24 HOUR
+      JOIN hb p ON p.event_type = cur.event_type
+               AND p.h = cur.h - INTERVAL 1 HOUR
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(abs(c - c_seasonal)) AS BIGINT) AS sae_seasonal,
+           CAST(SUM(abs(c - c_persist)) AS BIGINT) AS sae_persist,
+           CAST(SUM(abs(c - c_seasonal)) AS DOUBLE)
+             / CAST(NULLIF(SUM(abs(c - c_persist)), 0) AS DOUBLE) AS skill
+    FROM ev GROUP BY event_type
+    """,
+)
+def q_seasonal_naive_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation (the MASE denominator discipline,
+    Hyndman & Koehler '06): per event type, compare the seasonal-naive
+    forecast (same hour yesterday) against the persistence forecast
+    (previous hour) on hourly event counts — skill < 1 means the series
+    has real daily seasonality worth modeling; ≥ 1 means yesterday's
+    hour is no better than the last hour, the first question a capacity/
+    anomaly pipeline asks of a new metric. Evaluated only on buckets
+    where BOTH references exist (fair comparison on the identical
+    bucket set). Errors are |bigint − bigint| summed exactly; skill is
+    ONE double division of two exact sums (NULL when the persistence
+    error is zero) — bit-deterministic on both engines.
+
+    Plan (100 TB): events reduce to (type, hour) granularity in one
+    map-side-combinable aggregation; both lag references are
+    co-partitioned equi-joins of the bucket table to itself on
+    (type, shifted hour) — hash-joinable, no window over sparse series
+    (lag-by-row would silently misalign across MISSING buckets; the
+    interval-shifted join aligns by actual time, the gap_fill_hourly
+    lesson); one final per-type aggregation."""
+    events = with_ts_from_nanos(_t(spark, sf_dir, "events")[0], "ts")
+    hb = (
+        events.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cur = hb.alias("cur")
+    s = hb.alias("s")
+    p = hb.alias("p")
+    ev = (
+        cur.join(
+            s,
+            (F.col("s.event_type") == F.col("cur.event_type"))
+            & (
+                F.col("s.h")
+                == F.col("cur.h") - F.expr("INTERVAL 24 HOURS")
+            ),
+        )
+        .join(
+            p,
+            (F.col("p.event_type") == F.col("cur.event_type"))
+            & (F.col("p.h") == F.col("cur.h") - F.expr("INTERVAL 1 HOURS")),
+        )
+        .select(
+            F.col("cur.event_type").alias("event_type"),
+            F.col("cur.c").alias("c"),
+            F.col("s.c").alias("c_seasonal"),
+            F.col("p.c").alias("c_persist"),
+        )
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(F.abs(F.col("c") - F.col("c_seasonal")))
+        .cast("bigint")
+        .alias("sae_seasonal"),
+        F.sum(F.abs(F.col("c") - F.col("c_persist")))
+        .cast("bigint")
+        .alias("sae_persist"),
+    )
+    return agg.withColumn(
+        "skill",
+        F.col("sae_seasonal").cast("double")
+        / F.nullif(F.col("sae_persist"), F.lit(0)).cast("double"),
+    )
