@@ -486,6 +486,184 @@ def fam_hits(spark, mult):
     return edges, n_edges, run
 
 
+
+
+def fam_proximity(spark, mult):
+    """Positional proximity search (registry: proximity_search): posexplode
+    + filter to 2 query terms BEFORE any shuffle, one doc-partitioned
+    window, one groupBy — linear in corpus tokens, tiny shuffled volume.
+    Small vocab (500) so the query terms hit ~9% of docs."""
+    docs = synthetic_documents(spark, BASE_DOCS * mult, vocab=500).localCheckpoint()
+    from s3_to_redshift_with_airflow_spark.functions.text import tokens as _tok
+    from pyspark.sql import Window
+
+    def run():
+        occ = docs.select(
+            "doc_id", F.posexplode(_tok(F.col("text"))).alias("pos", "term")
+        ).filter(F.col("term").isin(["w1", "w2"]))
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        lagged = occ.withColumn("pt", F.lag("term").over(w)).withColumn(
+            "pp", F.lag("pos").over(w)
+        )
+        return (
+            lagged.groupBy("doc_id")
+            .agg(
+                F.min(
+                    F.when(F.col("pt") != F.col("term"), F.col("pos") - F.col("pp"))
+                ).alias("min_gap")
+            )
+            .filter(F.col("min_gap").isNotNull())
+            .count()
+        )
+
+    return docs, BASE_DOCS * mult, run
+
+
+def fam_containment(spark, mult):
+    """Asymmetric containment pairs (registry: containment_neardup): the
+    near-dup groups give ~group²·n_docs/group true pairs, so candidate and
+    verify volume grow linearly with the corpus; the asymmetric prefix
+    filter keeps the candidate join on rare shingles."""
+    from s3_to_redshift_with_airflow_spark.operators.dedup import (
+        containment_pairs,
+        release_shingle_cache,
+    )
+
+    docs = synthetic_documents(spark, BASE_DOCS * mult).localCheckpoint()
+
+    def run():
+        release_shingle_cache()
+        return containment_pairs(docs, threshold=0.8).count()
+
+    return docs, BASE_DOCS * mult, run
+
+
+def fam_bfs(spark, mult):
+    """Bounded multi-source BFS (registry: bfs_reach): symmetrized
+    adjacency materialized once; each round joins only the new frontier —
+    on a random graph with avg degree 8 the 3-hop ball saturates fast, so
+    late rounds join a frontier much smaller than the graph."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import bfs_hops
+
+    edges, n_edges = _random_graph(spark, mult)
+    seeds = spark.range(100).select(F.col("id").alias("node")).localCheckpoint()
+
+    def run():
+        return bfs_hops(edges, seeds, n_rounds=3).count()
+
+    return edges, n_edges, run
+
+
+def fam_skyline(spark, mult):
+    """2-D skyline (registry: skyline_frontier): rows reduce to a fixed
+    20k-price-point table in one map-side-combinable aggregation; the
+    only ordered window runs over price points, never rows — time should
+    be pure scan+partial-agg, i.e. linear with a constant window tail."""
+    h = lambda f: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit(f + ":"), F.col("id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    n = BASE_LINEITEM * mult
+    inp = (
+        spark.range(n)
+        .select(
+            ((h("p") % 2_000_000) / 100.0).alias("price"),
+            (h("s") % 50 + 1).alias("size"),
+        )
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    def run():
+        g = inp.groupBy("price").agg(
+            F.max("size").alias("best_size"), F.count(F.lit(1)).alias("n_at_price")
+        )
+        w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            g.withColumn("pb", F.max("best_size").over(w))
+            .filter(F.col("pb").isNull() | (F.col("best_size") > F.col("pb")))
+            .count()
+        )
+
+    return inp, n, run
+
+
+def fam_cusum(spark, mult):
+    """CUSUM changepoint (registry: cusum_changepoint): events reduce to
+    (type, hour) buckets before any window; the per-type windows run over
+    bucket cardinality, so time is scan-dominated — linear."""
+    from pyspark.sql import Window
+
+    inp = _events(spark, BASE_EVENTS * mult).localCheckpoint()
+
+    def run():
+        hb = inp.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        wo = Window.partitionBy("event_type").orderBy("h")
+        wa = Window.partitionBy("event_type")
+        s = (
+            hb.withColumn("t", F.row_number().over(wo).cast("bigint"))
+            .withColumn(
+                "cum",
+                F.sum("c")
+                .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("bigint"),
+            )
+            .withColumn("total", F.sum("c").over(wa).cast("bigint"))
+            .withColumn("nb", F.count(F.lit(1)).over(wa).cast("bigint"))
+            .withColumn(
+                "s_abs", F.abs(F.col("nb") * F.col("cum") - F.col("t") * F.col("total"))
+            )
+        )
+        pick = Window.partitionBy("event_type").orderBy(
+            F.col("s_abs").desc(), F.col("t").asc()
+        )
+        return (
+            s.withColumn("pk", F.row_number().over(pick))
+            .filter(F.col("pk") == 1)
+            .count()
+        )
+
+    return inp, BASE_EVENTS * mult, run
+
+
+def fam_basket(spark, mult):
+    """Market-basket lift (registry: basket_lift) over (user, item-bucket)
+    baskets: the 60-key basket cap bounds the per-user pair join at
+    C(60,2), so pair volume — and time — grows linearly with users."""
+    inp = _events(spark, BASE_EVENTS * mult).localCheckpoint()
+
+    def run():
+        uk = inp.select(
+            F.col("user_id").alias("u"), (F.col("track_id") % 500).alias("k")
+        ).distinct()
+        bs = uk.groupBy("u").agg(F.count(F.lit(1)).alias("bs"))
+        ukc = uk.join(bs.filter(F.col("bs") <= 60).select("u"), "u")
+        nk = ukc.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+        nu = ukc.agg(F.countDistinct("u").cast("bigint").alias("n_users"))
+        pairs = (
+            ukc.select("u", F.col("k").alias("x"))
+            .join(ukc.select("u", F.col("k").alias("y")), "u")
+            .filter(F.col("x") < F.col("y"))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+            .filter(F.col("n_xy") >= 5)
+        )
+        return (
+            pairs.join(F.broadcast(nk.select(F.col("k").alias("x"), F.col("n_k").alias("nx"))), "x")
+            .join(F.broadcast(nk.select(F.col("k").alias("y"), F.col("n_k").alias("ny"))), "y")
+            .join(F.broadcast(nu))
+            .withColumn("lift", F.expr("(n_xy * n_users * 1000) div (nx * ny)"))
+            .orderBy(F.col("lift").desc(), "x", "y")
+            .limit(20)
+            .count()
+        )
+
+    return inp, BASE_EVENTS * mult, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -503,6 +681,12 @@ FAMILIES = {
     "kcore": fam_kcore,
     "lpa": fam_lpa,
     "hits": fam_hits,
+    "proximity": fam_proximity,
+    "containment": fam_containment,
+    "bfs": fam_bfs,
+    "skyline": fam_skyline,
+    "cusum": fam_cusum,
+    "basket": fam_basket,
 }
 
 
