@@ -679,3 +679,115 @@ def q_gram_matrix_int8_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return gram_int8_arrow(emb)
+
+
+# --- token-budget corpus selection ------------------------------------------
+
+_TB_BUDGET = 10_000
+_TB_SCALE = 1000
+
+_TB_SQL = f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct({_TOKS})) * {_TB_SCALE}
+                  // len({_TOKS}) AS BIGINT) AS score
+      FROM documents WHERE len({_TOKS}) > 0
+    ),
+    b AS (
+      SELECT score, CAST(SUM(n_tok) AS BIGINT) AS btok
+      FROM s GROUP BY score
+    ),
+    c AS (
+      SELECT score, btok,
+             CAST(SUM(btok) OVER (ORDER BY score DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum
+      FROM b
+    ),
+    full_docs AS (
+      SELECT s.doc_id, s.score, s.n_tok
+      FROM s JOIN c USING (score) WHERE c.cum <= {_TB_BUDGET}
+    ),
+    boundary AS (
+      SELECT score, {_TB_BUDGET} - (cum - btok) AS rem
+      FROM c WHERE cum - btok < {_TB_BUDGET} AND cum > {_TB_BUDGET}
+    ),
+    bdocs AS (
+      SELECT doc_id, score, n_tok
+      FROM (
+        SELECT s.doc_id, s.score, s.n_tok, boundary.rem,
+               CAST(SUM(s.n_tok) OVER (PARTITION BY s.score
+                                       ORDER BY s.doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS running
+        FROM s JOIN boundary USING (score)
+      ) WHERE running <= rem
+    )
+    SELECT doc_id, score, n_tok FROM full_docs
+    UNION ALL
+    SELECT doc_id, score, n_tok FROM bdocs
+"""
+
+
+@query("token_budget_select", oracle=_TB_SQL)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: greedily keep the highest-quality
+    documents until a 10k-token training budget is spent — the "we can
+    afford B tokens, which docs make the cut?" decision every
+    pretraining data mix ends with. Quality here is the integer
+    distinct-token fraction (repetition penalty, score = n_distinct·1000
+    div n_tok); any integer score (a trained classifier margin, a DSIR
+    weight) slots into the identical plan.
+
+    The naive plan global-sorts every document by score and runs one
+    cumulative window over the corpus — a single-partition sort at 100 TB.
+    This plan never orders documents globally: per-score token totals
+    aggregate to BUCKET granularity (≤ 1001 rows at scale 1000 — the
+    only ordered window runs there), the full-inclusion threshold and
+    the boundary bucket's remaining budget fall out of the bucket
+    cumsum, and only the ONE boundary bucket's documents (1/|buckets| of
+    the corpus, partitioned by score) need a doc-ordered prefix window.
+    Selection contract: buckets strictly above the threshold are taken
+    whole; inside the boundary bucket docs are taken in doc_id order
+    while the running token sum fits (a strict prefix — a too-big doc
+    ends the bucket, no skip-ahead), so the result is deterministic and
+    all-integer on both engines."""
+    from ..functions.text import tokens as _tok
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _tok(F.col("text")).alias("tk"))
+    s = (
+        toked.select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("n_tok"),
+            F.expr(f"size(array_distinct(tk)) * {_TB_SCALE} div size(tk)")
+            .cast("bigint")
+            .alias("score"),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    b = s.groupBy("score").agg(F.sum("n_tok").cast("bigint").alias("btok"))
+    wc = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = b.withColumn("cum", F.sum("btok").over(wc).cast("bigint"))
+    full_docs = s.join(
+        F.broadcast(c.filter(F.col("cum") <= _TB_BUDGET).select("score")), "score"
+    ).select("doc_id", "score", "n_tok")
+    boundary = c.filter(
+        ((F.col("cum") - F.col("btok")) < _TB_BUDGET)
+        & (F.col("cum") > _TB_BUDGET)
+    ).select("score", (F.lit(_TB_BUDGET) - (F.col("cum") - F.col("btok"))).alias("rem"))
+    wr = (
+        Window.partitionBy("score")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bdocs = (
+        s.join(F.broadcast(boundary), "score")
+        .withColumn("running", F.sum("n_tok").over(wr).cast("bigint"))
+        .filter(F.col("running") <= F.col("rem"))
+        .select("doc_id", "score", "n_tok")
+    )
+    return full_docs.unionAll(bdocs)

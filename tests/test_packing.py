@@ -147,3 +147,72 @@ def test_chunk_documents_rejects_coverage_gaps(spark):
         chunk_documents(docs, chunk_tokens=8, stride=9)
     with pytest.raises(ValueError, match="positive"):
         chunk_documents(docs, chunk_tokens=0, stride=1)
+
+
+def test_token_budget_select_greedy_contract(spark):
+    """Budget selection invariants at sf0.001: (1) spend never exceeds the
+    budget, (2) the selection is score-downward-closed — every unselected
+    doc scores ≤ every selected doc's score band, with only the single
+    boundary band partially taken, (3) inside the boundary band the taken
+    docs are a doc_id-ordered prefix under the running-sum rule."""
+    from s3_to_redshift_with_airflow_spark.plans.training import (
+        _TB_BUDGET,
+        q_token_budget_select,
+    )
+    from .conftest import SF_SMOKE
+
+    sel = q_token_budget_select(spark, SF_SMOKE).collect()
+    assert sel, "selection must be non-empty at any sf"
+    spent = sum(r["n_tok"] for r in sel)
+    assert spent <= _TB_BUDGET
+    # rebuild the per-doc frame the query scores, straight from the plan
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.functions.text import tokens
+    from s3_to_redshift_with_airflow_spark.plans.registry import _t
+
+    (docs,) = _t(spark, SF_SMOKE, "documents")
+    s = (
+        docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+        .select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("n_tok"),
+            F.expr("size(array_distinct(tk)) * 1000 div size(tk)")
+            .cast("bigint")
+            .alias("score"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .collect()
+    )
+    picked = {r["doc_id"] for r in sel}
+    sel_scores = sorted({r["score"] for r in sel})
+    unsel = [r for r in s if r["doc_id"] not in picked]
+    if unsel and sel:
+        min_sel = sel_scores[0]
+        # no unselected doc strictly outscores the lowest selected band
+        assert max(r["score"] for r in unsel) <= min_sel
+        # bands above the boundary are taken WHOLE
+        partial = {
+            sc
+            for sc in {r["score"] for r in s}
+            if any(r["score"] == sc for r in unsel)
+            and any(r["score"] == sc and r["doc_id"] in picked for r in s)
+        }
+        assert len(partial) <= 1
+        if partial:
+            (bscore,) = partial
+            band = sorted(
+                (r for r in s if r["score"] == bscore), key=lambda r: r["doc_id"]
+            )
+            run, expect = 0, set()
+            rem = _TB_BUDGET - sum(
+                r["n_tok"] for r in sel if r["score"] != bscore
+            )
+            # the taken part is exactly the running-sum prefix
+            for r in band:
+                if run + r["n_tok"] > rem:
+                    break
+                run += r["n_tok"]
+                expect.add(r["doc_id"])
+            got = {r["doc_id"] for r in sel if r["score"] == bscore}
+            assert got == expect
