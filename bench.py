@@ -91,6 +91,17 @@ HEADLINE = [
     "kcore_nodes",
     "lpa_communities",
     "cluster_keywords",
+    # session-4 round-5 families: exact containment verification (the
+    # near-linear-by-design dedup heavy), frontier BFS (iterative graph),
+    # capped market-basket pair mining, positional proximity search
+    # (filter-before-shuffle window), budget-greedy corpus selection
+    # (bucket-histogram threshold), and the CUSUM changepoint scan
+    "containment_neardup",
+    "bfs_reach",
+    "basket_lift",
+    "proximity_search",
+    "token_budget_select",
+    "cusum_changepoint",
 ]
 
 
