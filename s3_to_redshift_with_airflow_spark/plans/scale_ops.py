@@ -3578,3 +3578,210 @@ def q_seasonal_naive_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sae_seasonal").cast("double")
         / F.nullif(F.col("sae_persist"), F.lit(0)).cast("double"),
     )
+
+
+# --- per-series OLS trend (exact rational slope) ----------------------------
+
+
+@query(
+    "linear_trend",
+    oracle="""
+    WITH hb AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, h
+    ),
+    s AS (
+      SELECT event_type, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+               AS BIGINT) AS t
+      FROM hb
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(t) AS BIGINT) AS sx,
+             CAST(SUM(t * t) AS BIGINT) AS sxx,
+             CAST(SUM(c) AS BIGINT) AS sy,
+             CAST(SUM(t * c) AS BIGINT) AS sxy
+      FROM s GROUP BY event_type
+    )
+    SELECT event_type, n_buckets,
+           n_buckets * sxy - sx * sy AS slope_num,
+           n_buckets * sxx - sx * sx AS slope_den,
+           CASE WHEN n_buckets < 2 THEN NULL
+                WHEN n_buckets * sxy - sx * sy >= 0
+                THEN (n_buckets * sxy - sx * sy) * 1000
+                       // (n_buckets * sxx - sx * sx)
+                ELSE -((sx * sy - n_buckets * sxy) * 1000
+                       // (n_buckets * sxx - sx * sx))
+           END AS slope_milli,
+           sy * 1000 // n_buckets AS mean_milli
+    FROM m
+    """,
+)
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares trend on hourly event counts: the OLS
+    slope as an EXACT bigint rational — the drift detector ("is this
+    metric growing, and how fast per hour?") that complements
+    cusum_changepoint's "when did it shift?" with "where is it heading?".
+    With x = 1..n the bucket index and y the hourly count, the closed
+    form slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is a ratio of two
+    bigint moments, so the slope ships as (slope_num, slope_den) plus a
+    milli-scaled quotient for human eyes. Floor division floors toward
+    −∞ in DuckDB but truncates toward zero in Spark, so the quotient is
+    computed on |num| and re-signed explicitly — both engines agree
+    bit-for-bit on negative slopes too (the signed-floor-div portability
+    rule from the memory of hits_scores/basket_lift). n < 2 yields NULL
+    (slope undefined), never a divide-by-zero. Overflow: n·Σxy <
+    n²·total needs n²·total < 2^63 — safe to ~1e5 buckets × 1e12 events/
+    type; beyond that ANSI fails loudly (the documented pagerank/cusum
+    knob policy).
+
+    Plan (100 TB): raw events collapse to (type, hour) granularity in
+    one map-side-combinable aggregation BEFORE anything else; the
+    row_number window and the moment aggregation both run on bucket-
+    granularity rows hash-partitioned by event_type — the window's
+    exchange is reused by the final groupBy (same key), so event rows
+    shuffle once and bucket rows once. No global sort, no Python, no
+    doubles anywhere in the slope itself."""
+    events = with_ts_from_nanos(_t(spark, sf_dir, "events")[0], "ts")
+    hb = (
+        events.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("h")
+    s = hb.withColumn("t", F.row_number().over(wo).cast("bigint"))
+    m = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("t").cast("bigint").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("sxx"),
+        F.sum("c").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("c")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n_buckets") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_buckets") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "event_type",
+        "n_buckets",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(F.col("n_buckets") < 2, F.lit(None).cast("bigint"))
+        .when(num >= 0, F.expr(
+            "(n_buckets * sxy - sx * sy) * 1000 "
+            "div (n_buckets * sxx - sx * sx)"
+        ))
+        .otherwise(-F.expr(
+            "(sx * sy - n_buckets * sxy) * 1000 "
+            "div (n_buckets * sxx - sx * sx)"
+        ))
+        .alias("slope_milli"),
+        F.expr("sy * 1000 div n_buckets").alias("mean_milli"),
+    )
+
+
+# --- k-anonymity generalization ladder --------------------------------------
+
+_KA_K, _KA_BUCKET = 5, 200
+
+
+@query(
+    "k_anonymity",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             COALESCE(lang, '<null>') AS lang_c,
+             COALESCE(source, '<null>') AS source_c,
+             COALESCE(n_chars // {_KA_BUCKET}, -1) AS len_bucket
+      FROM documents
+    ),
+    g0 AS (SELECT lang_c, source_c, len_bucket,
+                  CAST(COUNT(*) AS BIGINT) AS n0
+           FROM d GROUP BY 1, 2, 3),
+    g1 AS (SELECT lang_c, source_c, CAST(COUNT(*) AS BIGINT) AS n1
+           FROM d GROUP BY 1, 2),
+    g2 AS (SELECT lang_c, CAST(COUNT(*) AS BIGINT) AS n2
+           FROM d GROUP BY 1)
+    SELECT d.doc_id, d.len_bucket, g0.n0,
+           CAST(CASE WHEN g0.n0 >= {_KA_K} THEN 0
+                     WHEN g1.n1 >= {_KA_K} THEN 1
+                     WHEN g2.n2 >= {_KA_K} THEN 2
+                     ELSE 3 END AS BIGINT) AS anon_level
+    FROM d
+    JOIN g0 USING (lang_c, source_c, len_bucket)
+    JOIN g1 USING (lang_c, source_c)
+    JOIN g2 USING (lang_c)
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit with a generalization ladder (Sweeney '02 /
+    the Mondrian question): for every document, the MINIMAL
+    generalization of its quasi-identifier tuple (lang, source,
+    length-bucket) whose equivalence class reaches k=5 — level 0 = full
+    QI is already safe, 1 = drop the length bucket, 2 = keep only lang,
+    3 = suppress (even the lang class is under k). This is the
+    re-identification-risk gate a corpus release runs before shipping
+    per-document metadata; counts and levels are all integers, so the
+    audit is bit-exact on both engines. NULL QI values are coalesced to
+    sentinels FIRST so a null class is a real class, never conflated
+    with a rollup subtotal row.
+
+    Plan (100 TB): Spark computes the entire ladder in ONE
+    map-side-combinable rollup(lang, source, bucket) pass over the
+    corpus — grouping_id() splits the single aggregate into the three
+    class-size dims (the oracle states the same ladder as three GROUP
+    BYs; rollup is the one-shuffle physical form). Class tables live at
+    catalog granularity (≤ |langs|·|sources|·|buckets| rows), so all
+    three size lookups BROADCAST back onto the corpus — the document
+    table itself never shuffles at all: one rollup exchange of
+    pre-aggregated partials, three broadcast hash joins, zero
+    wide-row movement."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang_c"),
+        F.coalesce(F.col("source"), F.lit("<null>")).alias("source_c"),
+        F.coalesce(
+            F.expr(f"n_chars div {_KA_BUCKET}"), F.lit(-1).cast("bigint")
+        ).alias("len_bucket"),
+    )
+    # Pin the ladder: three dim tables branch off it, and without the pin
+    # each broadcast build would re-run the corpus rollup (3 scans). The
+    # ladder is catalog-granularity KBs, and CacheManager keys the entry by
+    # logical plan, so repeated runs reuse one slot — no cache growth.
+    ladder = (
+        d.rollup("lang_c", "source_c", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+        .persist()
+    )
+    g0 = ladder.filter(F.col("gid") == 0).select(
+        "lang_c", "source_c", "len_bucket", F.col("n").alias("n0")
+    )
+    g1 = ladder.filter(F.col("gid") == 1).select(
+        "lang_c", "source_c", F.col("n").alias("n1")
+    )
+    g2 = ladder.filter(F.col("gid") == 3).select(
+        "lang_c", F.col("n").alias("n2")
+    )
+    joined = (
+        d.join(F.broadcast(g0), ["lang_c", "source_c", "len_bucket"])
+        .join(F.broadcast(g1), ["lang_c", "source_c"])
+        .join(F.broadcast(g2), ["lang_c"])
+    )
+    return joined.select(
+        "doc_id",
+        "len_bucket",
+        "n0",
+        F.when(F.col("n0") >= _KA_K, 0)
+        .when(F.col("n1") >= _KA_K, 1)
+        .when(F.col("n2") >= _KA_K, 2)
+        .otherwise(3)
+        .cast("bigint")
+        .alias("anon_level"),
+    )

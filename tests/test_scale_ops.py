@@ -486,3 +486,89 @@ def test_cusum_localizes_an_injected_rate_shift(spark):
     # flat series: statistic is identically 0; earliest bucket wins the tie
     assert out["flat"] == (1, 0)
     assert "cusum_changepoint" in REGISTRY
+
+
+def test_linear_trend_exact_rational_slope(spark):
+    """Counts rising exactly 2/hour give slope_milli == 2000 with the
+    rational reducing to 2; a non-divisible NEGATIVE slope is truncated on
+    |num| then re-signed (the signed floor-div portability rule), and a
+    1-bucket series yields NULL, not a divide-by-zero."""
+    import datetime as dt
+    import tempfile
+
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+    from s3_to_redshift_with_airflow_spark.plans.scale_ops import q_linear_trend
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def emit(h, n, ty):
+        nonlocal eid
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=i), ty))
+            eid += 1
+
+    for t in range(1, 11):          # up: y = 3 + 2t, slope exactly 2
+        emit(t, 3 + 2 * t, "up")
+    for t, y in enumerate([5, 4, 4, 3], start=1):  # down: slope -7/10
+        emit(t, y, "down")
+    emit(1, 4, "single")            # one bucket: slope undefined
+    df = spark.createDataFrame(
+        [(e, t, None, ty, 0.0, None) for (e, t, ty) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r["event_type"]: r.asDict() for r in q_linear_trend(spark, d).collect()}
+    up = out["up"]
+    assert up["slope_num"] / up["slope_den"] == 2.0
+    assert up["slope_milli"] == 2000
+    down = out["down"]
+    # n=4, sx=10, sxx=30, sy=16, sxy=37 -> num = 4*37-160 = -12, den = 20
+    assert (down["slope_num"], down["slope_den"]) == (-12, 20)
+    assert down["slope_milli"] == -(12 * 1000 // 20)  # -600 == trunc(-0.6)*1000
+    single = out["single"]
+    assert single["slope_den"] == 0 and single["slope_milli"] is None
+    assert out["up"]["mean_milli"] == (sum(3 + 2 * t for t in range(1, 11)) * 1000) // 10
+    assert "linear_trend" in REGISTRY
+
+
+def test_k_anonymity_generalization_ladder(spark):
+    """Each document reports the MINIMAL generalization level reaching k=5:
+    a 6-strong full-QI class is level 0; singleton buckets under a 4-strong
+    (lang, source) class escalate past level 1 to the 10-strong lang class
+    (level 2); a lone lang suppresses (level 3); NULL lang is a real class
+    via the sentinel, not a subtotal artifact."""
+    import tempfile
+
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+    from s3_to_redshift_with_airflow_spark.plans.scale_ops import _KA_BUCKET, q_k_anonymity
+
+    rows = []
+    did = 0
+
+    def emit(n, lang, source, bucket):
+        nonlocal did
+        for _ in range(n):
+            rows.append((did, "t", lang, source, bucket * _KA_BUCKET + 7))
+            did += 1
+
+    emit(6, "en", "x", 1)            # ids 0-5: level 0
+    for b in range(4):               # ids 6-9: level 2 (en class = 10 >= 5)
+        emit(1, "en", "y", 10 + b)
+    emit(1, "de", "z", 2)            # id 10: level 3 (suppress)
+    emit(5, None, "w", 3)            # ids 11-15: level 0 under the sentinel
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r.asDict() for r in q_k_anonymity(spark, d).collect()}
+    assert len(out) == 16
+    assert all(out[i]["anon_level"] == 0 and out[i]["n0"] == 6 for i in range(6))
+    assert all(out[i]["anon_level"] == 2 and out[i]["n0"] == 1 for i in range(6, 10))
+    assert out[10]["anon_level"] == 3
+    assert all(out[i]["anon_level"] == 0 for i in range(11, 16))
+    assert "k_anonymity" in REGISTRY
