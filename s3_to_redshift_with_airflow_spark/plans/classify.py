@@ -1155,3 +1155,101 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return bfs_hops(edges, seeds, n_rounds=_BFS_ROUNDS)
+
+
+# --- character-entropy gibberish gate ----------------------------------------
+
+_ENT_SCALE = 65536
+_ENT_LOW = 3 * _ENT_SCALE  # H < 3.0 bits => 'low' (normal prose runs ~4.1)
+_LG_DUCK_N = log2_fp_sql("tot", dialect="duck")
+_LG_DUCK_C = log2_fp_sql("n_c", dialect="duck")
+
+_SQL_CHAR_ENTROPY = f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM} AS norm FROM documents
+      WHERE text IS NOT NULL AND length({_NORM}) > 0
+    ),
+    ch AS (
+      SELECT doc_id, substr(norm, CAST(i AS INTEGER), 1) AS c
+      FROM d, unnest(range(1, length(norm) + 1)) AS t(i)
+    ),
+    cnt AS (
+      SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n_c
+      FROM ch GROUP BY doc_id, c
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(n_c) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n_alphabet
+      FROM cnt GROUP BY doc_id
+    ),
+    ent AS (
+      SELECT cnt.doc_id, tot.tot AS n_chars_used, tot.n_alphabet,
+             CAST(SUM(n_c * ({_LG_DUCK_N} - {_LG_DUCK_C})) AS BIGINT)
+               // tot.tot AS entropy_fp
+      FROM cnt JOIN tot USING (doc_id)
+      GROUP BY cnt.doc_id, tot.tot, tot.n_alphabet
+    )
+    SELECT doc_id, n_chars_used, n_alphabet, entropy_fp,
+           CASE WHEN entropy_fp < {_ENT_LOW} THEN 'low' ELSE 'ok' END AS label
+    FROM ent
+"""
+
+
+@query("char_entropy_filter", oracle=_SQL_CHAR_ENTROPY)
+def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document in fixed point — the
+    gibberish/boilerplate gate (low-entropy docs are repeated-char spam,
+    padding, or template residue; ordinary prose sits near 4.1 bits/char)
+    that complements the token-level quality_score family with a
+    sub-token signal. H = Σ (n_c/N)·log2(N/n_c) is irrational, but
+    multiplying through by N gives N·H = Σ n_c·(log2(N) − log2(n_c)),
+    which log2_fp_sql (the classifier-training primitive) evaluates in
+    exact integer arithmetic — entropy_fp = that sum div N at scale
+    2^16, bit-identical on both engines, all operands non-negative so
+    the div/// portability rule holds. Overflow: the sum is ≤ N·lg_fp(N)
+    < 2^63 to N ~ 2e12 chars/doc — unreachable.
+
+    Plan (100 TB): chars explode via sequence+substring (JVM codegen,
+    zero Python) and immediately collapse to (doc, char) granularity in
+    a map-side-combinable count — the shuffle carries at most
+    |alphabet| rows per document, not characters. The per-doc total
+    joins back co-partitioned on doc_id (same key as the count's
+    exchange), and the entropy sum reuses that partitioning: one
+    char-granularity map stage, two doc-keyed bucket-granularity
+    shuffles, nothing else."""
+    from ..functions.text import norm_text
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", norm_text(F.col("text")).alias("norm")).filter(
+        F.col("norm").isNotNull() & (F.length("norm") > 0)
+    )
+    ch = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("norm"))).alias("i"),
+        F.col("norm"),
+    ).select("doc_id", F.expr("substring(norm, i, 1)").alias("c"))
+    cnt = ch.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("n_c").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_alphabet"),
+    )
+    lg_n = log2_fp_sql("tot", dialect="spark")
+    lg_c = log2_fp_sql("n_c", dialect="spark")
+    ent = (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "tot", "n_alphabet")
+        .agg(
+            F.expr(f"cast(sum(n_c * ({lg_n} - {lg_c})) as bigint) div tot").alias(
+                "entropy_fp"
+            )
+        )
+    )
+    return ent.select(
+        "doc_id",
+        F.col("tot").alias("n_chars_used"),
+        "n_alphabet",
+        "entropy_fp",
+        F.when(F.col("entropy_fp") < _ENT_LOW, "low").otherwise("ok").alias("label"),
+    )

@@ -325,3 +325,31 @@ def test_weighted_sample_favors_heavy_docs_and_is_stable(spark):
         assert len(out) == 5 and 999 in ids
         out2 = query_map()["weighted_sample"](spark, d).collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_char_entropy_fixed_point_is_exact_and_gates_spam(spark):
+    """char_entropy_filter: N*H in fixed point is EXACT for power-of-two
+    counts ('aabb' -> exactly 1.0 bit == 65536), single-symbol spam is 0
+    and labeled 'low', ordinary prose clears the 3.0-bit gate."""
+    from s3_to_redshift_with_airflow_spark.plans import query_map
+    import tempfile, os
+
+    rows = [
+        (1, "aabb", "en", "s0", 4),
+        (2, "a" * 40, "en", "s0", 40),
+        (3, "The quick brown fox jumps over the lazy dog; pack my box "
+            "with five dozen liquor jugs.", "en", "s0", 86),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in query_map()["char_entropy_filter"](spark, d).collect()
+        }
+    assert out[1]["entropy_fp"] == 65536 and out[1]["label"] == "low"
+    assert out[2]["entropy_fp"] == 0 and out[2]["label"] == "low"
+    assert out[2]["n_alphabet"] == 1
+    assert out[3]["entropy_fp"] > 3 * 65536 and out[3]["label"] == "ok"
