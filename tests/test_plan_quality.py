@@ -284,6 +284,10 @@ def test_registry_wide_plan_audit(spark):
         # 1-row n_users broadcast onto the aggregated pair table — same
         # scalar sanction as heavy_hitters/token_pmi
         "basket_lift",
+        # ONE-row packed-bitmap broadcast folded per probe row plus the
+        # 1-row n_keys scalar — the Bloom prefilter's whole point is that
+        # the probe side never shuffles; same sanction as kmeans_clusters
+        "bloom_prefilter_join",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",

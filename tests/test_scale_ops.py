@@ -572,3 +572,26 @@ def test_k_anonymity_generalization_ladder(spark):
     assert out[10]["anon_level"] == 3
     assert all(out[i]["anon_level"] == 0 for i in range(11, 16))
     assert "k_anonymity" in REGISTRY
+
+
+def test_bloom_prefilter_no_false_negatives_and_bounded_fp(spark):
+    """Bloom-filter invariants on the real tables: every true member
+    passes (missed == 0 — the guarantee the prefilter pattern rests on),
+    bloom_pass >= exact_hits, and the observed false-positive rate stays
+    within 2x the analytic (1-e^(-kn/m))^k bound for the sf0.01 load
+    factor (~740 bp)."""
+    import math
+
+    from s3_to_redshift_with_airflow_spark.plans.scale_ops import (
+        _BF_BITS,
+        _BF_K,
+        q_bloom_prefilter_join,
+    )
+
+    r = q_bloom_prefilter_join(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["missed"] == 0
+    assert r["bloom_pass"] >= r["exact_hits"]
+    assert r["bloom_pass"] - r["exact_hits"] == r["false_pos"]
+    fill = 1.0 - math.exp(-_BF_K * r["n_keys"] / _BF_BITS)
+    expected_bp = 10000.0 * fill**_BF_K
+    assert 0 < r["fp_rate_bp"] < 2 * expected_bp
