@@ -2923,3 +2923,96 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return containment_pairs(docs, threshold=_CONT_T)
+
+
+# --- exact-phrase search (positional adjacency) ------------------------------
+
+_PHRASE = ("table", "hash")
+_PHRASE_K = 20
+
+_PHRASE_MATCH_SQL = " AND ".join(
+    ["term = '" + _PHRASE[0] + "'"]
+    + [
+        f"lead(term, {i}) OVER w = '{t}' AND lead(pos, {i}) OVER w = pos + {i}"
+        for i, t in enumerate(_PHRASE[1:], start=1)
+    ]
+)
+
+_SQL_PHRASE_SEARCH = f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+             unnest(toks) AS term
+      FROM d
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             CASE WHEN {_PHRASE_MATCH_SQL} THEN 1 ELSE 0 END AS m
+      FROM pos WHERE term IN ({', '.join("'" + t + "'" for t in set(_PHRASE))})
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_matches,
+             CAST(MIN(CASE WHEN m = 1 THEN pos - 1 END) AS BIGINT) AS first_pos
+      FROM occ GROUP BY doc_id
+    )
+    SELECT doc_id, n_matches, first_pos,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_matches DESC, doc_id ASC)
+             AS BIGINT) AS rnk
+    FROM agg WHERE n_matches > 0
+    QUALIFY rnk <= {_PHRASE_K}
+    """
+
+
+@query("phrase_search", oracle=_SQL_PHRASE_SEARCH)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval (the _PHRASE tokens ADJACENT, in order) —
+    the third retrieval operator after conjunctive AND (keyword_search)
+    and NEAR (proximity_search), and the one inverted indexes need
+    positional postings for. Output: top-_PHRASE_K docs by
+    phrase-occurrence count with the first match position (0-based), all
+    exact integers so both engines rank identically (ties by doc_id).
+
+    A phrase match needs term(p)=t0 .. term(p+i)=ti; because matched
+    tokens are adjacent in the ORIGINAL stream, they are also adjacent in
+    the subsequence filtered to the phrase's terms, so lead(term, i) /
+    lead(pos, i) over that filtered stream decides every candidate in
+    linear work — no positions self-join, no n_t0 x n_t1 pair blow-up on
+    hot documents.
+
+    Plan (100 TB): position-explode filters to the |phrase| query terms
+    BEFORE any shuffle (posting-list discipline — corpus tokens never
+    travel); one partitionBy(doc_id) window plus the groupBy(doc_id) it
+    feeds; top-k is sort+limit (TakeOrderedAndProject)."""
+    from ..functions.text import tokens as _tok
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.posexplode(_tok(F.col("text"))).alias("pos", "term")
+    ).filter(F.col("term").isin(list(set(_PHRASE))))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    m = F.col("term") == _PHRASE[0]
+    for i, t in enumerate(_PHRASE[1:], start=1):
+        m = (
+            m
+            & (F.lead("term", i).over(w) == t)
+            & (F.lead("pos", i).over(w) == F.col("pos") + i)
+        )
+    agg = (
+        occ.select("doc_id", "pos", F.when(m, 1).otherwise(0).alias("m"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_matches"),
+            F.min(F.when(F.col("m") == 1, F.col("pos")))
+            .cast("bigint")
+            .alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+    top = agg.orderBy(F.col("n_matches").desc(), F.col("doc_id").asc()).limit(
+        _PHRASE_K
+    )
+    rw = Window.orderBy(F.col("n_matches").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(rw).cast("bigint")).select(
+        "doc_id", "n_matches", "first_pos", "rnk"
+    )

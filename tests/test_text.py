@@ -353,3 +353,32 @@ def test_char_entropy_fixed_point_is_exact_and_gates_spam(spark):
     assert out[2]["entropy_fp"] == 0 and out[2]["label"] == "low"
     assert out[2]["n_alphabet"] == 1
     assert out[3]["entropy_fp"] > 3 * 65536 and out[3]["label"] == "ok"
+
+
+def test_phrase_search_requires_adjacency_and_order(spark):
+    """phrase_search: 'table hash' matches only ADJACENT in-order tokens —
+    not the reversed bigram, not the gapped pair — and counts every
+    occurrence (including overlapping term runs)."""
+    from s3_to_redshift_with_airflow_spark.plans import query_map
+    import tempfile, os
+
+    rows = [
+        (1, "table hash join table hash", "en", "s0", 26),  # 2 matches, pos 0
+        (2, "hash table", "en", "s0", 10),                  # reversed: no
+        (3, "table big hash", "en", "s0", 14),              # gapped: no
+        (4, "a table hash b", "en", "s0", 14),              # 1 match, pos 1
+        (5, "table table hash", "en", "s0", 16),            # 1 match, pos 1
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r for r in query_map()["phrase_search"](spark, d).collect()
+        }
+    assert set(out) == {1, 4, 5}
+    assert out[1]["n_matches"] == 2 and out[1]["first_pos"] == 0
+    assert out[4]["n_matches"] == 1 and out[4]["first_pos"] == 1
+    assert out[5]["n_matches"] == 1 and out[5]["first_pos"] == 1
+    assert out[1]["rnk"] == 1
