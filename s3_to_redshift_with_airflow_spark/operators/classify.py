@@ -399,3 +399,48 @@ def corpus_kl_divergence(
             ).alias("kl_bits"),
         )
     )
+
+
+def char_entropy(docs: DataFrame, low_fp: int = 3 * 65536) -> DataFrame:
+    """Character-level Shannon entropy per document in EXACT fixed point —
+    the gibberish/boilerplate gate (plans/classify.q_char_entropy_filter).
+    N·H = Σ n_c·(log2 N − log2 n_c) via log2_fp_sql's integer piecewise
+    log2, entropy_fp = that sum div N at scale 2^16 — bit-identical across
+    engines and partitionings. Chars explode JVM-side and collapse
+    map-side to (doc, char) counts, so the shuffle carries at most
+    |alphabet| rows per document."""
+    from ..functions.text import norm_text
+
+    d = docs.select("doc_id", norm_text(F.col("text")).alias("norm")).filter(
+        F.col("norm").isNotNull() & (F.length("norm") > 0)
+    )
+    ch = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("norm"))).alias("i"),
+        F.col("norm"),
+    ).select("doc_id", F.expr("substring(norm, i, 1)").alias("c"))
+    cnt = ch.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("n_c").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_alphabet"),
+    )
+    lg_n = log2_fp_sql("tot", dialect="spark")
+    lg_c = log2_fp_sql("n_c", dialect="spark")
+    ent = (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "tot", "n_alphabet")
+        .agg(
+            F.expr(f"cast(sum(n_c * ({lg_n} - {lg_c})) as bigint) div tot").alias(
+                "entropy_fp"
+            )
+        )
+    )
+    return ent.select(
+        "doc_id",
+        F.col("tot").alias("n_chars_used"),
+        "n_alphabet",
+        "entropy_fp",
+        F.when(F.col("entropy_fp") < low_fp, "low").otherwise("ok").alias("label"),
+    )

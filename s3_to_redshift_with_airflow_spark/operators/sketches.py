@@ -57,3 +57,117 @@ def rollup_user_sketches(daily: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _bloom_pos(key: F.Column, j: int, n_bits: int) -> F.Column:
+    """Bloom bit position j for a key — the engine-portable md5-int60 hash
+    (DuckDB twin: ('0x' || substr(md5('bf:j:' || key), 1, 15))::UBIGINT)."""
+    from .classify import _md5_int60
+
+    return _md5_int60(F.concat(F.lit(f"bf:{j}:"), key.cast("string"))) % n_bits
+
+
+def bloom_bitmap(keys: DataFrame, key_col: str, n_bits: int, k_hashes: int) -> DataFrame:
+    """Pack a key set into an n_bits Bloom filter as ONE row holding an
+    array of n_bits/32 non-negative bigints (32-bit words, so shifts never
+    touch the sign bit). Build cost: one groupBy(word) over a k-exploded
+    key scan — at most n_bits/32 groups, map-side combined — then a dense
+    densify against a range frame and a single collect_list row."""
+    n_words = n_bits // 32
+    spark = keys.sparkSession
+    pos = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col(key_col), j, n_bits) for j in range(k_hashes)])
+        ).alias("pos")
+    )
+    bits = (
+        pos.select(
+            F.expr("pos div 32").alias("word"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (F.col("pos") % 32).cast("int")
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("b"))
+    )
+    return (
+        spark.range(n_words)
+        .select(F.col("id").alias("word"))
+        .join(bits, "word", "left")
+        .select("word", F.coalesce("b", F.lit(0).cast("bigint")).alias("b"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word", "b"))),
+                lambda s: s["b"],
+            ).alias("arr")
+        )
+    )
+
+
+def bloom_semijoin_stats(
+    probe: DataFrame,
+    probe_key: str,
+    keys: DataFrame,
+    key_col: str = "k",
+    n_bits: int = 16384,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-prefiltered semi-join AUDIT: broadcast the packed bitmap as
+    one row, evaluate membership map-side per probe row, and verify
+    against the exact key set — returns the single stats row
+    (n_probe, n_keys, bloom_pass, exact_hits, false_pos, missed,
+    fp_rate_bp). missed == 0 always (no false negatives); in production
+    the exact-verify join receives only the bloom_pass rows, which is the
+    point of the pattern at 100 TB. All arithmetic is deterministic
+    integers, so the whole audit carries an exact SQL oracle."""
+    bm = bloom_bitmap(keys, key_col, n_bits, k_hashes)
+    n_keys = keys.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+
+    def _bit_ok(j: int) -> F.Column:
+        p = _bloom_pos(F.col(probe_key), j, n_bits)
+        word = F.element_at(F.col("arr"), (p.cast("int") / 32).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (p % 32).cast("int")
+        )
+        return word.bitwiseAND(mask) != 0
+
+    bloom_ok = _bit_ok(0)
+    for j in range(1, k_hashes):
+        bloom_ok = bloom_ok & _bit_ok(j)
+    flagged = (
+        probe.select(probe_key)
+        .crossJoin(F.broadcast(bm))
+        .join(
+            F.broadcast(keys.withColumn("hit", F.lit(1))),
+            F.col(probe_key) == F.col(key_col),
+            "left",
+        )
+        .select(
+            bloom_ok.alias("bloom_ok"), F.col("hit").isNotNull().alias("is_hit")
+        )
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+        F.sum(F.when(F.col("bloom_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("bloom_pass"),
+        F.sum(F.when(F.col("is_hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("exact_hits"),
+        F.sum(F.when(F.col("bloom_ok") & ~F.col("is_hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("false_pos"),
+        F.sum(F.when(F.col("is_hit") & ~F.col("bloom_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("missed"),
+    )
+    return stats.crossJoin(F.broadcast(n_keys)).select(
+        "n_probe",
+        "n_keys",
+        "bloom_pass",
+        "exact_hits",
+        "false_pos",
+        "missed",
+        F.expr("false_pos * 10000 div (n_probe - exact_hits)").alias("fp_rate_bp"),
+    )

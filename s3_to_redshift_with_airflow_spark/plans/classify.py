@@ -1216,40 +1216,9 @@ def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins back co-partitioned on doc_id (same key as the count's
     exchange), and the entropy sum reuses that partitioning: one
     char-granularity map stage, two doc-keyed bucket-granularity
-    shuffles, nothing else."""
-    from ..functions.text import norm_text
+    shuffles, nothing else. Implementation: operators/classify.char_entropy
+    (shared with the scale study)."""
+    from ..operators.classify import char_entropy
 
     (docs,) = _t(spark, sf_dir, "documents")
-    d = docs.select("doc_id", norm_text(F.col("text")).alias("norm")).filter(
-        F.col("norm").isNotNull() & (F.length("norm") > 0)
-    )
-    ch = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("norm"))).alias("i"),
-        F.col("norm"),
-    ).select("doc_id", F.expr("substring(norm, i, 1)").alias("c"))
-    cnt = ch.groupBy("doc_id", "c").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_c")
-    )
-    tot = cnt.groupBy("doc_id").agg(
-        F.sum("n_c").cast("bigint").alias("tot"),
-        F.count(F.lit(1)).cast("bigint").alias("n_alphabet"),
-    )
-    lg_n = log2_fp_sql("tot", dialect="spark")
-    lg_c = log2_fp_sql("n_c", dialect="spark")
-    ent = (
-        cnt.join(tot, "doc_id")
-        .groupBy("doc_id", "tot", "n_alphabet")
-        .agg(
-            F.expr(f"cast(sum(n_c * ({lg_n} - {lg_c})) as bigint) div tot").alias(
-                "entropy_fp"
-            )
-        )
-    )
-    return ent.select(
-        "doc_id",
-        F.col("tot").alias("n_chars_used"),
-        "n_alphabet",
-        "entropy_fp",
-        F.when(F.col("entropy_fp") < _ENT_LOW, "low").otherwise("ok").alias("label"),
-    )
+    return char_entropy(docs, low_fp=_ENT_LOW)

@@ -3853,21 +3853,13 @@ _SQL_BLOOM_PREFILTER = f"""
 """
 
 
-def _bf_pos(key: Column, j: int) -> Column:
-    from ..operators.classify import _md5_int60
-
-    return (
-        _md5_int60(F.concat(F.lit(f"bf:{j}:"), key.cast("string"))) % _BF_BITS
-    )
-
-
 @query("bloom_prefilter_join", oracle=_SQL_BLOOM_PREFILTER)
 def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter prefiltered semi-join — the third sketch family next
     to HLL (sketch_rollup) and CMS (cms_point_queries), and THE canonical
     100 TB semi-join pattern: instead of shuffling the fact table to probe
-    a filtered dimension, pack the dimension keys into a {_BF_BITS}-bit
-    Bloom filter (k={_BF_K} engine-portable md5 hashes, 32-bit words in
+    a filtered dimension, pack the dimension keys into a 16384-bit
+    Bloom filter (k=3 engine-portable md5 hashes, 32-bit words in
     non-negative bigints so shifts never touch the sign bit), broadcast
     the KB-size bitmap as ONE row, and reject non-members map-side before
     any join runs. This is what Spark's own runtime row-group filtering
@@ -3883,94 +3875,22 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n=2978 keys / m=16384 / k=3 from (1-e^(-kn/m))^k).
 
     Plan (100 TB): build side is one groupBy(word) over a k-exploded key
-    scan (<= {_BF_WORDS} groups, map-side combined), densified against a
+    scan (<= 512 groups, map-side combined), densified against a
     range frame and collapsed to a single array row; probe side never
     shuffles — the bitmap and the verification key set both arrive by
     broadcast, and the final stats are one partial-aggregated count row.
     In production the exact-verify join only receives bloom_pass rows
-    (~7% here), which is the entire point of the pattern."""
+    (~7% here), which is the entire point of the pattern. Implementation:
+    operators/sketches.bloom_semijoin_stats (shared with the scale
+    study)."""
+    from ..operators.sketches import bloom_semijoin_stats
+
     orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
     keys = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
     )
-    pos = keys.select(
-        F.explode(
-            F.array(*[_bf_pos(F.col("k"), j) for j in range(_BF_K)])
-        ).alias("pos")
-    )
-    bits = (
-        pos.select(
-            F.expr("pos div 32").alias("word"),
-            F.call_function(
-                "shiftleft", F.lit(1).cast("bigint"), (F.col("pos") % 32).cast("int")
-            ).alias("m"),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("m").alias("b"))
-    )
-    bm = (
-        spark.range(_BF_WORDS)
-        .select(F.col("id").alias("word"))
-        .join(bits, "word", "left")
-        .select("word", F.coalesce("b", F.lit(0).cast("bigint")).alias("b"))
-        .groupBy()
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("word", "b"))),
-                lambda s: s["b"],
-            ).alias("arr")
-        )
-    )
-    n_keys = keys.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
-
-    def _bit_ok(j: int) -> Column:
-        p = _bf_pos(F.col("l_orderkey"), j)
-        word = F.element_at(F.col("arr"), (p.cast("int") / 32).cast("int") + 1)
-        mask = F.call_function(
-            "shiftleft", F.lit(1).cast("bigint"), (p % 32).cast("int")
-        )
-        return word.bitwiseAND(mask) != 0
-
-    bloom_ok = _bit_ok(0)
-    for j in range(1, _BF_K):
-        bloom_ok = bloom_ok & _bit_ok(j)
-    probe = (
-        lineitem.select("l_orderkey")
-        .crossJoin(F.broadcast(bm))
-        .join(
-            F.broadcast(keys.withColumn("hit", F.lit(1))),
-            F.col("l_orderkey") == F.col("k"),
-            "left",
-        )
-        .select(
-            bloom_ok.alias("bloom_ok"), F.col("hit").isNotNull().alias("is_hit")
-        )
-    )
-    stats = probe.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_probe"),
-        F.sum(F.when(F.col("bloom_ok"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("bloom_pass"),
-        F.sum(F.when(F.col("is_hit"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("exact_hits"),
-        F.sum(F.when(F.col("bloom_ok") & ~F.col("is_hit"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("false_pos"),
-        F.sum(F.when(F.col("is_hit") & ~F.col("bloom_ok"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("missed"),
-    )
-    return stats.crossJoin(F.broadcast(n_keys)).select(
-        "n_probe",
-        "n_keys",
-        "bloom_pass",
-        "exact_hits",
-        "false_pos",
-        "missed",
-        F.expr("false_pos * 10000 div (n_probe - exact_hits)").alias(
-            "fp_rate_bp"
-        ),
+    return bloom_semijoin_stats(
+        lineitem, "l_orderkey", keys, key_col="k", n_bits=_BF_BITS, k_hashes=_BF_K
     )

@@ -664,6 +664,55 @@ def fam_basket(spark, mult):
     return inp, BASE_EVENTS * mult, run
 
 
+def fam_entropy(spark, mult):
+    """Character-entropy gate (registry: char_entropy_filter): chars
+    explode JVM-side and collapse map-side to (doc, char) counts, so
+    shuffled volume is |alphabet| rows per doc regardless of doc length —
+    time should track corpus characters linearly."""
+    from s3_to_redshift_with_airflow_spark.operators.classify import char_entropy
+
+    docs = synthetic_documents(spark, BASE_DOCS * mult).localCheckpoint()
+
+    def run():
+        return char_entropy(docs).count()
+
+    return docs, BASE_DOCS * mult, run
+
+
+def fam_bloom(spark, mult):
+    """Bloom-prefiltered semi-join audit (registry: bloom_prefilter_join):
+    filter sized 8 bits/key (rounded to a power of two) so the FP rate is
+    scale-constant; the probe side is map-side only, so time should be
+    linear in probe rows with a small key-build term."""
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        bloom_semijoin_stats,
+    )
+
+    n = BASE_LINEITEM * mult
+    h = lambda f: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit(f + ":"), F.col("id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    key_space = n // 4
+    probe = spark.range(n).select((h("pk") % key_space).alias("pk")).localCheckpoint()
+    keys = (
+        spark.range(n // 20)
+        .select((h("kk") % key_space).alias("k"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_keys = keys.count()
+    n_bits = 1 << max(14, (8 * n_keys - 1).bit_length())
+
+    def run():
+        return bloom_semijoin_stats(
+            probe, "pk", keys, key_col="k", n_bits=n_bits, k_hashes=3
+        ).collect()
+
+    return probe, n, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -687,6 +736,8 @@ FAMILIES = {
     "skyline": fam_skyline,
     "cusum": fam_cusum,
     "basket": fam_basket,
+    "entropy": fam_entropy,
+    "bloom": fam_bloom,
 }
 
 
