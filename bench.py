@@ -102,6 +102,13 @@ HEADLINE = [
     "proximity_search",
     "token_budget_select",
     "cusum_changepoint",
+    # session-5 round-5 families: the character-entropy gate (the most
+    # expansive explode in the registry, alphabet-bounded shuffle), the
+    # Bloom-prefiltered semi-join audit (broadcast-bitmap map-side probe),
+    # and exact-phrase search (positional adjacency window)
+    "char_entropy_filter",
+    "bloom_prefilter_join",
+    "phrase_search",
 ]
 
 
