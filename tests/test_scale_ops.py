@@ -595,3 +595,28 @@ def test_bloom_prefilter_no_false_negatives_and_bounded_fp(spark):
     fill = 1.0 - math.exp(-_BF_K * r["n_keys"] / _BF_BITS)
     expected_bp = 10000.0 * fill**_BF_K
     assert 0 < r["fp_rate_bp"] < 2 * expected_bp
+
+
+def test_robust_outliers_survive_contamination_where_zscore_masks(spark):
+    """MAD outlier detection: 10% planted extreme values are ALL flagged
+    while the tight bulk is not — and the planted contamination inflates
+    the mean/std enough that a classic 3-sigma z-score misses every one
+    of them (masking), which is the reason the robust estimator exists."""
+    import statistics
+    import tempfile
+
+    vals = [10.0 + 0.01 * i for i in range(90)] + [1e6 + i for i in range(10)]
+    rows = [(f"e{i}", "click", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id string, event_type string, value double")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        from s3_to_redshift_with_airflow_spark.plans import query_map
+
+        out = query_map()["robust_outliers"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 100 and r["n_outliers"] == 10 and r["outlier_bp"] == 1000
+    # the mean/std gate is masked by its own outliers: 3-sigma from the
+    # contaminated mean/std flags nothing in the bulk AND nothing planted
+    mu, sd = statistics.mean(vals), statistics.stdev(vals)
+    assert all(abs(v - mu) <= 3 * sd for v in vals)
