@@ -1222,3 +1222,132 @@ def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return char_entropy(docs, low_fp=_ENT_LOW)
+
+
+# --- classifier calibration vs the independent rule gate ----------------------
+
+_CAL_CUTS = [i / 10 for i in range(1, 10)]
+
+_SQL_GOPHER_PASS = f"""
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             CAST(length(regexp_replace({_NORM}, ' ', '', 'g')) AS DOUBLE)
+               AS n_nonspace,
+             CAST(len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]')))
+               AS DOUBLE) AS n_alpha,
+             CAST({_sql_count_in(EN_STOPWORDS)} AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_distinct
+      FROM documents
+"""
+
+_SQL_CALIBRATION = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('t:{_SEED}:' || tok), 1, 15))::UBIGINT
+                  % {_N_BUCKETS} AS BIGINT) AS bucket
+      FROM tok WHERE tok <> ''
+    ),
+    w AS (
+      SELECT CAST(range AS BIGINT) AS bucket,
+             CAST(('0x' || substr(md5('w:{_SEED}:' || range::VARCHAR), 1, 15))
+                  ::UBIGINT % {2 * _W_MAX + 1} AS BIGINT) - {_W_MAX} AS weight
+      FROM range({_N_BUCKETS})
+    ),
+    s AS (
+      SELECT doc_id, CAST(SUM(weight) AS BIGINT) AS margin
+      FROM b JOIN w USING (bucket) GROUP BY doc_id
+    ),
+    c AS ({_SQL_GOPHER_PASS}),
+    g AS (
+      SELECT doc_id,
+             (n_tok >= 10 AND n_tok <= 100000)
+               AND (n_nonspace / greatest(n_tok, 1.0) >= 3.0
+                    AND n_nonspace / greatest(n_tok, 1.0) <= 10.0)
+               AND (n_alpha / greatest(n_tok, 1.0) >= 0.8)
+               AND (n_stop >= 2)
+               AND (n_distinct / greatest(n_tok, 1.0) >= 0.3) AS passes
+      FROM c
+    ),
+    cut AS (
+      SELECT {', '.join(f"quantile_cont(margin, {q}) AS c{i}"
+                        for i, q in enumerate(_CAL_CUTS, start=1))}
+      FROM s
+    ),
+    d AS (
+      SELECT s.doc_id, s.margin, g.passes,
+             CAST(1 + {' + '.join(f"(CASE WHEN s.margin > cut.c{i} THEN 1 ELSE 0 END)"
+                                  for i in range(1, 10))} AS BIGINT) AS decile
+      FROM s JOIN g USING (doc_id) CROSS JOIN cut
+    )
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(margin) AS BIGINT) AS margin_lo,
+           CAST(MAX(margin) AS BIGINT) AS margin_hi,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) * 10000
+             // CAST(COUNT(*) AS BIGINT) AS pass_bp
+    FROM d GROUP BY decile
+"""
+
+
+@query("classifier_calibration", oracle=_SQL_CALIBRATION)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration table — the EVAL step of the quality-gate
+    loop: margin deciles of the hashed linear classifier crossed with the
+    INDEPENDENT Gopher rule gate (pass rate per decile in basis points).
+    A well-calibrated quality classifier shows pass_bp rising with the
+    margin decile; a flat table means the model learned nothing the rules
+    can see. With the md5 stand-in weights the table IS flat — that's the
+    honest null baseline; swap in train_hashed_weights output and the
+    same query audits the real model (the trained twin is
+    quality_classifier_trained).
+
+    Deciles come from exact VALUE cutpoints (percentile at 0.1..0.9 — one
+    1-row aggregate broadcast, the scalar sanction) rather than a global
+    NTILE window, so no single-partition sort exists at any scale; bucket
+    = 1 + Σ (margin > c_k) is integer-vs-double comparison under the
+    verified percentile == quantile_cont interpolation contract, so
+    assignment is bit-identical on both engines.
+
+    Plan (100 TB): classifier margins (broadcast weight join + one
+    groupBy(doc)), gopher booleans (single scan, codegen), one doc-keyed
+    join, one 1-row cutpoint broadcast, one 10-group aggregate."""
+    import functools
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_classify(docs).select("doc_id", "margin")
+    rules = gopher_rules(F.col("text"))
+    passes = functools.reduce(lambda a, b: a & b, rules.values())
+    gq = docs.select("doc_id", passes.alias("passes"))
+    cuts = scored.agg(
+        *[
+            F.expr(f"percentile(margin, {q})").alias(f"c{i}")
+            for i, q in enumerate(_CAL_CUTS, start=1)
+        ]
+    )
+    decile = functools.reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col("margin") > F.col(f"c{i}"), 1).otherwise(0)
+            for i in range(1, 10)
+        ],
+    )
+    d = (
+        scored.join(gq, "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .select("margin", "passes", (F.lit(1) + decile).cast("bigint").alias("decile"))
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("margin").cast("bigint").alias("margin_lo"),
+        F.max("margin").cast("bigint").alias("margin_hi"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.expr(
+            "cast(sum(case when passes then 1 else 0 end) as bigint) * 10000"
+            " div count(1)"
+        ).alias("pass_bp"),
+    )

@@ -288,6 +288,9 @@ def test_registry_wide_plan_audit(spark):
         # 1-row n_keys scalar — the Bloom prefilter's whole point is that
         # the probe side never shuffles; same sanction as kmeans_clusters
         "bloom_prefilter_join",
+        # 1-row margin-cutpoint broadcast (exact decile boundaries WITHOUT
+        # a global NTILE sort) — same scalar sanction as tpch_q11
+        "classifier_calibration",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",
