@@ -838,3 +838,77 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_one"
         ),
     )
+
+
+# --- CDC changelog compaction -------------------------------------------------
+
+_SQL_CDC_COMPACT = """
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE event_type WHEN 'error' THEN 'D'
+                             WHEN 'signup' THEN 'I'
+                             ELSE 'U' END AS op
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    ranked AS (
+      SELECT user_id, ts, event_id, value, op,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+      FROM log
+    )
+    SELECT user_id, op AS last_op, ts AS last_ts, value AS state_value, n_ops
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@query("cdc_compact", oracle=_SQL_CDC_COMPACT)
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction — the Debezium/Delta-CDF consumer staple
+    the snapshot-based SCD family (scd2_merge, upsert, incremental_mv_merge)
+    doesn't cover: an ordered insert/update/delete op stream per key
+    collapses to final table state under last-writer-wins upsert
+    semantics, and a key whose LAST op is a delete exits the table
+    entirely (a 'D' followed by a later 'I' resurrects — position in the
+    log decides, not op history). The changelog is synthesized from
+    events (signup→I, error→D, else U), ordered by (ts, event_id) so the
+    winner is total-order deterministic on both engines.
+
+    Plan (100 TB): one shuffle on the key; the row_number and per-key op
+    count share the same window exchange. This is the batch-compaction
+    twin of the streaming upsert sink (foreachBatch delete+insert): run
+    it over a day's changelog partition to produce the day's net state
+    delta before touching the warehouse."""
+    (events,) = _t(spark, sf_dir, "events")
+    log = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = log.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "op",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .cast("bigint")
+        .alias("n_ops"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("state_value"),
+        "n_ops",
+    )

@@ -128,3 +128,33 @@ def test_table_checksum_is_order_invariant_and_detects_drift(spark):
         df.withColumn("s", F.coalesce("s", F.lit("X")))
     ).collect()[0]
     assert drifted["checksum"] != base["checksum"]  # NULL vs 'X' must differ
+
+
+def test_cdc_compact_delete_exit_and_resurrection(spark):
+    """cdc_compact: last op wins — a key ending in D exits, a D followed
+    by a later I resurrects, and U carries the latest value."""
+    import tempfile
+    from datetime import datetime
+
+    from s3_to_redshift_with_airflow_spark.plans import query_map
+
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    rows = [
+        ("a1", t(1), 1, "signup", 10.0),  # A: I then D -> absent
+        ("a2", t(2), 1, "error", 0.0),
+        ("b1", t(1), 2, "signup", 20.0),  # B: I, D, I -> present (resurrected)
+        ("b2", t(2), 2, "error", 0.0),
+        ("b3", t(3), 2, "signup", 25.0),
+        ("c1", t(1), 3, "signup", 30.0),  # C: I then U -> latest value
+        ("c2", t(2), 3, "click", 33.0),
+        ("d1", t(1), 4, "error", 0.0),    # D: delete-only key -> absent
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id string, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r["user_id"]: r for r in query_map()["cdc_compact"](spark, d).collect()}
+    assert set(out) == {2, 3}
+    assert out[2]["last_op"] == "I" and out[2]["state_value"] == 25.0 and out[2]["n_ops"] == 3
+    assert out[3]["last_op"] == "U" and out[3]["state_value"] == 33.0 and out[3]["n_ops"] == 2
