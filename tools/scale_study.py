@@ -713,6 +713,71 @@ def fam_bloom(spark, mult):
     return probe, n, run
 
 
+def fam_cdc(spark, mult):
+    """CDC changelog compaction (registry: cdc_compact): one shuffle on the
+    key; row_number and the per-key op count share the window exchange —
+    linear in changelog rows with per-key state bounded by AQE splitting."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, BASE_EVENTS * mult).localCheckpoint()
+
+    def run():
+        log = ev.select(
+            "user_id", "ts", "event_id", "value",
+            F.when(F.col("event_type") == "error", "D")
+            .when(F.col("event_type") == "signup", "I")
+            .otherwise("U")
+            .alias("op"),
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            log.select(
+                "user_id", "value", "op",
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+            .count()
+        )
+
+    return ev, BASE_EVENTS * mult, run
+
+
+def fam_robust(spark, mult):
+    """Robust MAD outliers (registry: robust_outliers): two exact per-group
+    median passes + one counting pass with 5-row broadcast joins — each
+    pass is one groupBy(type) whose sort is bounded by the largest group."""
+    ev = _events(spark, BASE_EVENTS * mult).localCheckpoint()
+
+    def run():
+        med = ev.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.5)").alias("med")
+        )
+        j1 = ev.select("event_type", "value").join(F.broadcast(med), "event_type")
+        mad = (
+            j1.select("event_type", F.abs(F.col("value") - F.col("med")).alias("d"))
+            .groupBy("event_type")
+            .agg(F.expr("percentile(d, 0.5)").alias("mad"))
+        )
+        return (
+            j1.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("value") - F.col("med"))
+                        > F.lit(4.4478) * F.col("mad"),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_out")
+            )
+            .count()
+        )
+
+    return ev, BASE_EVENTS * mult, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -738,6 +803,8 @@ FAMILIES = {
     "basket": fam_basket,
     "entropy": fam_entropy,
     "bloom": fam_bloom,
+    "cdc": fam_cdc,
+    "robust": fam_robust,
 }
 
 
