@@ -169,5 +169,10 @@ def bloom_semijoin_stats(
         "exact_hits",
         "false_pos",
         "missed",
-        F.expr("false_pos * 10000 div (n_probe - exact_hits)").alias("fp_rate_bp"),
+        # guard: every probe a true member => no negatives to misfire on
+        # (ANSI div-by-zero otherwise — found by the hypothesis test)
+        F.expr(
+            "case when n_probe = exact_hits then cast(0 as bigint)"
+            " else false_pos * 10000 div (n_probe - exact_hits) end"
+        ).alias("fp_rate_bp"),
     )

@@ -3844,11 +3844,14 @@ _SQL_BLOOM_PREFILTER = f"""
              AS BIGINT) AS false_pos,
            CAST(SUM(CASE WHEN is_hit AND NOT bloom_ok THEN 1 ELSE 0 END)
              AS BIGINT) AS missed,
-           CAST(SUM(CASE WHEN bloom_ok AND NOT is_hit THEN 1 ELSE 0 END)
-             AS BIGINT) * 10000
-             // (CAST(COUNT(*) AS BIGINT)
-                 - CAST(SUM(CASE WHEN is_hit THEN 1 ELSE 0 END) AS BIGINT))
-             AS fp_rate_bp
+           CASE WHEN CAST(COUNT(*) AS BIGINT)
+                     = CAST(SUM(CASE WHEN is_hit THEN 1 ELSE 0 END) AS BIGINT)
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(SUM(CASE WHEN bloom_ok AND NOT is_hit THEN 1 ELSE 0 END)
+                  AS BIGINT) * 10000
+                  // (CAST(COUNT(*) AS BIGINT)
+                      - CAST(SUM(CASE WHEN is_hit THEN 1 ELSE 0 END) AS BIGINT))
+           END AS fp_rate_bp
     FROM probe
 """
 

@@ -691,3 +691,82 @@ def test_diff_tables_matches_dict_model(spark, old, new):
         elif old[k] != new[k]:
             want[k] = "changed"
     assert got == want
+
+
+bloom_keys = st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=40)
+bloom_probes = st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=60)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(keyvals=bloom_keys, probevals=bloom_probes)
+def test_bloom_semijoin_never_misses_and_counts_agree(spark, keyvals, probevals):
+    """Bloom audit invariants on arbitrary key/probe sets (tiny 512-bit
+    filter to force false positives): missed == 0 ALWAYS, exact_hits
+    equals the true membership count, bloom_pass = exact + false_pos,
+    and n_probe/n_keys match the inputs."""
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        bloom_semijoin_stats,
+    )
+
+    keys = spark.createDataFrame([(k,) for k in set(keyvals)], "k bigint")
+    probe = spark.createDataFrame([(p,) for p in probevals], "pk bigint")
+    r = bloom_semijoin_stats(
+        probe, "pk", keys, key_col="k", n_bits=512, k_hashes=3
+    ).collect()[0]
+    ks = set(keyvals)
+    assert r["missed"] == 0
+    assert r["n_probe"] == len(probevals) and r["n_keys"] == len(ks)
+    assert r["exact_hits"] == sum(1 for p in probevals if p in ks)
+    assert r["bloom_pass"] == r["exact_hits"] + r["false_pos"]
+
+
+phrase_docs = st.lists(
+    st.lists(st.sampled_from(["table", "hash", "x"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=phrase_docs)
+def test_phrase_search_matches_bruteforce(spark, docs):
+    """phrase_search over arbitrary token streams == brute-force adjacent
+    bigram counting (including overlapping runs like 'table table hash')."""
+    import os
+    import tempfile
+
+    from s3_to_redshift_with_airflow_spark.plans import query_map
+
+    expected = {}
+    for i, toks in enumerate(docs):
+        n = sum(
+            1
+            for j in range(len(toks) - 1)
+            if toks[j] == "table" and toks[j + 1] == "hash"
+        )
+        if n:
+            first = min(
+                j
+                for j in range(len(toks) - 1)
+                if toks[j] == "table" and toks[j + 1] == "hash"
+            )
+            expected[i] = (n, first)
+    rows = [(i, " ".join(toks) if toks else "x", "en", "s0", 1) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_matches"], r["first_pos"])
+            for r in query_map()["phrase_search"](spark, d).collect()
+        }
+    assert got == expected
