@@ -770,3 +770,104 @@ def test_phrase_search_matches_bruteforce(spark, docs):
             for r in query_map()["phrase_search"](spark, d).collect()
         }
     assert got == expected
+
+
+cdc_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),     # user key
+        st.integers(min_value=0, max_value=15),    # ts hour
+        st.sampled_from(["signup", "error", "click"]),  # I / D / U
+        st.integers(min_value=0, max_value=50),    # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=cdc_ops)
+def test_cdc_compact_matches_dict_model(spark, ops):
+    """cdc_compact over arbitrary changelogs == replaying the log into a
+    dict (insert/update set, delete del) in (ts, event_id) order."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from s3_to_redshift_with_airflow_spark.plans import query_map
+
+    rows = [
+        (f"e{i:04d}", datetime(2024, 1, 1, h), k, op, float(v))
+        for i, (k, h, op, v) in enumerate(ops)
+    ]
+    state: dict[int, float] = {}
+    n_ops: dict[int, int] = {}
+    for eid, ts, k, op, v in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        n_ops[k] = n_ops.get(k, 0) + 1
+        if op == "error":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    df = spark.createDataFrame(
+        rows,
+        "event_id string, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["user_id"]: (r["state_value"], r["n_ops"])
+            for r in query_map()["cdc_compact"](spark, d).collect()
+        }
+    assert got == {k: (v, n_ops[k]) for k, v in state.items()}
+
+
+ent_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=20), min_size=1, max_size=6
+)
+
+
+def _lg_fp(x: int, scale: int = 65536) -> int:
+    m = x.bit_length() - 1
+    p = 1 << m
+    return m * scale + ((x - p) * scale) // p
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=ent_texts)
+def test_char_entropy_matches_python_fixed_point(spark, texts):
+    """char_entropy over arbitrary strings == the Python reference of the
+    same fixed-point formula (normalize, count chars, N·H div N)."""
+    import os
+    import re
+    import tempfile
+    from collections import Counter
+
+    from s3_to_redshift_with_airflow_spark.plans import query_map
+
+    expected = {}
+    for i, t in enumerate(texts):
+        norm = re.sub(r"\s+", " ", t.lower().strip())
+        if not norm:
+            continue
+        cnt = Counter(norm)
+        n = sum(cnt.values())
+        s = sum(c * (_lg_fp(n) - _lg_fp(c)) for c in cnt.values())
+        expected[i] = (n, len(cnt), s // n)
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_chars_used"], r["n_alphabet"], r["entropy_fp"])
+            for r in query_map()["char_entropy_filter"](spark, d).collect()
+        }
+    assert got == expected
