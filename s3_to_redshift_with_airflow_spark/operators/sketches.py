@@ -176,3 +176,42 @@ def bloom_semijoin_stats(
             " else false_pos * 10000 div (n_probe - exact_hits) end"
         ).alias("fp_rate_bp"),
     )
+
+
+def bloom_semijoin(
+    probe: DataFrame,
+    probe_key: str,
+    keys: DataFrame,
+    key_col: str = "k",
+    n_bits: int = 16384,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """The PRODUCTION shape of the Bloom prefilter: return the probe rows
+    that are true members, with the bitmap test running map-side BEFORE
+    the verify join so only bloom_pass rows (the members plus the bounded
+    false-positive tail) ever reach the join. Row-for-row identical to a
+    plain left-semi join — Bloom filters have no false negatives and the
+    verify join removes the false positives — which the unit test pins;
+    at 100 TB the difference is that the join input shrank by the filter's
+    rejection rate without shuffling the probe side."""
+    bm = bloom_bitmap(keys, key_col, n_bits, k_hashes)
+
+    def _bit_ok(j: int) -> F.Column:
+        p = _bloom_pos(F.col(probe_key), j, n_bits)
+        word = F.element_at(F.col("arr"), (p.cast("int") / 32).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (p % 32).cast("int")
+        )
+        return word.bitwiseAND(mask) != 0
+
+    ok = _bit_ok(0)
+    for j in range(1, k_hashes):
+        ok = ok & _bit_ok(j)
+    prefiltered = (
+        probe.crossJoin(F.broadcast(bm)).filter(ok).drop("arr")
+    )
+    return prefiltered.join(
+        F.broadcast(keys.select(F.col(key_col))),
+        prefiltered[probe_key] == F.col(key_col),
+        "left_semi",
+    )

@@ -620,3 +620,27 @@ def test_robust_outliers_survive_contamination_where_zscore_masks(spark):
     # contaminated mean/std flags nothing in the bulk AND nothing planted
     mu, sd = statistics.mean(vals), statistics.stdev(vals)
     assert all(abs(v - mu) <= 3 * sd for v in vals)
+
+
+def test_bloom_semijoin_rows_equal_plain_semi_join(spark):
+    """bloom_semijoin (prefilter + verify) is row-for-row identical to the
+    plain left-semi join it accelerates — no false negatives survive the
+    bitmap and no false positives survive the verify."""
+    from s3_to_redshift_with_airflow_spark.operators.sketches import bloom_semijoin
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    keys = (
+        spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .filter("o_orderpriority = '1-URGENT'")
+        .selectExpr("o_orderkey as k")
+        .distinct()
+    )
+    got = bloom_semijoin(li, "l_orderkey", keys, n_bits=2048).orderBy(
+        "l_orderkey", "l_partkey"
+    )
+    want = li.join(
+        keys, li["l_orderkey"] == keys["k"], "left_semi"
+    ).orderBy("l_orderkey", "l_partkey")
+    assert got.collect() == want.collect()
