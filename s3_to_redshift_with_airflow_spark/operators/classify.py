@@ -94,7 +94,6 @@ def train_hashed_weights(
     n_buckets: int = 4096,
     seed: int = 7,
     scale: int = 65536,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Train the hashed linear model: one-pass per-class token counts →

@@ -27,6 +27,8 @@ results are reproducible (approximate only in recall, never in precision).
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import fingerprint, token_shingles
@@ -635,6 +637,7 @@ def containment_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT pairwise n-gram Jaccard CONTAINMENT C(A,B) = |A∩B| / |A|,
     ordered pairs above threshold — the asymmetric complement of
@@ -660,24 +663,58 @@ def containment_pairs(
     Both directions of a mutual near-dup pair emit (the relation is not
     symmetric); downstream dedup keeps the larger container via a
     (n_a, id) argmax, same survivor discipline as dedup_survivor.
+
+    Threshold arithmetic is EXACT-INTEGER end to end (ADVICE r5): the
+    float threshold is canonicalized to a rational t_num/t_den
+    (Fraction(threshold).limit_denominator(10**6) — exact for every
+    "round" threshold like 0.8 → 4/5), the prefix length uses the exact
+    integer ceil ceil(t·n) = (t_num·n + t_den - 1) div t_den, and the
+    FINAL filter is the same integer predicate inter·t_den ≥ t_num·n_a —
+    so the candidate pruning and the acceptance test can never disagree
+    at a rounding boundary, for ANY caller threshold, and the output
+    equals the brute-force rational definition. (The emitted
+    `containment` column stays a double for readability; only the
+    predicate is integer.)
+
+    max_df (default None = exact): stop-shingle cap for the one side the
+    prefix filter cannot prune. Containment puts no constraint on |B|,
+    so B's FULL posting lists join against A-prefixes — on a corpus with
+    boilerplate hot shingles those lists dominate the candidate count.
+    With max_df set, shingles whose document frequency exceeds it are
+    dropped from the candidate-generation join (BOTH sides — A-prefix
+    rows on a dropped shingle can't match anyway). RECALL CONSEQUENCE:
+    a pair whose every prefix-witness shingle is hot is missed; pairs
+    found are still verified exactly (no false positives, ever). Use
+    when the df histogram shows a boilerplate head; leave None for the
+    exact result.
     """
+    t = Fraction(threshold).limit_denominator(1_000_000)
+    t_num, t_den = t.numerator, t.denominator
     sh = _persist_shingled(_shingled(df, id_col, text_col, n))
     posts = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     freq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("shingle").asc())
     sized = posts.join(freq, "shingle").withColumn("rnk", F.row_number().over(w))
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    # exact integer ceil(t*n) = (t_num*n + t_den - 1) div t_den
     prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+        F.col("n_sh")
+        - F.expr(f"({t_num}L * n_sh + {t_den - 1}L) div {t_den}L")
+        + F.lit(1)
     )
     prefixes = (
         sized.join(sizes, id_col)
         .filter(F.col("rnk") <= prefix_len)
         .select(id_col, "shingle")
     )
+    join_posts = posts
+    if max_df is not None:
+        keep = freq.filter(F.col("df") <= max_df).select("shingle")
+        join_posts = posts.join(keep, "shingle", "left_semi")
+        prefixes = prefixes.join(keep, "shingle", "left_semi")
     cands = (
         prefixes.alias("a")
-        .join(posts.alias("b"), "shingle")
+        .join(join_posts.alias("b"), "shingle")
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
@@ -687,6 +724,7 @@ def containment_pairs(
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    n_a = F.size("sh_a").cast("bigint")
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -694,10 +732,8 @@ def containment_pairs(
             "id_a",
             "id_b",
             inter.alias("inter"),
-            F.size("sh_a").cast("bigint").alias("n_a"),
-            (inter.cast("double") / F.size("sh_a").cast("double")).alias(
-                "containment"
-            ),
+            n_a.alias("n_a"),
+            (inter.cast("double") / n_a.cast("double")).alias("containment"),
         )
-        .filter(F.col("containment") >= threshold)
+        .filter(F.col("inter") * F.lit(t_den) >= F.lit(t_num) * F.col("n_a"))
     )

@@ -283,6 +283,15 @@ def pagerank_scaled(
     rank = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
     for it in range(n_iter):
         if redistribute_dangling:
+            # Materialize the ranks BEFORE the per-iteration 1-row driver
+            # aggregate: the collect executes the full rank lineage anyway,
+            # so snapshotting it here is free compute-wise, and without it
+            # the collect at iteration t replays iterations 1..t-1 from
+            # scratch — O(n_iter²) stage replays (ADVICE r5). The same
+            # snapshot then feeds the contribution join, so each iteration
+            # runs exactly once in both checkpoint modes.
+            if it > 0:
+                rank = store.ckpt(rank, "rank")
             row = (
                 rank.join(dangling, "node", "left_semi")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("s"))

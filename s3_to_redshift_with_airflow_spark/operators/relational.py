@@ -248,16 +248,23 @@ def diff_tables(
 
 def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Order-independent table fingerprint for migration/load validation:
-    (n_rows, checksum) where checksum = bit_xor over rows of a 60-bit
-    md5 of the '|'-joined column values (NULL encoded as a sentinel).
-    XOR is commutative/associative, so the digest is identical on any
+    (n_rows, checksum, checksum_sum) where checksum = bit_xor over rows
+    of a 60-bit md5 of the '|'-joined column values (NULL encoded as a
+    sentinel) and checksum_sum = the SUM of the same hashes mod 2^60
+    (decimal-exact partials, so no overflow at any row count). Both folds
+    are commutative/associative, so the digest is identical on any
     engine, partitioning, or row order — compare source and target
     checksums after a copy instead of shipping the rows back. One
     map-side-combined aggregate, no shuffle beyond the 1-row combine.
 
-    Collision note: 60-bit xor digests collide only adversarially, not
-    by chance at any realistic table size; this is a drift tripwire, not
-    a cryptographic proof."""
+    Why TWO folds (ADVICE r5): XOR alone is blind to any row whose
+    multiplicity changes by an EVEN amount (A⊕A = 0 — two extra copies of
+    a row cancel, and swapping a duplicated pair of As for a duplicated
+    pair of Bs preserves both n_rows and the xor) — a realistic ETL
+    dup-row drift class. The wrapping-sum fold is multiplicity-sensitive
+    (k copies contribute k·h mod 2^60), so even-multiplicity drift moves
+    checksum_sum even when the xor is unchanged. Together with n_rows,
+    collisions require adversarial construction, not realistic drift."""
     cols = cols or df.columns
     row_repr = F.concat_ws(
         "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
@@ -266,4 +273,7 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.bit_xor(row_hash).cast("bigint").alias("checksum"),
+        (F.sum(row_hash.cast("decimal(38,0)")) % F.lit(2**60))
+        .cast("bigint")
+        .alias("checksum_sum"),
     )

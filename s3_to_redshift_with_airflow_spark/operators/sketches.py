@@ -72,7 +72,17 @@ def bloom_bitmap(keys: DataFrame, key_col: str, n_bits: int, k_hashes: int) -> D
     array of n_bits/32 non-negative bigints (32-bit words, so shifts never
     touch the sign bit). Build cost: one groupBy(word) over a k-exploded
     key scan — at most n_bits/32 groups, map-side combined — then a dense
-    densify against a range frame and a single collect_list row."""
+    densify against a range frame and a single collect_list row.
+
+    n_bits must be a positive multiple of 32: the packed word array has
+    exactly n_bits/32 entries, so a ragged last word would silently drop
+    bit positions >= 32*(n_bits//32) from the build side while probes
+    still index past the array end — ANSI error at best, silent false
+    negatives at worst (ADVICE r5)."""
+    if n_bits <= 0 or n_bits % 32 != 0:
+        raise ValueError(f"n_bits must be a positive multiple of 32, got {n_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
     n_words = n_bits // 32
     spark = keys.sparkSession
     pos = keys.select(

@@ -289,3 +289,41 @@ def test_containment_catches_subset_jaccard_misses(spark):
     }
     assert both == {(1, 2), (2, 1)}
     release_shingle_cache()
+
+
+def test_containment_integer_threshold_boundary_and_max_df(spark):
+    """ADVICE r5: the prefix length must use exact integer ceil. A has 10
+    shingles, exactly 7 shared with B → C(A,B) = 7/10 at threshold 0.7.
+    Under double arithmetic ceil(0.7·10) = ceil(7.000000000000001) = 8
+    shortens the prefix to 3 — exactly A's three unshared (df=1, hence
+    prefix-first) shingles — so the boundary pair was pruned before
+    verification. The exact-integer prefix (ceil(7·n/10) via div) keeps
+    the 4th witness slot and the pair emits. Also pins the max_df knob:
+    capping df at 1 drops the shared (df=2) shingles from candidate
+    generation, so the pair is missed (the documented recall trade) while
+    nothing unverified ever emits."""
+    from s3_to_redshift_with_airflow_spark.operators.dedup import (
+        containment_pairs,
+        release_shingle_cache,
+    )
+
+    a_toks = [f"a{i}" for i in range(1, 13)]  # a1..a12 -> 10 shingles
+    b_toks = [f"b{i}" for i in range(30)] + a_toks[3:]  # shares a4..a12 -> 7
+    rows = [(1, " ".join(a_toks)), (2, " ".join(b_toks))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["n_a"])
+        for r in containment_pairs(df, threshold=0.7).collect()
+    }
+    assert got == {(1, 2): (7, 10)}  # the exact-boundary pair survives
+    # max_df=1 drops the df=2 shared shingles from candidate generation:
+    # the pair is missed (documented recall consequence), never wrong.
+    capped = containment_pairs(df, threshold=0.7, max_df=1).collect()
+    assert capped == []
+    # a generous cap changes nothing
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(df, threshold=0.7, max_df=10_000).collect()
+    }
+    assert loose == {(1, 2)}
+    release_shingle_cache()

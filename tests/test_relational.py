@@ -124,10 +124,17 @@ def test_table_checksum_is_order_invariant_and_detects_drift(spark):
         3,
         base["checksum"],
     )
+    assert base["checksum_sum"] == shuffled["checksum_sum"]
     drifted = table_checksum(
         df.withColumn("s", F.coalesce("s", F.lit("X")))
     ).collect()[0]
     assert drifted["checksum"] != base["checksum"]  # NULL vs 'X' must differ
+    # Even-multiplicity drift: two extra copies of a row cancel in the XOR
+    # fold (A xor A = 0) but move the multiplicity-sensitive sum fold.
+    dup2 = table_checksum(df.unionAll(df.limit(1)).unionAll(df.limit(1))).collect()[0]
+    assert dup2["checksum"] == base["checksum"]  # xor is blind to it...
+    assert dup2["checksum_sum"] != base["checksum_sum"]  # ...the sum is not
+    assert dup2["n_rows"] == 5
 
 
 def test_cdc_compact_delete_exit_and_resurrection(spark):

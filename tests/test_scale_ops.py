@@ -644,3 +644,23 @@ def test_bloom_semijoin_rows_equal_plain_semi_join(spark):
         keys, li["l_orderkey"] == keys["k"], "left_semi"
     ).orderBy("l_orderkey", "l_partkey")
     assert got.collect() == want.collect()
+
+
+def test_bloom_bitmap_rejects_ragged_sizes(spark):
+    """ADVICE r5: n_bits not a multiple of 32 would silently drop bit
+    positions in the last partial word while probes index past the array
+    end — the builder must refuse instead."""
+    from s3_to_redshift_with_airflow_spark.operators.sketches import bloom_bitmap
+
+    keys = spark.createDataFrame([(1,), (2,)], "k long")
+    for bad_bits in (0, -32, 100, 31, 16383):
+        try:
+            bloom_bitmap(keys, "k", n_bits=bad_bits, k_hashes=3)
+            raise AssertionError(f"accepted n_bits={bad_bits}")
+        except ValueError:
+            pass
+    try:
+        bloom_bitmap(keys, "k", n_bits=64, k_hashes=0)
+        raise AssertionError("accepted k_hashes=0")
+    except ValueError:
+        pass
