@@ -109,6 +109,15 @@ HEADLINE = [
     "char_entropy_filter",
     "bloom_prefilter_join",
     "phrase_search",
+    # round-6 families: the production Bloom semi-join (map-side bitmap
+    # rejection before a broadcast verify join), the IVFADC + exact-refine
+    # composition (coarse routing × PQ codes × top-R cosine re-rank), and
+    # the stored-index search path (parquet-read codes/codebook — the
+    # amortized production cost ivf_int8_ann_topk's per-run rebuild
+    # over-states)
+    "bloom_semijoin",
+    "ivf_pq_ann_topk",
+    "pq_index_search",
 ]
 
 

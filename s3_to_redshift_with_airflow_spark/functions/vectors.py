@@ -92,6 +92,30 @@ def quantize_int8(v: Column) -> Column:
     )
 
 
+def quantize_int8_fixed(v: Column, q: float = 127.0) -> Column:
+    """FIXED-scale symmetric int8 quantization for unit-normalized vectors:
+    code_i = clamp(floor(x_i·q + 0.5), -127, 127), ONE global scale for the
+    whole corpus (vs quantize_int8's per-vector 127/max|x|).
+
+    Why it exists: distances BETWEEN code vectors only track distances
+    between the raw vectors when every vector is quantized by the SAME
+    scale — per-vector scales rescale each vector differently (a unit
+    vector's max|x| spans ~0.13..1.0, a 7× spread), which destroys the
+    inter-vector L2 metric that ADC ranking (pq_topk / ivf_pq_topk)
+    depends on. Per-vector scaling remains right for kmeans_int8-style
+    WITHIN-computation uses and maximizes per-vector precision; this one
+    is for cross-vector distance indexes over l2_normalize'd embeddings
+    (|x_i| ≤ 1, so the clamp only ever trims the exact-±1 rounding edge).
+    Same engine-exact half-up floor discipline as quantize_int8."""
+    return F.transform(
+        as_double(v),
+        lambda x: F.least(
+            F.greatest(F.floor(x * F.lit(q) + F.lit(0.5)), F.lit(-127)),
+            F.lit(127),
+        ),
+    )
+
+
 def int_dot(a: Column, b: Column) -> Column:
     """Exact integer dot product of two quantized vectors (bigint fold)."""
     return F.aggregate(

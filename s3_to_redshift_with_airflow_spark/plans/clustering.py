@@ -201,13 +201,18 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_NPROBE, _IVF_TOPK = 4, 10
 
 
-def _ivf_sql(k: int = _K, n_iter: int = _N_ITER, dim: int = _DIM) -> str:
+def _ivf_probe_ctes(
+    n_iter: int = _N_ITER, dim: int = _DIM, n_probe: int = _IVF_NPROBE
+) -> str:
+    """Coarse-quantizer probe selection as CTEs (assumes _kmeans_ctes' q/e
+    and final assignment a{n_iter} are in scope): recompute the final
+    centroids, rank them per anchor query by the exact d² used in
+    assignment, keep n_probe per query. Emits ivf_probe(query_id, cid).
+    Shared by the IVF-Flat oracle and the IVF-PQ composition."""
     elem_sums = ", ".join(f"SUM(qv[{i + 1}])" for i in range(dim))
     a = f"a{n_iter}"
-    return (
-        _kmeans_ctes(k, n_iter, dim)
-        + f"""
-    , ivf_c_raw AS (
+    return f"""
+    ivf_c_raw AS (
       SELECT cid, [{elem_sums}]::BIGINT[] AS s,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM {a} JOIN q USING (vec_id) GROUP BY cid
@@ -239,9 +244,18 @@ def _ivf_sql(k: int = _K, n_iter: int = _N_ITER, dim: int = _DIM) -> str:
       SELECT query_id, cid FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY d2 ASC, cid ASC) AS prk
-        FROM ivf_ps) WHERE prk <= {_IVF_NPROBE}
-    ),
-    ivf_cand AS (
+        FROM ivf_ps) WHERE prk <= {n_probe}
+    )"""
+
+
+def _ivf_sql(k: int = _K, n_iter: int = _N_ITER, dim: int = _DIM) -> str:
+    a = f"a{n_iter}"
+    return (
+        _kmeans_ctes(k, n_iter, dim)
+        + ", "
+        + _ivf_probe_ctes(n_iter, dim)
+        + f"""
+    , ivf_cand AS (
       SELECT p.query_id, {a}.vec_id
       FROM ivf_probe p JOIN {a} ON {a}.cid = p.cid
       WHERE {a}.vec_id <> p.query_id
@@ -298,6 +312,94 @@ def q_ivf_int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_ITER, _PQ_SUB, _PQ_TOPK = 8, 16, 2, 8, 10
 
 
+# Fixed-scale quantization CTE for the PQ family (Spark twin:
+# functions/vectors.quantize_int8_fixed): ONE global scale so inter-vector
+# L2 on the codes tracks raw L2 — what ADC ranking needs; assumes the `e`
+# CTE (raw double vectors) is in scope.
+_SQL_QF_CTE = """
+    qf AS (
+      SELECT vec_id,
+             list_transform(
+               v, x -> least(greatest(CAST(floor(x * 127.0 + 0.5) AS BIGINT),
+                                      -127), 127)) AS qv
+      FROM e
+    )"""
+
+
+def _pq_train_ctes(
+    px: str = "",
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    n_iter: int = _PQ_ITER,
+    sub: int = _PQ_SUB,
+    src: str = "qf",
+) -> str:
+    """PQ training replay as CTEs (assumes the `{src}` quantization CTE —
+    qf, the fixed-scale variant — is in scope): one subspace-exploded
+    Lloyd recursion — subspaces are rows keyed by m, so the unroll depth
+    is n_iter, not n_iter × m. Emits {px}subx (the subvector table,
+    queries included), the final code assignment {px}a{n_iter}, and the
+    codebook {px}cb. The `px` prefix keeps names collision-free when
+    composed with the coarse-quantizer CTEs (ivf_pq_ann_topk), which use
+    the unprefixed c*/a* family."""
+    elem_sums = ", ".join(f"SUM(sv[{i + 1}])" for i in range(sub))
+    parts = [
+        f"""
+    {px}subx AS (
+      SELECT vec_id, CAST(range AS BIGINT) AS m,
+             list_slice(qv, range * {sub} + 1, range * {sub} + {sub}) AS sv,
+             CAST(list_sum(list_transform(
+               list_slice(qv, range * {sub} + 1, range * {sub} + {sub}),
+               x -> x * x)) AS BIGINT) AS sxx
+      FROM {src}, range({m})
+    ),
+    {px}seed AS (
+      SELECT vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS BIGINT) - 1
+               AS cid
+      FROM (SELECT vec_id FROM {src} ORDER BY vec_id ASC LIMIT {k})
+    ),
+    {px}c0 AS (
+      SELECT sx.m, {px}seed.cid, sx.sv AS s, CAST(1 AS BIGINT) AS n
+      FROM {px}subx sx JOIN {px}seed USING (vec_id)
+    )""",
+    ]
+    for it in range(n_iter):
+        parts.append(f"""
+    {px}sc{it + 1} AS (
+      SELECT sx.vec_id, sx.m, c.cid, c.n,
+             c.n * c.n * sx.sxx
+               - 2 * c.n * CAST(list_sum(list_transform(
+                   list_zip(sx.sv, c.s), p -> p[1] * p[2])) AS BIGINT)
+               + CAST(list_sum(list_transform(c.s, x -> x * x)) AS BIGINT)
+               AS score
+      FROM {px}subx sx JOIN {px}c{it} c ON c.m = sx.m
+    ),
+    {px}a{it + 1} AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, m
+          ORDER BY CAST(score AS DOUBLE) / CAST(n * n AS DOUBLE) ASC,
+                   cid ASC) AS rk
+        FROM {px}sc{it + 1})
+      WHERE rk = 1
+    )""")
+        if it < n_iter - 1:
+            parts.append(f"""
+    {px}c{it + 1} AS (
+      SELECT a.m, a.cid, [{elem_sums}]::BIGINT[] AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM {px}a{it + 1} a JOIN {px}subx USING (vec_id, m) GROUP BY a.m, a.cid
+    )""")
+    parts.append(f"""
+    {px}cb AS (
+      SELECT m, cid, s, n,
+             CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS ss
+      FROM {px}c{n_iter - 1}
+    )""")
+    return ",".join(parts)
+
+
 def _pq_sql(
     m: int = _PQ_M,
     k: int = _PQ_K,
@@ -305,70 +407,19 @@ def _pq_sql(
     sub: int = _PQ_SUB,
     topk: int = _PQ_TOPK,
 ) -> str:
-    """PQ replay: one subspace-exploded Lloyd recursion (subspaces are rows
-    keyed by m, so the unroll depth is n_iter, not n_iter × m), then ADC
-    with a STRICT m-ordered fold (list(d2 ORDER BY m) + list_reduce) —
-    the same accumulation order as the Spark plan's sort_array +
-    aggregate, so the summed doubles match bit-for-bit."""
-    elem_sums = ", ".join(f"SUM(sv[{i + 1}])" for i in range(sub))
-    parts = [
-        _SQL_QK,
-        f"""
-    subx AS (
-      SELECT vec_id, CAST(range AS BIGINT) AS m,
-             list_slice(qv, range * {sub} + 1, range * {sub} + {sub}) AS sv,
-             CAST(list_sum(list_transform(
-               list_slice(qv, range * {sub} + 1, range * {sub} + {sub}),
-               x -> x * x)) AS BIGINT) AS sxx
-      FROM q, range({m})
-    ),
-    seed AS (
-      SELECT vec_id,
-             CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS BIGINT) - 1
-               AS cid
-      FROM (SELECT vec_id FROM q ORDER BY vec_id ASC LIMIT {k})
-    ),
-    c0 AS (
-      SELECT sx.m, seed.cid, sx.sv AS s, CAST(1 AS BIGINT) AS n
-      FROM subx sx JOIN seed USING (vec_id)
-    )""",
-    ]
-    for it in range(n_iter):
-        parts.append(f"""
-    sc{it + 1} AS (
-      SELECT sx.vec_id, sx.m, c.cid, c.n,
-             c.n * c.n * sx.sxx
-               - 2 * c.n * CAST(list_sum(list_transform(
-                   list_zip(sx.sv, c.s), p -> p[1] * p[2])) AS BIGINT)
-               + CAST(list_sum(list_transform(c.s, x -> x * x)) AS BIGINT)
-               AS score
-      FROM subx sx JOIN c{it} c ON c.m = sx.m
-    ),
-    a{it + 1} AS (
-      SELECT vec_id, m, cid FROM (
-        SELECT *, ROW_NUMBER() OVER (
-          PARTITION BY vec_id, m
-          ORDER BY CAST(score AS DOUBLE) / CAST(n * n AS DOUBLE) ASC,
-                   cid ASC) AS rk
-        FROM sc{it + 1})
-      WHERE rk = 1
-    )""")
-        if it < n_iter - 1:
-            parts.append(f"""
-    c{it + 1} AS (
-      SELECT a.m, a.cid, [{elem_sums}]::BIGINT[] AS s,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM a{it + 1} a JOIN subx USING (vec_id, m) GROUP BY a.m, a.cid
-    )""")
-    parts.append(f"""
-    qsub AS (
+    """PQ replay: training CTEs (above), then ADC with a STRICT m-ordered
+    fold (list(d2 ORDER BY m) + list_reduce) — the same accumulation order
+    as the Spark plan's sort_array + aggregate, so the summed doubles
+    match bit-for-bit."""
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        + _SQL_QF_CTE
+        + ","
+        + _pq_train_ctes("", m, k, n_iter, sub)
+        + f"""
+    , qsub AS (
       SELECT vec_id AS query_id, m, sv AS qv_m, sxx AS qxx_m
       FROM subx WHERE vec_id < 5
-    ),
-    cb AS (
-      SELECT m, cid, s, n,
-             CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS ss
-      FROM c{n_iter - 1}
     ),
     dparts AS (
       SELECT qs.query_id, a.vec_id, a.m,
@@ -385,10 +436,7 @@ def _pq_sql(
              list_reduce(list_prepend(0.0, list(d2 ORDER BY m)),
                          (acc, x) -> acc + x) AS adc_d2
       FROM dparts GROUP BY query_id, vec_id
-    )""")
-    return (
-        ",".join(parts)
-        + f"""
+    )
     SELECT query_id, vec_id, adc_d2, rk FROM (
       SELECT *, CAST(ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY adc_d2 ASC, vec_id ASC) AS BIGINT)
@@ -424,6 +472,216 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id"),
         F.col("adc_d2"),
         F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
+# --- IVF-PQ composition (IVFADC + refine) -------------------------------------
+
+# Tuned on the driver testdata for ≥0.9 recall@10 (measured 0.96, surfaced
+# in ann_recall_report): probe 12/32 coarse lists (routing recall 0.98
+# alone), 16 subspaces of 4 dims (8 bytes/vector), exact-cosine refine of
+# the ADC top-100. The corpus is near-random unit vectors — the hardest
+# case for ANN (top-10 margins are thinner than any practical PQ cell) —
+# which is exactly why the refine stage is part of the composition.
+_IPQ_NPROBE, _IPQ_M, _IPQ_SUB, _IPQ_REFINE = 12, 16, 4, 100
+
+
+def _ivfpq_sql(topk: int = _PQ_TOPK) -> str:
+    """IVFADC + refine replay: the coarse k-means CTEs route each anchor
+    query to its n_probe nearest inverted lists (ivf_probe, shared with
+    the IVF-Flat oracle), the p-prefixed PQ training CTEs produce codes
+    and codebook, ONLY the probed lists' codes are ADC-scored (the query
+    join carries query_id so each candidate pair folds its own m partial
+    distances, in STRICT m order as always), and the ADC top-R rows are
+    re-ranked by the exact raw-vector cosine (zero-norm candidates
+    dropped — no defined cosine, mirroring the Spark side)."""
+    a = f"a{_N_ITER}"
+    pa = f"pa{_PQ_ITER}"
+    return (
+        _kmeans_ctes()
+        + ", "
+        + _ivf_probe_ctes(n_probe=_IPQ_NPROBE)
+        + ","
+        + _SQL_QF_CTE
+        + ","
+        + _pq_train_ctes("p", m=_IPQ_M, sub=_IPQ_SUB)
+        + f"""
+    , pqsub AS (
+      SELECT vec_id AS query_id, m, sv AS qv_m, sxx AS qxx_m
+      FROM psubx WHERE vec_id < 5
+    ),
+    ipq_cand AS (
+      SELECT p.query_id, {a}.vec_id
+      FROM ivf_probe p JOIN {a} ON {a}.cid = p.cid
+      WHERE {a}.vec_id <> p.query_id
+    ),
+    ipq_dparts AS (
+      SELECT c.query_id, c.vec_id, a.m,
+             CAST(cb.n * cb.n * qs.qxx_m
+                  - 2 * cb.n * CAST(list_sum(list_transform(
+                      list_zip(qs.qv_m, cb.s), p -> p[1] * p[2])) AS BIGINT)
+                  + cb.ss AS DOUBLE) / CAST(cb.n * cb.n AS DOUBLE) AS d2
+      FROM ipq_cand c
+      JOIN {pa} a ON a.vec_id = c.vec_id
+      JOIN pcb cb ON cb.m = a.m AND cb.cid = a.cid
+      JOIN pqsub qs ON qs.m = a.m AND qs.query_id = c.query_id
+    ),
+    ipq_adc AS (
+      SELECT query_id, vec_id,
+             list_reduce(list_prepend(0.0, list(d2 ORDER BY m)),
+                         (acc, x) -> acc + x) AS adc_d2
+      FROM ipq_dparts GROUP BY query_id, vec_id
+    ),
+    ipq_top AS (
+      SELECT query_id, vec_id, adc_d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc_d2 ASC, vec_id ASC) AS ark
+        FROM ipq_adc) WHERE ark <= {_IPQ_REFINE}
+    ),
+    ipq_rr AS (
+      SELECT t.query_id, t.vec_id, t.adc_d2,
+             list_sum(list_transform(list_zip(cv.v, qv2.v), x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(cv.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv2.v, x -> x * x))))
+               AS cos_sim
+      FROM ipq_top t
+      JOIN e cv ON cv.vec_id = t.vec_id
+      JOIN e qv2 ON qv2.vec_id = t.query_id
+      WHERE sqrt(list_sum(list_transform(cv.v, x -> x * x))) > 0
+    )
+    SELECT query_id, vec_id, adc_d2, cos_sim, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT)
+        AS rk
+      FROM ipq_rr) WHERE rk <= {topk}
+    """
+    )
+
+
+@query("ivf_pq_ann_topk", oracle=_ivfpq_sql())
+def q_ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN with exact refine (operators/clustering.ivf_pq_topk —
+    Jégou et al.'s IVFADC + faiss's IndexRefineFlat stage, VERDICT r5
+    next-round #3): the int8 k-means coarse quantizer (32 lists, 12
+    probes) routes each query so the PQ ADC scan touches only the probed
+    lists' compressed codes (16 subspaces × 4 dims = 8 bytes/vector), and
+    the ADC top-100 get one exact-cosine pass over raw vectors — recall
+    0.96 vs brute force on this corpus (surfaced in ann_recall_report;
+    raw ADC alone measures 0.34 here because the testdata is near-random
+    unit vectors, the worst case for PQ cells vs top-10 margins). Codes
+    encode the RAW vectors (faiss by_residual=false — residuals would
+    break integer exactness), so the whole composition — coarse lists,
+    probe choice, codebooks, codes, strictly-folded ADC doubles AND the
+    refine cosine — carries an exact DuckDB value oracle. Search never
+    shuffles the corpus: probes, codebook and query subvectors all
+    broadcast; the refine reads |queries|·100 raw vectors by id."""
+    from ..operators.clustering import ivf_pq_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    out = ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=_PQ_TOPK,
+        n_probe=_IPQ_NPROBE,
+        km_k=_K,
+        km_iter=_N_ITER,
+        m_subspaces=_IPQ_M,
+        k_centroids=_PQ_K,
+        pq_iter=_PQ_ITER,
+        dim=_DIM,
+        refine=_IPQ_REFINE,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        "adc_d2",
+        "cos_sim",
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
+# --- persisted PQ index: build / search split ---------------------------------
+
+_SQL_PQ_CODES = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+    + _SQL_QF_CTE
+    + ","
+    + _pq_train_ctes("")
+    + f"""
+    SELECT vec_id, m, cid AS code FROM a{_PQ_ITER}
+    """
+)
+
+
+@query("pq_index_build", oracle=_SQL_PQ_CODES)
+def q_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ index BUILD stage in isolation
+    (operators/clustering.pq_index_build — VERDICT r5 next-round #4):
+    returns the code table (vec_id, m, code) — m_subspaces codebook ids
+    per vector, the 4-bytes-per-vector artifact a production deployment
+    writes to parquet ONCE and serves every query batch from (see
+    pq_index_search for the read-back path, and
+    tests/test_clustering.py's delete-the-raw-embeddings test for the
+    proof the raw corpus is never re-scanned). Training is the
+    deterministic subspace-exploded Lloyd recursion, so the stored codes
+    themselves carry an exact value oracle — an index you can DIFF across
+    engines."""
+    from ..operators.clustering import pq_index_build
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    codes, _ = pq_index_build(
+        emb,
+        m_subspaces=_PQ_M,
+        k_centroids=_PQ_K,
+        n_iter=_PQ_ITER,
+        dim=_DIM,
+    )
+    return codes
+
+
+@query("pq_index_search", oracle=_pq_sql())
+def q_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ index SEARCH stage serving from STORAGE
+    (operators/clustering.pq_index_search): build the index, write the
+    code and codebook tables to parquet, then answer the anchor queries by
+    READING the stored tables — never touching the raw embeddings on the
+    search path. Training is deterministic and both tables are
+    parquet-safe bigints/bigint-arrays, so the round-trip is bit-identical
+    to the live composition: the oracle is pq_ann_topk's SQL verbatim.
+    This is the production cost model the bench's per-run rebuild
+    (ivf_int8_ann_topk 6.5 s at sf0.1) deliberately over-states — at
+    100 TB the build amortizes across every query batch while search pays
+    only the KB-scale codebook broadcast and the code-table scan."""
+    from ..operators.clustering import pq_index_build, pq_index_search
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    codes, codebook = pq_index_build(
+        emb,
+        m_subspaces=_PQ_M,
+        k_centroids=_PQ_K,
+        n_iter=_PQ_ITER,
+        dim=_DIM,
+    )
+    # In-repo scratch (spark-warehouse/ is gitignored); content is a pure
+    # function of the corpus, so overwrite is idempotent.
+    from pathlib import Path
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = str(
+        Path(__file__).resolve().parents[2] / "spark-warehouse" / f"pq_index_{tag}"
+    )
+    codes.write.mode("overwrite").parquet(f"{base}/codes")
+    codebook.write.mode("overwrite").parquet(f"{base}/codebook")
+    out = pq_index_search(
+        spark.read.parquet(f"{base}/codes"),
+        spark.read.parquet(f"{base}/codebook"),
+        emb.filter(F.col("vec_id") < 5),
+        k=_PQ_TOPK,
+        m_subspaces=_PQ_M,
+        dim=_DIM,
+    )
+    return out.select(
+        "query_id", "vec_id", "adc_d2", F.col("rk").cast("bigint").alias("rk")
     )
 
 

@@ -259,7 +259,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: four top-k subplans (each the sanctioned broadcast-query shape),
     one left join + 1-row aggregate per method, union — negligible cost
     beyond the retrievers themselves."""
-    from ..operators.clustering import ivf_int8_topk
+    from ..operators.clustering import ivf_int8_topk, ivf_pq_topk
     from ..operators.similarity import brute_force_topk, hyperplane_lsh_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -271,6 +271,9 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("query_id", "vec_id"),
         "ivf_int8_ann_topk": ivf_int8_topk(
             emb, qs, k=10, n_probe=4, km_k=32
+        ).select("query_id", "vec_id"),
+        "ivf_pq_ann_topk": ivf_pq_topk(
+            emb, qs, k=10, n_probe=12, km_k=32, m_subspaces=16, refine=100
         ).select("query_id", "vec_id"),
         "lsh_ann_topk": hyperplane_lsh_topk(emb, qs, k=10).select(
             "query_id", "vec_id"

@@ -280,3 +280,89 @@ def test_pca_project_rejects_bad_k(spark, emb):
         pca_project(emb, k=0)
     with pytest.raises(ValueError):
         pca_project(emb, k=65)
+
+
+def test_pq_index_survives_raw_embedding_deletion(spark, tmp_path):
+    """Persisted-index end-to-end (VERDICT r5 next-round #4, mirroring the
+    HLL sketch-table test): build the PQ index, write codes + codebook to
+    parquet, DELETE the raw embeddings, and searching from the stored
+    tables is bit-identical to the live build+search composition — the
+    raw corpus is never re-scanned on the search path."""
+    import shutil
+
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        pq_index_build,
+        pq_index_search,
+    )
+
+    raw = str(tmp_path / "emb_raw")
+    spark.read.parquet(EMB).write.parquet(raw)
+    emb_raw = spark.read.parquet(raw)
+    queries = emb_raw.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+    # queries must outlive the raw deletion too: a real deployment keeps
+    # the query batch, not the corpus — materialize it driver-side.
+    qrows = queries.collect()
+
+    codes, codebook = pq_index_build(emb_raw)
+    want = [
+        tuple(r)
+        for r in pq_index_search(codes, codebook, queries, k=5)
+        .orderBy("query_id", "rk")
+        .collect()
+    ]
+
+    cpath, bpath = str(tmp_path / "codes"), str(tmp_path / "codebook")
+    codes.write.parquet(cpath)
+    codebook.write.parquet(bpath)
+    shutil.rmtree(raw)  # the raw embeddings are gone
+
+    q_live = spark.createDataFrame(qrows, queries.schema)
+    got = [
+        tuple(r)
+        for r in pq_index_search(
+            spark.read.parquet(cpath), spark.read.parquet(bpath), q_live, k=5
+        )
+        .orderBy("query_id", "rk")
+        .collect()
+    ]
+    assert got == want
+    assert len(got) == 3 * 5
+
+
+def test_ivf_pq_refine_reranks_by_exact_cosine(spark, emb):
+    """ivf_pq_topk(refine=R): the output's cos_sim must equal the exact
+    raw-vector cosine for every returned pair, descend within each query,
+    and the returned set must be a subset of the refine=None ADC top-R
+    candidate ids for that query (the refine stage reorders, never
+    expands)."""
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        ivf_pq_topk,
+    )
+
+    qs = emb.filter(F.col("vec_id") < 3)
+    refined = ivf_pq_topk(
+        emb, qs, k=5, n_probe=8, km_k=8, m_subspaces=16, refine=30
+    ).collect()
+    raw = ivf_pq_topk(
+        emb, qs, k=30, n_probe=8, km_k=8, m_subspaces=16, refine=None
+    ).collect()
+    raw_ids = {}
+    for r in raw:
+        raw_ids.setdefault(r["query_id"], set()).add(r["vec_id"])
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb)
+
+    per_q = {}
+    for r in refined:
+        assert r["vec_id"] in raw_ids[r["query_id"]]
+        assert abs(r["cos_sim"] - cos(vecs[r["query_id"]], vecs[r["vec_id"]])) < 1e-9
+        per_q.setdefault(r["query_id"], []).append((r["rk"], r["cos_sim"]))
+    for q, pairs in per_q.items():
+        pairs.sort()
+        sims = [s for _, s in pairs]
+        assert sims == sorted(sims, reverse=True), q

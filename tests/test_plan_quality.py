@@ -288,6 +288,12 @@ def test_registry_wide_plan_audit(spark):
         # 1-row n_keys scalar — the Bloom prefilter's whole point is that
         # the probe side never shuffles; same sanction as kmeans_clusters
         "bloom_prefilter_join",
+        # the production shape of the same operator: the identical ONE-row
+        # bitmap broadcast, minus the audit scalars
+        "bloom_semijoin",
+        # IVFADC: coarse probe selection is ivf_int8_ann_topk's ONE-row
+        # packed-centroid broadcast folded per query row — same sanction
+        "ivf_pq_ann_topk",
         # 1-row margin-cutpoint broadcast (exact decile boundaries WITHOUT
         # a global NTILE sort) — same scalar sanction as tpch_q11
         "classifier_calibration",
