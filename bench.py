@@ -118,6 +118,11 @@ HEADLINE = [
     "bloom_semijoin",
     "ivf_pq_ann_topk",
     "pq_index_search",
+    # round-6: changelog→SCD2 history pipeline (two key shuffles fused into
+    # one lazy plan) and fixed-point BM25 ranked retrieval (query-term-only
+    # posting lists, 1-row corpus-stats broadcast)
+    "cdc_scd2_pipeline",
+    "bm25_search",
 ]
 
 

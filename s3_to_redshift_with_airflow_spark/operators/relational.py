@@ -203,6 +203,67 @@ def scd2_apply(
     return closed_rows.unionByName(survivors).unionByName(new_versions)
 
 
+def cdc_to_scd2(
+    ops: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    effective: str,
+    order_cols: list[str],
+    op_col: str = "op",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Changelog → dimension-history pipeline (VERDICT r5 next-round #6):
+    compact an I/U/D op log to its net per-key delta and apply it to a
+    versioned SCD Type-2 dimension, all as ONE lazy plan — the composition
+    every warehouse consumer of a Debezium/Delta-CDF stream runs.
+
+    Per key, the LAST op under `order_cols` (descending; make the tuple a
+    total order — e.g. [ts, event_id] — or the winner is nondeterministic)
+    decides everything, exactly cdc_compact's last-writer-wins contract:
+
+      * last op I/U → an upsert into the dimension via scd2_apply (open
+        version closes at `effective` iff attrs actually changed; new
+        keys open a first version; no-ops pass through → reruns are
+        idempotent);
+      * last op D  → the key's open version CLOSES at `effective` with no
+        successor (history preserved, key exits current state) — the
+        delete semantics plain scd2_apply has no channel for. A delete
+        for a key the dimension never had is a no-op. Intermediate ops
+        never matter: a D followed by a later I inside the same batch is
+        just an upsert (position in the log decides, not op history).
+
+    Plan shape (100 TB): one key shuffle for the compaction window, one
+    key shuffle for the merge join (broadcast when the day's delta is
+    small), and a broadcast-or-shuffle left join of the (tiny) delete key
+    set to close exits — the compaction and merge pipeline into one stage
+    graph with no materialization between them."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    last = (
+        ops.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = last.filter(F.col(op_col) != "D").select(*keys, *attrs)
+    deletes = last.filter(F.col(op_col) == "D").select(*keys)
+    merged = scd2_apply(
+        dim, upserts, keys, attrs, effective, valid_from=valid_from, valid_to=valid_to
+    )
+    d = deletes.withColumn("__del", F.lit(1))
+    return merged.join(d, keys, "left").select(
+        *keys,
+        *attrs,
+        F.col(valid_from),
+        F.when(
+            F.col("__del").isNotNull() & F.col(valid_to).isNull(),
+            F.lit(effective).cast("timestamp"),
+        )
+        .otherwise(F.col(valid_to))
+        .alias(valid_to),
+    )
+
+
 def diff_tables(
     old: DataFrame, new: DataFrame, keys: list[str]
 ) -> DataFrame:

@@ -2789,6 +2789,148 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BM25 ranked retrieval ----------------------------------------------------
+
+# k1/b as parts-per-thousand (the Robertson defaults 1.2 / 0.75); TF
+# normalization carries scale 10^6; IDF uses the fixed-point log2 at its
+# native 65536. avg_len enters as the INTEGER floor(total_tokens/n_docs) —
+# corpus-size-independent, which keeps every intermediate inside int64 at
+# any corpus size (the exact-rational form would overflow at tot ~ 1e12).
+_BM25_K1, _BM25_B, _BM25_SCALE, _BM25_K = 1200, 750, 1_000_000, 20
+
+
+def _bm25_sql() -> str:
+    from ..operators.classify import log2_fp_sql
+
+    lg = lambda x: log2_fp_sql(x, dialect="duck")  # noqa: E731
+    num = f"(tf * {_BM25_K1 + 1000} * 1000 * avgl)"
+    den = (
+        f"(tf * {_BM25_SCALE} * avgl"
+        f" + {_BM25_K1 * (1000 - _BM25_B)} * avgl"
+        f" + {_BM25_K1 * _BM25_B} * len)"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM d),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgl
+      FROM lens
+    ),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    qt AS (SELECT unnest({_sql_list(_SEARCH_TERMS)}) AS term),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks JOIN qt USING (term)
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             ({lg("2 * n_docs + 2")} - {lg("2 * df + 1")})
+               * (({num} * {_BM25_SCALE}) // {den}) AS c
+      FROM tf
+      JOIN df USING (term)
+      JOIN lens ON lens.doc_id = tf.doc_id, stats
+    ),
+    hits AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score, n_terms,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+             AS rnk
+    FROM hits
+    QUALIFY rnk <= {_BM25_K}
+    """
+
+
+@query("bm25_search", oracle=_bm25_sql())
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (VERDICT r5 next-round #7 — the scoring
+    upgrade over keyword_search's pre-BM25 tf·N/df): top-20 documents for
+    the query terms under the Robertson/Lucene formulation, DISJUNCTIVE
+    (any matching term scores; keyword_search keeps the conjunctive AND
+    slot), every quantity exact fixed-point integer arithmetic so the
+    ranking carries a bit-exact DuckDB oracle:
+
+        idf_fp(t)  = lg2_fp(2N + 2) − lg2_fp(2·df_t + 1)
+                     — the Lucene idf ln((N+1)/(df+0.5)) with the 0.5s
+                     cleared by doubling and the log base shifted to 2
+                     (a constant factor: ranking unchanged), via the
+                     piecewise-linear integer log2 (PMI's primitive);
+        tfc_fp     = (tf·(k1+1)·10⁹·avgl) div
+                     (tf·10⁶·avgl + k1ₛ(1000−bₛ)·avgl + k1ₛbₛ·len)
+                     — the k1/b saturation with k1=1.2, b=0.75 as
+                     parts-per-thousand and avg_len as the INTEGER
+                     floor(Σlen/N), which bounds every operand
+                     independent of corpus size (the exact-rational
+                     avg_len would overflow int64 near 10¹² tokens);
+        score      = Σ_t idf_fp·tfc_fp — a sum of exact bigints, so
+                     associative and partition-order-independent.
+
+    Overflow bound: the widest operand is tf·(k1+1)·10⁹·avgl, safe while
+    tf·avgl < 4·10⁶ (tf = one term's count in ONE document — e.g. tf up
+    to 4,000 at avg_len 1,000; ANSI mode faults loudly past it, and
+    lowering _BM25_SCALE trades a scoring decimal for headroom).
+
+    Plan (100 TB): doc lengths are one narrow map-side projection; N and
+    the floored avg_len are a 1-row broadcast; posting lists are built
+    ONLY for the query terms before any shuffle (corpus tokens never
+    shuffle); df re-aggregates the tiny tf frame; top-20 is sort+limit
+    (TakeOrderedAndProject). The one doc-keyed join (tf ⋈ lens) moves
+    (doc_id, len) pairs, never text."""
+    from ..operators.classify import log2_fp_sql
+    from ..functions.text import tokens as _tok
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.size(_tok(F.col("text"))).cast("bigint").alias("len")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("sum(len) div count(1)").cast("bigint").alias("avgl"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(_tok(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(_SEARCH_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    lg = lambda x: log2_fp_sql(x, dialect="spark")  # noqa: E731
+    num = f"(tf * {_BM25_K1 + 1000} * 1000 * avgl)"
+    den = (
+        f"(tf * {_BM25_SCALE} * avgl"
+        f" + {_BM25_K1 * (1000 - _BM25_B)} * avgl"
+        f" + {_BM25_K1 * _BM25_B} * len)"
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(lens, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.expr(
+                f"({lg('2 * n_docs + 2')} - {lg('2 * df + 1')})"
+                f" * (({num} * {_BM25_SCALE}) div {den})"
+            ),
+        )
+    )
+    hits = contrib.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )
+    top = hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        _BM25_K
+    )
+    rw = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(rw).cast("bigint")).select(
+        "doc_id", "score", "n_terms", "rnk"
+    )
+
+
 # --- proximity search (positional index) ------------------------------------
 
 _PROX_A, _PROX_B, _PROX_K = "hash", "join", 20

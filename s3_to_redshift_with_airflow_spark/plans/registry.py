@@ -912,3 +912,117 @@ def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("state_value"),
         "n_ops",
     )
+
+
+_CDC_T0 = "2024-01-16"
+_CDC_EFF = "2024-02-01"
+
+_SQL_CDC_SCD2 = f"""
+    WITH log AS (
+      SELECT user_id, ts, event_id, value AS state_value,
+             CASE event_type WHEN 'error' THEN 'D'
+                             WHEN 'signup' THEN 'I'
+                             ELSE 'U' END AS op
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    dim_open AS (
+      SELECT user_id, state_value,
+             TIMESTAMP '{_CDC_T0}' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM (
+        SELECT user_id, state_value, op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log WHERE ts < TIMESTAMP '{_CDC_T0}')
+      WHERE rn = 1 AND op <> 'D'
+    ),
+    last AS (
+      SELECT user_id, state_value, op FROM (
+        SELECT user_id, state_value, op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log WHERE ts >= TIMESTAMP '{_CDC_T0}')
+      WHERE rn = 1
+    ),
+    upd AS (SELECT user_id, state_value FROM last WHERE op <> 'D'),
+    del AS (SELECT user_id FROM last WHERE op = 'D'),
+    changed AS (
+      SELECT d.user_id
+      FROM dim_open d JOIN upd u USING (user_id)
+      WHERE u.state_value IS DISTINCT FROM d.state_value
+    ),
+    merged AS (
+      SELECT d.user_id, d.state_value, d.valid_from,
+             CASE WHEN c.user_id IS NOT NULL
+                  THEN TIMESTAMP '{_CDC_EFF}' ELSE d.valid_to END AS valid_to
+      FROM dim_open d LEFT JOIN changed c USING (user_id)
+      UNION ALL
+      SELECT u.user_id, u.state_value,
+             TIMESTAMP '{_CDC_EFF}' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM upd u LEFT JOIN dim_open d USING (user_id)
+      WHERE d.user_id IS NULL OR u.state_value IS DISTINCT FROM d.state_value
+    )
+    SELECT m.user_id, m.state_value, m.valid_from,
+           CASE WHEN dl.user_id IS NOT NULL AND m.valid_to IS NULL
+                THEN TIMESTAMP '{_CDC_EFF}' ELSE m.valid_to END AS valid_to
+    FROM merged m LEFT JOIN del dl USING (user_id)
+"""
+
+
+@query("cdc_scd2_pipeline", oracle=_SQL_CDC_SCD2)
+def q_cdc_scd2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → SCD2 dimension history as ONE lazy plan
+    (operators/relational.cdc_to_scd2 — VERDICT r5 next-round #6,
+    composing cdc_compact's last-writer-wins delta with scd2_merge's
+    history-preserving merge, the quality_classifier_trained CTE-nesting
+    pattern on the SQL side): the user dimension is the changelog's net
+    state as of 2024-01-16; every op at/after that cutoff compacts to one
+    winner per key; winners that are inserts/updates upsert (changed
+    opens close at the effective date, new versions open, no-ops pass
+    through), and a key whose LAST op is a delete CLOSES its open version
+    with no successor — the exit channel plain SCD2 merges don't have. A
+    D followed by a later I inside the batch is just an upsert: position
+    in the log decides, not op history (property-tested along with
+    delete-exit in tests/test_relational.py).
+
+    Plan (100 TB): two key shuffles (compaction window, merge join) plus
+    a broadcast left join of the tiny delete set; compaction and merge
+    pipeline into one stage graph with nothing materialized between
+    them."""
+    from ..operators.relational import cdc_to_scd2
+
+    (events,) = _t(spark, sf_dir, "events")
+    log = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").alias("state_value"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+    )
+    t0 = F.lit(_CDC_T0).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    dim_open = (
+        log.filter(F.col("ts") < t0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            "state_value",
+            t0.alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    return cdc_to_scd2(
+        log.filter(F.col("ts") >= t0),
+        dim_open,
+        keys=["user_id"],
+        attrs=["state_value"],
+        effective=_CDC_EFF,
+        order_cols=["ts", "event_id"],
+    )

@@ -100,7 +100,9 @@ def has_tws_runtime() -> bool:
     Probe log (re-checked each build round per VERDICT r4 #8):
     2026-08-14 (r5): `import google.protobuf` still raises
     ModuleNotFoundError in this container — gate stays.
-    2026-08-15 (r5, session 4): re-probed, unchanged — gate stays."""
+    2026-08-15 (r5, session 4): re-probed, unchanged — gate stays.
+    2026-08-15 (r6): re-probed, unchanged (ModuleNotFoundError: google) —
+    gate stays."""
     if not HAS_TRANSFORM_WITH_STATE:
         return False
     try:

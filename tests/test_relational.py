@@ -165,3 +165,71 @@ def test_cdc_compact_delete_exit_and_resurrection(spark):
     assert set(out) == {2, 3}
     assert out[2]["last_op"] == "I" and out[2]["state_value"] == 25.0 and out[2]["n_ops"] == 3
     assert out[3]["last_op"] == "U" and out[3]["state_value"] == 33.0 and out[3]["n_ops"] == 2
+
+
+def test_cdc_to_scd2_delete_exit_resurrection_and_idempotency(spark):
+    """cdc_to_scd2: last op per key decides — D closes the open version
+    with no successor, D-then-I inside the batch is just an upsert, no-op
+    updates leave the dimension unchanged (idempotent rerun), and new
+    keys open their first version."""
+    from s3_to_redshift_with_airflow_spark.operators.relational import (
+        cdc_to_scd2,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01", None),   # gets a changing update
+            (2, "b", "2024-01-01", None),   # gets a no-op update
+            (3, "c", "2024-01-01", None),   # gets deleted (last op D)
+            (4, "d", "2024-01-01", None),   # untouched
+            (5, "e", "2024-01-01", None),   # D then later I -> upsert
+        ],
+        "k long, v string, valid_from string, valid_to string",
+    ).select(
+        "k",
+        "v",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    ops = spark.createDataFrame(
+        [
+            (1, 1, "U", "a2"),
+            (2, 1, "U", "b"),
+            (3, 1, "U", "c2"),
+            (3, 2, "D", None),   # later D wins -> exit
+            (5, 1, "D", None),
+            (5, 2, "I", "e2"),   # later I wins -> plain upsert
+            (9, 1, "I", "new"),  # brand-new key
+            (8, 1, "D", None),   # delete of a key the dim never had: no-op
+        ],
+        "k long, seq long, op string, v string",
+    )
+    out = cdc_to_scd2(
+        ops, dim, keys=["k"], attrs=["v"], effective="2024-06-01",
+        order_cols=["seq"],
+    )
+    rows = {
+        (r["k"], str(r["valid_from"])[:10], r["v"]): (
+            str(r["valid_to"])[:10] if r["valid_to"] is not None else None
+        )
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "2024-01-01", "a"): "2024-06-01",   # old version closed
+        (1, "2024-06-01", "a2"): None,          # new version open
+        (2, "2024-01-01", "b"): None,           # no-op untouched
+        (3, "2024-01-01", "c"): "2024-06-01",   # delete-exit: closed, no successor
+        (4, "2024-01-01", "d"): None,           # untouched
+        (5, "2024-01-01", "e"): "2024-06-01",   # resurrection = upsert
+        (5, "2024-06-01", "e2"): None,
+        (9, "2024-06-01", "new"): None,         # first version of a new key
+    }
+    # idempotency: re-applying the SAME net delta to the merged dimension
+    # changes nothing (upserts are now no-ops, deleted keys have no open row)
+    again = cdc_to_scd2(
+        ops, out, keys=["k"], attrs=["v"], effective="2024-06-01",
+        order_cols=["seq"],
+    )
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in again.collect())
+    assert a == b

@@ -382,3 +382,36 @@ def test_phrase_search_requires_adjacency_and_order(spark):
     assert out[4]["n_matches"] == 1 and out[4]["first_pos"] == 1
     assert out[5]["n_matches"] == 1 and out[5]["first_pos"] == 1
     assert out[1]["rnk"] == 1
+
+
+def test_bm25_semantics_saturation_length_and_idf(spark):
+    """bm25_search: (a) OR semantics — a doc matching one term still
+    scores; (b) length normalization — same tf in a longer doc scores
+    LOWER; (c) tf saturation — doubling tf raises the score by less than
+    2x; (d) idf — a rarer term outweighs a common one at equal tf/len."""
+    from s3_to_redshift_with_airflow_spark.plans import query_map
+    import tempfile, os
+
+    filler = " ".join(f"f{i}" for i in range(40))
+    rows = [
+        (1, "vector alpha beta gamma delta", "en", "s0", 29),      # tf=1, short
+        (2, "vector " + filler, "en", "s0", 200),                  # tf=1, long
+        (3, "vector vector alpha beta gamma", "en", "s0", 30),     # tf=2
+        # 'merge' appears in only this doc (rarer than vector -> higher idf)
+        (4, "merge alpha beta gamma delta", "en", "s0", 28),
+        (5, "plain filler text only", "en", "s0", 22),             # no match
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r for r in query_map()["bm25_search"](spark, d).collect()
+        }
+    assert set(out) == {1, 2, 3, 4}  # OR semantics; doc 5 never scores
+    assert all(r["n_terms"] == 1 for r in out.values())
+    assert out[1]["score"] > out[2]["score"]          # longer doc, same tf
+    assert out[3]["score"] > out[1]["score"]          # higher tf helps...
+    assert out[3]["score"] < 2 * out[1]["score"]      # ...sub-linearly (k1)
+    assert out[4]["score"] > out[1]["score"]          # rarer term: df=1 vs 3
