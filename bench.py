@@ -79,10 +79,15 @@ HEADLINE = [
     "gap_fill_hourly",
     # late round-5 families: degree-oriented triangle counting (wedge
     # self-join), PMI bigram mining (explode + marginal windows), and the
-    # int8 Gram kernel (n·d² map-side products, constant-size shuffle)
+    # int8 Gram kernel (n·d² map-side products, constant-size shuffle).
+    # r6: the headline slot holds the Arrow twin (gram_matrix_int8_fast,
+    # same exact oracle, measured 15× cheaper) — the production pick; the
+    # deliberately-JVM gram_matrix_int8 stays as the policy contrast in
+    # PERF.md, not in the total a reader compares across rounds
+    # (VERDICT r5 'What's wrong' #3).
     "triangle_count",
     "token_pmi",
-    "gram_matrix_int8",
+    "gram_matrix_int8_fast",
     # final round-5 families: PQ ANN (8x16 codebook train + broadcast ADC
     # scan), fixed-round k-core peel and deterministic label propagation
     # (per-round degree/label shuffles over re-materialized state), and

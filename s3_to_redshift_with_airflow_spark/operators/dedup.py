@@ -631,6 +631,52 @@ def repeated_window_stats(
     )
 
 
+def containment_candidates(
+    sh: DataFrame,
+    id_col: str,
+    t_num: int,
+    t_den: int,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for containment_pairs' exact verify:
+    the asymmetric prefix filter over a shingled frame (id_col, shingles).
+    The prefix length uses the exact integer ceil(t·n) = (t_num·n + t_den
+    − 1) div t_den under the global frequency-ascending canonical order;
+    with max_df set, shingles with df > max_df are dropped from the join
+    (both sides — the recall trade containment_pairs documents). Exposed
+    separately so tools/containment_cap_report.py can measure the
+    candidate-volume reduction the cap buys."""
+    posts = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    freq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("shingle").asc())
+    sized = posts.join(freq, "shingle").withColumn("rnk", F.row_number().over(w))
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    prefix_len = (
+        F.col("n_sh")
+        - F.expr(f"({t_num}L * n_sh + {t_den - 1}L) div {t_den}L")
+        + F.lit(1)
+    )
+    prefixes = (
+        sized.join(sizes, id_col)
+        .filter(F.col("rnk") <= prefix_len)
+        .select(id_col, "shingle")
+    )
+    join_posts = posts
+    if max_df is not None:
+        keep = freq.filter(F.col("df") <= max_df).select("shingle")
+        join_posts = posts.join(keep, "shingle", "left_semi")
+        prefixes = prefixes.join(keep, "shingle", "left_semi")
+    return (
+        prefixes.alias("a")
+        .join(join_posts.alias("b"), "shingle")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -691,36 +737,7 @@ def containment_pairs(
     t = Fraction(threshold).limit_denominator(1_000_000)
     t_num, t_den = t.numerator, t.denominator
     sh = _persist_shingled(_shingled(df, id_col, text_col, n))
-    posts = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    freq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("shingle").asc())
-    sized = posts.join(freq, "shingle").withColumn("rnk", F.row_number().over(w))
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
-    # exact integer ceil(t*n) = (t_num*n + t_den - 1) div t_den
-    prefix_len = (
-        F.col("n_sh")
-        - F.expr(f"({t_num}L * n_sh + {t_den - 1}L) div {t_den}L")
-        + F.lit(1)
-    )
-    prefixes = (
-        sized.join(sizes, id_col)
-        .filter(F.col("rnk") <= prefix_len)
-        .select(id_col, "shingle")
-    )
-    join_posts = posts
-    if max_df is not None:
-        keep = freq.filter(F.col("df") <= max_df).select("shingle")
-        join_posts = posts.join(keep, "shingle", "left_semi")
-        prefixes = prefixes.join(keep, "shingle", "left_semi")
-    cands = (
-        prefixes.alias("a")
-        .join(join_posts.alias("b"), "shingle")
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cands = containment_candidates(sh, id_col, t_num, t_den, max_df)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")

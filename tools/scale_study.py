@@ -778,6 +778,209 @@ def fam_robust(spark, mult):
     return ev, BASE_EVENTS * mult, run
 
 
+def fam_containment_cap(spark, mult):
+    """fam_containment with the round-6 max_df stop-shingle cap (64): drops
+    boilerplate-hot shingles from candidate generation, bounding the one
+    family that is honestly near-linear. Compare against `containment` at
+    the same scale for the measured reduction; the candidate-count delta
+    is recorded by tools/containment_cap_report.py."""
+    from s3_to_redshift_with_airflow_spark.operators.dedup import (
+        containment_pairs,
+        release_shingle_cache,
+    )
+
+    docs = synthetic_documents(spark, BASE_DOCS * mult).localCheckpoint()
+
+    def run():
+        release_shingle_cache()
+        return containment_pairs(docs, threshold=0.8, max_df=64).count()
+
+    return docs, BASE_DOCS * mult, run
+
+
+def _synthetic_embeddings(spark, n):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").cast("bigint").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), d -> cast("
+                " (conv(substring(md5(concat(cast(id as string), ':', d)), 1, 15),"
+                "  16, 10) % 2001 - 1000) / 1000.0 as float))"
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+
+
+def fam_ivfpq(spark, mult):
+    """IVF-PQ with exact refine (registry: ivf_pq_ann_topk): coarse
+    routing to 12/32 lists, ADC over only the probed codes, exact-cosine
+    re-rank of the top-100. Training dominates at small scale; search work
+    is ~n_probe/km_k of the corpus plus a constant |q|·R refine join."""
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        ivf_pq_topk,
+    )
+
+    n = BASE_DOCS * mult
+    emb = _synthetic_embeddings(spark, n)
+
+    def run():
+        owned = []
+        got = ivf_pq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 5),
+            n_probe=12,
+            m_subspaces=16,
+            refine=100,
+            unpersist_with=owned,
+        ).count()
+        for df in owned:
+            df.unpersist()
+        return got
+
+    return emb, n, run
+
+
+def fam_pq_search(spark, mult):
+    """Stored-index PQ search (registry: pq_index_search): the index
+    (codes + codebook) is built and MATERIALIZED outside the timed window —
+    the timed run is ONLY the ADC scan + top-k, i.e. the amortized
+    production cost the full-rebuild families over-state. Expect time
+    linear in the code-table size with a tiny constant."""
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        pq_index_build,
+        pq_index_search,
+    )
+
+    n = BASE_DOCS * mult
+    emb = _synthetic_embeddings(spark, n)
+    owned = []
+    codes, codebook = pq_index_build(emb, unpersist_with=owned)
+    codes = codes.localCheckpoint()
+    codebook = codebook.localCheckpoint()
+    for df in owned:
+        df.unpersist()
+    queries = emb.filter(F.col("vec_id") < 5).localCheckpoint()
+    emb.unpersist()
+
+    def run():
+        return pq_index_search(codes, codebook, queries).count()
+
+    return codes, n, run
+
+
+def fam_cdc_scd2(spark, mult):
+    """Changelog→SCD2 pipeline (registry: cdc_scd2_pipeline): events as an
+    I/U/D op log, first half builds the dimension, second half compacts
+    and merges — two key shuffles and a broadcast delete-close in one lazy
+    plan; expect near-linear."""
+    from s3_to_redshift_with_airflow_spark.operators.relational import (
+        cdc_to_scd2,
+    )
+
+    n = BASE_EVENTS * mult
+    events = _events(spark, n).localCheckpoint()
+    log = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").alias("state_value"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+    )
+    cut = F.expr("percentile_approx(ts, 0.5)")
+    t0 = log.agg(cut.alias("t")).collect()[0]["t"]
+
+    def run():
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        dim = (
+            log.filter(F.col("ts") < F.lit(t0))
+            .withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+            .select(
+                "user_id",
+                "state_value",
+                F.lit(t0).alias("valid_from"),
+                F.lit(None).cast("timestamp").alias("valid_to"),
+            )
+        )
+        return cdc_to_scd2(
+            log.filter(F.col("ts") >= F.lit(t0)),
+            dim,
+            keys=["user_id"],
+            attrs=["state_value"],
+            effective="2030-01-01",
+            order_cols=["ts", "event_id"],
+        ).count()
+
+    return events, n, run
+
+
+def fam_bm25(spark, mult):
+    """Fixed-point BM25 (registry: bm25_search) over synthetic docs with
+    in-vocabulary query terms: posting lists built only for the 3 query
+    terms before any shuffle; doc lengths are a narrow projection; the
+    1-row corpus stats broadcast. Expect linear in the corpus scan."""
+    from s3_to_redshift_with_airflow_spark.functions.text import tokens as _tok
+    from s3_to_redshift_with_airflow_spark.operators.classify import log2_fp_sql
+    from pyspark.sql import Window as W
+
+    n = BASE_DOCS * mult
+    docs = synthetic_documents(spark, n).localCheckpoint()
+    terms = ["w1", "w42", "w777"]
+    k1s, bs, scale = 1200, 750, 1_000_000
+
+    def run():
+        lens = docs.select(
+            "doc_id", F.size(_tok(F.col("text"))).cast("bigint").alias("len")
+        )
+        stats = lens.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("sum(len) div count(1)").cast("bigint").alias("avgl"),
+        )
+        toks = docs.select(
+            "doc_id", F.explode(_tok(F.col("text"))).alias("term")
+        ).filter(F.col("term").isin(terms))
+        tf = toks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf")
+        )
+        dfr = tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df")
+        )
+        lg = lambda x: log2_fp_sql(x, dialect="spark")  # noqa: E731
+        num = f"(tf * {k1s + 1000} * 1000 * avgl)"
+        den = (
+            f"(tf * {scale} * avgl + {k1s * (1000 - bs)} * avgl"
+            f" + {k1s * bs} * len)"
+        )
+        hits = (
+            tf.join(F.broadcast(dfr), "term")
+            .join(lens, "doc_id")
+            .join(F.broadcast(stats))
+            .withColumn(
+                "c",
+                F.expr(
+                    f"({lg('2 * n_docs + 2')} - {lg('2 * df + 1')})"
+                    f" * (({num} * {scale}) div {den})"
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").cast("bigint").alias("score"))
+        )
+        top = hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(20)
+        rw = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return top.withColumn("rnk", F.row_number().over(rw)).count()
+
+    return docs, n, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -805,6 +1008,11 @@ FAMILIES = {
     "bloom": fam_bloom,
     "cdc": fam_cdc,
     "robust": fam_robust,
+    "containment_cap": fam_containment_cap,
+    "ivfpq": fam_ivfpq,
+    "pq_search": fam_pq_search,
+    "cdc_scd2": fam_cdc_scd2,
+    "bm25": fam_bm25,
 }
 
 
