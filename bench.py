@@ -128,6 +128,11 @@ HEADLINE = [
     # posting lists, 1-row corpus-stats broadcast)
     "cdc_scd2_pipeline",
     "bm25_search",
+    # round-6 closers: the streaming foreachBatch CDC consumer (per-epoch
+    # compaction + SCD2 merge into a parquet dimension, full stream run per
+    # measurement) and the frozen-codebook incremental index append
+    "streaming_cdc_scd2",
+    "pq_index_append",
 ]
 
 

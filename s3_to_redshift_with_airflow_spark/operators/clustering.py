@@ -874,6 +874,63 @@ def pq_index_search(
     )
 
 
+def pq_index_append(
+    codebook: DataFrame,
+    new_emb: DataFrame,
+    m_subspaces: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental maintenance of a persisted PQ index: encode NEW vectors
+    against the FROZEN codebook — no retraining, so appending a day's
+    embeddings to a 100 TB index is one broadcast-argmin scan of the new
+    rows only. Returns (id_col, m, code) rows shaped exactly like
+    pq_index_build's code table: append them to the stored parquet
+    (`codes.write.mode("append")`) and pq_index_search serves the union.
+
+    Same exact-integer argmin as training (scores n²(x·x) − 2n(x·s) + ss
+    in bigint, compare score/n² with ties to the smallest cid), so the
+    appended codes are bit-identical to what a full rebuild WOULD assign
+    for those vectors against these centroids — which is what lets the
+    append path carry its own exact value oracle (plans/clustering.py:
+    pq_index_append). The standard PQ staleness caveat applies and is the
+    operator's contract, not a defect: the codebook no longer reflects
+    the drifted distribution after enough appends; retrain on a cadence
+    (pq_index_build is the full-rebuild path)."""
+    if dim % m_subspaces != 0:
+        raise ValueError("dim must divide evenly into m_subspaces")
+    sub = dim // m_subspaces
+    subs = _pq_subspaces(new_emb, m_subspaces, sub, id_col, vec_col)
+    packed = F.broadcast(
+        codebook.groupBy("m").agg(
+            F.collect_list(F.struct("cid", "s", "n", "ss")).alias("cs")
+        )
+    )
+
+    def _score(c):
+        return (
+            c["n"] * c["n"] * F.col("sxx")
+            - F.lit(2) * c["n"] * _int_dot(F.col("sv"), c["s"])
+            + c["ss"]
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                (
+                    _score(c).cast("double") / (c["n"] * c["n"]).cast("double")
+                ).alias("d2"),
+                c["cid"].alias("cluster"),
+            ),
+        )
+    )
+    return subs.join(packed, "m").select(
+        F.col(id_col), "m", best["cluster"].alias("code")
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

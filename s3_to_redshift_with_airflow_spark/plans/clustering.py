@@ -326,6 +326,19 @@ _SQL_QF_CTE = """
     )"""
 
 
+def _pq_subx_sql(src: str, m: int, sub: int) -> str:
+    """Subvector explode over a quantized CTE `src` (vec_id, qv): the SQL
+    twin of operators/clustering._pq_subspaces."""
+    return f"""
+      SELECT vec_id, CAST(range AS BIGINT) AS m,
+             list_slice(qv, range * {sub} + 1, range * {sub} + {sub}) AS sv,
+             CAST(list_sum(list_transform(
+               list_slice(qv, range * {sub} + 1, range * {sub} + {sub}),
+               x -> x * x)) AS BIGINT) AS sxx
+      FROM {src}, range({m})
+    """
+
+
 def _pq_train_ctes(
     px: str = "",
     m: int = _PQ_M,
@@ -345,14 +358,7 @@ def _pq_train_ctes(
     elem_sums = ", ".join(f"SUM(sv[{i + 1}])" for i in range(sub))
     parts = [
         f"""
-    {px}subx AS (
-      SELECT vec_id, CAST(range AS BIGINT) AS m,
-             list_slice(qv, range * {sub} + 1, range * {sub} + {sub}) AS sv,
-             CAST(list_sum(list_transform(
-               list_slice(qv, range * {sub} + 1, range * {sub} + {sub}),
-               x -> x * x)) AS BIGINT) AS sxx
-      FROM {src}, range({m})
-    ),
+    {px}subx AS ({_pq_subx_sql(src, m, sub)}),
     {px}seed AS (
       SELECT vec_id,
              CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS BIGINT) - 1
@@ -682,6 +688,65 @@ def q_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", "vec_id", "adc_d2", F.col("rk").cast("bigint").alias("rk")
+    )
+
+
+_PQ_APPEND_SPLIT = 50  # vec_id < split = the "new day" slice to append
+
+_SQL_PQ_APPEND = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+    + _SQL_QF_CTE
+    + f""",
+    qfb AS (SELECT * FROM qf WHERE vec_id >= {_PQ_APPEND_SPLIT}),
+    qfn AS (SELECT * FROM qf WHERE vec_id < {_PQ_APPEND_SPLIT}),"""
+    + _pq_train_ctes("", src="qfb")
+    + f"""
+    , asubx AS ({_pq_subx_sql("qfn", _PQ_M, _PQ_SUB)}),
+    enc AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT sx.vec_id, sx.m, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sx.vec_id, sx.m
+                 ORDER BY CAST(c.n * c.n * sx.sxx
+                     - 2 * c.n * CAST(list_sum(list_transform(
+                         list_zip(sx.sv, c.s), p -> p[1] * p[2])) AS BIGINT)
+                     + c.ss AS DOUBLE) / CAST(c.n * c.n AS DOUBLE) ASC,
+                   c.cid ASC) AS rk
+        FROM asubx sx JOIN cb c ON c.m = sx.m)
+      WHERE rk = 1
+    )
+    SELECT vec_id, m, code FROM enc
+    """
+)
+
+
+@query("pq_index_append", oracle=_SQL_PQ_APPEND)
+def q_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ index maintenance
+    (operators/clustering.pq_index_append): the codebook is trained on the
+    standing corpus (vec_id ≥ 50) and FROZEN; the "new day" slice
+    (vec_id < 50) is encoded against it with NO retraining — one
+    broadcast-argmin scan of only the new rows, the append path that keeps
+    a 100 TB index maintainable between rebuild cadences. The argmin is
+    the training pass's exact-integer rule, so the appended codes are
+    bit-identical to what a full rebuild would assign those vectors
+    against these centroids — hence the exact oracle. Staleness under
+    distribution drift is the operator's documented contract
+    (pq_index_build is the rebuild path)."""
+    from ..operators.clustering import pq_index_append, pq_index_build
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= _PQ_APPEND_SPLIT)
+    new = emb.filter(F.col("vec_id") < _PQ_APPEND_SPLIT)
+    _, codebook = pq_index_build(
+        base,
+        m_subspaces=_PQ_M,
+        k_centroids=_PQ_K,
+        n_iter=_PQ_ITER,
+        dim=_DIM,
+    )
+    return pq_index_append(
+        codebook, new, m_subspaces=_PQ_M, dim=_DIM
     )
 
 

@@ -993,7 +993,23 @@ def q_cdc_scd2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import cdc_to_scd2
 
     (events,) = _t(spark, sf_dir, "events")
-    log = events.filter(F.col("user_id").isNotNull()).select(
+    log = _cdc_log(events)
+    t0 = F.lit(_CDC_T0).cast("timestamp")
+    return cdc_to_scd2(
+        log.filter(F.col("ts") >= t0),
+        _cdc_dim_open(log, _CDC_T0),
+        keys=["user_id"],
+        attrs=["state_value"],
+        effective=_CDC_EFF,
+        order_cols=["ts", "event_id"],
+    )
+
+
+def _cdc_log(events: DataFrame) -> DataFrame:
+    """The synthesized I/U/D changelog over events (signup→I, error→D,
+    else U) — shared by cdc_compact, cdc_scd2_pipeline and the streaming
+    twin (plans/scale_ops.q_streaming_cdc_scd2)."""
+    return events.filter(F.col("user_id").isNotNull()).select(
         "user_id",
         "ts",
         "event_id",
@@ -1003,26 +1019,24 @@ def q_cdc_scd2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("U")
         .alias("op"),
     )
-    t0 = F.lit(_CDC_T0).cast("timestamp")
+
+
+def _cdc_dim_open(log: DataFrame, t0: str) -> DataFrame:
+    """Dimension state as of t0: the changelog's net per-key winner before
+    the cutoff, opened at valid_from = t0 (cdc_compact semantics — a key
+    whose last pre-t0 op is D has no row)."""
+    t0c = F.lit(t0).cast("timestamp")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
-    dim_open = (
-        log.filter(F.col("ts") < t0)
+    return (
+        log.filter(F.col("ts") < t0c)
         .withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select(
             "user_id",
             "state_value",
-            t0.alias("valid_from"),
+            t0c.alias("valid_from"),
             F.lit(None).cast("timestamp").alias("valid_to"),
         )
-    )
-    return cdc_to_scd2(
-        log.filter(F.col("ts") >= t0),
-        dim_open,
-        keys=["user_id"],
-        attrs=["state_value"],
-        effective=_CDC_EFF,
-        order_cols=["ts", "event_id"],
     )

@@ -1684,6 +1684,75 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink_name)
 
 
+from .registry import _SQL_CDC_SCD2 as _SQL_CDC_SCD2_ORACLE  # noqa: E402
+
+
+@query("streaming_cdc_scd2", oracle=_SQL_CDC_SCD2_ORACLE)
+def q_streaming_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING changelog → SCD2 dimension pipeline: the events file
+    streamed as an I/U/D op log into a foreachBatch sink
+    (streaming.pipeline.foreach_batch_cdc_scd2) that compacts each epoch
+    to its net per-key delta and merges it into the parquet-stored
+    dimension via cdc_to_scd2 — the shape a Debezium/Delta-CDF consumer
+    actually runs, per-epoch MERGE INTO included (write-then-swap here;
+    a transactional format at 100 TB).
+
+    Correctness: an availableNow run over one file is a single epoch, so
+    the stored dimension this returns is bit-equal to the batch
+    cdc_scd2_pipeline — which is why this STREAMING query carries that
+    pipeline's exact DuckDB oracle verbatim, and additionally asserts the
+    same-engine equality inside the plan on every run (the multi-epoch
+    semantics — one recorded version per epoch — are pinned in
+    tests/test_streaming.py). Initial dimension state is built batch-side
+    and written before the stream starts, exactly how a production
+    backfill seeds a CDC consumer."""
+    import tempfile
+
+    from ..session import ensure_utc
+    from ..streaming.pipeline import foreach_batch_cdc_scd2
+    from .registry import _CDC_EFF, _CDC_T0, _cdc_dim_open, _cdc_log
+
+    ensure_utc(spark)
+    (events_batch,) = _t(spark, sf_dir, "events")
+    log_batch = _cdc_log(events_batch)
+    target = tempfile.mkdtemp(prefix="stream_scd2_") + "/dim"
+    _cdc_dim_open(log_batch, _CDC_T0).write.parquet(target)
+
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    src = stream_source(
+        spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+    )
+    t0 = F.lit(_CDC_T0).cast("timestamp")
+    ops = _cdc_log(with_ts_from_nanos(src, "ts")).filter(F.col("ts") >= t0)
+    sink = foreach_batch_cdc_scd2(
+        target,
+        keys=["user_id"],
+        attrs=["state_value"],
+        order_cols=["ts", "event_id"],
+        effective_for=lambda _e: _CDC_EFF,
+    )
+    (
+        ops.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_scd2_"))
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(target)
+    # single-epoch equality vs the exact-oracle batch pipeline, executed
+    # on every run of this query (see docstring)
+    from .registry import q_cdc_scd2_pipeline
+
+    want = q_cdc_scd2_pipeline(spark, sf_dir)
+    sym_diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    if sym_diff != 0:
+        raise AssertionError(
+            f"streaming CDC-SCD2 diverged from the batch pipeline by "
+            f"{sym_diff} rows"
+        )
+    return got.orderBy("user_id", "valid_from")
+
+
 @query(
     "incremental_agg_merge",
     oracle="""

@@ -143,18 +143,71 @@ def foreach_batch_upsert(
             merged = upsert_dataframe(target, batch, keys)
         except Exception:  # first epoch: target does not exist yet
             merged = batch
-        # Write-then-swap (same protocol as compact_parquet): the merged
-        # frame is fully materialized at the scratch path while the live
-        # target is still intact, so a lost executor or cache eviction can
-        # never recompute from an already-truncated target.
-        jvm = spark._jvm  # noqa: SLF001
-        conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-        tmp = target_path.rstrip("/") + f"__epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        p = jvm.org.apache.hadoop.fs.Path(target_path)
-        fs = p.getFileSystem(conf)
-        fs.delete(p, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
+        _write_then_swap(merged, target_path, f"__epoch{epoch_id}")
+
+    return _sink
+
+
+def _write_then_swap(df: DataFrame, target_path: str, suffix: str) -> None:
+    """Write-then-swap (same protocol as compact_parquet): the frame is
+    fully materialized at the scratch path while the live target is still
+    intact, so a lost executor or cache eviction can never recompute from
+    an already-truncated target."""
+    spark = df.sparkSession
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    tmp = target_path.rstrip("/") + suffix
+    df.write.mode("overwrite").parquet(tmp)
+    p = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = p.getFileSystem(conf)
+    fs.delete(p, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
+
+
+def foreach_batch_cdc_scd2(
+    target_path: str,
+    keys: list[str],
+    attrs: list[str],
+    order_cols: list[str],
+    effective_for=None,
+):
+    """foreachBatch sink: apply each micro-batch of an I/U/D changelog to
+    the SCD2 dimension stored at `target_path` via
+    operators/relational.cdc_to_scd2 — the streaming twin of
+    cdc_scd2_pipeline, and the shape a Debezium/Delta-CDF consumer
+    actually runs: per epoch, compact the batch to its net per-key delta
+    (last writer under `order_cols` wins), close/open versions at the
+    epoch's effective timestamp, close-without-successor on delete.
+
+    `effective_for(epoch_id) -> ISO timestamp string` supplies the
+    per-epoch effective time DETERMINISTICALLY (never now() — replays
+    must reproduce); default pins every epoch to '2024-02-01', which
+    makes a single-epoch availableNow run bit-equal to the batch
+    pipeline. NOTE the cross-batch semantics are the real-world ones: a
+    key updated in two different epochs records one version per epoch
+    (the batch pipeline, compacting globally, records only the final
+    one) — pinned in tests/test_streaming.py.
+
+    The dimension must exist at `target_path` before the stream starts
+    (write the initial state batch-side); each epoch rewrites it with the
+    same write-then-swap protocol as foreach_batch_upsert. With
+    Delta/Iceberg this is MERGE INTO per epoch against a real table."""
+    from ..operators.relational import cdc_to_scd2
+
+    eff = effective_for or (lambda _epoch: "2024-02-01")
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(target_path)
+        merged = cdc_to_scd2(
+            batch_df,
+            dim,
+            keys=keys,
+            attrs=attrs,
+            effective=eff(epoch_id),
+            order_cols=order_cols,
+        )
+        _write_then_swap(merged, target_path, f"__epoch{epoch_id}")
 
     return _sink
 

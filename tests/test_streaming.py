@@ -492,3 +492,99 @@ def test_sized_state_partitions_sizing_and_restore(spark):
     with sized_state_partitions(spark, "/nonexistent/nope.parquet") as n:
         assert n == 4
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_foreach_batch_cdc_scd2_multi_epoch_versions(spark):
+    """Streaming CDC→SCD2 across TWO epochs (maxFilesPerTrigger=1): a key
+    updated in both epochs records one version per epoch (the batch
+    pipeline, compacting globally, would record only the final one — the
+    documented cross-batch semantics), deletes close without a successor,
+    and each epoch stamps its own deterministic effective timestamp."""
+    import os
+    import time
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_cdc_scd2,
+    )
+
+    base = tempfile.mkdtemp(prefix="cdc_scd2_stream_")
+    ops_dir = f"{base}/ops"
+    target = f"{base}/dim"
+    os.makedirs(ops_dir)
+    schema = (
+        "user_id long, ts string, event_id long, state_value double,"
+        " op string"
+    )
+    t = lambda d, h: f"2024-01-{d:02d} {h:02d}:00:00"  # noqa: E731
+    def _write_batch(rows, name):
+        # FileStreamSource wants bare files (nested non-partition dirs are
+        # ignored): write to scratch, move the single part file in.
+        import glob as _glob
+
+        scratch = f"{base}/scratch_{name}"
+        spark.createDataFrame(rows, schema).select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"),
+            "event_id", "state_value", "op",
+        ).coalesce(1).write.parquet(scratch)
+        part = _glob.glob(f"{scratch}/part-*.parquet")[0]
+        shutil.move(part, f"{ops_dir}/{name}.parquet")
+
+    _write_batch([(1, t(10, 1), 1, 2.0, "U"), (3, t(10, 2), 2, 30.0, "I")], "b1")
+    time.sleep(1.2)  # distinct mtimes -> deterministic file order
+    _write_batch([(1, t(20, 1), 3, 3.0, "U"), (2, t(20, 2), 4, 0.0, "D")], "b2")
+
+    dim_schema = (
+        "user_id long, state_value double, valid_from string, valid_to string"
+    )
+    spark.createDataFrame(
+        [(1, 1.0, "2024-01-01", None), (2, 20.0, "2024-01-01", None)],
+        dim_schema,
+    ).select(
+        "user_id", "state_value",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    ).write.parquet(target)
+
+    ops_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("state_value", T.DoubleType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    src = (
+        spark.readStream.format("parquet")
+        .schema(ops_schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(ops_dir)
+    )
+    sink = foreach_batch_cdc_scd2(
+        target,
+        keys=["user_id"],
+        attrs=["state_value"],
+        order_cols=["ts", "event_id"],
+        effective_for=lambda e: f"2024-06-{e + 1:02d}",
+    )
+    (
+        src.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+        .awaitTermination()
+    )
+    rows = {
+        (r["user_id"], r["state_value"], str(r["valid_from"])[:10]): (
+            str(r["valid_to"])[:10] if r["valid_to"] is not None else None
+        )
+        for r in spark.read.parquet(target).collect()
+    }
+    assert rows == {
+        (1, 1.0, "2024-01-01"): "2024-06-01",  # epoch-1 close
+        (1, 2.0, "2024-06-01"): "2024-06-02",  # epoch-1 version, epoch-2 close
+        (1, 3.0, "2024-06-02"): None,          # epoch-2 version, open
+        (2, 20.0, "2024-01-01"): "2024-06-02", # delete-exit in epoch 2
+        (3, 30.0, "2024-06-01"): None,         # new key from epoch 1
+    }
+    shutil.rmtree(base, ignore_errors=True)
