@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from s3_to_redshift_with_airflow_spark.operators.relational import (
     dedup_subset_deterministic,
@@ -871,3 +872,172 @@ def test_char_entropy_matches_python_fixed_point(spark, texts):
             for r in query_map()["char_entropy_filter"](spark, d).collect()
         }
     assert got == expected
+
+
+# --- cdc_to_scd2 dict model ---------------------------------------------------
+
+scd2_dim0 = st.dictionaries(
+    st.integers(min_value=0, max_value=5),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+    max_size=4,
+)
+scd2_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),          # key (some never in dim)
+        st.sampled_from(["I", "U", "D"]),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(dim0=scd2_dim0, ops=scd2_ops)
+def test_cdc_to_scd2_matches_dict_model(spark, dim0, ops):
+    """cdc_to_scd2 over arbitrary op logs and initial dimensions == the
+    dict model: per key the highest-seq op wins; D closes the open version
+    (no successor; no-op for unknown keys), I/U upserts with NULL-safe
+    change detection (None attrs both in the dim and in updates)."""
+    from s3_to_redshift_with_airflow_spark.operators.relational import (
+        cdc_to_scd2,
+    )
+
+    T0, EFF = "2024-01-01 00:00:00", "2024-06-01 00:00:00"
+    winner = {}
+    for seq, (k, op, v) in enumerate(ops):
+        winner[k] = (op, float(v) if v is not None else None)
+    expected = set()
+    for k, v0 in dim0.items():
+        v0f = float(v0) if v0 is not None else None
+        w = winner.get(k)
+        if w is None:
+            expected.add((k, v0f, T0, None))
+        elif w[0] == "D":
+            expected.add((k, v0f, T0, EFF))
+        elif not (w[1] == v0f or (w[1] is None and v0f is None)):
+            expected.add((k, v0f, T0, EFF))
+            expected.add((k, w[1], EFF, None))
+        else:
+            expected.add((k, v0f, T0, None))
+    for k, w in winner.items():
+        if k not in dim0 and w[0] != "D":
+            expected.add((k, w[1], EFF, None))
+
+    dim = spark.createDataFrame(
+        [
+            (k, float(v) if v is not None else None, T0, None)
+            for k, v in dim0.items()
+        ]
+        or [(None, None, None, None)],
+        "k long, v double, valid_from string, valid_to string",
+    ).filter("k IS NOT NULL").select(
+        "k",
+        "v",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    ops_df = spark.createDataFrame(
+        [
+            (k, seq, op, float(v) if v is not None else None)
+            for seq, (k, op, v) in enumerate(ops)
+        ]
+        or [(None, None, None, None)],
+        "k long, seq long, op string, v double",
+    ).filter("k IS NOT NULL")
+    got = {
+        (
+            r["k"],
+            r["v"],
+            str(r["valid_from"]),
+            str(r["valid_to"]) if r["valid_to"] is not None else None,
+        )
+        for r in cdc_to_scd2(
+            ops_df, dim, keys=["k"], attrs=["v"], effective=EFF,
+            order_cols=["seq"],
+        ).collect()
+    }
+    assert got == expected
+
+
+# --- BM25 fixed-point reference -----------------------------------------------
+
+_BM25_VOCAB = ["vector", "merge", "window", "alpha", "beta"]
+bm25_docs = st.lists(
+    st.lists(st.sampled_from(_BM25_VOCAB), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _bm25_reference(docs: list[list[str]], terms, k1s=1200, bs=750, scale=10**6):
+    """Pure-Python replay of the registry's exact fixed-point BM25."""
+    n_docs = len(docs)
+    # engine len: split('', ' ') == [''] -> an empty doc has length 1
+    lens = {i: max(1, len(t)) for i, t in enumerate(docs)}
+    avgl = sum(lens.values()) // n_docs
+    scores: dict[int, tuple[int, int]] = {}
+    df = {
+        t: sum(1 for d in docs if t in d)
+        for t in terms
+    }
+    for i, toks in enumerate(docs):
+        s, n_terms = 0, 0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = _lg_fp(2 * n_docs + 2) - _lg_fp(2 * df[t] + 1)
+            num = tf * (k1s + 1000) * 1000 * avgl
+            den = tf * scale * avgl + k1s * (1000 - bs) * avgl + k1s * bs * lens[i]
+            s += idf * ((num * scale) // den)
+            n_terms += 1
+        if n_terms:
+            scores[i] = (s, n_terms)
+    return scores
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=bm25_docs)
+def test_bm25_matches_python_fixed_point(spark, docs):
+    """bm25_search over arbitrary tiny corpora == the pure-Python replay of
+    the same integer formula — scores, matched-term counts, and the
+    (score desc, doc_id asc) top-k ordering, bit-for-bit."""
+    import os
+    import tempfile
+
+    from s3_to_redshift_with_airflow_spark.plans import query_map
+    from s3_to_redshift_with_airflow_spark.plans.extensions import (
+        _SEARCH_TERMS,
+    )
+
+    rows = [
+        (i, " ".join(toks), "en", "s0", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    ref = _bm25_reference(docs, _SEARCH_TERMS)
+    want = sorted(
+        ((s, i, n) for i, (s, n) in ref.items()),
+        key=lambda r: (-r[0], r[1]),
+    )[:20]
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = [
+            (r["score"], r["doc_id"], r["n_terms"])
+            for r in query_map()["bm25_search"](spark, d)
+            .orderBy("rnk")
+            .collect()
+        ]
+    assert got == want
