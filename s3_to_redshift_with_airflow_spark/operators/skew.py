@@ -70,3 +70,68 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+    """Join/aggregation-key skew diagnostic — the measurement that tells
+    you whether `salted_join` (and how many salts) is warranted BEFORE a
+    100 TB shuffle straggles: the top_k heaviest keys, each row carrying
+    the global distribution stats.
+
+    Columns (one row per heavy key, rank by (key_rows desc, key asc)):
+      key          — the key value (cast to string for schema stability)
+      key_rows     — rows carrying it
+      share_bp     — key_rows·10000 div n_rows (basis points of the table)
+      n_rows / n_keys / mean_rows — table size, distinct keys, n_rows div
+                     n_keys (the mean a uniform key would have)
+      skew_factor  — key_rows div mean_rows: how many average keys this
+                     one weighs. A shuffle partition holding this key does
+                     ~skew_factor× the average partition's work, so it is
+                     ALSO the natural salt count for salted_join (split
+                     the key skew_factor ways → each shard ≈ mean-sized).
+      rnk          — 1-based heaviness rank.
+
+    NULL keys are excluded (they never join; count them in
+    validation_report's null metrics instead). All quantities are exact
+    integers (floor divisions), so the report carries an exact oracle.
+
+    Plan (100 TB): ONE groupBy(key) shuffle with map-side combine — the
+    per-key count table is the only corpus-sized intermediate; the global
+    stats re-aggregate that table into one broadcast row and the top-k is
+    sort+limit (TakeOrderedAndProject, never a global sort).
+    """
+    from pyspark.sql import Window
+
+    if top_k <= 0:
+        raise ValueError("top_k must be positive")
+    counts = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("key_rows"))
+    )
+    stats = counts.agg(
+        F.sum("key_rows").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    top = (
+        counts.orderBy(F.col("key_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+        .join(F.broadcast(stats))
+    )
+    w = Window.orderBy(F.col("key_rows").desc(), F.col("key").asc())
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .withColumn("share_bp", F.expr("key_rows * 10000 div n_rows"))
+        .withColumn("mean_rows", F.expr("n_rows div n_keys"))
+        .withColumn("skew_factor", F.expr("key_rows div (n_rows div n_keys)"))
+        .select(
+            "key",
+            "key_rows",
+            "share_bp",
+            "n_rows",
+            "n_keys",
+            "mean_rows",
+            "skew_factor",
+            "rnk",
+        )
+    )

@@ -3244,6 +3244,51 @@ def q_table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(event_type AS VARCHAR) AS key,
+             CAST(COUNT(*) AS BIGINT) AS key_rows
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(SUM(key_rows) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM counts
+    ),
+    top AS (
+      SELECT key, key_rows,
+             CAST(ROW_NUMBER() OVER (ORDER BY key_rows DESC, key ASC)
+               AS BIGINT) AS rnk
+      FROM counts QUALIFY rnk <= 5
+    )
+    SELECT key, key_rows,
+           key_rows * 10000 // n_rows AS share_bp,
+           n_rows, n_keys,
+           n_rows // n_keys AS mean_rows,
+           key_rows // (n_rows // n_keys) AS skew_factor,
+           rnk
+    FROM top, stats
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators/skew.skew_report): the top-5
+    heaviest events.event_type keys with exact-integer distribution stats —
+    share in basis points, mean rows per key, and skew_factor (how many
+    average keys the heavy one weighs), which is ALSO the natural salt
+    count for operators/skew.salted_join. This is the measurement step a
+    100 TB pipeline runs BEFORE committing to a join strategy: one
+    map-side-combined groupBy(key) pass, a 1-row stats broadcast, top-k by
+    sort+limit — cheap enough to run routinely, exact enough to carry a
+    value oracle."""
+    from ..operators.skew import skew_report
+
+    (events,) = _t(spark, sf_dir, "events")
+    return skew_report(events, "event_type", top_k=5)
+
+
+@query(
     "incremental_mv_merge",
     oracle="""
     SELECT event_type, date_trunc('day', ts) AS day,

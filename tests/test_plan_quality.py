@@ -284,6 +284,9 @@ def test_registry_wide_plan_audit(spark):
         # 1-row (n_docs, avgl) corpus-stats broadcast onto the query-term
         # tf frame — same scalar sanction as keyword_search
         "bm25_search",
+        # 1-row (n_rows, n_keys) stats broadcast onto the top-k heavy-key
+        # table — same scalar sanction as heavy_hitters
+        "skew_report",
         # 1-row n_users broadcast onto the aggregated pair table — same
         # scalar sanction as heavy_hitters/token_pmi
         "basket_lift",

@@ -233,3 +233,32 @@ def test_cdc_to_scd2_delete_exit_resurrection_and_idempotency(spark):
     a = sorted(tuple(r) for r in out.collect())
     b = sorted(tuple(r) for r in again.collect())
     assert a == b
+
+
+def test_skew_report_stats_and_null_exclusion(spark):
+    """skew_report: exact share/mean/skew arithmetic on a hand-built skewed
+    frame, NULL keys excluded, deterministic (count desc, key asc) ranks,
+    and top_k validation."""
+    from s3_to_redshift_with_airflow_spark.operators.skew import skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("a",)] * 5 + [("b",)] * 5 + [
+        (None,)
+    ] * 7
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["key"]: r for r in skew_report(df, "k", top_k=3).collect()}
+    assert set(got) == {"hot", "warm", "a"}  # top-3; tie a/b -> key asc
+    assert all(r["n_rows"] == 100 and r["n_keys"] == 4 for r in got.values())
+    assert all(r["mean_rows"] == 25 for r in got.values())
+    hot = got["hot"]
+    assert (hot["key_rows"], hot["share_bp"], hot["skew_factor"], hot["rnk"]) == (
+        60, 6000, 2, 1,
+    )
+    assert (got["warm"]["share_bp"], got["warm"]["rnk"]) == (3000, 2)
+    assert (got["a"]["key_rows"], got["a"]["skew_factor"], got["a"]["rnk"]) == (
+        5, 0, 3,
+    )
+    try:
+        skew_report(df, "k", top_k=0)
+        raise AssertionError("accepted top_k=0")
+    except ValueError:
+        pass
