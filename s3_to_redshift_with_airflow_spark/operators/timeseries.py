@@ -282,3 +282,48 @@ def gap_fill(
         else:
             out_cols.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
     return joined.select(*out_cols)
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+    bucket: str = "hour",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Open/high/low/close bars — the canonical time-series downsample
+    (market bars, sensor rollups, metric dashboards): per (group, bucket),
+    the first value, max, min, last value and row count.
+
+    Open/close are selected with min_by/max_by over the (ts, seq) struct —
+    pass `seq_col` (a unique tiebreaker, e.g. event_id) whenever two rows
+    can share a timestamp, or first/last are nondeterministic and the
+    result would hash-flap across partitionings. With the tiebreaker the
+    whole bar table is an exact, engine-portable value (values pass
+    through untouched; no accumulation-order float math anywhere).
+
+    Plan (100 TB): ONE groupBy(group, bucket) shuffle with full map-side
+    combine — min_by/max_by carry a single (ord, value) pair per partial,
+    so the shuffle volume is O(groups), never O(rows). This is the
+    aggregate-then-window discipline's degenerate case: no window at all.
+    """
+    gcols = group_cols or []
+    ordc = (
+        F.struct(F.col(ts_col), F.col(seq_col))
+        if seq_col
+        else F.struct(F.col(ts_col))
+    )
+    v = F.col(value_col)
+    return (
+        df.groupBy(
+            *gcols, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start")
+        )
+        .agg(
+            F.min_by(v, ordc).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, ordc).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )

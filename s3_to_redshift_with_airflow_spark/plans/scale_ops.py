@@ -2673,6 +2673,52 @@ def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_start, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts ASC, event_id ASC) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type (operators/timeseries.ohlc_bars) —
+    the canonical time-series downsample: first/max/min/last value + row
+    count per bucket. Open/close are min_by/max_by over the
+    (ts, event_id) struct, so ties on the timestamp are broken by the
+    unique event id and the whole bar table is engine-portable (values
+    pass through untouched — no float accumulation). ONE
+    map-side-combined groupBy shuffle whose volume is O(buckets), never
+    O(rows) — min_by partials carry a single (ord, value) pair. The
+    oracle replays first/last with ROW_NUMBER windows, which must agree
+    with min_by/max_by exactly because the order tuple is total."""
+    from ..operators.timeseries import ohlc_bars
+
+    (events,) = _t(spark, sf_dir, "events")
+    return ohlc_bars(
+        events,
+        ts_col="ts",
+        value_col="value",
+        group_cols=["event_type"],
+        bucket="hour",
+        seq_col="event_id",
+    )
+
+
+@query(
     "rollup_kpis",
     oracle="""
     SELECT event_type,

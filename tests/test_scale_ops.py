@@ -668,3 +668,52 @@ def test_bloom_bitmap_rejects_ragged_sizes(spark):
         raise AssertionError("accepted k_hashes=0")
     except ValueError:
         pass
+
+
+def test_ohlc_bars_tiebreak_and_partitioning_invariance(spark):
+    """ohlc_bars: two rows sharing the bucket's min/max timestamp must
+    resolve open/close by the seq tiebreaker (min_by/max_by over the
+    (ts, seq) struct), and the result must be identical under any input
+    partitioning."""
+    from s3_to_redshift_with_airflow_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    rows = [
+        # same opening ts — event_id 1 wins open; same closing ts — id 6
+        ("a", "2024-01-01 10:00:00", 2, 20.0),
+        ("a", "2024-01-01 10:00:00", 1, 10.0),
+        ("a", "2024-01-01 10:30:00", 3, 99.0),
+        ("a", "2024-01-01 10:59:00", 5, 30.0),
+        ("a", "2024-01-01 10:59:00", 6, 40.0),
+        ("a", "2024-01-01 11:05:00", 7, 7.0),   # next bucket
+        ("b", "2024-01-01 10:10:00", 8, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, event_id long, value double"
+    ).select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "value",
+    )
+    out = {
+        (r["event_type"], str(r["bucket_start"])): (
+            r["open"], r["high"], r["low"], r["close"], r["n_rows"]
+        )
+        for r in ohlc_bars(
+            df, group_cols=["event_type"], seq_col="event_id"
+        ).collect()
+    }
+    assert out == {
+        ("a", "2024-01-01 10:00:00"): (10.0, 99.0, 10.0, 40.0, 5),
+        ("a", "2024-01-01 11:00:00"): (7.0, 7.0, 7.0, 7.0, 1),
+        ("b", "2024-01-01 10:00:00"): (5.0, 5.0, 5.0, 5.0, 1),
+    }
+    again = {
+        (r["event_type"], str(r["bucket_start"])): (
+            r["open"], r["high"], r["low"], r["close"], r["n_rows"]
+        )
+        for r in ohlc_bars(
+            df.repartition(7), group_cols=["event_type"], seq_col="event_id"
+        ).collect()
+    }
+    assert again == out
