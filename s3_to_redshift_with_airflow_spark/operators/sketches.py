@@ -225,3 +225,106 @@ def bloom_semijoin(
         prefiltered[probe_key] == F.col(key_col),
         "left_semi",
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    grain_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    width: float = 8.0,
+) -> DataFrame:
+    """Per (grain..., day, bucket) value histogram — the QUANTILE sketch of
+    the persistable-sketch family (HLL = distinct counts, CMS = point
+    frequencies, Bloom = membership, THIS = distributions): build per-day
+    bucket counts ONCE, persist them as an ordinary parquet table
+    (≤ range/width rows per grain-day however large the input), and serve
+    every later quantile/rollup by SUMMING stored buckets — the raw rows
+    are never re-scanned and may be deleted.
+
+    Unlike HLL/t-digest blobs, the sketch CONTENT is exact integers over a
+    deterministic bucketing (bucket = floor(value/width); keep `width` a
+    power of two so the division is exact in binary floating point), so
+    both the stored table and everything derived from it carry exact
+    DuckDB value oracles — merge-of-days == direct-build is an equality,
+    not an estimate. NULL values are excluded (count them in
+    validation_report). Accuracy contract: a quantile read from the
+    histogram is the upper boundary of the bucket containing the
+    ⌈q·n/100⌉-th order statistic — that statistic lies within one bucket
+    width below the estimate (pinned in tests; note interpolated
+    `percentile` anchors one order stat earlier and can sit in the
+    previous bucket, so the bound is stated against the discrete
+    statistic)."""
+    gcols = grain_cols or []
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            *gcols,
+            F.to_date(ts_col).alias("day"),
+            F.floor(F.col(value_col) / F.lit(width)).cast("bigint").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    grain_cols: list[str] | None = None,
+    q_pcts: list[int] | None = None,
+    width: float = 8.0,
+) -> DataFrame:
+    """Quantiles served from a (possibly parquet-read, possibly multi-day)
+    histogram table: merge buckets across days, one cumulative window per
+    grain over bucket order, and for each requested percentile return the
+    smallest bucket whose cumulative count covers it — estimate = the
+    bucket's UPPER boundary (bucket+1)·width, so the true quantile is
+    within one width below the estimate, never above.
+
+    The quantile pick is the exact integer predicate cum·100 ≥ q·total (no
+    float percentile math anywhere), so the output is engine-exact. Output:
+    (grain..., q_pct, n_total, est_value), ordered deterministic.
+
+    Scale shape: the window runs over BUCKET granularity (≤ range/width
+    rows per grain — constant in corpus size), never rows; merging days is
+    one map-side-combinable sum. This is the aggregate-then-window
+    discipline with the aggregate persisted."""
+    gcols = grain_cols or []
+    qs = q_pcts or [50, 95, 99]
+    if not all(0 < q <= 100 for q in qs):
+        raise ValueError("q_pcts must be integer percents in (0, 100]")
+    from pyspark.sql import Window
+
+    merged = hist.groupBy(*gcols, "bucket").agg(F.sum("n").cast("bigint").alias("n"))
+    w = Window.partitionBy(*gcols).orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy(*gcols)
+    cum = merged.select(
+        *gcols,
+        "bucket",
+        F.sum("n").over(w).cast("bigint").alias("cum"),
+        F.sum("n").over(wt).cast("bigint").alias("n_total"),
+    )
+    parts = []
+    for q in qs:
+        parts.append(
+            cum.filter(F.col("cum") * 100 >= F.lit(q) * F.col("n_total"))
+            .groupBy(*gcols)
+            .agg(
+                F.lit(q).cast("bigint").alias("q_pct"),
+                F.min("n_total").alias("n_total"),  # constant per grain
+                F.min("bucket").alias("__b"),
+            )
+            .select(
+                *gcols,
+                "q_pct",
+                "n_total",
+                ((F.col("__b") + 1).cast("double") * F.lit(width)).alias(
+                    "est_value"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2475,6 +2475,91 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_user_sketches(daily_user_sketches(events))
 
 
+_HIST_WIDTH = 8.0  # power of two: value/width is exact in binary FP
+_HIST_QS = [50, 95, 99]
+
+_SQL_HIST_DAILY = f"""
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("value_histogram_daily", oracle=_SQL_HIST_DAILY)
+def q_value_histogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistable QUANTILE sketch's build stage
+    (operators/sketches.value_histogram — the fourth sketch family after
+    HLL distinct counts, CMS point frequencies and Bloom membership):
+    per (event_type, day, bucket) value counts with bucket =
+    floor(value/8) — at most range/width rows per grain-day however large
+    the input. Write THIS table to parquet and serve every later quantile
+    or rollup from it (histogram_quantile_rollup); unlike HLL/t-digest
+    blobs the sketch content is exact integers over deterministic
+    bucketing, so the stored table itself carries an exact value oracle
+    and merge-of-days == direct-build is an EQUALITY, not an estimate.
+    One map-side-combined groupBy pass."""
+    from ..operators.sketches import value_histogram
+
+    (events,) = _t(spark, sf_dir, "events")
+    hist = value_histogram(
+        events, value_col="value", grain_cols=["event_type"], width=_HIST_WIDTH
+    )
+    # dates travel as ISO strings (registry convention — engine-neutral dtype)
+    return hist.withColumn("day", F.col("day").cast("string"))
+
+
+_SQL_HIST_QUANTILES = (
+    "WITH h AS ("
+    + _SQL_HIST_DAILY
+    + f"""),
+    m AS (
+      SELECT event_type, bucket, CAST(SUM(n) AS BIGINT) AS n
+      FROM h GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bucket,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket ASC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_total
+      FROM m
+    )
+    """
+    + " UNION ALL ".join(
+        f"""
+    SELECT event_type, CAST({q} AS BIGINT) AS q_pct, MIN(n_total) AS n_total,
+           CAST(MIN(bucket) + 1 AS DOUBLE) * {_HIST_WIDTH} AS est_value
+    FROM c WHERE cum * 100 >= {q} * n_total GROUP BY event_type"""
+        for q in _HIST_QS
+    )
+)
+
+
+@query("histogram_quantile_rollup", oracle=_SQL_HIST_QUANTILES)
+def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles served from the stored histogram table
+    (operators/sketches.histogram_quantiles): per-day buckets merged
+    across days (one map-side sum), a cumulative window over BUCKET
+    granularity (≤ range/width rows per grain — constant in corpus size),
+    and p50/p95/p99 picked by the exact integer predicate
+    cum·100 ≥ q·total — estimate = the covering bucket's upper boundary,
+    so the true quantile is within one bucket width below it (pinned vs
+    exact percentile in tests, along with the merge-equals-direct and
+    delete-the-raw-data persistence contracts). No float percentile math
+    anywhere, hence the exact oracle — the property HLL's rows-only
+    sketch_rollup can never have."""
+    from ..operators.sketches import histogram_quantiles, value_histogram
+
+    (events,) = _t(spark, sf_dir, "events")
+    hist = value_histogram(
+        events, value_col="value", grain_cols=["event_type"], width=_HIST_WIDTH
+    )
+    return histogram_quantiles(
+        hist, grain_cols=["event_type"], q_pcts=_HIST_QS, width=_HIST_WIDTH
+    )
+
+
 def _zorder_oracle() -> str:
     from ..operators.layout import zorder_key_sql
 

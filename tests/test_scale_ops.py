@@ -717,3 +717,64 @@ def test_ohlc_bars_tiebreak_and_partitioning_invariance(spark):
         ).collect()
     }
     assert again == out
+
+
+def test_histogram_sketch_persistence_merge_and_accuracy(spark, tmp_path):
+    """The histogram sketch family end-to-end: (a) quantiles served from
+    the parquet-persisted per-day table after DELETING the raw events are
+    bit-identical to the live composition (merge-of-days == direct is an
+    exact equality — integer buckets, unlike HLL); (b) every histogram
+    quantile is within one bucket width ABOVE the exact percentile and
+    never below it (upper-boundary estimate contract)."""
+    import shutil
+
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram,
+    )
+    from s3_to_redshift_with_airflow_spark.sources.readers import (
+        with_ts_from_nanos,
+    )
+
+    raw = str(tmp_path / "events_raw")
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").write.parquet(raw)
+    events = with_ts_from_nanos(spark.read.parquet(raw), "ts")
+    width = 8.0
+    live = value_histogram(events, grain_cols=["event_type"], width=width)
+    want = {
+        (r["event_type"], r["q_pct"]): (r["n_total"], r["est_value"])
+        for r in histogram_quantiles(
+            live, grain_cols=["event_type"], width=width
+        ).collect()
+    }
+    # the operator's accuracy contract is against the DISCRETE covering
+    # order statistic (the ceil(q*n/100)-th smallest value), not the
+    # interpolated percentile (which anchors one order stat earlier and can
+    # sit in the previous bucket)
+    import math
+
+    vals: dict[str, list[float]] = {}
+    for r in events.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    exact = {}
+    for et, xs in vals.items():
+        xs.sort()
+        for q in (50, 95, 99):
+            exact[(et, q)] = xs[math.ceil(q * len(xs) / 100) - 1]
+
+    hist_path = str(tmp_path / "hist_table")
+    live.write.parquet(hist_path)
+    shutil.rmtree(raw)  # the raw data is gone
+
+    got = {
+        (r["event_type"], r["q_pct"]): (r["n_total"], r["est_value"])
+        for r in histogram_quantiles(
+            spark.read.parquet(hist_path), grain_cols=["event_type"], width=width
+        ).collect()
+    }
+    assert got == want  # stored table serves identical results
+    for key, (_, est) in got.items():
+        stat = exact[key]
+        # est is the covering bucket's UPPER boundary: the covering order
+        # statistic lies inside that bucket, i.e. in [est - width, est)
+        assert est - width <= stat < est, (key, est, stat)
