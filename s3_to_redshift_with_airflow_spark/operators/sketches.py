@@ -305,26 +305,29 @@ def histogram_quantiles(
         F.sum("n").over(w).cast("bigint").alias("cum"),
         F.sum("n").over(wt).cast("bigint").alias("n_total"),
     )
-    parts = []
-    for q in qs:
-        parts.append(
-            cum.filter(F.col("cum") * 100 >= F.lit(q) * F.col("n_total"))
-            .groupBy(*gcols)
-            .agg(
-                F.lit(q).cast("bigint").alias("q_pct"),
-                F.min("n_total").alias("n_total"),  # constant per grain
-                F.min("bucket").alias("__b"),
-            )
-            .select(
-                *gcols,
-                "q_pct",
-                "n_total",
-                ((F.col("__b") + 1).cast("double") * F.lit(width)).alias(
-                    "est_value"
-                ),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ALL requested quantiles in ONE aggregation pass (a per-q filter+agg
+    # union would re-execute the window subtree per quantile), then an
+    # unpivot to the (grain, q_pct) row shape.
+    picked = cum.groupBy(*gcols).agg(
+        F.min("n_total").alias("n_total"),  # constant per grain
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(q) * F.col("n_total"),
+                    F.col("bucket"),
+                )
+            ).alias(f"__b{q}")
+            for q in qs
+        ],
+    )
+    stack = ", ".join(f"cast({q} as bigint), __b{q}" for q in qs)
+    return picked.select(
+        *gcols,
+        "n_total",
+        F.expr(f"stack({len(qs)}, {stack}) as (q_pct, __b)"),
+    ).select(
+        *gcols,
+        "q_pct",
+        "n_total",
+        ((F.col("__b") + 1).cast("double") * F.lit(width)).alias("est_value"),
+    )
