@@ -130,9 +130,12 @@ HEADLINE = [
     "bm25_search",
     # round-6 closers: the streaming foreachBatch CDC consumer (per-epoch
     # compaction + SCD2 merge into a parquet dimension, full stream run per
-    # measurement) and the frozen-codebook incremental index append
+    # measurement), the frozen-codebook incremental index append, and the
+    # fully-stored IVF-PQ serving path (four tables from parquet; contrast
+    # with ivf_pq_ann_topk's per-run rebuild cost ceiling)
     "streaming_cdc_scd2",
     "pq_index_append",
+    "ivf_pq_index_search",
 ]
 
 

@@ -366,3 +366,52 @@ def test_ivf_pq_refine_reranks_by_exact_cosine(spark, emb):
         pairs.sort()
         sims = [s for _, s in pairs]
         assert sims == sorted(sims, reverse=True), q
+
+
+def test_ivf_pq_index_roundtrip_equals_live(spark, emb, tmp_path):
+    """ivf_pq_index_search over the four parquet-persisted index tables
+    must be row-for-row identical to the live ivf_pq_topk composition at
+    the same parameters — the stored-index production path serves exactly
+    what the one-shot build computes."""
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        ivf_pq_index_build,
+        ivf_pq_index_search,
+        ivf_pq_topk,
+    )
+
+    qs = emb.filter(F.col("vec_id") < 3)
+    live = (
+        ivf_pq_topk(
+            emb, qs, k=5, refine=20, n_probe=4, km_k=8, km_iter=2,
+            m_subspaces=16, dim=64,
+        )
+        .orderBy("query_id", "rk")
+        .collect()
+    )
+    idx = ivf_pq_index_build(
+        emb, n_probe=4, km_k=8, km_iter=2, m_subspaces=16, dim=64
+    )
+    stored = {}
+    for name, df in idx.items():
+        path = str(tmp_path / name)
+        df.write.parquet(path)
+        stored[name] = spark.read.parquet(path)
+    got = (
+        ivf_pq_index_search(
+            stored["lists"],
+            stored["centroids"],
+            stored["codes"],
+            stored["codebook"],
+            emb,
+            qs,
+            k=5,
+            refine=20,
+            n_probe=4,
+            m_subspaces=16,
+            dim=64,
+        )
+        .orderBy("query_id", "rk")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in live]
+    assert len(got) == 3 * 5

@@ -300,6 +300,9 @@ def test_registry_wide_plan_audit(spark):
         # IVFADC: coarse probe selection is ivf_int8_ann_topk's ONE-row
         # packed-centroid broadcast folded per query row — same sanction
         "ivf_pq_ann_topk",
+        # the stored-index serving path of the same composition — identical
+        # probe broadcast, tables read from parquet
+        "ivf_pq_index_search",
         # 1-row margin-cutpoint broadcast (exact decile boundaries WITHOUT
         # a global NTILE sort) — same scalar sanction as tpch_q11
         "classifier_calibration",
