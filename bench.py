@@ -189,6 +189,10 @@ def main() -> None:
         warmups[name], per_run[name] = run_query(spark, name, sf_dir)
         timings[name] = min(per_run[name])
 
+    # The round-1 anchor set: its subtotal is the stable round-over-round
+    # comparison (the full headline grows every round), surfaced directly
+    # so artifact readers don't recompute it.
+    shared8 = HEADLINE[:8]
     print(
         json.dumps(
             {
@@ -199,6 +203,9 @@ def main() -> None:
                 "runs": per_run,
                 "warmup_sec": round(sum(warmups.values()), 3),
                 "warmups": warmups,
+                "shared8_sec": round(
+                    sum(timings[q] for q in shared8 if q in timings), 3
+                ),
                 "sf": sf,
             }
         )
