@@ -1041,3 +1041,65 @@ def test_bm25_matches_python_fixed_point(spark, docs):
             .collect()
         ]
     assert got == want
+
+
+# --- value-histogram quantile sketch dict model --------------------------------
+
+hist_vals = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                     # grain
+        st.integers(min_value=0, max_value=4),           # day offset
+        st.floats(
+            min_value=0.0, max_value=100.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=hist_vals)
+def test_histogram_quantiles_match_dict_model(spark, rows):
+    """value_histogram + histogram_quantiles over arbitrary inputs == the
+    pure-Python model: bucket = floor(v/width), quantile = upper boundary
+    of the smallest bucket whose cumulative count covers ceil(q·n/100) —
+    merged across days, per grain, bit-for-bit."""
+    import math
+    from datetime import datetime
+
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    width, qs = 8.0, [50, 95, 99]
+    df = spark.createDataFrame(
+        [(g, datetime(2024, 1, 1 + d, 12), float(v)) for g, d, v in rows],
+        "g string, ts timestamp, value double",
+    )
+    got = {
+        (r["g"], r["q_pct"]): (r["n_total"], r["est_value"])
+        for r in histogram_quantiles(
+            value_histogram(df, grain_cols=["g"], width=width),
+            grain_cols=["g"],
+            q_pcts=qs,
+            width=width,
+        ).collect()
+    }
+    expected = {}
+    by_g: dict[str, list[int]] = {}
+    for g, _d, v in rows:
+        by_g.setdefault(g, []).append(math.floor(v / width))
+    for g, buckets in by_g.items():
+        buckets.sort()
+        n = len(buckets)
+        for q in qs:
+            covering = buckets[math.ceil(q * n / 100) - 1]
+            expected[(g, q)] = (n, float(covering + 1) * width)
+    assert got == expected

@@ -981,6 +981,60 @@ def fam_bm25(spark, mult):
     return docs, n, run
 
 
+def fam_ohlc(spark, mult):
+    """OHLC bars (registry: ohlc_bars): one map-side-combined groupBy whose
+    shuffle volume is O(buckets); expect flat sub-linear time."""
+    from s3_to_redshift_with_airflow_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    n = BASE_EVENTS * mult
+    events = _events(spark, n).localCheckpoint()
+
+    def run():
+        return ohlc_bars(
+            events, group_cols=["event_type"], seq_col="event_id"
+        ).count()
+
+    return events, n, run
+
+
+def fam_histogram(spark, mult):
+    """Value-histogram quantile sketch (registry: value_histogram_daily +
+    histogram_quantile_rollup): build + merge + quantile pick; bucket
+    granularity keeps everything past the first aggregate constant-size."""
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    n = BASE_EVENTS * mult
+    events = _events(spark, n).localCheckpoint()
+
+    def run():
+        hist = value_histogram(events, grain_cols=["event_type"], width=8.0)
+        return histogram_quantiles(
+            hist, grain_cols=["event_type"], width=8.0
+        ).count()
+
+    return events, n, run
+
+
+def fam_skew_report(spark, mult):
+    """Shuffle-key skew diagnostic (registry: skew_report): one groupBy(key)
+    pass + a 1-row stats broadcast; the measurement you run BEFORE a big
+    join, so it must stay cheap at any scale."""
+    from s3_to_redshift_with_airflow_spark.operators.skew import skew_report
+
+    n = BASE_EVENTS * mult
+    events = _events(spark, n).localCheckpoint()
+
+    def run():
+        return skew_report(events, "user_id", top_k=10).count()
+
+    return events, n, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -1013,6 +1067,9 @@ FAMILIES = {
     "pq_search": fam_pq_search,
     "cdc_scd2": fam_cdc_scd2,
     "bm25": fam_bm25,
+    "ohlc": fam_ohlc,
+    "histogram": fam_histogram,
+    "skew_report": fam_skew_report,
 }
 
 
