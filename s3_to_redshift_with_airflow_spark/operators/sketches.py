@@ -331,3 +331,131 @@ def histogram_quantiles(
         "n_total",
         ((F.col("__b") + 1).cast("double") * F.lit(width)).alias("est_value"),
     )
+
+
+# --- KMV (k-minimum-values) theta sketch -------------------------------------
+#
+# The fourth sketch family next to HLL (sketch_rollup), CMS
+# (cms_point_queries), Bloom (bloom_semijoin) and the value histogram
+# (value_histogram_daily / histogram_quantiles). KMV is the one that buys
+# SET OPERATIONS: keeping the k smallest hash values of a key set yields a
+# distinct-count estimator ((k-1)·D / h_k, Bar-Yossef et al. 2002 /
+# DataSketches "theta"), and because a KMV sketch is literally a uniform
+# sample of the hashed key space, union/intersection/Jaccard between two
+# sketches are estimable by set algebra on the stored hashes — which HLL
+# fundamentally cannot do (its registers only union).
+#
+# Engine portability: hashes are the md5-int trick at 40 bits
+# (DuckDB twin: ('0x' || substr(md5('kmv:' || key), 1, 10))::UBIGINT), so
+# every stored hash, every estimate, and every set-op is exact bigint
+# arithmetic both engines replay bit-for-bit. 40 bits keeps
+# (k-1)·2^40 ≈ 2.8e14 safely inside bigint; collisions among ~1e6 distinct
+# keys are ~1e-3 expected and IDENTICAL on both engines (the oracle hashes
+# the same), so exactness is unaffected. For billions of distinct keys a
+# production deployment widens to the 60-bit hash + decimal128 math —
+# same plan shape.
+
+
+def kmv_hash40(col: F.Column, salt: str = "kmv") -> F.Column:
+    """First 10 md5 hex nibbles of 'salt:key' as a non-negative 40-bit
+    bigint (engine-portable; see module comment)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string"))), 1, 10),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def kmv_sketch_table(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch — (g, hs: array<bigint> ascending, n_kept).
+    One distinct shuffle on (group, hash) then a per-group bottom-k via
+    row_number (the sort is per-group over DISTINCT hashes only; at 100 TB
+    you'd pre-filter with an adaptive hash threshold from a prior estimate
+    so the sort sees ~k rows per group). The output is ≤ k bigints per
+    group however large the input — write it to parquet and every later
+    set-op reads THIS table; the raw data may be archived (pinned by a
+    delete-the-raw-data test like the HLL family's)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(group_col).alias("g"), kmv_hash40(F.col(key_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy(F.col("h").asc())
+    kept = hashed.select("g", "h", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= k
+    )
+    return kept.groupBy("g").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+
+
+def kmv_pair_ops(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """All-pairs set operations between stored KMV sketches —
+    (type_a, type_b, kp, union_est, intersect_est, jaccard_ppm), ordered.
+
+    `sketches` is kmv_sketch_table's output (live or parquet-read). For
+    each group pair (a < b): merge the two hash sets, keep the k smallest
+    (kp = how many exist), and count how many of those kp live in BOTH
+    input sketches (n_both). Then, all in exact bigint arithmetic:
+
+        union_est     = kp < k ? kp : (k-1)·2^40 div h_kp   (KMV estimator)
+        jaccard_ppm   = n_both·10^6 div kp                  (Beyer et al. 2007)
+        intersect_est = kp < k ? n_both : n_both·union_est div kp
+
+    When kp < k the merged sketch IS the full hash set, so union/intersect
+    are exact. Plan: the sketch rows re-explode to (g, h) rows (≤ k·G), the
+    G-row group list crosses to G·(G-1)/2 pairs (bounded group-granularity
+    frame, never the corpus — the corpus_divergence sanction), each pair's
+    hashes arrive by two equi broadcast joins, and a bucket-bounded window
+    picks the merged bottom-k. Nothing here ever rescans the raw data."""
+    rows = sketches.select("g", F.explode("hs").alias("h"))
+    gs = sketches.select("g")
+    pairs = gs.alias("a").join(
+        gs.alias("b"), F.col("a.g") < F.col("b.g")
+    ).select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+    ua = pairs.join(
+        F.broadcast(rows.withColumnRenamed("g", "ga")), "ga"
+    ).select("ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    ub = pairs.join(
+        F.broadcast(rows.withColumnRenamed("g", "gb")), "gb"
+    ).select("ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ga", "gb").orderBy(F.col("h").asc())
+    bottomk = merged.select(
+        "ga", "gb", "h", "in_a", "in_b", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= k)
+    kk = bottomk.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kp"),
+        F.max("h").alias("hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both"),
+    )
+    dom = 1 << 40
+    return kk.select(
+        F.col("ga").alias("type_a"),
+        F.col("gb").alias("type_b"),
+        "kp",
+        F.expr(f"if(kp < {k}, kp, ({k} - 1) * cast({dom} as bigint) div hk)")
+        .cast("bigint")
+        .alias("union_est"),
+        F.expr(
+            f"if(kp < {k}, n_both,"
+            f" n_both * (({k} - 1) * cast({dom} as bigint) div hk) div kp)"
+        )
+        .cast("bigint")
+        .alias("intersect_est"),
+        F.expr("n_both * 1000000 div kp").cast("bigint").alias("jaccard_ppm"),
+    ).orderBy("type_a", "type_b")

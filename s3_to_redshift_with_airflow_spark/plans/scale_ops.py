@@ -4279,3 +4279,388 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_outliers * 10000 div n").alias("outlier_bp"),
         )
     )
+
+
+# --- KMV theta sketch: distinct set operations --------------------------------
+
+_KMV_K = 256
+_KMV_DOM = 1 << 40  # 40-bit md5 hash domain (bigint-safe estimator math)
+
+# key = user-day ("did the same user-day that clicked also purchase"):
+# ~1,600 distinct per type at sf0.01 — above k, so the estimator path
+# (kp = k) actually exercises, with partial (~0.2-0.3 Jaccard) overlaps.
+_KMV_KEY_SQL = (
+    "CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)"
+)
+_KMV_HASH_SQL = (
+    f"CAST(('0x' || substr(md5('kmv:' || ({_KMV_KEY_SQL})), 1, 10))"
+    "::UBIGINT AS BIGINT)"
+)
+
+_SQL_KMV_SET_OPS = f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type AS g, {_KMV_HASH_SQL} AS h FROM events
+    ),
+    ranked AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM hashed
+    ),
+    kmv AS (SELECT g, h FROM ranked WHERE rn <= {_KMV_K}),
+    gs AS (SELECT DISTINCT g FROM kmv),
+    pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+    uh AS (
+      SELECT p.ga, p.gb, s.h,
+             MAX(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN kmv s ON s.g = p.ga OR s.g = p.gb
+      GROUP BY 1, 2, 3
+    ),
+    r2 AS (
+      SELECT ga, gb, h, in_a, in_b,
+             row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+      FROM uh
+    ),
+    kk AS (
+      SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS kp, MAX(h) AS hk,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+      FROM r2 WHERE rn <= {_KMV_K} GROUP BY ga, gb
+    ),
+    du AS (
+      SELECT DISTINCT event_type AS g, {_KMV_KEY_SQL} AS key FROM events
+    ),
+    eu AS (
+      SELECT p.ga, p.gb, d.key,
+             MAX(CASE WHEN d.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN d.g = p.gb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN du d ON d.g = p.ga OR d.g = p.gb
+      GROUP BY 1, 2, 3
+    ),
+    ex AS (
+      SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS exact_union,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS exact_intersect
+      FROM eu GROUP BY ga, gb
+    )
+    SELECT kk.ga AS type_a, kk.gb AS type_b, kk.kp,
+      CASE WHEN kk.kp < {_KMV_K} THEN kk.kp
+           ELSE ({_KMV_K} - 1) * CAST({_KMV_DOM} AS BIGINT) // kk.hk
+      END AS union_est,
+      CASE WHEN kk.kp < {_KMV_K} THEN kk.n_both
+           ELSE kk.n_both
+                * (({_KMV_K} - 1) * CAST({_KMV_DOM} AS BIGINT) // kk.hk)
+                // kk.kp
+      END AS intersect_est,
+      kk.n_both * 1000000 // kk.kp AS jaccard_ppm,
+      ex.exact_union, ex.exact_intersect
+    FROM kk JOIN ex ON kk.ga = ex.ga AND kk.gb = ex.gb
+    ORDER BY type_a, type_b
+"""
+
+
+@query("kmv_set_ops", oracle=_SQL_KMV_SET_OPS)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta) sketch set operations — the fifth
+    sketch family, and the one that buys INTERSECTION: per event_type,
+    keep the k=256 smallest 40-bit md5 hashes of the distinct user set
+    (a persistable ≤256-bigint sketch per group, built once); then every
+    pairwise audience-overlap question — union size, intersection size,
+    Jaccard — is answered from the STORED sketches by exact bigint set
+    algebra (Bar-Yossef et al. 2002; Beyer et al. 2007), never rescanning
+    the raw events. HLL (sketch_rollup) can only union; KMV is what you
+    reach for when the question is "how many signup users also purchase".
+
+    Output: (type_a, type_b, kp, union_est, intersect_est, jaccard_ppm,
+    exact_union, exact_intersect) — the exact columns are the AUDIT half
+    (the bloom_prefilter_join pattern: estimates and ground truth side by
+    side under one oracle); production drops them and touches only the
+    KB-sized sketch table. Every estimate is deterministic integer
+    arithmetic over the portable md5 hash, so the whole thing carries an
+    exact DuckDB value oracle: union_est = (k-1)·2^40 div h_k,
+    intersect_est = n_both·union_est div kp, jaccard_ppm = n_both·10^6
+    div kp — exact (not estimated) whenever the merged sketch holds the
+    full key set (kp < k).
+
+    Plan (100 TB): sketch build = one distinct shuffle on (type, hash) +
+    a per-group bottom-k over DISTINCT hashes (at scale, pre-filter with
+    an adaptive hash threshold so the sort sees ~k rows/group); set ops
+    run on the G-row group list crossed to G·(G-1)/2 pairs — a bounded
+    group-granularity frame (the corpus_divergence sanction) fed by two
+    equi broadcast joins of the ≤k·G exploded sketch rows. The exact-audit
+    pass is the only part that touches raw data, and only at distinct
+    (type, user) granularity. Implementation:
+    operators/sketches.kmv_sketch_table + kmv_pair_ops."""
+    from ..operators.sketches import kmv_pair_ops, kmv_sketch_table
+
+    (events,) = _t(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.to_date("ts").cast("string"),
+        ).alias("key"),
+    )
+    sk = kmv_sketch_table(keyed, "key", "event_type", k=_KMV_K)
+    est = kmv_pair_ops(sk, k=_KMV_K)
+
+    # exact audit: distinct (type, user-day) granularity, pairs broadcast
+    du = keyed.select(F.col("event_type").alias("g"), "key").distinct()
+    gs = sk.select("g")
+    pairs = gs.alias("a").join(
+        gs.alias("b"), F.col("a.g") < F.col("b.g")
+    ).select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+    ea = du.withColumnRenamed("g", "ga").join(F.broadcast(pairs), "ga").select(
+        "ga", "gb", "key", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    eb = du.withColumnRenamed("g", "gb").join(F.broadcast(pairs), "gb").select(
+        "ga", "gb", "key", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    ex = (
+        ea.unionByName(eb)
+        .groupBy("ga", "gb", "key")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .groupBy("ga", "gb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+            F.sum(F.col("in_a") * F.col("in_b"))
+            .cast("bigint")
+            .alias("exact_intersect"),
+        )
+        .withColumnRenamed("ga", "type_a")
+        .withColumnRenamed("gb", "type_b")
+    )
+    return est.join(ex, ["type_a", "type_b"]).orderBy("type_a", "type_b")
+
+
+# --- CMS inner product: join-size estimation ----------------------------------
+
+# Inner products need a wider sketch than point queries: the additive
+# error is ~|A|·|B|/w (every colliding key pair contributes a cross term),
+# so w=16384 holds the overestimate near 10% at any scale where
+# |A|·|B|/exact stays put — still a 4x16384-count (512 KB) sketch.
+_JSE_D, _JSE_W = 4, 16384
+
+_JSE_HASH = (
+    "CAST(('0x' || substr(md5('cms:' || d || ':' || CAST({key} AS VARCHAR)),"
+    f" 1, 15))::UBIGINT % {_JSE_W} AS BIGINT)"
+)
+
+_SQL_JOIN_SIZE_ESTIMATE = f"""
+    WITH dd AS (SELECT unnest(generate_series(0, {_JSE_D - 1})) AS d),
+    ca AS (
+      SELECT d, {_JSE_HASH.format(key="user_id")} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events, dd GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT d, {_JSE_HASH.format(key="o_custkey")} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders, dd GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT ca.d, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS est
+      FROM ca JOIN cb ON ca.d = cb.d AND ca.bucket = cb.bucket
+      GROUP BY ca.d
+    ),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    )
+    SELECT ex.exact_n, CAST(MIN(ip.est) AS BIGINT) AS est_n,
+           (CAST(MIN(ip.est) AS BIGINT) - ex.exact_n) * 1000000 // ex.exact_n
+             AS over_ppm
+    FROM ip, ex GROUP BY ex.exact_n
+"""
+
+
+@query("join_size_estimate", oracle=_SQL_JOIN_SIZE_ESTIMATE)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches (the
+    AMS/Alon-Matias-Szegedy inner-product estimator, Cormode &
+    Muthukrishnan §4.2): |A ⋈ B| on a key equals Σ_k cntA(k)·cntB(k), and
+    the CMS estimate is min over hash rows d of Σ_b cmsA[d][b]·cmsB[d][b]
+    — one-sided (never underestimates, colliding keys only ADD cross
+    terms) and computable from two KB-sized sketches without ever running
+    or shuffling the join. This is the planner-side question ("how big
+    would events ⋈ orders on user key be?") answered at sketch cost —
+    what a cost-based optimizer or a pre-flight pipeline guard runs
+    before committing cluster time to a 100 TB join.
+
+    Output is ONE audit row (exact_n, est_n, over_ppm): est_n >= exact_n
+    ALWAYS (a test pins the one-sided bound), over_ppm = the observed
+    overestimate in parts-per-million, floor-divided on non-negative
+    bigints. Both sketch builds and the estimate are deterministic integer
+    arithmetic over the portable md5 hash — exact DuckDB value oracle,
+    same discipline as cms_point_queries.
+
+    Plan (100 TB): each sketch is one groupBy(d, bucket) over a d-exploded
+    scan (≤ d·w = 4096 groups, map-side combined); the two 4096-row
+    sketches broadcast-join on (d, bucket) and fold to d partial products,
+    then one global min. The exact column is the audit half (run here
+    because the testdata is small; production drops it — that is the
+    point). Per-key counts fit bigint while |A|·|B| < 2^63; beyond that,
+    widen the product sum to decimal(38,0) — same plan shape."""
+    (events, orders) = _t(spark, sf_dir, "events", "orders")
+    from ..operators.classify import _md5_int60
+
+    def cms(df: DataFrame, key: str) -> DataFrame:
+        hashes = F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (
+                        _md5_int60(
+                            F.concat(
+                                F.lit(f"cms:{d}:"), F.col(key).cast("string")
+                            )
+                        )
+                        % _JSE_W
+                    ).alias("bucket"),
+                )
+                for d in range(_JSE_D)
+            ]
+        )
+        return (
+            df.select(F.explode(hashes).alias("h"))
+            .select("h.d", "h.bucket")
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+
+    ca = cms(events, "user_id")
+    cb = cms(orders, "o_custkey").withColumnRenamed("cnt", "cnt_b")
+    est = (
+        ca.join(F.broadcast(cb), ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).cast("bigint").alias("est"))
+        .agg(F.min("est").cast("bigint").alias("est_n"))
+    )
+    exact = (
+        events.join(orders, events.user_id == orders.o_custkey)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    )
+    return (
+        exact.join(F.broadcast(est))
+        .select(
+            "exact_n",
+            "est_n",
+            F.expr("(est_n - exact_n) * 1000000 div exact_n").alias("over_ppm"),
+        )
+    )
+
+
+# --- differentially-private-mechanism group release ---------------------------
+
+_DP_SEED = 7
+_DP_SCALE = 65536  # the fixed-point log2 scale (operators/classify.log2_fp_sql)
+# two-sided geometric with p = 2^(-1/2): eps = ln(1/p) = ln(2)/2 ~ 0.347
+# per unit of L1 sensitivity; magnitude = floor(2*log2(2^60/(u+1))) via the
+# integer log2, so P(mag >= t) ~ 2^(-t/2).
+_DP_HALF = _DP_SCALE // 2
+
+
+def _dp_sql(dialect: str) -> str:
+    from ..operators.classify import log2_fp_sql
+
+    if dialect == "duck":
+        # 40-bit uniform: log2_fp_sql is exact-integer only while
+        # x*scale < 2^63 (x < ~1.4e14), so the 60-bit hash would overflow
+        u = (
+            f"CAST(('0x' || substr(md5('dp:{_DP_SEED}:' || event_type), 1, 10))"
+            "::UBIGINT AS BIGINT)"
+        )
+        s = (
+            f"CAST(('0x' || substr(md5('dpsign:{_DP_SEED}:' || event_type), 1, 15))"
+            "::UBIGINT AS BIGINT) % 2"
+        )
+        lg = log2_fp_sql("u + 1", dialect="duck")
+        return f"""
+        WITH cnt AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact,
+                 {u} AS u, {s} AS sgn
+          FROM events GROUP BY event_type
+        ),
+        noised AS (
+          SELECT event_type, n_exact,
+                 (2 * sgn - 1)
+                   * ((40 * {_DP_SCALE} - {lg}) // {_DP_HALF}) AS noise
+          FROM cnt
+        )
+        SELECT event_type, n_exact, noise,
+               CASE WHEN n_exact + noise < 0 THEN 0
+                    ELSE n_exact + noise END AS released
+        FROM noised ORDER BY event_type
+        """
+    raise ValueError(dialect)
+
+
+@query("dp_group_release", oracle=_dp_sql("duck"))
+def q_dp_group_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private-mechanism count release — the third member
+    of the privacy family (pii_scrub anonymizes content, k_anonymity
+    generalizes quasi-identifiers, THIS perturbs released aggregates):
+    per-group counts plus two-sided geometric noise (the discrete Laplace
+    mechanism of Ghosh-Roughgarden-Sundararajan), with p = 2^(-1/2), i.e.
+    eps = ln(2)/2 per unit of L1 sensitivity. The geometric magnitude is
+    drawn by inverse-CDF over the integer log2 primitive:
+    mag = floor((40*S - log2_fp(u+1)) / (S/2)) for a 40-bit md5 uniform u,
+    so P(mag >= t) ~ 2^(-t/2) — no float RNG anywhere, every value exact
+    bigint arithmetic both engines replay bit-for-bit.
+
+    Determinism disclosure: the uniform is hashed from (seed, group), so
+    releases are REPRODUCIBLE — which is exactly how production systems
+    pin one noise draw per (release, cell) so repeated queries can't
+    average the noise away; the privacy guarantee then rests on the seed
+    staying secret (swap the literal seed for a secret salt). Output
+    (event_type, n_exact, noise, released) keeps the exact column as the
+    audit half — a real release drops it.
+
+    Plan (100 TB): one partial-aggregated count shuffle on the group key;
+    the noise is a per-row codegen expression over the finished aggregate
+    — zero extra shuffles, zero extra scans, any group cardinality."""
+    from ..operators.classify import _md5_int60, log2_fp_sql
+
+    (events,) = _t(spark, sf_dir, "events")
+    cnt = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    lg = log2_fp_sql("u + 1", dialect="spark")
+    return (
+        cnt.select(
+            "event_type",
+            "n_exact",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"dp:{_DP_SEED}:"), F.col("event_type"))),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("u"),
+            (
+                _md5_int60(
+                    F.concat(F.lit(f"dpsign:{_DP_SEED}:"), F.col("event_type"))
+                )
+                % 2
+            ).alias("sgn"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            F.expr(
+                f"(2 * sgn - 1) * ((40 * {_DP_SCALE} - {lg}) div {_DP_HALF})"
+            )
+            .cast("bigint")
+            .alias("noise"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            "noise",
+            F.greatest(F.lit(0).cast("bigint"), F.col("n_exact") + F.col("noise"))
+            .alias("released"),
+        )
+        .orderBy("event_type")
+    )

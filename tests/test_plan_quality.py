@@ -306,6 +306,14 @@ def test_registry_wide_plan_audit(spark):
         # 1-row margin-cutpoint broadcast (exact decile boundaries WITHOUT
         # a global NTILE sort) — same scalar sanction as tpch_q11
         "classifier_calibration",
+        # KMV set ops: the G-row group list crossed to G·(G-1)/2 pairs —
+        # a bounded group-granularity frame fed by equi broadcast joins of
+        # the ≤k·G sketch rows, never the corpus (corpus_divergence's
+        # sanction)
+        "kmv_set_ops",
+        # two 1-row aggregates (exact count, sketch min) composed by
+        # broadcast — same scalar sanction as curation_funnel
+        "join_size_estimate",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",

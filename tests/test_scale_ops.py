@@ -778,3 +778,149 @@ def test_histogram_sketch_persistence_merge_and_accuracy(spark, tmp_path):
         # est is the covering bucket's UPPER boundary: the covering order
         # statistic lies inside that bucket, i.e. in [est - width, est)
         assert est - width <= stat < est, (key, est, stat)
+
+
+def test_kmv_sketch_table_survives_raw_data_deletion(spark, tmp_path):
+    """KMV persist-and-serve: write the per-type sketch table to parquet,
+    DELETE the raw copy, and the pairwise set-op table built by READING
+    the stored sketches is bit-identical to the live composition — the
+    same raw-data-independence contract the HLL family pins."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        kmv_pair_ops,
+        kmv_sketch_table,
+    )
+
+    raw = str(tmp_path / "events_raw")
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_type", "user_id"
+    ).write.parquet(raw)
+    events = spark.read.parquet(raw)
+    sk_live = kmv_sketch_table(events, "user_id", "event_type", k=64)
+    want = [tuple(r) for r in kmv_pair_ops(sk_live, k=64).collect()]
+
+    sk_path = str(tmp_path / "kmv_table")
+    sk_live.write.parquet(sk_path)
+    shutil.rmtree(raw)  # the raw data is gone
+
+    got = [
+        tuple(r)
+        for r in kmv_pair_ops(spark.read.parquet(sk_path), k=64).collect()
+    ]
+    assert got == want and len(got) == 10  # C(5,2) pairs
+
+
+def test_kmv_estimator_quality_and_exact_small_sets(spark):
+    """KMV estimator contract on a controlled universe: two groups of
+    5,000 keys sharing 2,500 (true union 7,500, Jaccard 1/3). At k=256
+    the union estimate must land within 4/sqrt(k) (±25%) and jaccard_ppm
+    within ±0.15 absolute; a third 40-key group exercises the kp<k path,
+    where union/intersection are EXACT."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        kmv_pair_ops,
+        kmv_sketch_table,
+    )
+
+    base = spark.range(7_500)
+    a = base.filter(F.col("id") < 5_000).select(
+        F.lit("a").alias("g"), F.col("id").alias("key")
+    )
+    b = base.filter(F.col("id") >= 2_500).select(
+        F.lit("b").alias("g"), F.col("id").alias("key")
+    )
+    c = base.filter(F.col("id") < 40).select(
+        F.lit("c").alias("g"), F.col("id").alias("key")
+    )
+    df = a.unionByName(b).unionByName(c)
+    sk = kmv_sketch_table(df, "key", "g", k=256)
+    rows = {
+        (r.type_a, r.type_b): r for r in kmv_pair_ops(sk, k=256).collect()
+    }
+    ab = rows[("a", "b")]
+    assert ab.kp == 256
+    assert abs(ab.union_est - 7_500) <= 0.25 * 7_500
+    assert abs(ab.jaccard_ppm / 1e6 - 1 / 3) <= 0.15
+    assert abs(ab.intersect_est - 2_500) <= 0.40 * 2_500
+    # c ⊂ a with |c| = 40 < k: merged sketch is a's bottom-k plus nothing
+    # new — kp == 256 (a alone fills it), intersection estimated; but
+    # (c, b)-style small-vs-small is exact when BOTH are under k:
+    d = base.filter(F.col("id") < 20).select(
+        F.lit("d").alias("g"), F.col("id").alias("key")
+    )
+    sk2 = kmv_sketch_table(c.unionByName(d), "key", "g", k=256)
+    cd = kmv_pair_ops(sk2, k=256).collect()[0]
+    assert (cd.kp, cd.union_est, cd.intersect_est) == (40, 40, 20)
+    assert cd.jaccard_ppm == 20 * 1_000_000 // 40
+
+
+def test_join_size_estimate_is_one_sided_and_tight(spark):
+    """AMS/CMS inner-product join-size estimate: est >= exact ALWAYS
+    (collisions only add cross terms), and at w=16384 vs this data's
+    |A|*|B| the overestimate stays under 25%."""
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    row = REGISTRY["join_size_estimate"].fn(spark, SF_SMOKE).collect()[0]
+    assert row.est_n >= row.exact_n
+    assert row.over_ppm == (row.est_n - row.exact_n) * 1_000_000 // row.exact_n
+    assert row.est_n <= 1.25 * row.exact_n
+
+
+def test_dp_noise_follows_geometric_tail(spark):
+    """The DP mechanism's two-sided geometric noise, drawn over 4,000
+    hashed uniforms, must match its stated law: P(mag >= t) ~ 2^(-t/2).
+    Pins the inverse-CDF fixed-point math (a sign error or scale slip
+    would skew the tail far outside these bands) and the sign balance."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.classify import (
+        log2_fp_sql,
+    )
+
+    lg = log2_fp_sql("u + 1", dialect="spark")
+    rows = (
+        spark.range(4_000)
+        .select(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dp:7:g"), F.col("id").cast("string"))),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("u"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit("dpsign:7:g"), F.col("id").cast("string"))
+                        ),
+                        1,
+                        10,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("sgn"),
+        )
+        .select(F.expr(f"(2 * sgn - 1) * ((40 * 65536 - {lg}) div 32768)").alias("noise"))
+        .collect()
+    )
+    mags = [abs(r.noise) for r in rows]
+    n = len(mags)
+    # P(mag >= 2) = 1/2, P(mag >= 4) = 1/4, P(mag >= 8) = 1/16
+    for t, p in [(2, 0.5), (4, 0.25), (8, 0.0625)]:
+        frac = sum(m >= t for m in mags) / n
+        assert abs(frac - p) < 0.04, (t, frac)
+    # P(noise > 0) = P(sgn=1) * P(mag >= 1) = 0.5 * 2^(-1/2) ~ 0.354
+    pos = sum(r.noise > 0 for r in rows) / n
+    neg = sum(r.noise < 0 for r in rows) / n
+    assert abs(pos - 0.354) < 0.04 and abs(neg - 0.354) < 0.04
