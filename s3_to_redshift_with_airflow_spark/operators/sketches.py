@@ -459,3 +459,32 @@ def kmv_pair_ops(sketches: DataFrame, k: int = 256) -> DataFrame:
         .alias("intersect_est"),
         F.expr("n_both * 1000000 div kp").cast("bigint").alias("jaccard_ppm"),
     ).orderBy("type_a", "type_b")
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Merge two KMV sketch tables (kmv_sketch_table's schema) — the
+    mergeability contract that makes the sketch INCREMENTALLY
+    maintainable: because the k smallest of (bottom-k(A) ∪ bottom-k(B))
+    equals the bottom-k of A ∪ B, a per-day sketch table can be folded
+    into the running sketch without ever rescanning history, and the
+    result is BIT-IDENTICAL to a from-scratch build over the union
+    (pinned by tests, including fold-order associativity). Groups present
+    on only one side pass through. Cost: the inputs re-explode to ≤ k·G
+    rows each — group-count-bounded, never data-bounded."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    rows = (
+        a.select("g", F.explode("hs").alias("h"))
+        .unionByName(b.select("g", F.explode("hs").alias("h")))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy(F.col("h").asc())
+    kept = rows.select("g", "h", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= k
+    )
+    return kept.groupBy("g").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )

@@ -4664,3 +4664,66 @@ def q_dp_group_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- small-file compaction -----------------------------------------------------
+
+_COMPACT_TARGET = 2048
+_COMPACT_SCATTER = 64
+
+_SQL_COMPACTION_REPORT = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST({_COMPACT_SCATTER} AS BIGINT) AS n_files_in,
+           (CAST(COUNT(*) AS BIGINT) + {_COMPACT_TARGET - 1})
+             // {_COMPACT_TARGET} AS n_files_out,
+           CAST({_COMPACT_TARGET} AS BIGINT) AS target_rows_per_file
+    FROM events
+"""
+
+
+@query("compaction_report", oracle=_SQL_COMPACTION_REPORT)
+def q_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end, with the REAL filesystem in the
+    loop: scatter the events table into 64 deliberately-tiny parquet
+    files (what a streaming sink or over-parallel writer leaves behind),
+    run sources/writers.compact_parquet_dir to rewrite them into
+    ceil(n/2048) evenly-sized files, and report what the filesystem then
+    actually holds — (n_rows, n_files_in, n_files_out,
+    target_rows_per_file), every number read back from the directory
+    listing and the rewritten data, not from the plan.
+
+    The exact oracle works because compaction is deterministic in count
+    space: round-robin repartition(p) with p = ceil(n/target) leaves no
+    empty partition, so files_out == ceil(n/target) and the scatter's 64
+    partitions are all non-empty at any sf here. Table maintenance is a
+    first-class operator at 100 TB — unattended streaming ingest
+    fragments a table in hours, and scan cost is per-file before it is
+    per-byte.
+
+    Plan: one count, one round-robin shuffle sized by the answer, one
+    write; the report row itself is driver-built from FS metadata (an
+    O(#files) listing, same discipline as archive_files)."""
+    import tempfile
+
+    from ..sources.writers import compact_parquet_dir
+
+    (events,) = _t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="compaction_")
+    scatter = f"{base}/scattered"
+    compacted = f"{base}/compacted"
+    events.repartition(_COMPACT_SCATTER).write.mode("overwrite").parquet(scatter)
+    rep = compact_parquet_dir(
+        spark, scatter, compacted, target_rows_per_file=_COMPACT_TARGET
+    )
+    return spark.createDataFrame(
+        [
+            (
+                rep["n_rows"],
+                rep["n_files_in"],
+                rep["n_files_out"],
+                rep["target_rows_per_file"],
+            )
+        ],
+        "n_rows bigint, n_files_in bigint, n_files_out bigint, "
+        "target_rows_per_file bigint",
+    )

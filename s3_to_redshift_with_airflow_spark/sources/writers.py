@@ -232,3 +232,50 @@ def write_orc(df, path: str, mode: str = "overwrite") -> None:
     """ORC sink (predicate-pushdown-capable columnar alternative; same
     writer surface as parquet so pipelines can switch formats per table)."""
     df.write.mode(mode).orc(path)
+
+
+def _count_part_files(spark, dir_uri: str) -> int:
+    """Number of part-* data files under a directory (scheme-agnostic)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    pat = jvm.org.apache.hadoop.fs.Path(f"{dir_uri.rstrip('/')}/part-*")
+    fs = jvm.org.apache.hadoop.fs.Path(dir_uri).getFileSystem(conf)
+    statuses = fs.globStatus(pat)
+    return 0 if statuses is None else len(statuses)
+
+
+def compact_parquet_dir(
+    spark,
+    src_dir: str,
+    dest_dir: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Small-file compaction — the table-maintenance op every 100 TB lake
+    needs (streaming sinks and over-parallel writers fragment tables into
+    KB-sized files; scan throughput then dies on open/seek overhead and
+    footer reads, and the NameNode/listing cost grows per file): rewrite a
+    parquet directory into ceil(n_rows / target) evenly-sized files.
+
+    Uses round-robin `repartition(p)` (not coalesce: coalesce merges
+    without a shuffle but inherits input skew and caps parallelism at the
+    output file count during the READ too). One shuffle of the data, p
+    output files, each within one input-partition's worth of the even
+    split. Returns {n_rows, n_files_in, n_files_out, target_rows_per_file}
+    — n_files_out == ceil(n_rows/target) ALWAYS (each output partition is
+    non-empty when n_rows >= p, which ceil guarantees), so the report
+    carries an exact oracle. Scheme-agnostic (file:// and s3a://), same
+    FS discipline as archive_files."""
+    if target_rows_per_file < 1:
+        raise ValueError(f"target_rows_per_file must be >= 1, got {target_rows_per_file}")
+    df = spark.read.parquet(src_dir)
+    n_rows = df.count()
+    n_in = _count_part_files(spark, src_dir)
+    p = max(1, -(-n_rows // target_rows_per_file))
+    df.repartition(p).write.mode("overwrite").parquet(dest_dir)
+    n_out = _count_part_files(spark, dest_dir)
+    return {
+        "n_rows": n_rows,
+        "n_files_in": n_in,
+        "n_files_out": n_out,
+        "target_rows_per_file": target_rows_per_file,
+    }

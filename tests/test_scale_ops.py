@@ -924,3 +924,66 @@ def test_dp_noise_follows_geometric_tail(spark):
     pos = sum(r.noise > 0 for r in rows) / n
     neg = sum(r.noise < 0 for r in rows) / n
     assert abs(pos - 0.354) < 0.04 and abs(neg - 0.354) < 0.04
+
+
+def test_kmv_merge_incremental_equals_batch_and_associates(spark):
+    """KMV mergeability: fold per-half sketches and get BIT-IDENTICAL
+    arrays to the from-scratch build over all rows (bottom-k of bottom-k
+    unions == bottom-k of the union), and fold order doesn't matter —
+    the contract that lets a daily sketch table maintain a running
+    sketch without rescanning history."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch_table,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_type", "user_id", "event_id"
+    )
+    h1 = ev.filter(F.col("event_id") % 3 == 0)
+    h2 = ev.filter(F.col("event_id") % 3 == 1)
+    h3 = ev.filter(F.col("event_id") % 3 == 2)
+    k = 64
+    sk = lambda df: kmv_sketch_table(df, "user_id", "event_type", k=k)  # noqa: E731
+
+    def rows(df):
+        return sorted((r.g, tuple(r.hs), r.n_kept) for r in df.collect())
+
+    batch = rows(sk(ev))
+    incr = rows(kmv_merge(kmv_merge(sk(h1), sk(h2), k=k), sk(h3), k=k))
+    incr2 = rows(kmv_merge(sk(h1), kmv_merge(sk(h2), sk(h3), k=k), k=k))
+    assert incr == batch
+    assert incr2 == batch
+
+
+def test_compact_parquet_dir_preserves_data_and_sizes_files(spark, tmp_path):
+    """Compaction must be a pure layout change: same rows (verified by a
+    full-column checksum), ceil(n/target) files on disk, and every output
+    file near the even split."""
+    from s3_to_redshift_with_airflow_spark.operators.relational import (
+        table_checksum,
+    )
+    from s3_to_redshift_with_airflow_spark.sources.writers import (
+        _count_part_files,
+        compact_parquet_dir,
+    )
+
+    src = str(tmp_path / "scattered")
+    dst = str(tmp_path / "compacted")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    ev.repartition(16).write.parquet(src)
+    before = table_checksum(spark.read.parquet(src)).collect()[0]
+
+    rep = compact_parquet_dir(spark, src, dst, target_rows_per_file=300)
+    n = before.n_rows
+    assert rep["n_rows"] == n
+    assert rep["n_files_in"] == 16 == _count_part_files(spark, src)
+    want_files = -(-n // 300)
+    assert rep["n_files_out"] == want_files == _count_part_files(spark, dst)
+
+    after = table_checksum(spark.read.parquet(dst)).collect()[0]
+    assert tuple(after) == tuple(before)  # bit-identical multiset of rows
