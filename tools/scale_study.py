@@ -1035,6 +1035,78 @@ def fam_skew_report(spark, mult):
     return events, n, run
 
 
+def fam_kmv(spark, mult):
+    """KMV sketch build + pairwise set ops (registry: kmv_set_ops): one
+    distinct shuffle on (type, hash) + a per-group bottom-k window over
+    DISTINCT hashes, then group-granularity set algebra — the distinct
+    pass should dominate and stay linear; the set-op tail is constant."""
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        kmv_pair_ops,
+        kmv_sketch_table,
+    )
+
+    ev = _events(spark, BASE_EVENTS * mult).localCheckpoint()
+
+    def run():
+        sk = kmv_sketch_table(ev, "user_id", "event_type", k=256)
+        return kmv_pair_ops(sk, k=256).collect()
+
+    return ev, BASE_EVENTS * mult, run
+
+
+def fam_join_size(spark, mult):
+    """CMS join-size estimation (registry: join_size_estimate), WITHOUT
+    the exact-audit join: two d=4 sketch builds (each one linear scan +
+    a <=4*16384-group aggregate) + a constant-size inner product — the
+    whole point is that cost is two scans regardless of how big the join
+    output would be."""
+    from s3_to_redshift_with_airflow_spark.operators.classify import _md5_int60
+
+    n = BASE_EVENTS * mult
+    a = _events(spark, n).select("user_id").localCheckpoint()
+    b = (
+        spark.range(n // 2)
+        .select((F.col("id") % (n // 20)).alias("o_custkey"))
+        .localCheckpoint()
+    )
+    d_, w_ = 4, 16384
+
+    def cms(df, key):
+        hashes = F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (
+                        _md5_int60(
+                            F.concat(F.lit(f"cms:{d}:"), F.col(key).cast("string"))
+                        )
+                        % w_
+                    ).alias("bucket"),
+                )
+                for d in range(d_)
+            ]
+        )
+        return (
+            df.select(F.explode(hashes).alias("h"))
+            .select("h.d", "h.bucket")
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+
+    def run():
+        ca = cms(a, "user_id")
+        cb = cms(b, "o_custkey").withColumnRenamed("cnt", "cnt_b")
+        return (
+            ca.join(F.broadcast(cb), ["d", "bucket"])
+            .groupBy("d")
+            .agg(F.sum(F.col("cnt") * F.col("cnt_b")).cast("bigint").alias("est"))
+            .agg(F.min("est"))
+            .collect()
+        )
+
+    return a, n, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -1070,6 +1142,8 @@ FAMILIES = {
     "ohlc": fam_ohlc,
     "histogram": fam_histogram,
     "skew_report": fam_skew_report,
+    "kmv": fam_kmv,
+    "join_size": fam_join_size,
 }
 
 
