@@ -1,0 +1,166 @@
+"""Persisted BM25 inverted index — build / search / append.
+
+The text-retrieval twin of the PQ index persistence seam
+(operators/clustering.pq_index_build/_search/_append): plans/extensions'
+bm25_search builds posting lists inline per query, which is right for
+ad-hoc analytics but wrong for a serving path — at 100 TB you tokenize
+the corpus ONCE, persist the inverted index as ordinary parquet tables,
+and answer every query batch by reading only the queried terms' postings.
+Three tables, all parquet-safe scalar types:
+
+    postings — (term, doc_id, tf): the full-vocabulary inverted index.
+               Written sorted by term (range-partitioned + sorted within
+               partitions), so a `term IN (...)` probe prunes parquet row
+               groups by min/max stats and the scan touches ~the queried
+               postings, not the corpus;
+    doclens  — (doc_id, len): the BM25 length normalization;
+    stats    — (n_docs, avgl): one row, avgl the floored integer mean
+               (bm25_search's overflow-bounded formulation).
+
+Scoring arithmetic is bit-identical to the live bm25_search (same
+fixed-point k1/b saturation, same integer-log2 idf), so the stored-index
+search shares bm25_search's exact DuckDB oracle, and `bm25_index_append`
+— new documents tokenized against the frozen tokenizer, postings simply
+unioned (per-doc rows are disjoint), stats recomputed from doclens — is
+bit-identical to a full rebuild (pinned in tests).
+
+Reference parity: the reference has no retrieval surface (BASELINE.json
+extension); this closes the build-once/serve-many seam for the whole
+keyword/proximity/phrase/BM25 family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_K1, _B, _SCALE, _TOPK = 1200, 750, 1_000_000, 20
+
+
+def bm25_index_build(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Tokenize once, return (postings, doclens, stats) — see module doc.
+    One corpus scan feeds both outputs; postings is one groupBy(term, doc)
+    shuffle of the exploded token stream (map-side combined), doclens a
+    narrow projection, stats a 1-row aggregate of doclens."""
+    from ..functions.text import tokens as _tok
+
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), _tok(F.col(text_col)).alias("toks")
+    )
+    doclens = toked.select(
+        "doc_id", F.size("toks").cast("bigint").alias("len")
+    )
+    postings = (
+        toked.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("sum(len) div count(1)").cast("bigint").alias("avgl"),
+    )
+    return postings, doclens, stats
+
+
+def write_bm25_index(
+    postings: DataFrame, doclens: DataFrame, stats: DataFrame, index_dir: str
+) -> None:
+    """Persist the three index tables under index_dir. Postings land
+    range-partitioned and sorted by term, so every file's row groups carry
+    tight term min/max stats and a term-probe scan skips all but the
+    queried slices — the parquet-native equivalent of per-term posting
+    files."""
+    (
+        postings.repartitionByRange(F.col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/postings")
+    )
+    doclens.write.mode("overwrite").parquet(f"{index_dir}/doclens")
+    stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
+def read_bm25_index(
+    spark, index_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{index_dir}/postings"),
+        spark.read.parquet(f"{index_dir}/doclens"),
+        spark.read.parquet(f"{index_dir}/stats"),
+    )
+
+
+def bm25_index_search(
+    postings: DataFrame,
+    doclens: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    top_k: int = _TOPK,
+) -> DataFrame:
+    """Serve a disjunctive BM25 query from the STORED index — raw text is
+    never touched. Output (doc_id, score, n_terms, rnk), bit-identical to
+    the live plans/extensions bm25_search on the same corpus (shared exact
+    oracle). The term filter lands in the postings scan (PushedFilters:
+    In(term, ...)), so with the sorted layout the read is ~the queried
+    posting lists; df re-aggregates those rows; stats is a 1-row
+    broadcast; the only doc-keyed join moves (doc_id, len) pairs."""
+    from .classify import log2_fp_sql
+
+    tf = postings.filter(F.col("term").isin(terms))
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    lg = lambda x: log2_fp_sql(x, dialect="spark")  # noqa: E731
+    num = f"(tf * {_K1 + 1000} * 1000 * avgl)"
+    den = (
+        f"(tf * {_SCALE} * avgl"
+        f" + {_K1 * (1000 - _B)} * avgl"
+        f" + {_K1 * _B} * len)"
+    )
+    contrib = (
+        tf.join(F.broadcast(dfr), "term")
+        .join(doclens, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.expr(
+                f"({lg('2 * n_docs + 2')} - {lg('2 * df + 1')})"
+                f" * (({num} * {_SCALE}) div {den})"
+            ),
+        )
+    )
+    hits = contrib.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )
+    top = hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        top_k
+    )
+    rw = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn(
+        "rnk", F.row_number().over(rw).cast("bigint")
+    ).select("doc_id", "score", "n_terms", "rnk")
+
+
+def bm25_index_append(
+    postings: DataFrame,
+    doclens: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fold new documents into a stored index WITHOUT re-tokenizing the
+    base corpus: per-doc posting rows are disjoint across docs, so the
+    merged postings are a plain union of stored rows + the delta build,
+    and stats recompute from the merged doclens — bit-identical to a full
+    rebuild over base ∪ new (pinned in tests; same frozen-preprocessing
+    contract as pq_index_append's frozen codebook). Cost: tokenize only
+    the delta, one union, one 1-row aggregate."""
+    p_new, l_new, _ = bm25_index_build(new_docs, id_col, text_col)
+    postings2 = postings.unionByName(p_new)
+    doclens2 = doclens.unionByName(l_new)
+    stats2 = doclens2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("sum(len) div count(1)").cast("bigint").alias("avgl"),
+    )
+    return postings2, doclens2, stats2

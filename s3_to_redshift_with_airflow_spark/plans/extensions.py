@@ -3158,3 +3158,69 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(rw).cast("bigint")).select(
         "doc_id", "n_matches", "first_pos", "rnk"
     )
+
+
+@query("bm25_index_search", oracle=_bm25_sql())
+def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED inverted index — the build-once/
+    serve-many seam for the retrieval family (the text twin of
+    pq_index_search): tokenize the corpus once, write (postings, doclens,
+    stats) as parquet — postings range-partitioned and sorted by term so
+    a term probe prunes row groups by min/max stats — then answer the
+    query by READING the stored tables; raw text is never rescanned (a
+    delete-the-raw-documents test pins it). Scoring arithmetic is
+    bit-identical to the live bm25_search, so this carries the SAME exact
+    oracle — the round trip through storage must not move a single rank.
+
+    Plan (100 TB): the serve-side scan reads ~the queried posting lists
+    (PushedFilters In(term,...) against the sorted layout); df
+    re-aggregates those rows; the 1-row stats broadcast and the
+    (doc_id, len) join are bm25_search's. The index build cost is paid
+    once here because the registry query must be self-contained.
+    Implementation: operators/retrieval.py (cites bm25_search's
+    fixed-point formulation)."""
+    import tempfile
+
+    from ..operators.retrieval import (
+        bm25_index_build,
+        bm25_index_search,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="bm25_idx_")
+    write_bm25_index(*bm25_index_build(docs), idx)
+    postings, doclens, stats = read_bm25_index(spark, idx)
+    return bm25_index_search(postings, doclens, stats, _SEARCH_TERMS)
+
+
+@query("bm25_index_append", oracle=_bm25_sql())
+def q_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: build the stored index over TWO
+    THIRDS of the corpus, then fold the remaining third in with
+    bm25_index_append — tokenizing only the delta (per-doc posting rows
+    are disjoint, so merged postings are a plain union and stats
+    recompute from the merged doclens) — and serve the query from the
+    result. Carries the FULL-corpus exact oracle: append-then-search must
+    be bit-identical to rebuild-then-search, rank for rank. The frozen
+    contract is the tokenizer (pq_index_append freezes the codebook; a
+    retrieval index freezes preprocessing — change it and you rebuild)."""
+    import tempfile
+
+    from ..operators.retrieval import (
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_search,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = tempfile.mkdtemp(prefix="bm25_idx_base_")
+    write_bm25_index(*bm25_index_build(base), idx)
+    postings, doclens, _ = read_bm25_index(spark, idx)
+    p2, l2, s2 = bm25_index_append(postings, doclens, new)
+    return bm25_index_search(p2, l2, s2, _SEARCH_TERMS)

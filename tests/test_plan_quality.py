@@ -284,6 +284,9 @@ def test_registry_wide_plan_audit(spark):
         # 1-row (n_docs, avgl) corpus-stats broadcast onto the query-term
         # tf frame — same scalar sanction as keyword_search
         "bm25_search",
+        # the stored-index serving and append paths of the same scorer —
+        # identical 1-row stats broadcast, postings read from parquet
+        "bm25_index_search", "bm25_index_append",
         # 1-row (n_rows, n_keys) stats broadcast onto the top-k heavy-key
         # table — same scalar sanction as heavy_hitters
         "skew_report",

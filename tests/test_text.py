@@ -415,3 +415,85 @@ def test_bm25_semantics_saturation_length_and_idf(spark):
     assert out[3]["score"] > out[1]["score"]          # higher tf helps...
     assert out[3]["score"] < 2 * out[1]["score"]      # ...sub-linearly (k1)
     assert out[4]["score"] > out[1]["score"]          # rarer term: df=1 vs 3
+
+
+def test_bm25_index_survives_raw_document_deletion(spark, tmp_path):
+    """Build-once/serve-many: persist the inverted index, DELETE the raw
+    documents, and the stored-index search must return row-for-row what
+    the live bm25_search computed while the text still existed."""
+    import shutil
+
+    from s3_to_redshift_with_airflow_spark.operators.retrieval import (
+        bm25_index_build,
+        bm25_index_search,
+        read_bm25_index,
+        write_bm25_index,
+    )
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    from .conftest import SF_SMOKE
+
+    want = [tuple(r) for r in REGISTRY["bm25_search"].fn(spark, SF_SMOKE).collect()]
+
+    raw = str(tmp_path / "docs_raw")
+    spark.read.parquet(f"{SF_SMOKE}/documents.parquet").write.parquet(raw)
+    idx = str(tmp_path / "bm25_idx")
+    write_bm25_index(*bm25_index_build(spark.read.parquet(raw)), idx)
+    shutil.rmtree(raw)  # the raw text is gone
+
+    postings, doclens, stats = read_bm25_index(spark, idx)
+    got = [
+        tuple(r)
+        for r in bm25_index_search(
+            postings, doclens, stats, ["vector", "merge", "window"]
+        ).collect()
+    ]
+    assert got == want and len(got) == 20
+
+
+def test_bm25_index_append_equals_rebuild(spark):
+    """Appending a delta to a stored index must reproduce the full
+    rebuild's TABLES bit-for-bit (not just the same top-k): postings
+    multiset, doclens, and the floored stats row all equal."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_build,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 4 != 1)
+    new = docs.filter(F.col("doc_id") % 4 == 1)
+
+    p_full, l_full, s_full = bm25_index_build(docs)
+    p_base, l_base, _ = bm25_index_build(base)
+    p_app, l_app, s_app = bm25_index_append(p_base, l_base, new)
+
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(p_app) == key(p_full)
+    assert key(l_app) == key(l_full)
+    assert key(s_app) == key(s_full)
+
+
+def test_bm25_postings_scan_pushes_term_filter(spark, tmp_path):
+    """The serving path's whole point: the term probe must reach the
+    parquet scan as a pushed filter, so the sorted-by-term layout can
+    prune row groups."""
+    from s3_to_redshift_with_airflow_spark.operators.retrieval import (
+        bm25_index_build,
+        bm25_index_search,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    write_bm25_index(*bm25_index_build(docs), idx)
+    out = bm25_index_search(*read_bm25_index(spark, idx), ["vector", "merge"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan, plan
