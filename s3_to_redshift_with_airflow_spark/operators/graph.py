@@ -331,6 +331,104 @@ def pagerank_scaled(
     return rank
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[str] | DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    scale: int = 1_000_000,
+    damping_ppm: int = 850_000,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
+    ckpt_every: int = 0,
+    allow_non_ansi: bool = False,
+) -> DataFrame:
+    """Personalized (seed-anchored) PageRank — the query-time variant of
+    pagerank_scaled: teleport mass returns only to the SEED set, so ranks
+    measure proximity to the seeds (Haveliwala 2002; the similar-items /
+    who-to-follow recommender primitive), not global centrality.
+
+        rank_0(v)   = scale · [v ∈ S]
+        rank'(v)    = (scale − damping_ppm)·[v ∈ S]
+                      + (damping_ppm · Σ_{u→v} rank(u) div outdeg(u)) div scale
+
+    Same all-bigint floor-division discipline as pagerank_scaled (every
+    quantity exact on any engine/partitioning → a PPR with a value
+    oracle), same ANSI overflow refusal (total mass is |S|·scale ≤
+    N·scale, so pagerank_scaled's bound applies verbatim), same
+    ownership-tracked reliable-checkpoint modes. Dangling nodes leak rank
+    as in the base operator's default — symmetrize the edge list to avoid
+    them. `seeds` is a node-id list or a 1-column DataFrame; seeds absent
+    from the graph contribute nothing (both engines agree — the flag is a
+    left join against the node table).
+
+    Scale shape: identical to pagerank_scaled — per iteration one
+    groupBy(dst) shuffle of partial contribution sums — PLUS the sparsity
+    win PPR is known for: rank_0 is nonzero only at seeds, so early
+    iterations move mass only within the seeds' expanding neighborhood
+    (the contribution join's rank side starts |S| rows, not N)."""
+    if n_iter <= 0 or scale <= 0 or not (0 < damping_ppm < scale):
+        raise ValueError("need n_iter > 0, scale > 0, 0 < damping_ppm < scale")
+    if ckpt_every < 0:
+        raise ValueError("ckpt_every must be >= 0")
+    _require_ansi(edges, allow_non_ansi, "personalized_pagerank")
+    spark = edges.sparkSession
+    store = _OwnedCheckpoints(spark.sparkContext, reliable, checkpoint_dir)
+    e = store.ckpt(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct(),
+        "edges",
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    if isinstance(seeds, DataFrame):
+        seed_df = seeds.select(F.col(seed_col).alias("node")).distinct()
+    else:
+        seed_df = spark.createDataFrame(
+            [(s,) for s in seeds], f"node {nodes.schema['node'].dataType.simpleString()}"
+        ).distinct()
+    marked = nodes.join(
+        F.broadcast(seed_df.withColumn("__s", F.lit(1))), "node", "left"
+    ).select("node", F.coalesce(F.col("__s"), F.lit(0)).alias("is_seed"))
+    base = scale - damping_ppm
+    rank = marked.select(
+        "node", "is_seed", (F.col("is_seed") * scale).cast("bigint").alias("rank")
+    )
+    for it in range(n_iter):
+        contrib = (
+            e.join(rank.filter(F.col("rank") > 0), e.u == F.col("node"))
+            .join(deg, "u")
+            .select(F.col("v"), F.expr("`rank` div outdeg").alias("contrib"))
+            .groupBy("v")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        rank = (
+            marked.join(contrib, marked.node == contrib.v, "left")
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.col("is_seed") * base
+                    + F.expr(
+                        f"({damping_ppm} * coalesce(in_sum, 0)) div {scale}"
+                    )
+                ).cast("bigint").alias("rank"),
+            )
+        )
+        if ckpt_every and (it + 1) % ckpt_every == 0 and it + 1 < n_iter:
+            rank = store.ckpt(rank, "rank")
+    out = rank.select("node", "rank")
+    if reliable:
+        out = store.ckpt(out, "rank")
+        store.drop("edges")
+    return out
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "u1",

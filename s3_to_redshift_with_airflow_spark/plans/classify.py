@@ -1351,3 +1351,92 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(1)"
         ).alias("pass_bp"),
     )
+
+
+# --- personalized (seed-anchored) PageRank ----------------------------------
+
+_PPR_SEEDS = ["u:1", "u:2", "u:3"]
+
+
+def _ppr_sql(n_iter: int = _PR_ITER) -> str:
+    """Unrolled personalized-PageRank iterations — pagerank_centrality's
+    CTE oracle with the teleport restricted to the seed set (rank_0 and
+    the per-iteration base term are nonzero only at seeds)."""
+    seeds = ", ".join(f"'{s}'" for s in _PPR_SEEDS)
+    ctes = [f"""
+    WITH ev AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             'k:' || json_extract_string(props, '$.k') AS v
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    e AS (
+      SELECT u, v FROM ev UNION SELECT v AS u, u AS v FROM ev
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY u),
+    nodes AS (
+      SELECT DISTINCT node, CASE WHEN node IN ({seeds}) THEN 1 ELSE 0 END
+               AS is_seed
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+    ),
+    r0 AS (
+      SELECT node, CAST(is_seed * {_PR_SCALE} AS BIGINT) AS rank FROM nodes
+    )"""]
+    base = _PR_SCALE - _PR_DAMP
+    for it in range(n_iter):
+        ctes.append(f"""
+    c{it + 1} AS (
+      SELECT e.v, SUM(r.rank // deg.outdeg) AS in_sum
+      FROM e JOIN r{it} r ON r.node = e.u JOIN deg ON deg.u = e.u
+      GROUP BY e.v
+    ),
+    r{it + 1} AS (
+      SELECT node,
+             CAST(is_seed * {base}
+                  + ({_PR_DAMP} * COALESCE(in_sum, 0)) // {_PR_SCALE}
+                  AS BIGINT) AS rank
+      FROM nodes LEFT JOIN c{it + 1} ON c{it + 1}.v = node
+    )""")
+    return ",".join(ctes) + f"\n    SELECT node, rank FROM r{n_iter}"
+
+
+@query("personalized_pagerank", oracle=_ppr_sql())
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at three user nodes over the same
+    symmetrized user↔prop-key bipartite graph as pagerank_centrality —
+    rank as PROXIMITY TO THE SEEDS rather than global centrality: the
+    similar-items / who-to-follow recommender primitive (rank the 'k:'
+    nodes for users u:1-u:3 and you have their joint behavioral
+    neighborhood). Teleport mass returns only to seeds; everything else
+    is the base operator's exact-bigint floor-division discipline, so the
+    PPR carries the same unrolled-CTE value oracle. Sparsity win: rank_0
+    is nonzero only at the seeds, so iteration 1's contribution join
+    carries |S| rows, not N (operators/graph.personalized_pagerank
+    filters the zero-rank frontier explicitly)."""
+    from ..operators.graph import personalized_pagerank
+
+    (events,) = _t(spark, sf_dir, "events")
+    ev = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
+            F.concat(F.lit("k:"), F.get_json_object("props", "$.k")).alias("v"),
+        )
+        .distinct()
+    )
+    edges = ev.unionByName(
+        ev.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return personalized_pagerank(
+        edges,
+        _PPR_SEEDS,
+        n_iter=_PR_ITER,
+        src="u",
+        dst="v",
+        scale=_PR_SCALE,
+        damping_ppm=_PR_DAMP,
+    )

@@ -719,3 +719,96 @@ def test_bfs_partitioning_invariant_and_reliable(spark, tmp_path):
     assert {r["node"]: r["dist"] for r in a} == _py_bfs(edges, seed_ids, 3)
     with pytest.raises(ValueError):
         bfs_hops(df, seeds, n_rounds=0)
+
+
+def test_personalized_pagerank_python_parity_and_decay(spark):
+    """Planted symmetric path 1-2-3-4 seeded at node 1: ranks must equal a
+    pure-Python replay of the exact integer update, decay with distance
+    from the seed, and agree between the list and DataFrame seed APIs;
+    a seed absent from the graph contributes nothing."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    und = [(1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src bigint, dst bigint"
+    )
+    scale, damp, n_iter = 1_000_000, 850_000, 3
+
+    # pure-Python replay (same floor-division update)
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rank = {v: (scale if v == 1 else 0) for v in adj}
+    base = scale - damp
+    for _ in range(n_iter):
+        in_sum = {v: 0 for v in adj}
+        for u, nbrs in adj.items():
+            c = rank[u] // len(nbrs)
+            for v in nbrs:
+                in_sum[v] += c
+        rank = {
+            v: (base if v == 1 else 0) + (damp * in_sum[v]) // scale
+            for v in adj
+        }
+
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            edges, [1], n_iter=n_iter, scale=scale, damping_ppm=damp
+        ).collect()
+    }
+    assert got == rank
+    # NOTE: no monotonic-decay assertion on purpose — a path graph is
+    # bipartite, so mass oscillates between odd/even distances at small
+    # horizons (the pure-Python replay above IS the semantic pin).
+
+    seed_df = spark.createDataFrame([(1,)], "node bigint")
+    got_df_api = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            edges, seed_df, n_iter=n_iter, scale=scale, damping_ppm=damp
+        ).collect()
+    }
+    assert got_df_api == got
+
+    # absent seed: node 99 is not in the graph -> same as seeding {1}
+    got_absent = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            edges, [1, 99], n_iter=n_iter, scale=scale, damping_ppm=damp
+        ).collect()
+    }
+    assert got_absent == got
+
+
+def test_personalized_pagerank_disconnected_component_gets_zero(spark):
+    """THE property that separates PPR from global PageRank: teleport mass
+    returns only to seeds, so a component not reachable from any seed
+    holds rank exactly 0 — while global pagerank_scaled gives every node
+    its (1-d) base. Triangle {1,2,3} seeded at 1 vs disconnected edge
+    {10,11}."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import (
+        pagerank_scaled,
+        personalized_pagerank,
+    )
+
+    und = [(1, 2), (2, 3), (3, 1), (10, 11)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src bigint, dst bigint"
+    )
+    ppr = {
+        r.node: r.rank
+        for r in personalized_pagerank(edges, [1], n_iter=3).collect()
+    }
+    assert ppr[10] == 0 and ppr[11] == 0
+    assert ppr[1] > 0 and ppr[2] > 0 and ppr[3] > 0
+    assert ppr[1] > ppr[2] == ppr[3]  # symmetric neighbors tie
+
+    gpr = {
+        r.node: r.rank
+        for r in pagerank_scaled(edges, n_iter=3).collect()
+    }
+    assert gpr[10] > 0 and gpr[11] > 0  # the global variant does not zero
