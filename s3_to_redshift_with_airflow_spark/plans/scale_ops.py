@@ -4727,3 +4727,72 @@ def q_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_files_in bigint, n_files_out bigint, "
         "target_rows_per_file bigint",
     )
+
+
+# --- schema-evolution union scan ----------------------------------------------
+
+_SQL_SCHEMA_EVOLUTION = """
+    WITH v1 AS (
+      SELECT event_id, user_id, event_type,
+             CAST(NULL AS DOUBLE) AS value, 'v1' AS src_version
+      FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+    ),
+    v2 AS (
+      SELECT event_id, user_id, event_type, value, 'v2' AS src_version
+      FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-15'
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT src_version, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(value) AS BIGINT) AS n_value,
+           CAST(COUNT(user_id) AS BIGINT) AS n_user
+    FROM u GROUP BY src_version, event_type
+    ORDER BY src_version, event_type
+"""
+
+
+@query("schema_evolution_scan", oracle=_SQL_SCHEMA_EVOLUTION)
+def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union scan with REAL files in the loop: write the
+    events table as two parquet generations the way a producer upgrade
+    does — v1 (first half-month) with the original 3-column schema, v2
+    (rest) ADDING `value` and RENAMING user_id → uid — then read both
+    back through sources/readers.evolved_union_scan, which maps the
+    rename, null-fills the added column for v1 rows, and unions strictly
+    BY NAME with version lineage. The report aggregates per (version,
+    type): n_value counts the added column's non-nulls (0 for every v1
+    row — the null-fill contract), n_user counts the renamed column
+    (all rows — the rename mapped, not forked).
+
+    This is the capability Spark's own mergeSchema cannot express: a
+    rename under mergeSchema forks into two half-null columns; here the
+    per-version mapping keeps one. Plan: one pruned scan per generation +
+    a plan-level union (no shuffle) + one aggregate."""
+    import tempfile
+
+    from ..sources.readers import evolved_union_scan
+
+    (events,) = _t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    cut = F.to_date("ts") <= F.lit("2024-01-15").cast("date")
+    events.filter(cut).select("event_id", "user_id", "event_type").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/v1")
+    events.filter(~cut).select(
+        "event_id", F.col("user_id").alias("uid"), "event_type", "value"
+    ).write.mode("overwrite").parquet(f"{base}/v2")
+
+    u = evolved_union_scan(
+        spark,
+        [("v1", f"{base}/v1"), ("v2", f"{base}/v2")],
+        renames={"v2": {"uid": "user_id"}},
+    )
+    return (
+        u.groupBy("src_version", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("value").cast("bigint").alias("n_value"),
+            F.count("user_id").cast("bigint").alias("n_user"),
+        )
+        .orderBy("src_version", "event_type")
+    )

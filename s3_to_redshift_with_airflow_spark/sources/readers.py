@@ -266,3 +266,42 @@ def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> Dat
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source (column pruning + predicate pushdown, like parquet)."""
     return spark.read.orc(path)
+
+
+def evolved_union_scan(
+    spark: SparkSession,
+    versions: list[tuple[str, str]],
+    renames: dict[str, dict[str, str]] | None = None,
+    version_col: str = "src_version",
+) -> DataFrame:
+    """Read TABLE VERSIONS whose schemas evolved — columns ADDED (older
+    files lack them → null-filled) or RENAMED (mapped per version) — into
+    one frame, the schema-evolution half of the multi-file union scan
+    (read_streams_multi handles many files of ONE schema; real lakes
+    accumulate schema generations as producers upgrade).
+
+    `versions` is [(version_label, path), ...] in any order; `renames`
+    maps version_label -> {old_name: new_name} applied to that version's
+    columns before the union, so a producer-side rename does not fork the
+    column. The union is unionByName(allowMissingColumns=True) — strictly
+    name-based (positional unions silently mis-align evolved schemas), a
+    version's missing columns arrive as NULLs, and `version_col` carries
+    lineage like read_streams_multi's source_file.
+
+    Scale shape: each version is its own pruned/pushed-down parquet scan;
+    the union is plan-level (no shuffle, no materialization) — Spark
+    plans one scan per generation exactly like its own mergeSchema, but
+    with renames expressible, which mergeSchema cannot do (it would
+    union-type the old and new names as two columns)."""
+    if not versions:
+        raise ValueError("versions must be non-empty")
+    frames = []
+    for label, path in versions:
+        df = spark.read.parquet(path)
+        for old, new in ((renames or {}).get(label) or {}).items():
+            df = df.withColumnRenamed(old, new)
+        frames.append(df.withColumn(version_col, F.lit(label)))
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

@@ -987,3 +987,48 @@ def test_compact_parquet_dir_preserves_data_and_sizes_files(spark, tmp_path):
 
     after = table_checksum(spark.read.parquet(dst)).collect()[0]
     assert tuple(after) == tuple(before)  # bit-identical multiset of rows
+
+
+def test_evolved_union_scan_semantics(spark, tmp_path):
+    """Rename mapped (one column, not forked), added column null-filled
+    for old generations, lineage column carries the version, and order of
+    the versions list does not change the multiset of rows."""
+    from s3_to_redshift_with_airflow_spark.sources.readers import (
+        evolved_union_scan,
+    )
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, old_name string"
+    ).write.parquet(v1)
+    spark.createDataFrame(
+        [(3, "c", 30.0)], "id bigint, new_name string, score double"
+    ).write.parquet(v2)
+
+    out = evolved_union_scan(
+        spark,
+        [("v1", v1), ("v2", v2)],
+        renames={"v1": {"old_name": "new_name"}},
+    )
+    assert sorted(out.columns) == ["id", "new_name", "score", "src_version"]
+    rows = {r.id: (r.new_name, r.score, r.src_version) for r in out.collect()}
+    assert rows == {
+        1: ("a", None, "v1"),
+        2: ("b", None, "v1"),
+        3: ("c", 30.0, "v2"),
+    }
+    flipped = evolved_union_scan(
+        spark,
+        [("v2", v2), ("v1", v1)],
+        renames={"v1": {"old_name": "new_name"}},
+    )
+    assert sorted(map(tuple, out.select(sorted(out.columns)).collect())) == sorted(
+        map(tuple, flipped.select(sorted(out.columns)).collect())
+    )
+    # empty version list refused
+    try:
+        evolved_union_scan(spark, [])
+        raise AssertionError("accepted empty versions")
+    except ValueError:
+        pass
