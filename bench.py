@@ -136,6 +136,16 @@ HEADLINE = [
     "streaming_cdc_scd2",
     "pq_index_append",
     "ivf_pq_index_search",
+    # round-6 session-2 families: KMV sketch set ops (distinct shuffle +
+    # group-granularity set algebra), the AMS join-size estimate (two CMS
+    # scans, never the join), personalized PageRank (seed-sparse power
+    # iterations), and BM25 served from the PERSISTED inverted index
+    # (build + parquet round trip + term-pruned serve, all in the timed
+    # window because the registry query is self-contained)
+    "kmv_set_ops",
+    "join_size_estimate",
+    "personalized_pagerank",
+    "bm25_index_search",
 ]
 
 
