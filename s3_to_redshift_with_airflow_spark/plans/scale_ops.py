@@ -4796,3 +4796,68 @@ def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_version", "event_type")
     )
+
+
+# --- streaming KMV sketch maintenance ------------------------------------------
+
+_SKMV_K = 64
+
+_SQL_STREAMING_KMV = f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type AS g,
+        CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 10))
+          ::UBIGINT AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM hashed
+    )
+    SELECT g, h FROM ranked WHERE rn <= {_SKMV_K} ORDER BY g, h
+"""
+
+
+@query("streaming_kmv_maintain", oracle=_SQL_STREAMING_KMV)
+def q_streaming_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distinct-sketch maintenance: the events file streamed
+    into a foreachBatch sink (streaming.pipeline.foreach_batch_kmv_maintain)
+    that folds each epoch's KMV sketch into the parquet-stored sketch
+    table via kmv_merge, seeded from an EMPTY table — the consumer a
+    sketch-serving layer actually runs (sketch the delta, merge, swap;
+    history never rescanned). Mergeability is what makes this
+    oracle-exact: bottom-k of bottom-k unions == bottom-k of the union,
+    so the stored sketch after ANY epoch partitioning is bit-identical to
+    a batch build over all rows — this query therefore carries the BATCH
+    build's ranked-hash oracle verbatim (k=64 < the 150 distinct users,
+    so truncation is actually exercised). Returns the stored sketch
+    re-exploded to (g, h) rows."""
+    import tempfile
+
+    from ..session import ensure_utc
+    from ..streaming.pipeline import foreach_batch_kmv_maintain
+
+    ensure_utc(spark)
+    target = tempfile.mkdtemp(prefix="stream_kmv_") + "/sketch"
+    spark.createDataFrame(
+        [], "g string, hs array<bigint>, n_kept bigint"
+    ).write.parquet(target)
+
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    src = stream_source(
+        spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+    )
+    sink = foreach_batch_kmv_maintain(
+        target, key_col="user_id", group_col="event_type", k=_SKMV_K
+    )
+    (
+        src.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_kmv_"))
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(target)
+        .select("g", F.explode("hs").alias("h"))
+        .orderBy("g", "h")
+    )

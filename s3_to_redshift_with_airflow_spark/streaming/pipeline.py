@@ -267,3 +267,30 @@ class sized_state_partitions:
 
     def __exit__(self, *exc) -> None:
         self.spark.conf.set("spark.sql.shuffle.partitions", self._old)
+
+
+def foreach_batch_kmv_maintain(
+    target_path: str, key_col: str, group_col: str, k: int = 256
+):
+    """foreachBatch sink: fold each micro-batch's KMV sketch into the
+    sketch table stored at `target_path` via operators/sketches.kmv_merge
+    — incremental distinct-sketch maintenance, the streaming twin of the
+    batch kmv_sketch_table build. Because the merge is associative and
+    bottom-k-of-bottom-k-unions == bottom-k-of-the-union, the stored
+    sketch after ANY number of epochs is bit-identical to a batch build
+    over all rows seen — the strongest statement a streaming aggregate
+    can make, and why the registry's streaming_kmv_maintain carries the
+    batch build's exact oracle. Per epoch: sketch the delta (one distinct
+    shuffle over BATCH rows only), merge against the ≤ k·G stored rows,
+    write-then-swap. The sketch table must exist before the stream starts
+    (an empty frame with the right schema seeds it)."""
+    from ..operators.sketches import kmv_merge, kmv_sketch_table
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stored = spark.read.parquet(target_path)
+        delta = kmv_sketch_table(batch_df, key_col, group_col, k=k)
+        merged = kmv_merge(stored, delta, k=k)
+        _write_then_swap(merged, target_path, f"__kmv_epoch{epoch_id}")
+
+    return _sink

@@ -588,3 +588,70 @@ def test_foreach_batch_cdc_scd2_multi_epoch_versions(spark):
         (3, 30.0, "2024-06-01"): None,         # new key from epoch 1
     }
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_foreach_batch_kmv_multi_epoch_equals_batch_build(spark, tmp_path):
+    """Streaming KMV maintenance across TWO micro-batches (two files,
+    maxFilesPerTrigger=1) must leave the stored sketch bit-identical to a
+    batch build over all rows — the mergeability contract under real
+    epoch partitioning, not just the single-epoch case the registry query
+    exercises."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        kmv_sketch_table,
+    )
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_kmv_maintain,
+    )
+
+    src_dir = tmp_path / "kmv_src"
+    src_dir.mkdir()
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "user_id"
+    )
+    half_a = raw.filter(F.col("user_id") % 2 == 0)
+    half_b = raw.filter(F.col("user_id") % 2 == 1)
+    for name, df in [("a", half_a), ("b", half_b)]:
+        scratch = tmp_path / f"{name}_scratch"
+        df.coalesce(1).write.parquet(str(scratch))
+        shutil.move(
+            str(next(scratch.glob("part-*.parquet"))),
+            str(src_dir / f"{name}.parquet"),
+        )
+
+    target = str(tmp_path / "sketch")
+    spark.createDataFrame(
+        [], "g string, hs array<bigint>, n_kept bigint"
+    ).write.parquet(target)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(half_a.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src_dir))
+    )
+    (
+        stream.writeStream.foreachBatch(
+            foreach_batch_kmv_maintain(
+                target, key_col="user_id", group_col="event_type", k=32
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_kmv_t_"))
+        .start()
+        .awaitTermination()
+    )
+
+    got = sorted(
+        (r.g, tuple(r.hs), r.n_kept)
+        for r in spark.read.parquet(target).collect()
+    )
+    want = sorted(
+        (r.g, tuple(r.hs), r.n_kept)
+        for r in kmv_sketch_table(raw, "user_id", "event_type", k=32).collect()
+    )
+    assert got == want
