@@ -4466,8 +4466,10 @@ _SQL_JOIN_SIZE_ESTIMATE = f"""
       FROM events e JOIN orders o ON e.user_id = o.o_custkey
     )
     SELECT ex.exact_n, CAST(MIN(ip.est) AS BIGINT) AS est_n,
-           (CAST(MIN(ip.est) AS BIGINT) - ex.exact_n) * 1000000 // ex.exact_n
-             AS over_ppm
+           CASE WHEN ex.exact_n = 0 THEN CAST(NULL AS BIGINT)
+                ELSE (CAST(MIN(ip.est) AS BIGINT) - ex.exact_n) * 1000000
+                     // ex.exact_n
+           END AS over_ppm
     FROM ip, ex GROUP BY ex.exact_n
 """
 
@@ -4543,7 +4545,12 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "exact_n",
             "est_n",
-            F.expr("(est_n - exact_n) * 1000000 div exact_n").alias("over_ppm"),
+            # NULL (not an ANSI fault) when the exact join is empty —
+            # disjoint key spaces are a legitimate pre-flight answer
+            F.expr(
+                "if(exact_n = 0, cast(null as bigint),"
+                " (est_n - exact_n) * 1000000 div exact_n)"
+            ).alias("over_ppm"),
         )
     )
 

@@ -261,9 +261,11 @@ def compact_parquet_dir(
     output file count during the READ too). One shuffle of the data, p
     output files, each within one input-partition's worth of the even
     split. Returns {n_rows, n_files_in, n_files_out, target_rows_per_file}
-    — n_files_out == ceil(n_rows/target) ALWAYS (each output partition is
-    non-empty when n_rows >= p, which ceil guarantees), so the report
-    carries an exact oracle. Scheme-agnostic (file:// and s3a://), same
+    — n_files_out == ceil(n_rows/target) for any NON-EMPTY input (each
+    output partition is non-empty when n_rows >= p, which ceil
+    guarantees), so the report carries an exact oracle; an empty input
+    still writes one (empty) file, reported as what the filesystem
+    actually holds. Scheme-agnostic (file:// and s3a://), same
     FS discipline as archive_files."""
     if target_rows_per_file < 1:
         raise ValueError(f"target_rows_per_file must be >= 1, got {target_rows_per_file}")
