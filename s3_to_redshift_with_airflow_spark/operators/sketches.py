@@ -488,3 +488,93 @@ def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
         F.sort_array(F.collect_list("h")).alias("hs"),
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
     )
+
+
+# --- persisted count-min sketch ------------------------------------------------
+
+
+def cms_sketch_table(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    grain_cols: list[str] | None = None,
+) -> DataFrame:
+    """Count-min sketch as a persistable table — (grain..., d, bucket,
+    cnt), one row per non-empty cell (≤ grain·d·w rows however large the
+    input). Unlike HLL's opaque binary, the CMS CONTENT is plain bigint
+    counts under the portable md5 hash, so merging is literal addition
+    and every estimate served from the stored table is oracle-exact. One
+    groupBy over a d-exploded scan, map-side combined."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got d={d}, w={w}")
+    from .classify import _md5_int60
+
+    gcols = grain_cols or []
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(dd).alias("d"),
+                (
+                    _md5_int60(
+                        F.concat(F.lit(f"cms:{dd}:"), F.col(key_col).cast("string"))
+                    )
+                    % w
+                ).alias("bucket"),
+            )
+            for dd in range(d)
+        ]
+    )
+    return (
+        df.select(*gcols, F.explode(hashes).alias("h"))
+        .select(*gcols, "h.d", "h.bucket")
+        .groupBy(*gcols, "d", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame, grain_cols: list[str] | None = None) -> DataFrame:
+    """Merge stored CMS tables by dropping grain columns and ADDING cell
+    counts — count-min merge IS addition, so the merged sketch is
+    bit-identical to a direct build over the union of the inputs (an
+    EQUALITY, pinned in tests — not an estimate-level approximation like
+    HLL's register max). `sketches` is cms_sketch_table output (live,
+    parquet-read, or a unionByName of several); `grain_cols` are the
+    columns to roll away (e.g. ['day']). One ≤ d·w-group aggregate."""
+    keep = [c for c in sketches.columns if c not in {"cnt", *(grain_cols or [])}]
+    return sketches.groupBy(*keep).agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def cms_point_estimate(
+    sketch: DataFrame, probes: DataFrame, key_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Serve point-frequency estimates from a stored CMS: hash each probe
+    key through the same d rows, min over rows of the bucket count —
+    est >= true frequency always. Probes broadcast against the ≤ d·w-row
+    sketch; raw data never touched."""
+    from .classify import _md5_int60
+
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(dd).alias("d"),
+                (
+                    _md5_int60(
+                        F.concat(F.lit(f"cms:{dd}:"), F.col(key_col).cast("string"))
+                    )
+                    % w
+                ).alias("bucket"),
+            )
+            for dd in range(d)
+        ]
+    )
+    pk = probes.select(key_col, F.explode(hashes).alias("h")).select(
+        key_col, "h.d", "h.bucket"
+    )
+    return (
+        pk.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+    )

@@ -3224,3 +3224,53 @@ def q_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings, doclens, _ = read_bm25_index(spark, idx)
     p2, l2, s2 = bm25_index_append(postings, doclens, new)
     return bm25_index_search(p2, l2, s2, _SEARCH_TERMS)
+
+
+_KFOLD_K = 5
+
+
+@query(
+    "kfold_split",
+    oracle=f"""
+    {_NEARDUP_COMPONENTS_CTE}
+    SELECT d.doc_id,
+           COALESCE(comp.component, d.doc_id) AS component,
+           CAST(('0x' || substr(md5('fold:' ||
+                 CAST(COALESCE(comp.component, d.doc_id) AS VARCHAR)), 1, 15))
+             ::UBIGINT % {_KFOLD_K} AS BIGINT) AS fold
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    """,
+)
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe k-fold assignment — leakage_safe_split's
+    cross-validation generalization: documents cluster by near-dup
+    connected component first, then the WHOLE component lands in fold
+    md5(component) % k, so a near-copy can never sit in a different fold
+    than its original (the contamination bug naive per-doc k-fold has).
+    Hash-membership (not row_number % k) keeps folds stable under corpus
+    growth and identical across engines — the deterministic_sample idiom.
+    Fold sizes concentrate at n/k by hash uniformity (~±2% at this corpus,
+    pinned in tests). Scale: component ids ride the dedup pipeline already
+    being run; the assignment is one hash expression, no extra shuffle."""
+    from ..operators.graph import connected_components
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=64, n_bands=32, threshold=0.8)
+    comp = connected_components(pairs.select("id_a", "id_b")).withColumnRenamed(
+        "node", "doc_id"
+    )
+    joined = docs.select("doc_id").join(comp, "doc_id", "left")
+    component = F.coalesce(F.col("component"), F.col("doc_id"))
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), component.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _KFOLD_K
+    )
+    return joined.select(
+        "doc_id", component.alias("component"), fold.cast("bigint").alias("fold")
+    )

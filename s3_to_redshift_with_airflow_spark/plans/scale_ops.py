@@ -4868,3 +4868,52 @@ def q_streaming_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g", F.explode("hs").alias("h"))
         .orderBy("g", "h")
     )
+
+
+# --- persisted + merged count-min sketch ---------------------------------------
+
+from .registry import REGISTRY as _REG  # noqa: E402
+
+
+@query("cms_merge_rollup", oracle=_REG["cms_point_queries"].oracle)
+def q_cms_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min family's persist-and-merge path (what HLL's
+    sketch_rollup does for distinct counts, now for FREQUENCIES, and —
+    because CMS cell contents are plain bigint counts — with an EQUALITY
+    where HLL only has estimate-stability): build per-DAY sketch tables
+    (operators/sketches.cms_sketch_table, grain=['day']), write them to
+    parquet, then serve the all-time top-key frequency estimates by
+    MERGING the stored daily sketches (cms_merge — literal cell-count
+    addition) and probing them (cms_point_estimate). Count-min merge is
+    addition, so the merged sketch is bit-identical to a direct build
+    over all rows — which is why this query carries cms_point_queries'
+    exact oracle VERBATIM: the store → merge → serve round trip must not
+    move a single estimate. Raw events feed only the daily builds; the
+    all-time rollup touches nothing but the ≤ days·d·w stored rows (a
+    delete-the-raw-data test pins it, same as the HLL and KMV
+    families)."""
+    import tempfile
+
+    from ..operators.sketches import (
+        cms_merge,
+        cms_point_estimate,
+        cms_sketch_table,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.select("user_id", F.to_date("ts").alias("day"))
+    path = tempfile.mkdtemp(prefix="cms_daily_") + "/sketches"
+    cms_sketch_table(
+        ev, "user_id", d=_CMS_D, w=_CMS_W, grain_cols=["day"]
+    ).write.parquet(path)
+
+    merged = cms_merge(spark.read.parquet(path), grain_cols=["day"])
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    return cms_point_estimate(
+        merged, top, "user_id", d=_CMS_D, w=_CMS_W
+    ).join(top, "user_id").select("user_id", "exact_n", "cms_est")

@@ -325,7 +325,7 @@ def test_registry_wide_plan_audit(spark):
         # (count + localCheckpoint) at plan-build time — executing, not
         # planning — so these can't be audited as plans
         "doc_dedup_clusters", "neardup_survivors", "dedup_rate_report",
-        "leakage_safe_split",
+        "leakage_safe_split", "kfold_split",
         # iterative BPE trainer: per-merge argmax collects at build time
         "bpe_train_merges", "bpe_tokenize_stats",
         # PCA fit collects the bounded moment/Gram model state (64 + 2080

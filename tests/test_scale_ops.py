@@ -1032,3 +1032,53 @@ def test_evolved_union_scan_semantics(spark, tmp_path):
         raise AssertionError("accepted empty versions")
     except ValueError:
         pass
+
+
+def test_cms_merge_equals_direct_build_and_survives_deletion(spark, tmp_path):
+    """Count-min merge is ADDITION, so merge-of-parts == direct build is
+    a bit equality (cell for cell), and the rollup served from stored
+    sketches survives raw-data deletion."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        cms_merge,
+        cms_point_estimate,
+        cms_sketch_table,
+    )
+
+    raw = str(tmp_path / "ev_raw")
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", F.to_date("ts").alias("day")
+    ).write.parquet(raw)
+    ev = spark.read.parquet(raw)
+
+    direct = cms_sketch_table(ev, "user_id", d=2, w=64)
+    daily = cms_sketch_table(ev, "user_id", d=2, w=64, grain_cols=["day"])
+    merged_live = cms_merge(daily, grain_cols=["day"])
+    cell = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert cell(merged_live) == cell(direct)  # equality, not estimate-close
+
+    sk_path = str(tmp_path / "cms_daily")
+    daily.write.parquet(sk_path)
+    # materialize the probe keys — after the deletion nothing may read raw
+    keys = [
+        (r.user_id,)
+        for r in ev.select("user_id").distinct().limit(10).collect()
+    ]
+    probes = spark.createDataFrame(keys, "user_id bigint")
+    want = cell(
+        cms_point_estimate(merged_live, probes, "user_id", d=2, w=64)
+    )
+    shutil.rmtree(raw)  # the raw data is gone
+    got = cell(
+        cms_point_estimate(
+            cms_merge(spark.read.parquet(sk_path), grain_cols=["day"]),
+            probes,
+            "user_id",
+            d=2,
+            w=64,
+        )
+    )
+    assert got == want
