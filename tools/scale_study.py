@@ -1107,6 +1107,60 @@ def fam_join_size(spark, mult):
     return a, n, run
 
 
+def fam_bm25_index(spark, mult):
+    """BM25 served from the STORED inverted index (registry:
+    bm25_index_search), build cost excluded: the timed window is the
+    parquet postings probe (term filter pushed to the scan) + scoring —
+    the amortized serving cost, the retrieval twin of fam_pq_search."""
+    import tempfile
+
+    from s3_to_redshift_with_airflow_spark.operators.retrieval import (
+        bm25_index_build,
+        bm25_index_search,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    n = BASE_DOCS * mult
+    docs = synthetic_documents(spark, n).localCheckpoint()
+    idx = tempfile.mkdtemp(prefix="bm25_scale_")
+    write_bm25_index(*bm25_index_build(docs), idx)
+    postings, doclens, stats = read_bm25_index(spark, idx)
+
+    def run():
+        return bm25_index_search(
+            postings, doclens, stats, ["w1", "w42", "w777"]
+        ).collect()
+
+    return docs, n, run
+
+
+def fam_ppr(spark, mult):
+    """Personalized PageRank (registry: personalized_pagerank) on the same
+    random graph family as fam_pagerank, seeded at 3 nodes: the first
+    frontier carries |S| rows, so early iterations cost less than global
+    PageRank's dense start — compare directly against the pagerank family
+    at equal scale."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    und, n_edges = _random_graph(spark, mult)
+    edges = und.select(
+        F.col("u1").alias("src"), F.col("u2").alias("dst")
+    ).unionByName(
+        und.select(F.col("u2").alias("src"), F.col("u1").alias("dst"))
+    ).localCheckpoint()
+    seeds = [r.src for r in edges.select("src").limit(3).collect()]
+
+    def run():
+        return personalized_pagerank(
+            edges, seeds, n_iter=3
+        ).agg(F.sum("rank")).collect()
+
+    return edges, n_edges, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -1144,6 +1198,8 @@ FAMILIES = {
     "skew_report": fam_skew_report,
     "kmv": fam_kmv,
     "join_size": fam_join_size,
+    "bm25_index": fam_bm25_index,
+    "ppr": fam_ppr,
 }
 
 
