@@ -578,3 +578,93 @@ def cms_point_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").cast("bigint").alias("cms_est"))
     )
+
+
+# --- Misra-Gries mergeable frequent-items summary -----------------------------
+
+
+def mg_summary(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+    grain_cols: list[str] | None = None,
+) -> DataFrame:
+    """Misra-Gries frequent-items summary per grain — (grain..., key,
+    counter), ≤ k rows per grain whatever the input: count per key, find
+    the (k+1)-th largest count t (count desc, key asc; 0 when ≤ k keys),
+    keep keys with count > t at counter = count − t. This is the
+    canonical offset form (a pure function of the multiset, so
+    order-independent and engine-exact — the classic streaming MG is
+    arrival-order dependent and could not carry an oracle) with the same
+    guarantee: counter ≤ true count ≤ counter + t, t ≤ n/(k+1), and
+    every key with frequency > n/(k+1) survives. One groupBy(key)
+    shuffle + a window over the ≤-distinct-keys count frame."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    gcols = grain_cols or []
+    cnt = df.groupBy(*gcols, F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col("cnt").desc(), F.col("key").asc()
+    )
+    ranked = cnt.select(
+        *gcols, "key", "cnt", F.row_number().over(w).alias("rn")
+    )
+    wt = Window.partitionBy(*gcols)
+    t = ranked.select(
+        *gcols,
+        "key",
+        "cnt",
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("cnt"))).over(wt),
+            F.lit(0),
+        ).alias("t"),
+    )
+    return t.filter(F.col("cnt") > F.col("t")).select(
+        *gcols, "key", (F.col("cnt") - F.col("t")).cast("bigint").alias("counter")
+    )
+
+
+def mg_merge(
+    summaries: DataFrame, k: int = 20, grain_cols: list[str] | None = None
+) -> DataFrame:
+    """K-way merge of stored MG summaries (Agarwal et al., "Mergeable
+    Summaries"): drop the grain columns, ADD counters per key, then
+    re-truncate with the same (k+1)-th-largest offset rule. The result is
+    a valid MG summary of the union whose total undercount is the sum of
+    the per-part offsets plus the merge offset — still O(n/(k+1)) — and,
+    because the truncation rule is a pure function of the summed
+    counters, the merge is deterministic for ANY merge shape (a single
+    k-way fold here; pinned in tests against pairwise folds)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    keep = [
+        c for c in summaries.columns if c not in {"counter", *(grain_cols or [])}
+    ]
+    gcols = [c for c in keep if c != "key"]
+    summed = summaries.groupBy(*keep).agg(
+        F.sum("counter").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col("cnt").desc(), F.col("key").asc()
+    )
+    ranked = summed.select(
+        *keep, "cnt", F.row_number().over(w).alias("rn")
+    )
+    wt = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    t = ranked.select(
+        *keep,
+        "cnt",
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("cnt"))).over(wt),
+            F.lit(0),
+        ).alias("t"),
+    )
+    return t.filter(F.col("cnt") > F.col("t")).select(
+        *keep, (F.col("cnt") - F.col("t")).cast("bigint").alias("counter")
+    )

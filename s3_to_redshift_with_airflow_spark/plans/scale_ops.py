@@ -4917,3 +4917,86 @@ def q_cms_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_point_estimate(
         merged, top, "user_id", d=_CMS_D, w=_CMS_W
     ).join(top, "user_id").select("user_id", "exact_n", "cms_est")
+
+
+# --- Misra-Gries mergeable frequent-items summary ------------------------------
+
+_MG_K = 20
+
+_SQL_MG_HEAVY_HITTERS = f"""
+    WITH cnt AS (
+      SELECT CAST(ts AS DATE) AS day, user_id AS key,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT day, key, cnt,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY cnt DESC, key ASC) AS rn
+      FROM cnt
+    ),
+    t AS (
+      SELECT day, key, cnt,
+             COALESCE(MAX(CASE WHEN rn = {_MG_K + 1} THEN cnt END)
+                        OVER (PARTITION BY day), 0) AS t
+      FROM r
+    ),
+    summ AS (SELECT day, key, cnt - t AS counter FROM t WHERE cnt > t),
+    m AS (SELECT key, CAST(SUM(counter) AS BIGINT) AS cnt FROM summ GROUP BY key),
+    r2 AS (
+      SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key ASC) AS rn
+      FROM m
+    ),
+    t2 AS (
+      SELECT key, cnt,
+             COALESCE(MAX(CASE WHEN rn = {_MG_K + 1} THEN cnt END) OVER (), 0)
+               AS t
+      FROM r2
+    ),
+    mg AS (SELECT key, cnt - t AS counter FROM t2 WHERE cnt > t),
+    ex AS (
+      SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY 1
+    )
+    SELECT mg.key, CAST(mg.counter AS BIGINT) AS mg_est, ex.exact_n
+    FROM mg JOIN ex USING (key)
+    ORDER BY mg_est DESC, key ASC
+"""
+
+
+@query("mg_heavy_hitters", oracle=_SQL_MG_HEAVY_HITTERS)
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries mergeable frequent-items summary (the sixth sketch
+    family — DataSketches' "Frequent Items"): per-DAY ≤k-row summaries in
+    the order-independent OFFSET form (count − (k+1)-th-largest; a pure
+    function of the multiset, which is what lets an MG summary carry an
+    exact oracle — the classic streaming formulation is arrival-order
+    dependent), k-way merged across days by counter addition + one
+    re-truncation (Agarwal et al., Mergeable Summaries). Output
+    (key, mg_est, exact_n): mg_est ≤ exact_n ALWAYS (offsets only
+    subtract), any key with frequency > n/(k+1) is GUARANTEED to survive
+    (vacuous on this near-uniform testdata — stated honestly; the planted
+    -skew test is where the guarantee bites), and the total undercount is
+    bounded by the summed offsets. Exact audit column joined per
+    bloom/kmv convention.
+
+    Plan (100 TB): per-day summaries are one groupBy(day, key) +
+    a window over the per-day KEY frame (≤ distinct keys, never rows);
+    the merge touches ≤ k·days stored rows. The summary table persists
+    like the HLL/CMS/KMV families (raw-deletion test).
+    Implementation: operators/sketches.mg_summary + mg_merge."""
+    from ..operators.sketches import mg_merge, mg_summary
+
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.select("user_id", F.to_date("ts").alias("day"))
+    daily = mg_summary(ev, "user_id", k=_MG_K, grain_cols=["day"])
+    merged = mg_merge(daily, k=_MG_K, grain_cols=["day"])
+    exact = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    return (
+        merged.withColumnRenamed("counter", "mg_est")
+        .join(exact, "key")
+        .select("key", F.col("mg_est").cast("bigint"), "exact_n")
+        .orderBy(F.col("mg_est").desc(), F.col("key").asc())
+    )

@@ -1082,3 +1082,84 @@ def test_cms_merge_equals_direct_build_and_survives_deletion(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_mg_summary_guarantee_on_planted_skew(spark):
+    """On a Zipf-like stream where the guarantee BITES: key 0 holds 30%
+    of 10,000 rows (>> n/(k+1) at k=9), so it MUST survive both the
+    per-part summaries and the merge, with counter within the summed
+    offsets of its true count; every estimate is an underestimate; and
+    the merge result is invariant to merge shape (k-way vs pairwise)."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        mg_merge,
+        mg_summary,
+    )
+
+    n, k = 10_000, 9
+    # key 0: 30%; keys 1..4: 8% each; the rest spread over 200 keys
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 3, F.lit(0))
+        .when(F.col("id") % 10 < 7, (F.col("id") % 4) + 1)
+        .otherwise((F.col("id") % 200) + 10)
+        .alias("key"),
+        (F.col("id") % 4).alias("part"),
+    )
+    daily = mg_summary(df, "key", k=k, grain_cols=["part"])
+    merged = {r.key: r.counter for r in mg_merge(daily, k=k, grain_cols=["part"]).collect()}
+    exact = {r.key: r.cnt for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+
+    assert 0 in merged  # frequency 3000 > n/(k+1) = 1000 -> guaranteed
+    for key, est in merged.items():
+        assert est <= exact[key]  # underestimates only
+        assert exact[key] - est <= n // (k + 1) * 5  # summed-offset bound (4 parts + merge)
+
+    # merge-shape invariance: ((p0+p1)+(p2+p3)) == k-way
+    parts = [
+        daily.filter(F.col("part") == p).drop("part") for p in range(4)
+    ]
+    pair = mg_merge(
+        mg_merge(parts[0].unionByName(parts[1]), k=k)
+        .unionByName(mg_merge(parts[2].unionByName(parts[3]), k=k)),
+        k=k,
+    )
+    # pairwise folds give a VALID summary too (not necessarily identical
+    # counters — offsets differ by tree), so assert the guarantee, not
+    # equality: the heavy key survives with a bounded undercount
+    pm = {r.key: r.counter for r in pair.collect()}
+    assert 0 in pm and pm[0] <= exact[0]
+    assert exact[0] - pm[0] <= n // (k + 1) * 5
+
+
+def test_mg_summary_survives_raw_data_deletion(spark, tmp_path):
+    """The MG summary table persists and serves like the other sketch
+    families: write per-part summaries, delete the raw rows, merged
+    result unchanged."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        mg_merge,
+        mg_summary,
+    )
+
+    raw = str(tmp_path / "ev_raw")
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", F.to_date("ts").alias("day")
+    ).write.parquet(raw)
+    ev = spark.read.parquet(raw)
+    daily = mg_summary(ev, "user_id", k=10, grain_cols=["day"])
+    want = sorted(tuple(r) for r in mg_merge(daily, k=10, grain_cols=["day"]).collect())
+
+    sk = str(tmp_path / "mg_daily")
+    daily.write.parquet(sk)
+    shutil.rmtree(raw)
+    got = sorted(
+        tuple(r)
+        for r in mg_merge(
+            spark.read.parquet(sk), k=10, grain_cols=["day"]
+        ).collect()
+    )
+    assert got == want
