@@ -1103,3 +1103,122 @@ def test_histogram_quantiles_match_dict_model(spark, rows):
             covering = buckets[math.ceil(q * n / 100) - 1]
             expected[(g, q)] = (n, float(covering + 1) * width)
     assert got == expected
+
+
+# --- KMV sketch + set ops vs pure-Python replay --------------------------------
+
+_kmv_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(min_value=0, max_value=40)),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _kmv_hash40(key: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"kmv:{key}".encode()).hexdigest()[:10], 16)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=_kmv_rows, k=st.integers(min_value=2, max_value=8))
+def test_kmv_pair_ops_matches_python_replay(spark, rows, k):
+    """KMV sketch build + pair set-ops on adversarially small inputs
+    (duplicate keys, kp<k boundaries, single-group cases) must equal a
+    pure-Python replay of the bottom-k + integer-estimator definition."""
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        kmv_pair_ops,
+        kmv_sketch_table,
+    )
+
+    df = spark.createDataFrame(rows, "g string, key bigint")
+    sk = kmv_sketch_table(df, "key", "g", k=k)
+    got = {
+        (r.type_a, r.type_b): (
+            r.kp,
+            r.union_est,
+            r.intersect_est,
+            r.jaccard_ppm,
+        )
+        for r in kmv_pair_ops(sk, k=k).collect()
+    }
+
+    hs = {}
+    for g, key in rows:
+        hs.setdefault(g, set()).add(_kmv_hash40(str(key)))
+    bot = {g: sorted(s)[:k] for g, s in hs.items()}
+    want = {}
+    dom = 1 << 40
+    gs = sorted(bot)
+    for i, ga in enumerate(gs):
+        for gb in gs[i + 1 :]:
+            merged = sorted(set(bot[ga]) | set(bot[gb]))[:k]
+            kp = len(merged)
+            n_both = sum(
+                1 for h in merged if h in hs[ga] and h in hs[gb]
+            )
+            if kp < k:
+                union_est, inter_est = kp, n_both
+            else:
+                union_est = (k - 1) * dom // merged[-1]
+                inter_est = n_both * union_est // kp
+            want[(ga, gb)] = (kp, union_est, inter_est, n_both * 10**6 // kp)
+    assert got == want
+
+
+# --- Misra-Gries offset form vs pure-Python replay ------------------------------
+
+_mg_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # part
+        st.integers(min_value=0, max_value=9),  # key
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _py_mg(counts: dict, k: int) -> dict:
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    t = ranked[k][1] if len(ranked) > k else 0
+    return {key: c - t for key, c in counts.items() if c > t}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=_mg_rows, k=st.integers(min_value=1, max_value=5))
+def test_mg_summary_and_merge_match_python_replay(spark, rows, k):
+    """mg_summary per part and the k-way mg_merge must equal the pure
+    offset-form definition on adversarial tiny inputs (all-tied counts,
+    singleton parts, k larger than the key space)."""
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        mg_merge,
+        mg_summary,
+    )
+
+    df = spark.createDataFrame(rows, "part bigint, key bigint")
+    daily = mg_summary(df, "key", k=k, grain_cols=["part"])
+    got_parts = {}
+    for r in daily.collect():
+        got_parts.setdefault(r.part, {})[r.key] = r.counter
+    want_parts = {}
+    for part, key in rows:
+        want_parts.setdefault(part, {}).setdefault(key, 0)
+        want_parts[part][key] += 1
+    want_parts = {p: _py_mg(c, k) for p, c in want_parts.items()}
+    want_parts = {p: c for p, c in want_parts.items() if c}
+    assert got_parts == want_parts
+
+    got_merge = {r.key: r.counter for r in mg_merge(daily, k=k, grain_cols=["part"]).collect()}
+    summed = {}
+    for c in want_parts.values():
+        for key, v in c.items():
+            summed[key] = summed.get(key, 0) + v
+    assert got_merge == (_py_mg(summed, k) if summed else {})
