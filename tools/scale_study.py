@@ -1161,6 +1161,55 @@ def fam_ppr(spark, mult):
     return edges, n_edges, run
 
 
+def fam_mg(spark, mult):
+    """Misra-Gries summary + merge (registry: mg_heavy_hitters): one
+    groupBy(day, key) + a window over the per-day KEY frame (never rows)
+    + the k-way merge over <= k*days stored rows — the skew_report cost
+    family; expect strongly sub-linear."""
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        mg_merge,
+        mg_summary,
+    )
+
+    ev = _events(spark, BASE_EVENTS * mult).localCheckpoint()
+
+    def run():
+        daily = mg_summary(
+            ev.select("user_id", F.to_date("ts").alias("day")),
+            "user_id",
+            k=20,
+            grain_cols=["day"],
+        )
+        return mg_merge(daily, k=20, grain_cols=["day"]).collect()
+
+    return ev, BASE_EVENTS * mult, run
+
+
+def fam_cms_merge(spark, mult):
+    """Per-day CMS build + merge + probe (registry: cms_merge_rollup):
+    the build is one d-exploded scan into <= days*d*w groups; merge and
+    probe are sketch-granularity — linear scan cost, constant tail."""
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        cms_merge,
+        cms_point_estimate,
+        cms_sketch_table,
+    )
+
+    ev = (
+        _events(spark, BASE_EVENTS * mult)
+        .select("user_id", F.to_date("ts").alias("day"))
+        .localCheckpoint()
+    )
+    probes = ev.select("user_id").distinct().limit(20).localCheckpoint()
+
+    def run():
+        daily = cms_sketch_table(ev, "user_id", d=4, w=1024, grain_cols=["day"])
+        merged = cms_merge(daily, grain_cols=["day"])
+        return cms_point_estimate(merged, probes, "user_id", d=4, w=1024).collect()
+
+    return ev, BASE_EVENTS * mult, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -1200,6 +1249,8 @@ FAMILIES = {
     "join_size": fam_join_size,
     "bm25_index": fam_bm25_index,
     "ppr": fam_ppr,
+    "mg": fam_mg,
+    "cms_merge": fam_cms_merge,
 }
 
 
