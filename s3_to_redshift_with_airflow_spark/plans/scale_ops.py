@@ -5000,3 +5000,78 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", F.col("mg_est").cast("bigint"), "exact_n")
         .orderBy(F.col("mg_est").desc(), F.col("key").asc())
     )
+
+
+# --- exact weighted median ------------------------------------------------------
+
+_SQL_WEIGHTED_MEDIAN = """
+    WITH w AS (
+      SELECT event_type, value,
+             CAST(event_id % 5 + 1 AS BIGINT) AS wt
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, value, CAST(SUM(wt) AS BIGINT) AS wt
+      FROM w GROUP BY event_type, value
+    ),
+    c AS (
+      SELECT event_type, value, wt,
+             CAST(SUM(wt) OVER (PARTITION BY event_type ORDER BY value
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(wt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM g
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN cum * 2 >= total THEN value END) AS DOUBLE)
+             AS w_median,
+           CAST(MIN(total) AS BIGINT) AS total_weight
+    FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("weighted_median", oracle=_SQL_WEIGHTED_MEDIAN)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group — the lower weighted median
+    (smallest value whose cumulative weight reaches half the total,
+    2·cum ≥ total in pure bigint — no percentile interpolation, so the
+    pick is engine-exact even on double values): the estimator for
+    value-weighted latencies, token-weighted document stats, or any
+    place observations carry multiplicity. exact_quantiles covers the
+    unweighted case; Spark has no weighted percentile builtin at all.
+    Weights here are the deterministic event_id%5+1 so the oracle
+    replays them; swap any non-negative bigint weight column in.
+
+    Plan (100 TB): rows collapse to (group, value) granularity FIRST
+    (one map-side-combinable sum of weights), so the ordered cumulative
+    window runs over distinct values per group, never rows — the
+    aggregate-then-window discipline the time-series families measure at
+    lin 0.2; the pick is one conditional min over the same frame."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = events.select(
+        "event_type",
+        "value",
+        (F.col("event_id") % 5 + 1).cast("bigint").alias("wt"),
+    )
+    g = w.groupBy("event_type", "value").agg(
+        F.sum("wt").cast("bigint").alias("wt")
+    )
+    cw = Window.partitionBy("event_type").orderBy(F.col("value").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tw = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        "value",
+        F.sum("wt").over(cw).cast("bigint").alias("cum"),
+        F.sum("wt").over(tw).cast("bigint").alias("total"),
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("value")))
+            .cast("double")
+            .alias("w_median"),
+            F.min("total").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("event_type")
+    )

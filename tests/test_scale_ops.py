@@ -1163,3 +1163,44 @@ def test_mg_summary_survives_raw_data_deletion(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_weighted_median_matches_repetition_semantics(spark, tmp_path):
+    """Weight k must act exactly like k repeated rows (the definition),
+    pinned by comparing against the unweighted lower median of the
+    expanded multiset; all-equal weights reduce to the plain lower
+    median."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    rows = [
+        ("a", 1.0, 1), ("a", 2.0, 3), ("a", 10.0, 1),   # expanded: 1,2,2,2,10 -> median 2
+        ("b", 5.0, 2), ("b", 7.0, 2),                    # expanded: 5,5,7,7 -> lower median 5
+        ("c", 4.0, 1),                                   # single -> 4
+    ]
+    # the registry query derives wt = event_id % 5 + 1, so craft event_ids
+    data = []
+    eid = 0
+    for g, v, wt in rows:
+        # find an event_id with event_id % 5 + 1 == wt
+        while eid % 5 + 1 != wt:
+            eid += 1
+        data.append((eid, g, v))
+        eid += 1
+    import datetime
+
+    df = spark.createDataFrame(
+        [(e, datetime.datetime(2024, 1, 1), 1, g, v, "{}") for e, g, v in data],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r.event_type: (r.w_median, r.total_weight)
+        for r in REGISTRY["weighted_median"].fn(spark, d).collect()
+    }
+    assert got == {"a": (2.0, 5), "b": (5.0, 4), "c": (4.0, 1)}
