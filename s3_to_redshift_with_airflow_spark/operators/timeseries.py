@@ -327,3 +327,63 @@ def ohlc_bars(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         )
     )
+
+
+def interval_coalesce(
+    intervals: DataFrame,
+    key_cols: list[str],
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Merge overlapping or touching intervals per key into maximal
+    disjoint 'islands' — the classic gaps-and-islands problem (downtime
+    windows, validity ranges, sensor coverage): an interval starts a new
+    island iff its start exceeds the running max end of everything
+    before it (strictly — touching intervals merge), islands are
+    numbered by a running sum of those flags, and each island aggregates
+    to (key..., island_start=min(s), island_end=max(e), n_merged).
+
+    Exactness: start/end comparisons only (no arithmetic), deterministic
+    under the (start asc, end asc) window order even with duplicate
+    starts — engine-exact for timestamps and integers alike.
+
+    Scale shape: ONE window pass per key (running max end + running
+    island sum share the same ordered frame) and one island aggregate —
+    the aggregate-then-window discipline does not apply here (islands
+    are inherently order-defined), but per-key ordering is bounded by
+    that key's interval count, and AQE splits hot keys."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = intervals.select(
+        *key_cols,
+        start_col,
+        end_col,
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+        )
+        .otherwise(0)
+        .alias("__new_island"),
+    )
+    islands = flagged.select(
+        *key_cols,
+        start_col,
+        end_col,
+        F.sum("__new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__island"),
+    )
+    return (
+        islands.groupBy(*key_cols, "__island")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        )
+        .drop("__island")
+    )

@@ -5075,3 +5075,64 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- interval coalescing (gaps and islands) -------------------------------------
+
+_SQL_INTERVAL_COALESCE = """
+    WITH iv AS (
+      SELECT user_id, ts AS s,
+             ts + INTERVAL 1 MINUTE * CAST(floor(value) AS BIGINT) AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY user_id
+                                        ORDER BY s ASC, e ASC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS ni
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(ni) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT user_id, MIN(s) AS island_start, MAX(e) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM isl GROUP BY user_id, island
+    ORDER BY user_id, island_start
+"""
+
+
+@query("interval_coalesce", oracle=_SQL_INTERVAL_COALESCE)
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing: each event opens a
+    floor(value)-minute activity window; overlapping or touching windows
+    per user merge into maximal disjoint islands (the downtime-window /
+    coverage-range primitive SQL folklore solves with the running-max-end
+    island counter — operators/timeseries.interval_coalesce). Start/end
+    logic is pure comparison (no float arithmetic), so the island
+    boundaries and counts are engine-exact. ONE ordered window pass per
+    user (running max end and the island counter share the frame) + one
+    island aggregate; per-key ordering bounded by that user's events,
+    hot keys split by AQE."""
+    from ..operators.timeseries import interval_coalesce
+
+    (events,) = _t(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (
+            F.col("ts")
+            + F.expr("make_interval(0, 0, 0, 0, 0, cast(floor(value) as int), 0)")
+        ).alias("e"),
+    )
+    return interval_coalesce(iv, ["user_id"], "s", "e").orderBy(
+        "user_id", "island_start"
+    )

@@ -1204,3 +1204,32 @@ def test_weighted_median_matches_repetition_semantics(spark, tmp_path):
         for r in REGISTRY["weighted_median"].fn(spark, d).collect()
     }
     assert got == {"a": (2.0, 5), "b": (5.0, 4), "c": (4.0, 1)}
+
+
+def test_interval_coalesce_semantics(spark):
+    """Islands merge overlaps AND touches, keep true gaps apart, count
+    members, and never mix keys; contained intervals collapse."""
+    from s3_to_redshift_with_airflow_spark.operators.timeseries import (
+        interval_coalesce,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            # key 1: [0,10] + [5,20] overlap; [20,25] touches -> one island
+            (1, 0, 10), (1, 5, 20), (1, 20, 25),
+            # key 1: [30,40] is a separate island; [32,35] contained
+            (1, 30, 40), (1, 32, 35),
+            # key 2: same coordinates must not merge with key 1
+            (2, 0, 10),
+        ],
+        "k bigint, s bigint, e bigint",
+    )
+    got = sorted(
+        tuple(r)
+        for r in interval_coalesce(iv, ["k"], "s", "e").collect()
+    )
+    assert got == [
+        (1, 0, 25, 3),
+        (1, 30, 40, 2),
+        (2, 0, 10, 1),
+    ]
