@@ -5136,3 +5136,63 @@ def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_coalesce(iv, ["user_id"], "s", "e").orderBy(
         "user_id", "island_start"
     )
+
+
+# --- streaming Misra-Gries maintenance ------------------------------------------
+
+_SQL_STREAMING_MG = f"""
+    WITH cnt AS (
+      SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key ASC) AS rn
+      FROM cnt
+    ),
+    t AS (
+      SELECT key, cnt,
+             COALESCE(MAX(CASE WHEN rn = {_MG_K + 1} THEN cnt END) OVER (), 0)
+               AS t
+      FROM r
+    )
+    SELECT key, CAST(cnt - t AS BIGINT) AS counter
+    FROM t WHERE cnt > t ORDER BY counter DESC, key ASC
+"""
+
+
+@query("streaming_mg_maintain", oracle=_SQL_STREAMING_MG)
+def q_streaming_mg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING frequent-items maintenance: the events file streamed
+    into a foreachBatch sink (streaming.pipeline.foreach_batch_mg_maintain)
+    that summarizes each epoch and mg_merges it into the parquet-stored
+    summary, seeded empty — the heavy-hitter monitor a telemetry pipeline
+    actually runs. A single-epoch availableNow run is bit-equal to the
+    batch mg_summary over all rows (merging into an empty table
+    re-truncates a truncated summary — a no-op), so this carries the
+    batch offset-form oracle; multi-epoch runs produce a VALID summary
+    with the summed-offset bound, pinned in tests — the honest contrast
+    with KMV, whose merge is exactly lossless under any epoching."""
+    import tempfile
+
+    from ..session import ensure_utc
+    from ..streaming.pipeline import foreach_batch_mg_maintain
+
+    ensure_utc(spark)
+    target = tempfile.mkdtemp(prefix="stream_mg_") + "/summary"
+    spark.createDataFrame([], "key bigint, counter bigint").write.parquet(target)
+
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    src = stream_source(
+        spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+    )
+    sink = foreach_batch_mg_maintain(target, key_col="user_id", k=_MG_K)
+    (
+        src.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_mg_"))
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(target).orderBy(
+        F.col("counter").desc(), F.col("key").asc()
+    )

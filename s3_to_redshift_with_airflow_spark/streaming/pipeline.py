@@ -294,3 +294,28 @@ def foreach_batch_kmv_maintain(
         _write_then_swap(merged, target_path, f"__kmv_epoch{epoch_id}")
 
     return _sink
+
+
+def foreach_batch_mg_maintain(
+    target_path: str, key_col: str, k: int = 20
+):
+    """foreachBatch sink: summarize each micro-batch with mg_summary and
+    fold it into the Misra-Gries table stored at `target_path` via
+    mg_merge — streaming frequent-items maintenance, the third stored-
+    artifact consumer next to foreach_batch_cdc_scd2 and
+    foreach_batch_kmv_maintain. MG merges are VALID under any merge tree
+    (underestimate-only, summed-offset error bound) but, unlike KMV, not
+    bit-equal to a batch build across multiple epochs — the single-epoch
+    run IS bit-equal (merging into an empty table re-truncates a
+    truncated summary, a no-op), which is what the registry query's
+    exact oracle pins; the multi-epoch guarantee is pinned in tests."""
+    from ..operators.sketches import mg_merge, mg_summary
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stored = spark.read.parquet(target_path)
+        delta = mg_summary(batch_df, key_col, k=k)
+        merged = mg_merge(stored.unionByName(delta), k=k)
+        _write_then_swap(merged, target_path, f"__mg_epoch{epoch_id}")
+
+    return _sink

@@ -655,3 +655,67 @@ def test_foreach_batch_kmv_multi_epoch_equals_batch_build(spark, tmp_path):
         for r in kmv_sketch_table(raw, "user_id", "event_type", k=32).collect()
     )
     assert got == want
+
+
+def test_foreach_batch_mg_multi_epoch_guarantee(spark, tmp_path):
+    """Streaming MG across TWO micro-batches: the stored summary is a
+    VALID MG summary of everything seen — underestimate-only and the
+    planted heavy key (35% of the stream >> n/(k+1)) survives with the
+    summed-offset bound — though not necessarily bit-equal to the batch
+    build (unlike KMV, whose merge is lossless; the single-epoch
+    registry oracle pins bit-equality there)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_mg_maintain,
+    )
+
+    n, k = 8_000, 9
+    rows = spark.range(n).select(
+        F.when(F.col("id") % 20 < 7, F.lit(0))
+        .otherwise((F.col("id") % 300) + 10)
+        .alias("key"),
+        (F.col("id") % 2).alias("half"),
+    )
+    src_dir = tmp_path / "mg_src"
+    src_dir.mkdir()
+    for h in (0, 1):
+        scratch = tmp_path / f"h{h}_scratch"
+        rows.filter(F.col("half") == h).drop("half").coalesce(1).write.parquet(
+            str(scratch)
+        )
+        shutil.move(
+            str(next(scratch.glob("part-*.parquet"))),
+            str(src_dir / f"h{h}.parquet"),
+        )
+
+    target = str(tmp_path / "summary")
+    spark.createDataFrame([], "key bigint, counter bigint").write.parquet(target)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("key bigint")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src_dir))
+    )
+    (
+        stream.writeStream.foreachBatch(
+            foreach_batch_mg_maintain(target, key_col="key", k=k)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_mg_t_"))
+        .start()
+        .awaitTermination()
+    )
+    got = {r.key: r.counter for r in spark.read.parquet(target).collect()}
+    exact = {
+        r.key: r.cnt
+        for r in rows.groupBy("key").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert 0 in got  # 2800 of 8000 >> n/(k+1) = 800: must survive
+    for key, est in got.items():
+        assert est <= exact[key]
+        # 2 part offsets + 1 merge offset, each <= n/(k+1)
+        assert exact[key] - est <= 3 * (n // (k + 1))
