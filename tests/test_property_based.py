@@ -1222,3 +1222,59 @@ def test_mg_summary_and_merge_match_python_replay(spark, rows, k):
         for key, v in c.items():
             summed[key] = summed.get(key, 0) + v
     assert got_merge == (_py_mg(summed, k) if summed else {})
+
+
+# --- interval coalescing vs brute-force merge -----------------------------------
+
+_iv_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # key
+        st.integers(min_value=0, max_value=30),  # start
+        st.integers(min_value=0, max_value=15),  # length
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _py_coalesce(ivs):
+    """Brute force: sort per key, sweep, merge overlap-or-touch."""
+    out = {}
+    by_key = {}
+    for k, s, ln in ivs:
+        by_key.setdefault(k, []).append((s, s + ln))
+    for k, pairs in by_key.items():
+        islands = []
+        for s, e in sorted(pairs):
+            if islands and s <= islands[-1][1]:
+                ps, pe, n = islands[-1]
+                islands[-1] = (ps, max(pe, e), n + 1)
+            else:
+                islands.append((s, e, 1))
+        out[k] = islands
+    return {
+        (k, s): (e, n) for k, isl in out.items() for s, e, n in isl
+    }
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ivs=_iv_rows)
+def test_interval_coalesce_matches_bruteforce(spark, ivs):
+    """interval_coalesce on randomized overlapping/touching/contained/
+    duplicate intervals equals the sweep-line reference."""
+    from s3_to_redshift_with_airflow_spark.operators.timeseries import (
+        interval_coalesce,
+    )
+
+    df = spark.createDataFrame(
+        [(k, s, s + ln) for k, s, ln in ivs], "k bigint, s bigint, e bigint"
+    )
+    got = {
+        (r.k, r.island_start): (r.island_end, r.n_merged)
+        for r in interval_coalesce(df, ["k"], "s", "e").collect()
+    }
+    assert got == _py_coalesce(ivs)
