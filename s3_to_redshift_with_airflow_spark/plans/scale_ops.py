@@ -5196,3 +5196,232 @@ def q_streaming_mg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target).orderBy(
         F.col("counter").desc(), F.col("key").asc()
     )
+
+
+# --- DP-mechanism sum release ----------------------------------------------------
+
+_DP_CLAMP = 100  # per-row contribution bound C (the L1 sensitivity of the sum)
+
+
+def _dp_sum_sql() -> str:
+    from ..operators.classify import log2_fp_sql
+
+    u = (
+        f"CAST(('0x' || substr(md5('dpsum:{_DP_SEED}:' || event_type), 1, 10))"
+        "::UBIGINT AS BIGINT)"
+    )
+    s = (
+        f"CAST(('0x' || substr(md5('dpsumsign:{_DP_SEED}:' || event_type), 1, 15))"
+        "::UBIGINT AS BIGINT) % 2"
+    )
+    lg = log2_fp_sql("u + 1", dialect="duck")
+    return f"""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(SUM(LEAST(GREATEST(CAST(floor(value) AS BIGINT), 0),
+                            {_DP_CLAMP})) AS BIGINT) AS sum_exact,
+             {u} AS u, {s} AS sgn
+      FROM events GROUP BY event_type
+    ),
+    noised AS (
+      SELECT event_type, sum_exact,
+             (2 * sgn - 1) * ((40 * {_DP_SCALE} - {lg}) // {_DP_HALF})
+               * {_DP_CLAMP} AS noise
+      FROM agg
+    )
+    SELECT event_type, sum_exact, noise,
+           CASE WHEN sum_exact + noise < 0 THEN 0
+                ELSE sum_exact + noise END AS released
+    FROM noised ORDER BY event_type
+    """
+
+
+@query("dp_sum_release", oracle=_dp_sum_sql())
+def q_dp_sum_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP-mechanism SUM release — dp_group_release's partner for the
+    other aggregate that matters: per-row contributions are CLAMPED to
+    [0, C] first (C=100; unbounded contributions have unbounded
+    sensitivity — the clamp IS the privacy precondition, not an
+    implementation detail), the true sum of clamped values is computed
+    exactly, and the two-sided geometric noise is scaled by the
+    sensitivity C (noise = C · DLap draw, the textbook
+    scale-noise-to-sensitivity rule). Same fixed-point inverse-CDF draw,
+    same seeded-per-cell reproducibility disclosure, same exact-bigint
+    oracle as the count mechanism. Output (event_type, sum_exact, noise,
+    released) — the exact column is the audit half.
+
+    Plan (100 TB): one partial-aggregated sum shuffle; clamp and noise
+    are codegen expressions — zero extra shuffles."""
+    from ..operators.classify import _md5_int60, log2_fp_sql
+
+    (events,) = _t(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.sum(
+            F.least(
+                F.greatest(F.floor("value").cast("bigint"), F.lit(0)),
+                F.lit(_DP_CLAMP),
+            )
+        )
+        .cast("bigint")
+        .alias("sum_exact")
+    )
+    lg = log2_fp_sql("u + 1", dialect="spark")
+    return (
+        agg.select(
+            "event_type",
+            "sum_exact",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"dpsum:{_DP_SEED}:"), F.col("event_type"))),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("u"),
+            (
+                _md5_int60(
+                    F.concat(F.lit(f"dpsumsign:{_DP_SEED}:"), F.col("event_type"))
+                )
+                % 2
+            ).alias("sgn"),
+        )
+        .select(
+            "event_type",
+            "sum_exact",
+            F.expr(
+                f"(2 * sgn - 1) * ((40 * {_DP_SCALE} - {lg}) div {_DP_HALF})"
+                f" * {_DP_CLAMP}"
+            )
+            .cast("bigint")
+            .alias("noise"),
+        )
+        .select(
+            "event_type",
+            "sum_exact",
+            "noise",
+            F.greatest(
+                F.lit(0).cast("bigint"), F.col("sum_exact") + F.col("noise")
+            ).alias("released"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- advisor-driven salted join ---------------------------------------------------
+
+@query(
+    "auto_salted_join_agg",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type AS et, COUNT(DISTINCT user_id) AS du
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, COUNT(*) AS n_rows,
+           CAST(MAX(d.du) AS BIGINT) AS distinct_users
+    FROM events e JOIN dim d ON e.event_type = d.et
+    GROUP BY e.event_type
+    """,
+)
+def q_auto_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The advisor→action composition: skew_report measures the join
+    key's hottest-key skew_factor (key_rows div mean_rows — also, by
+    construction, the number of average-key shards the hot key needs),
+    the salt count is derived from it (clamped to [2, 64]), and
+    salted_join runs with THAT count — the loop a production job
+    actually wires instead of hard-coding salt=8. Result rows are
+    identical to the plain join for ANY salt (salting is
+    semantics-preserving on inner joins), which the plain-SQL oracle
+    asserts; the advisor read is a bounded top-1 collect (the 1-row
+    driver-aggregate sanction). On this uniform 5-key data the advisor
+    measures skew_factor 1 → salt 2; on a hot-key corpus the same code
+    scatters wider — the point is the derivation, not the number."""
+    from ..operators.skew import salted_join, skew_report
+
+    (events,) = _t(spark, sf_dir, "events")
+    top = skew_report(
+        events.select("event_type", "user_id"), "event_type", top_k=1
+    ).collect()[0]
+    n_salts = max(2, min(64, int(top["skew_factor"]) + 1))
+    dim = (
+        events.groupBy(F.col("event_type").alias("et"))
+        .agg(F.countDistinct("user_id").alias("du"))
+        .withColumnRenamed("et", "event_type")
+    )
+    joined = salted_join(
+        events.select("event_type", "user_id"), dim, on="event_type",
+        salt=n_salts,
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("du").cast("bigint").alias("distinct_users"),
+    )
+
+
+# --- linear multi-touch attribution -----------------------------------------------
+
+_SQL_LINEAR_ATTRIBUTION = """
+    WITH touches AS (
+      SELECT user_id, event_type AS channel,
+             CAST(COUNT(*) AS BIGINT) AS n_ch
+      FROM events WHERE event_type <> 'purchase'
+      GROUP BY user_id, event_type
+    ),
+    tot AS (
+      SELECT user_id, CAST(SUM(n_ch) AS BIGINT) AS n_touches
+      FROM touches GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT t.channel,
+           CAST(SUM(t.n_ch * c.n_purchases * 1000000 // tt.n_touches)
+             AS BIGINT) AS credit_ppm
+    FROM touches t
+    JOIN tot tt ON tt.user_id = t.user_id
+    JOIN conv c ON c.user_id = t.user_id
+    GROUP BY t.channel
+    ORDER BY t.channel
+"""
+
+
+@query("linear_attribution", oracle=_SQL_LINEAR_ATTRIBUTION)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — first_touch_attribution's
+    every-touch-counts partner: each user's purchases split credit
+    EQUALLY across all their non-purchase touches, channel credit =
+    Σ_users n_ch·n_purchases·10^6 div n_touches in exact bigint ppm
+    (floor per (user, channel) — deterministic, and Σ credits ≤
+    purchases·10^6 with the remainder being the floor dust, never
+    over-attribution). One user_id shuffle shared by the touch rollup,
+    the per-user totals, and the conversion counts."""
+    (events,) = _t(spark, sf_dir, "events")
+    touches = (
+        events.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", F.col("event_type").alias("channel"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ch"))
+    )
+    tot = touches.groupBy("user_id").agg(
+        F.sum("n_ch").cast("bigint").alias("n_touches")
+    )
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+    )
+    return (
+        touches.join(tot, "user_id")
+        .join(conv, "user_id")
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.expr("n_ch * n_purchases * 1000000 div n_touches")
+            )
+            .cast("bigint")
+            .alias("credit_ppm"),
+        )
+        .orderBy("channel")
+    )

