@@ -807,3 +807,85 @@ def bfs_hops(
         if t < n_rounds - 1:
             dist = store.ckpt(dist, "bfs-dist")
     return dist
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 4,
+    src: str = "u",
+    dst: str = "v",
+    weight_col: str = "w",
+    seed_col: str = "node",
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
+    allow_non_ansi: bool = False,
+) -> DataFrame:
+    """Bounded-round single/multi-source shortest paths over non-negative
+    INTEGER edge weights (Bellman-Ford with frontier propagation) — the
+    weighted companion to bfs_hops' hop counts, ninth member of the
+    iterative graph family: (node, dist) for every node whose shortest
+    weighted distance from any seed is witnessed by a path of at most
+    `n_rounds` edges. The fixed-round bounded-unroll contract is what
+    gives it an exact DuckDB CTE oracle, like the rest of the family.
+
+    Frontier propagation is exact, not heuristic: round t relaxes only
+    from nodes whose distance IMPROVED in round t−1, which yields the
+    same d_t sequence as full relaxation (an unchanged node's
+    contribution was already folded the round after it last changed) —
+    the oracle replays FULL relaxation and must agree bit-for-bit.
+
+    `edges` is directed (u → v, weight w ≥ 0 bigint); symmetrize for
+    undirected graphs. All-integer min-merge per round (one equi-join on
+    the adjacency + one map-side-combinable min), distance tables
+    re-materialized per round so round t never replays rounds 1..t−1;
+    `reliable=True` stages through the ownership-tracked checkpoint
+    store. Overflow: dist ≤ n_rounds·max_w, nowhere near bigint."""
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+    _require_ansi(edges, allow_non_ansi, "sssp_weighted")
+    store = _OwnedCheckpoints(edges.sparkSession.sparkContext, reliable, checkpoint_dir)
+    adj = store.ckpt(
+        edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"),
+            F.col(weight_col).cast("bigint").alias("w"),
+        ).distinct(),
+        "sssp-adj",
+    )
+    nodes = (
+        adj.select(F.col("a").alias("node"))
+        .unionByName(adj.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .withColumn("dist", F.lit(0).cast("bigint"))
+    )
+    dist = store.ckpt(dist, "dist", keep=2)
+    frontier = dist
+    for _t in range(n_rounds):
+        cand = (
+            adj.join(frontier.withColumnRenamed("node", "a"), "a")
+            .select(
+                F.col("b").alias("node"),
+                (F.col("dist") + F.col("w")).cast("bigint").alias("dist"),
+            )
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+        )
+        merged = store.ckpt(merged, "dist", keep=2)
+        old = dist.withColumnRenamed("dist", "__old")
+        frontier = (
+            merged.join(old, "node", "left")
+            .filter(F.col("__old").isNull() | (F.col("dist") < F.col("__old")))
+            .select("node", "dist")
+        )
+        dist = merged
+    if reliable:
+        store.drop("sssp-adj")
+    return dist

@@ -1440,3 +1440,104 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=_PR_SCALE,
         damping_ppm=_PR_DAMP,
     )
+
+
+# --- weighted single-source shortest paths -----------------------------------
+
+_SSSP_ROUNDS = 4
+_SSSP_SEED = "u:1"
+
+_SSSP_EDGE_CTE = """
+    WITH ev AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             'k:' || json_extract_string(props, '$.k') AS v
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    ew AS (
+      SELECT u, v,
+             CAST(('0x' || substr(md5('sw:' || u || '|' || v), 1, 15))
+               ::UBIGINT % 9 + 1 AS BIGINT) AS w
+      FROM ev
+    ),
+    e AS (
+      SELECT u AS a, v AS b, w FROM ew
+      UNION ALL SELECT v AS a, u AS b, w FROM ew
+    )"""
+
+
+def _sssp_sql(n_rounds: int = _SSSP_ROUNDS) -> str:
+    """Unrolled FULL Bellman-Ford relaxations — the operator's frontier
+    propagation must agree bit-for-bit (an unchanged node's contribution
+    was already folded the round after it last changed)."""
+    ctes = [
+        _SSSP_EDGE_CTE,
+        f"""
+    d0 AS (SELECT '{_SSSP_SEED}' AS node, CAST(0 AS BIGINT) AS dist)""",
+    ]
+    for t in range(n_rounds):
+        ctes.append(f"""
+    c{t + 1} AS (
+      SELECT e.b AS node, MIN(d.dist + e.w) AS dist
+      FROM e JOIN d{t} d ON d.node = e.a GROUP BY e.b
+    ),
+    d{t + 1} AS (
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d{t}
+        UNION ALL SELECT node, dist FROM c{t + 1}
+      ) GROUP BY node
+    )""")
+    return ",".join(ctes) + f"\n    SELECT node, dist FROM d{n_rounds}"
+
+
+@query("sssp_weighted", oracle=_sssp_sql())
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (bounded Bellman-Ford, 4
+    rounds) over the symmetrized user↔prop-key bipartite graph with
+    deterministic md5-derived integer edge weights in [1, 9] — the ninth
+    iterative graph operator, completing hop-based BFS with true weighted
+    distances (latency-weighted reachability, cost-to-influence). The
+    operator relaxes only the CHANGED frontier per round
+    (operators/graph.sssp_weighted); the oracle replays FULL relaxation —
+    their bit-equality is itself the frontier-optimization proof. Exact
+    bigint min-merges throughout, one adjacency equi-join + one
+    map-side-combinable min per round."""
+    from ..operators.graph import sssp_weighted
+
+    (events,) = _t(spark, sf_dir, "events")
+    ev = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
+            F.concat(F.lit("k:"), F.get_json_object("props", "$.k")).alias("v"),
+        )
+        .distinct()
+    )
+    ew = ev.select(
+        "u",
+        "v",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("sw:"), F.col("u"), F.lit("|"), F.col("v"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 9
+            + 1
+        ).alias("w"),
+    )
+    edges = ew.unionByName(
+        ew.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    seeds = spark.createDataFrame([(_SSSP_SEED,)], "node string")
+    return sssp_weighted(
+        edges, seeds, n_rounds=_SSSP_ROUNDS, src="u", dst="v", weight_col="w"
+    )

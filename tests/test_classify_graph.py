@@ -812,3 +812,46 @@ def test_personalized_pagerank_disconnected_component_gets_zero(spark):
         for r in pagerank_scaled(edges, n_iter=3).collect()
     }
     assert gpr[10] > 0 and gpr[11] > 0  # the global variant does not zero
+
+
+def test_sssp_weighted_planted_graph(spark):
+    """Hand-computed weighted distances: the 2-hop light path (1+1) beats
+    the 1-hop heavy edge (5); a node 3 hops out gets the summed weight; a
+    node needing more hops than n_rounds is absent; disconnected nodes
+    are absent."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import (
+        sssp_weighted,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 5),   # heavy direct edge
+            (1, 3, 1), (3, 2, 1),       # light detour: dist(2) = 2
+            (2, 4, 1),                   # dist(4) = 3 (3 hops)
+            (4, 5, 1), (5, 6, 1),        # 6 needs 5 hops -> absent at 4
+            (7, 8, 1),                   # disconnected from seed
+        ],
+        "u bigint, v bigint, w bigint",
+    )
+    sym = edges.unionByName(
+        edges.selectExpr("v as u", "u as v", "w")
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {
+        r.node: r.dist
+        for r in sssp_weighted(
+            sym, seeds, n_rounds=4, src="u", dst="v", weight_col="w"
+        ).collect()
+    }
+    # node 6 at 4 rounds: the ≤4-edge optimum goes through the HEAVY
+    # direct edge (5+1+1+1 = 8); the light 5-edge path (dist 5) needs
+    # round 5 — exactly Bellman-Ford's paths-of-at-most-t-edges contract
+    assert got == {1: 0, 3: 1, 2: 2, 4: 3, 5: 4, 6: 8}
+    # at n_rounds=6 node 6 improves to the true optimum 5; 7/8 never show
+    got6 = {
+        r.node: r.dist
+        for r in sssp_weighted(
+            sym, seeds, n_rounds=6, src="u", dst="v", weight_col="w"
+        ).collect()
+    }
+    assert got6[6] == 5 and 7 not in got6 and 8 not in got6
