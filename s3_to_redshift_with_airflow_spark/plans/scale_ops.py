@@ -5425,3 +5425,74 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- stream-stream LEFT SEMI interval join ----------------------------------------
+
+_SQL_STREAMING_SEMI = """
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      )
+"""
+
+
+@query("streaming_semi_join", oracle=_SQL_STREAMING_SEMI)
+def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — the membership variant
+    that completes the streaming join matrix (inner / left / right / full
+    outer / SEMI): clicks that converted within the hour, emitted ONCE
+    with no purchase payload and no duplicate per matching purchase (the
+    inner join would fan out; dropDuplicates after it would need its own
+    state — the semi join IS the deduplicated form, with less state).
+    Same two-sided watermark/state-expiry discipline as streaming_join.
+    Emission is ON FIRST MATCH, exactly once (probed empirically: a
+    matched click emits with no watermark advancement needed, unlike the
+    outer joins' eviction-gated null rows), so over a finite availableNow
+    source the append-mode emission equals the batch EXISTS semi-join —
+    exactly the oracle, with no watermark clause required."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+
+    def side(event_type: str, cols: dict):
+        src = stream_source(
+            spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+        )
+        src = with_ts_from_nanos(src, "ts")
+        out = src.filter(F.col("event_type") == event_type).select(
+            *[F.col(a).alias(b) for a, b in cols.items()]
+        )
+        ts_col = [b for a, b in cols.items() if a == "ts"][0]
+        return out.withWatermark(ts_col, "2 hours")
+
+    clicks = side(
+        "click", {"event_id": "click_id", "user_id": "user_id", "ts": "click_ts"}
+    )
+    purchases = side(
+        "purchase", {"event_id": "purchase_id", "user_id": "p_user", "ts": "purchase_ts"}
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select("click_id", "user_id", "click_ts")
+    sink_name = "streaming_semi_join_mem"
+    with sized_state_partitions(spark, table_path(sf_dir, "events")):
+        (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return spark.table(sink_name)

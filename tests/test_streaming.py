@@ -719,3 +719,55 @@ def test_foreach_batch_mg_multi_epoch_guarantee(spark, tmp_path):
         assert est <= exact[key]
         # 2 part offsets + 1 merge offset, each <= n/(k+1)
         assert exact[key] - est <= 3 * (n // (k + 1))
+
+
+def test_streaming_semi_join_no_fanout(spark, tmp_path):
+    """A click matched by TWO purchases in its window must appear exactly
+    once (the semi join's whole point vs inner-join fan-out), an
+    unconverted click not at all."""
+    import datetime
+    import os
+
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(eid, minutes, uid, typ):
+        return (
+            eid,
+            t0 + datetime.timedelta(minutes=minutes),
+            uid,
+            typ,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        ev(1, 0, 1, "click"),        # converts twice -> ONE output row
+        ev(2, 10, 1, "purchase"),
+        ev(3, 20, 1, "purchase"),
+        ev(4, 0, 2, "click"),        # no purchase -> absent
+        ev(5, 0, 3, "click"),        # purchase outside the hour -> absent
+        ev(6, 90, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path)
+    # the file stream's glob expects events.parquet to be a FILE
+    import glob
+    import shutil
+
+    scratch = os.path.join(d, "scratch")
+    df.coalesce(1).write.parquet(scratch)
+    shutil.move(
+        glob.glob(os.path.join(scratch, "part-*.parquet"))[0],
+        os.path.join(d, "events.parquet"),
+    )
+    got = [
+        (r.click_id, r.user_id)
+        for r in REGISTRY["streaming_semi_join"].fn(spark, d).collect()
+    ]
+    assert got == [(1, 1)]
