@@ -1210,6 +1210,40 @@ def fam_cms_merge(spark, mult):
     return ev, BASE_EVENTS * mult, run
 
 
+def fam_sssp(spark, mult):
+    """Weighted SSSP (registry: sssp_weighted): 4 Bellman-Ford rounds with
+    changed-frontier relaxation over the random graph family, md5-derived
+    integer weights — per round one adjacency equi-join + one min
+    aggregate; compare against ppr/pagerank at equal scale."""
+    from s3_to_redshift_with_airflow_spark.operators.graph import sssp_weighted
+
+    und, n_edges = _random_graph(spark, mult)
+    h = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit("sw:"), c)), 1, 15), 16, 10
+    ).cast("bigint")
+    ew = und.select(
+        F.col("u1").alias("u"), F.col("u2").alias("v"),
+        (h(F.concat(F.col("u1").cast("string"), F.lit("|"),
+                    F.col("u2").cast("string"))) % 9 + 1).alias("w"),
+    )
+    edges = ew.unionByName(
+        ew.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).localCheckpoint()
+    seeds = edges.select(F.col("u").alias("node")).limit(3)
+    seed_rows = [(r.node,) for r in seeds.collect()]
+    seed_df = spark.createDataFrame(seed_rows, "node bigint")
+
+    def run():
+        return (
+            sssp_weighted(edges, seed_df, n_rounds=4, src="u", dst="v",
+                          weight_col="w")
+            .agg(F.sum("dist"))
+            .collect()
+        )
+
+    return edges, n_edges, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -1251,6 +1285,7 @@ FAMILIES = {
     "ppr": fam_ppr,
     "mg": fam_mg,
     "cms_merge": fam_cms_merge,
+    "sssp": fam_sssp,
 }
 
 
