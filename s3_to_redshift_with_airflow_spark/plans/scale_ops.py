@@ -5496,3 +5496,55 @@ def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .awaitTermination()
         )
     return spark.table(sink_name)
+
+
+# --- streaming value-histogram maintenance ----------------------------------------
+
+
+@query("streaming_histogram_maintain", oracle=_SQL_HIST_DAILY)
+def q_streaming_histogram_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantile-sketch maintenance — the fourth stored-artifact
+    foreachBatch consumer, and the strongest merge contract of the four:
+    the events file streamed into
+    streaming.pipeline.foreach_batch_histogram_maintain, which histograms
+    each epoch and ADDS bucket counts into the parquet-stored per-day
+    histogram. Merge is pure integer addition, so the stored table after
+    ANY epoch partitioning is bit-identical to the batch build — this
+    query therefore carries value_histogram_daily's oracle VERBATIM, and
+    the two-epoch test pins bit-equality (not just validity, MG's weaker
+    multi-epoch statement). Every later quantile rollup
+    (histogram_quantiles) serves from the maintained table with the raw
+    stream long gone."""
+    import tempfile
+
+    from ..session import ensure_utc
+    from ..streaming.pipeline import foreach_batch_histogram_maintain
+
+    ensure_utc(spark)
+    target = tempfile.mkdtemp(prefix="stream_hist_") + "/hist"
+    spark.createDataFrame(
+        [], "event_type string, day date, bucket bigint, n bigint"
+    ).write.parquet(target)
+
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    src = stream_source(
+        spark, sf_dir, schema, watermark=None, path_glob_filter="events.parquet"
+    )
+    src = with_ts_from_nanos(src, "ts")
+    sink = foreach_batch_histogram_maintain(
+        target, value_col="value", grain_cols=["event_type"], width=_HIST_WIDTH
+    )
+    (
+        src.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_hist_"))
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(target)
+        .select(
+            "event_type", F.col("day").cast("string").alias("day"), "bucket", "n"
+        )
+        .orderBy("event_type", "day", "bucket")
+    )

@@ -319,3 +319,37 @@ def foreach_batch_mg_maintain(
         _write_then_swap(merged, target_path, f"__mg_epoch{epoch_id}")
 
     return _sink
+
+
+def foreach_batch_histogram_maintain(
+    target_path: str,
+    value_col: str = "value",
+    grain_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    width: float = 8.0,
+):
+    """foreachBatch sink: histogram the micro-batch
+    (operators/sketches.value_histogram) and ADD its bucket counts into
+    the histogram table stored at `target_path` — the fourth
+    stored-artifact streaming consumer (CDC-SCD2, KMV, MG, now the
+    quantile sketch), and the strongest of the four: histogram merge is
+    pure integer ADDITION, so the stored table after ANY number of epochs
+    is bit-identical to a batch build over all rows — no single-epoch
+    caveat (MG) and no bottom-k identity needed (KMV). Per epoch: one
+    grain-day-bucket aggregate over BATCH rows, a ≤-sketch-size merge
+    aggregate, write-then-swap."""
+    from ..operators.sketches import value_histogram
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stored = spark.read.parquet(target_path)
+        delta = value_histogram(batch_df, value_col, grain_cols, ts_col, width)
+        keys = [c for c in delta.columns if c != "n"]
+        merged = (
+            stored.unionByName(delta)
+            .groupBy(*keys)
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        _write_then_swap(merged, target_path, f"__hist_epoch{epoch_id}")
+
+    return _sink

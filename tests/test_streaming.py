@@ -771,3 +771,69 @@ def test_streaming_semi_join_no_fanout(spark, tmp_path):
         for r in REGISTRY["streaming_semi_join"].fn(spark, d).collect()
     ]
     assert got == [(1, 1)]
+
+
+def test_foreach_batch_histogram_multi_epoch_bit_equal(spark, tmp_path):
+    """Streaming histogram maintenance across TWO micro-batches must be
+    BIT-IDENTICAL to the batch build (merge is pure addition — the
+    strongest multi-epoch contract of the four stored-artifact
+    consumers)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        value_histogram,
+    )
+    from s3_to_redshift_with_airflow_spark.sources.readers import (
+        with_ts_from_nanos,
+    )
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_histogram_maintain,
+    )
+
+    src_dir = tmp_path / "hist_src"
+    src_dir.mkdir()
+    raw = with_ts_from_nanos(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts"
+    ).select("event_type", "ts", "value", "event_id")
+    for h in (0, 1):
+        scratch = tmp_path / f"h{h}_scratch"
+        raw.filter(F.col("event_id") % 2 == h).coalesce(1).write.parquet(
+            str(scratch)
+        )
+        shutil.move(
+            str(next(scratch.glob("part-*.parquet"))),
+            str(src_dir / f"h{h}.parquet"),
+        )
+
+    target = str(tmp_path / "hist")
+    spark.createDataFrame(
+        [], "event_type string, day date, bucket bigint, n bigint"
+    ).write.parquet(target)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src_dir))
+    )
+    (
+        stream.writeStream.foreachBatch(
+            foreach_batch_histogram_maintain(
+                target, grain_cols=["event_type"], width=8.0
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_hist_t_"))
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    want = sorted(
+        tuple(r)
+        for r in value_histogram(
+            raw, "value", ["event_type"], "ts", 8.0
+        ).collect()
+    )
+    assert got == want
