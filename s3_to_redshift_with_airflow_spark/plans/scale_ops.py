@@ -5548,3 +5548,150 @@ def q_streaming_histogram_maintain(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type", "day", "bucket")
     )
+
+
+# --- conversion lag quantiles ------------------------------------------------------
+
+_SQL_CONVERSION_LAG = """
+    WITH fc AS (
+      SELECT user_id, MIN(ts) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT f.user_id,
+             MIN(e.ts) AS first_purchase
+      FROM fc f JOIN events e
+        ON e.user_id = f.user_id
+       AND e.event_type = 'purchase' AND e.ts >= f.first_click
+      GROUP BY f.user_id
+    ),
+    lags AS (
+      SELECT CAST(epoch_us(fp.first_purchase) // 1000000
+                  - epoch_us(fc.first_click) // 1000000 AS BIGINT) AS lag_s
+      FROM fc JOIN fp ON fp.user_id = fc.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           quantile_cont(lag_s, 0.5) AS p50_lag_s,
+           quantile_cont(lag_s, 0.9) AS p90_lag_s
+    FROM lags
+"""
+
+
+@query("conversion_lag_quantiles", oracle=_SQL_CONVERSION_LAG)
+def q_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — the funnel family's latency half
+    (funnel_stages counts WHO converts; THIS measures HOW LONG): per
+    user, seconds from first click to the first purchase at-or-after it,
+    then exact p50/p90 across users. Lags are exact bigint second diffs;
+    the percentiles ride the verified Spark `percentile` == DuckDB
+    `quantile_cont` interpolation contract (exact_quantiles /
+    robust_outliers), so even the double quantiles hash-match.
+
+    Plan (100 TB): two user-grain min-aggregates + one user-keyed join —
+    all on the same shuffle key — and a 1-row exact percentile over the
+    per-user lag frame (user cardinality, not events; at extreme user
+    counts swap approx_percentile, same plan)."""
+    (events,) = _t(spark, sf_dir, "events")
+    fc = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        fc.join(
+            events.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pts")
+            ),
+            "user_id",
+        )
+        .filter(F.col("pts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("first_purchase"))
+    )
+    lags = fc.join(fp, "user_id").select(
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_click")
+        )
+        .cast("bigint")
+        .alias("lag_s")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.expr("percentile(lag_s, 0.5)").alias("p50_lag_s"),
+        F.expr("percentile(lag_s, 0.9)").alias("p90_lag_s"),
+    )
+
+
+# --- trending rank delta -----------------------------------------------------------
+
+_SQL_TRENDING = """
+    WITH kd AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             json_extract_string(props, '$.k') AS k,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT day, k, n,
+             CAST(row_number() OVER (PARTITION BY day
+                                     ORDER BY n DESC, k ASC) AS BIGINT) AS rnk
+      FROM kd
+    ),
+    lagged AS (
+      SELECT day, k, n, rnk,
+             lag(rnk) OVER (PARTITION BY k ORDER BY day) AS prev_rnk
+      FROM ranked
+    )
+    SELECT day, k, n, rnk, prev_rnk,
+           CASE WHEN prev_rnk IS NULL THEN NULL
+                ELSE prev_rnk - rnk END AS rank_delta
+    FROM lagged WHERE rnk <= 10
+    ORDER BY day, rnk
+"""
+
+
+@query("trending_rank_delta", oracle=_SQL_TRENDING)
+def q_trending_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily top-10 trending entities with rank movement: per-day entity
+    counts (prop-key granularity) ranked with a deterministic tie-break,
+    each entity's previous-day rank fetched by a LAG over ITS OWN day
+    series (an equi-window, not a day self-join), delta = prev − rnk
+    (positive = rising; NULL = new entrant). The leaderboard every
+    analytics surface ships, as two windows over the (day, entity)
+    aggregate frame — never over events.
+
+    Plan (100 TB): one groupBy(day, k) shuffle collapses events to
+    entity-day grain; both windows run on that frame (≤ days·entities
+    rows). The final rnk ≤ 10 filter happens AFTER the lag so a
+    yesterday-rank-40 riser still knows where it came from."""
+    (events,) = _t(spark, sf_dir, "events")
+    kd = (
+        events.filter(F.get_json_object("props", "$.k").isNotNull())
+        .groupBy(
+            F.to_date("ts").cast("string").alias("day"),
+            F.get_json_object("props", "$.k").alias("k"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wd = Window.partitionBy("day").orderBy(F.col("n").desc(), F.col("k").asc())
+    ranked = kd.select(
+        "day", "k", "n", F.row_number().over(wd).cast("bigint").alias("rnk")
+    )
+    wk = Window.partitionBy("k").orderBy("day")
+    lagged = ranked.select(
+        "day", "k", "n", "rnk", F.lag("rnk").over(wk).alias("prev_rnk")
+    )
+    return (
+        lagged.filter(F.col("rnk") <= 10)
+        .select(
+            "day",
+            "k",
+            "n",
+            "rnk",
+            "prev_rnk",
+            (F.col("prev_rnk") - F.col("rnk")).alias("rank_delta"),
+        )
+        .orderBy("day", "rnk")
+    )

@@ -1323,3 +1323,51 @@ def test_linear_attribution_conserves_credit(spark, tmp_path):
         "click": 1 * 2 * 1_000_000 // 3,  # 666666
     }
     assert sum(got.values()) <= 2 * 1_000_000
+
+
+def test_conversion_lag_semantics(spark, tmp_path):
+    """Hand-computed: purchase BEFORE the first click doesn't count; the
+    first at-or-after one does; never-purchasers excluded."""
+    import datetime
+    import os
+
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(eid, minutes, uid, typ):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), uid, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 0, 1, "click"), ev(2, -30, 1, "purchase"), ev(3, 20, 1, "purchase"),
+        ev(4, 0, 2, "click"),                       # never purchases
+        ev(5, 0, 3, "click"), ev(6, 60, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    r = REGISTRY["conversion_lag_quantiles"].fn(spark, d).collect()[0]
+    # lags: user1 = 20 min, user3 = 60 min -> p50 = 40 min (interpolated)
+    assert r.n_users == 2
+    assert r.p50_lag_s == (20 * 60 + 60 * 60) / 2
+    assert r.p90_lag_s == 20 * 60 + 0.9 * 40 * 60  # (1-h)lo + h*hi, h=.9(n-1)
+
+
+def test_trending_rank_delta_semantics(spark):
+    """Rank deltas: every day-1 row is a NULL-delta new entrant; later
+    days' deltas equal prev_rnk - rnk; top-10 only; ties broken by key."""
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    rows = REGISTRY["trending_rank_delta"].fn(spark, SF_SMOKE).collect()
+    days = sorted({r.day for r in rows})
+    first = [r for r in rows if r.day == days[0]]
+    assert all(r.prev_rnk is None and r.rank_delta is None for r in first)
+    later = [r for r in rows if r.day != days[0] and r.prev_rnk is not None]
+    assert later and all(r.rank_delta == r.prev_rnk - r.rnk for r in later)
+    for d in days:
+        rnks = [r.rnk for r in rows if r.day == d]
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)) and max(rnks) <= 10
