@@ -3371,3 +3371,45 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
         ).alias("zipf_slope"),
     )
+
+
+from .registry import REGISTRY as _REG2  # noqa: E402
+
+
+@query(
+    "lang_confusion",
+    oracle=f"""
+    WITH pred AS ({_REG2["lang_id"].oracle})
+    SELECT lang AS true_lang, lang_guess AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN lang = lang_guess THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the EVAL step for the lang_id gate
+    (classifier_calibration's pattern applied to language identification):
+    heuristic predictions crossed against the declared labels at (true,
+    pred) granularity, n_correct folded per cell so precision/recall/
+    accuracy all derive from this one table. Composes lang_id's exact
+    oracle as a CTE (the quality_classifier_trained discipline), so the
+    whole eval is value-exact. One label-granularity aggregate after the
+    per-doc marker scan — the matrix is |langs|² rows regardless of
+    corpus size."""
+    pred = _REG2["lang_id"].fn(spark, sf_dir)
+    return (
+        pred.groupBy(
+            F.col("lang").alias("true_lang"),
+            F.col("lang_guess").alias("pred_lang"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("lang") == F.col("lang_guess"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )

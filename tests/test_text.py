@@ -532,3 +532,21 @@ def test_zipf_fit_separates_zipfian_from_flat(spark, tmp_path):
     assert -1.15 < z.zipf_slope < -0.85, z.zipf_slope
     assert abs(f.zipf_slope) < 0.05, f.zipf_slope
     assert z.var_num > 0 and f.var_num > 0
+
+
+def test_lang_confusion_is_consistent_with_lang_id(spark):
+    """The confusion matrix must tally exactly with per-doc predictions:
+    cell sums equal doc counts, n_correct nonzero only on the diagonal,
+    and per-cell n_correct == n there."""
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    from .conftest import SF_SMOKE
+
+    cells = REGISTRY["lang_confusion"].fn(spark, SF_SMOKE).collect()
+    preds = REGISTRY["lang_id"].fn(spark, SF_SMOKE).collect()
+    assert sum(c.n for c in cells) == len(preds)
+    for c in cells:
+        if c.true_lang == c.pred_lang:
+            assert c.n_correct == c.n
+        else:
+            assert c.n_correct == 0
