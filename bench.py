@@ -135,6 +135,11 @@ HEADLINE = [
     # with ivf_pq_ann_topk's per-run rebuild cost ceiling)
     "streaming_cdc_scd2",
     "pq_index_append",
+    # round-7: the IVF-PQ persisted index is SPLIT like the PQ family —
+    # the build slot owns the train+write amortization ceiling; the serve
+    # slot reuses the stored artifact (the per-query warmup run builds it
+    # once), so its timed runs measure the production read-and-serve path
+    "ivf_pq_index_build",
     "ivf_pq_index_search",
     # round-6 session-2 families: KMV sketch set ops (distinct shuffle +
     # group-granularity set algebra), the AMS join-size estimate (two CMS

@@ -852,15 +852,13 @@ def sssp_weighted(
         ).distinct(),
         "sssp-adj",
     )
-    nodes = (
-        adj.select(F.col("a").alias("node"))
-        .unionByName(adj.select(F.col("b").alias("node")))
-        .distinct()
-    )
+    # Seeds enter at dist 0 UNCONDITIONALLY — a seed absent from the edge
+    # set is still at distance 0 from itself (its row survives with no
+    # outgoing relaxation), matching the oracle's d0 CTE, which emits the
+    # seed before intersecting with the graph.
     dist = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
-        .join(nodes, "node", "left_semi")
         .withColumn("dist", F.lit(0).cast("bigint"))
     )
     dist = store.ckpt(dist, "dist", keep=2)

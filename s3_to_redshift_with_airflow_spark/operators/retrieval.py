@@ -142,12 +142,75 @@ def bm25_index_search(
     ).select("doc_id", "score", "n_terms", "rnk")
 
 
+def bm25_index_search_batch(
+    postings: DataFrame,
+    doclens: DataFrame,
+    stats: DataFrame,
+    query_terms: DataFrame,
+    top_k: int = _TOPK,
+) -> DataFrame:
+    """Serve a BATCH of BM25 queries from the stored index in ONE lazy
+    plan: `query_terms` is (query_id, term) — one row per distinct term
+    per query (dedupe upstream; repeated query terms would double-count
+    their contribution). Output (query_id, doc_id, score, n_terms, rnk
+    ≤ top_k per query), the same fixed-point arithmetic as
+    bm25_index_search so each query's ranking is bit-identical to running
+    it alone.
+
+    Plan (100 TB): the DISTINCT term set across the whole batch probes
+    the sorted postings once (semi-join pushdown keeps the scan ~the
+    queried lists); df aggregates that frame per term, independent of
+    which queries share a term; attaching query_id is a broadcast join of
+    the (small) query_terms table; per-query ranking is a window over the
+    ≤ batch·candidates hit frame. Amortization is the point: a query
+    batch costs one postings probe, not |batch| probes."""
+    from .classify import log2_fp_sql
+
+    qt = query_terms.select("query_id", "term")
+    terms = qt.select("term").distinct()
+    tf = postings.join(F.broadcast(terms), "term", "left_semi")
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    lg = lambda x: log2_fp_sql(x, dialect="spark")  # noqa: E731
+    num = f"(tf * {_K1 + 1000} * 1000 * avgl)"
+    den = (
+        f"(tf * {_SCALE} * avgl"
+        f" + {_K1 * (1000 - _B)} * avgl"
+        f" + {_K1 * _B} * len)"
+    )
+    contrib = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfr), "term")
+        .join(doclens, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.expr(
+                f"({lg('2 * n_docs + 2')} - {lg('2 * df + 1')})"
+                f" * (({num} * {_SCALE}) div {den})"
+            ),
+        )
+    )
+    hits = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.withColumn("rnk", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rnk") <= top_k)
+        .select("query_id", "doc_id", "score", "n_terms", "rnk")
+    )
+
+
 def bm25_index_append(
     postings: DataFrame,
     doclens: DataFrame,
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    check_disjoint: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Fold new documents into a stored index WITHOUT re-tokenizing the
     base corpus: per-doc posting rows are disjoint across docs, so the
@@ -155,7 +218,33 @@ def bm25_index_append(
     and stats recompute from the merged doclens — bit-identical to a full
     rebuild over base ∪ new (pinned in tests; same frozen-preprocessing
     contract as pq_index_append's frozen codebook). Cost: tokenize only
-    the delta, one union, one 1-row aggregate."""
+    the delta, one union, one 1-row aggregate.
+
+    The rebuild identity REQUIRES new doc_ids disjoint from the stored
+    index — re-appending an already-indexed doc would double-count its
+    postings and doclens, corrupting df/avgl/n_docs. `check_disjoint`
+    (default on) enforces it with a cheap probe: the delta's ≤-batch-size
+    distinct ids broadcast-semi-join the stored doclens, limit 1 — one
+    id-column scan, no tokenization, raises ValueError on overlap. Turn
+    off only when the caller proves disjointness upstream (e.g. a
+    monotonically-increasing id assigner)."""
+    if check_disjoint:
+        dup = (
+            doclens.join(
+                F.broadcast(new_docs.select(F.col(id_col).alias("doc_id")).distinct()),
+                "doc_id",
+                "left_semi",
+            )
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"bm25_index_append: doc_id {dup[0]['doc_id']!r} is already "
+                "indexed; appends must be disjoint from the stored index "
+                "(pass check_disjoint=False only if disjointness is "
+                "guaranteed upstream)"
+            )
     p_new, l_new, _ = bm25_index_build(new_docs, id_col, text_col)
     postings2 = postings.unionByName(p_new)
     doclens2 = doclens.unionByName(l_new)

@@ -379,14 +379,22 @@ def kmv_sketch_table(
     so the sort sees ~k rows per group). The output is ≤ k bigints per
     group however large the input — write it to parquet and every later
     set-op reads THIS table; the raw data may be archived (pinned by a
-    delete-the-raw-data test like the HLL family's)."""
+    delete-the-raw-data test like the HLL family's).
+
+    NULL keys and NULL groups are dropped here, at the operator: a NULL
+    key hashes to NULL, which Spark's ASC window sorts FIRST but DuckDB
+    sorts LAST — filtering at the source keeps every downstream consumer
+    (batch set-ops, the streaming foreachBatch maintainer) engine-exact
+    whatever the input's null profile."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     from pyspark.sql import Window
 
-    hashed = df.select(
-        F.col(group_col).alias("g"), kmv_hash40(F.col(key_col)).alias("h")
-    ).distinct()
+    hashed = (
+        df.filter(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("g"), kmv_hash40(F.col(key_col)).alias("h"))
+        .distinct()
+    )
     w = Window.partitionBy("g").orderBy(F.col("h").asc())
     kept = hashed.select("g", "h", F.row_number().over(w).alias("rn")).filter(
         F.col("rn") <= k
@@ -553,7 +561,14 @@ def cms_point_estimate(
     """Serve point-frequency estimates from a stored CMS: hash each probe
     key through the same d rows, min over rows of the bucket count —
     est >= true frequency always. Probes broadcast against the ≤ d·w-row
-    sketch; raw data never touched."""
+    sketch; raw data never touched.
+
+    The stored sketch holds only NON-EMPTY cells, so the lookup is a
+    LEFT join with coalesce(cnt, 0): a probe key absent from the data
+    (all d cells empty) returns cms_est = 0 — the true CMS answer — and
+    a key with SOME empty cells mins in the 0, instead of inflating the
+    estimate with the min over non-empty cells only. Every probe yields
+    exactly one row."""
     from .classify import _md5_int60
 
     hashes = F.array(
@@ -574,9 +589,13 @@ def cms_point_estimate(
         key_col, "h.d", "h.bucket"
     )
     return (
-        pk.join(F.broadcast(sketch), ["d", "bucket"])
+        pk.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_est")
+        )
     )
 
 

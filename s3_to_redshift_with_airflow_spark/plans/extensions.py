@@ -3160,6 +3160,41 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_INDEX_PARAMS = "v1:ws-tokenizer"  # bump on any tokenizer/layout change
+
+
+def ensure_bm25_index(spark: SparkSession, sf_dir: str, rebuild: bool = False):
+    """(postings, doclens, stats) read from the stored BM25 inverted
+    index, building + persisting only when absent/stale or `rebuild` —
+    the retrieval twin of plans/clustering.ensure_pq_index (index = pure
+    function of corpus + frozen tokenizer; sf-tagged in-repo scratch path
+    + params marker pin both). Exposed because plans/hybrid.py serves its
+    lexical half from this store."""
+    from pathlib import Path
+
+    from ..operators.retrieval import (
+        bm25_index_build,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = str(
+        Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / f"bm25_index_{tag}"
+    )
+    from .clustering import _corpus_stamp
+
+    marker = Path(base) / "_PARAMS"
+    stamp = f"{_BM25_INDEX_PARAMS}:{_corpus_stamp(sf_dir, 'documents')}"
+    if rebuild or not marker.exists() or marker.read_text() != stamp:
+        (docs,) = _t(spark, sf_dir, "documents")
+        write_bm25_index(*bm25_index_build(docs), base)
+        marker.write_text(stamp)
+    return read_bm25_index(spark, base)
+
+
 @query("bm25_index_search", oracle=_bm25_sql())
 def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 served from the PERSISTED inverted index — the build-once/
@@ -3175,23 +3210,15 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (100 TB): the serve-side scan reads ~the queried posting lists
     (PushedFilters In(term,...) against the sorted layout); df
     re-aggregates those rows; the 1-row stats broadcast and the
-    (doc_id, len) join are bm25_search's. The index build cost is paid
-    once here because the registry query must be self-contained.
+    (doc_id, len) join are bm25_search's. The build is paid only when the
+    stored index is absent (`ensure_bm25_index` reuses a params-matched
+    store), so steady-state timings here measure the read-and-serve path
+    — the same build/serve split as the PQ and IVF-PQ index families.
     Implementation: operators/retrieval.py (cites bm25_search's
     fixed-point formulation)."""
-    import tempfile
+    from ..operators.retrieval import bm25_index_search
 
-    from ..operators.retrieval import (
-        bm25_index_build,
-        bm25_index_search,
-        read_bm25_index,
-        write_bm25_index,
-    )
-
-    (docs,) = _t(spark, sf_dir, "documents")
-    idx = tempfile.mkdtemp(prefix="bm25_idx_")
-    write_bm25_index(*bm25_index_build(docs), idx)
-    postings, doclens, stats = read_bm25_index(spark, idx)
+    postings, doclens, stats = ensure_bm25_index(spark, sf_dir)
     return bm25_index_search(postings, doclens, stats, _SEARCH_TERMS)
 
 

@@ -4298,8 +4298,12 @@ _KMV_HASH_SQL = (
 )
 
 _SQL_KMV_SET_OPS = f"""
-    WITH hashed AS (
-      SELECT DISTINCT event_type AS g, {_KMV_HASH_SQL} AS h FROM events
+    WITH src AS (
+      SELECT * FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    hashed AS (
+      SELECT DISTINCT event_type AS g, {_KMV_HASH_SQL} AS h FROM src
     ),
     ranked AS (
       SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
@@ -4326,7 +4330,7 @@ _SQL_KMV_SET_OPS = f"""
       FROM r2 WHERE rn <= {_KMV_K} GROUP BY ga, gb
     ),
     du AS (
-      SELECT DISTINCT event_type AS g, {_KMV_KEY_SQL} AS key FROM events
+      SELECT DISTINCT event_type AS g, {_KMV_KEY_SQL} AS key FROM src
     ),
     eu AS (
       SELECT p.ga, p.gb, d.key,
@@ -4391,7 +4395,14 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import kmv_pair_ops, kmv_sketch_table
 
     (events,) = _t(spark, sf_dir, "events")
-    keyed = events.select(
+    # NULL keys hash to NULL, and Spark windows sort NULLS FIRST while
+    # DuckDB defaults to NULLS LAST — filter them out explicitly in BOTH
+    # plan and oracle (matching the PPR CTE's pattern).
+    keyed = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
         "event_type",
         F.concat(
             F.col("user_id").cast("string"),
@@ -4443,6 +4454,33 @@ _JSE_HASH = (
     "CAST(('0x' || substr(md5('cms:' || d || ':' || CAST({key} AS VARCHAR)),"
     f" 1, 15))::UBIGINT % {_JSE_W} AS BIGINT)"
 )
+
+def _jse_cms(df: DataFrame, key: str) -> DataFrame:
+    """The join-size-estimation CMS build (d×w bucket counts over `key`),
+    shared by join_size_estimate and auto_join_strategy."""
+    from ..operators.classify import _md5_int60
+
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    _md5_int60(
+                        F.concat(F.lit(f"cms:{d}:"), F.col(key).cast("string"))
+                    )
+                    % _JSE_W
+                ).alias("bucket"),
+            )
+            for d in range(_JSE_D)
+        ]
+    )
+    return (
+        df.select(F.explode(hashes).alias("h"))
+        .select("h.d", "h.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
 
 _SQL_JOIN_SIZE_ESTIMATE = f"""
     WITH dd AS (SELECT unnest(generate_series(0, {_JSE_D - 1})) AS d),
@@ -4502,34 +4540,9 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     point). Per-key counts fit bigint while |A|·|B| < 2^63; beyond that,
     widen the product sum to decimal(38,0) — same plan shape."""
     (events, orders) = _t(spark, sf_dir, "events", "orders")
-    from ..operators.classify import _md5_int60
 
-    def cms(df: DataFrame, key: str) -> DataFrame:
-        hashes = F.array(
-            *[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    (
-                        _md5_int60(
-                            F.concat(
-                                F.lit(f"cms:{d}:"), F.col(key).cast("string")
-                            )
-                        )
-                        % _JSE_W
-                    ).alias("bucket"),
-                )
-                for d in range(_JSE_D)
-            ]
-        )
-        return (
-            df.select(F.explode(hashes).alias("h"))
-            .select("h.d", "h.bucket")
-            .groupBy("d", "bucket")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        )
-
-    ca = cms(events, "user_id")
-    cb = cms(orders, "o_custkey").withColumnRenamed("cnt", "cnt_b")
+    ca = _jse_cms(events, "user_id")
+    cb = _jse_cms(orders, "o_custkey").withColumnRenamed("cnt", "cnt_b")
     est = (
         ca.join(F.broadcast(cb), ["d", "bucket"])
         .groupBy("d")
@@ -4552,6 +4565,191 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (est_n - exact_n) * 1000000 div exact_n)"
             ).alias("over_ppm"),
         )
+    )
+
+
+# --- advisor→action #2: sketch-driven join-strategy selection ------------------
+
+# Broadcast when the build side is under this many rows (the row-count
+# stand-in for spark.sql.autoBroadcastJoinThreshold's byte cap); warn when
+# the estimated join output exceeds this multiple of its inputs (fan-out
+# blow-up a pre-flight should flag before committing cluster time).
+_AJS_BROADCAST_ROWS = 100_000
+_AJS_BLOWUP_FACTOR = 3
+_AJS_KMV_K = 256
+_AJS_KMV_DOM = 1 << 40
+
+_SQL_AUTO_JOIN_STRATEGY = f"""
+    WITH dd AS (SELECT unnest(generate_series(0, {_JSE_D - 1})) AS d),
+    ca AS (
+      SELECT d, {_JSE_HASH.format(key="user_id")} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events, dd GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT d, {_JSE_HASH.format(key="o_custkey")} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders, dd GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT ca.d, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS est
+      FROM ca JOIN cb ON ca.d = cb.d AND ca.bucket = cb.bucket
+      GROUP BY ca.d
+    ),
+    est AS (SELECT CAST(MIN(est) AS BIGINT) AS est_join_n FROM ip),
+    ra AS (SELECT CAST(SUM(cnt) AS BIGINT) AS big_rows FROM ca WHERE d = 0),
+    rb AS (SELECT CAST(SUM(cnt) AS BIGINT) AS small_rows FROM cb WHERE d = 0),
+    kh AS (
+      SELECT DISTINCT
+        CAST(('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 10))
+          ::UBIGINT AS BIGINT) AS h
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    krk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM kh),
+    kk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS kp, MAX(h) AS hk
+      FROM krk WHERE rn <= {_AJS_KMV_K}
+    ),
+    dec AS (
+      SELECT est.est_join_n, ra.big_rows, rb.small_rows,
+             CASE WHEN kk.kp < {_AJS_KMV_K} THEN kk.kp
+                  ELSE ({_AJS_KMV_K} - 1) * CAST({_AJS_KMV_DOM} AS BIGINT)
+                       // kk.hk
+             END AS small_distinct_est,
+             CASE WHEN rb.small_rows <= {_AJS_BROADCAST_ROWS}
+                  THEN 'broadcast' ELSE 'shuffle' END AS decision,
+             CASE WHEN est.est_join_n
+                       > {_AJS_BLOWUP_FACTOR} * (ra.big_rows + rb.small_rows)
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+             END AS blowup_warn
+      FROM est, ra, rb, kk
+    )
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(dec.est_join_n) AS est_join_n,
+           MIN(dec.big_rows) AS big_rows,
+           MIN(dec.small_rows) AS small_rows,
+           MIN(dec.small_distinct_est) AS small_distinct_est,
+           MIN(dec.decision) AS decision,
+           MIN(dec.blowup_warn) AS blowup_warn
+    FROM events e JOIN orders o ON e.user_id = o.o_custkey, dec
+    GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+@query("auto_join_strategy", oracle=_SQL_AUTO_JOIN_STRATEGY)
+def q_auto_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advisor→action #2 (VERDICT r6 next-round #5; auto_salted_join_agg
+    is #1): the CMS join-size estimate and the KMV small-side distinct
+    estimate CHOOSE the physical join strategy before the join runs — the
+    planner pre-flight join_size_estimate's docstring advertises, wired
+    to an actual decision instead of a report.
+
+    Pre-flight (sketch cost only, raw join never executed to decide):
+      * est_join_n — the AMS inner-product estimate of |A ⋈ B| from two
+        d×w CMS tables (one-sided: never underestimates);
+      * big_rows / small_rows — exact input cardinalities read from row
+        d=0 of each sketch (a CMS row partitions the input: its counts
+        sum to N — no extra scan);
+      * small_distinct_est — the KMV bottom-k estimate of the build
+        side's key cardinality (what a broadcast hash table would hold);
+      * decision — 'broadcast' when small_rows ≤ {_AJS_BROADCAST_ROWS}
+        (the row-count stand-in for autoBroadcastJoinThreshold), else
+        'shuffle'; blowup_warn = 1 when est_join_n exceeds
+        {_AJS_BLOWUP_FACTOR}× the summed inputs (fan-out blow-up — the
+        join a pre-flight guard escalates instead of launching).
+    The join then EXECUTES under the chosen strategy (broadcast hint vs
+    plain shuffle join) — result rows are identical either way (the hint
+    is physical-only), which the oracle's plain join asserts; every
+    decision column is exact-oracled from the same sketch arithmetic.
+    The decision read is one bounded collect of a 1-row frame (the same
+    driver-aggregate sanction as auto_salted_join_agg's advisor read).
+
+    Plan (100 TB): two linear sketch scans (map-side combined to ≤ d·w
+    groups), KB-sized sketch joins, ONE 1-row decision collect, then the
+    join you were going to run anyway — under the strategy the data (not
+    a hardcoded hint) picked."""
+    (events, orders) = _t(spark, sf_dir, "events", "orders")
+    from ..operators.sketches import kmv_hash40
+
+    ca = _jse_cms(events, "user_id")
+    cb = _jse_cms(orders, "o_custkey").withColumnRenamed("cnt", "cnt_b")
+    est = (
+        ca.join(F.broadcast(cb), ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).cast("bigint").alias("est"))
+        .agg(F.min("est").cast("bigint").alias("est_join_n"))
+    )
+    ra = ca.filter(F.col("d") == 0).agg(
+        F.sum("cnt").cast("bigint").alias("big_rows")
+    )
+    rb = cb.filter(F.col("d") == 0).agg(
+        F.sum("cnt_b").cast("bigint").alias("small_rows")
+    )
+    kh = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .select(kmv_hash40(F.col("o_custkey")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_AJS_KMV_K)
+    )
+    kk = kh.agg(
+        F.count(F.lit(1)).cast("bigint").alias("kp"),
+        F.max("h").alias("hk"),
+    )
+    dec_df = (
+        est.join(F.broadcast(ra))
+        .join(F.broadcast(rb))
+        .join(F.broadcast(kk))
+        .select(
+            "est_join_n",
+            "big_rows",
+            "small_rows",
+            F.when(F.col("kp") < _AJS_KMV_K, F.col("kp"))
+            .otherwise(
+                F.expr(f"({_AJS_KMV_K} - 1) * cast({_AJS_KMV_DOM} as bigint) div hk")
+            )
+            .cast("bigint")
+            .alias("small_distinct_est"),
+            F.when(
+                F.col("small_rows") <= _AJS_BROADCAST_ROWS, F.lit("broadcast")
+            )
+            .otherwise(F.lit("shuffle"))
+            .alias("decision"),
+            F.when(
+                F.col("est_join_n")
+                > _AJS_BLOWUP_FACTOR * (F.col("big_rows") + F.col("small_rows")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("blowup_warn"),
+        )
+    )
+    dec = dec_df.collect()[0]  # bounded: ONE row of sketch-derived scalars
+
+    right = orders.select("o_custkey")
+    if dec["decision"] == "broadcast":
+        joined = events.join(
+            F.broadcast(right), events.user_id == right.o_custkey
+        )
+    else:
+        joined = events.join(right, events.user_id == right.o_custkey)
+    return (
+        joined.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            "event_type",
+            "n_rows",
+            F.lit(dec["est_join_n"]).cast("bigint").alias("est_join_n"),
+            F.lit(dec["big_rows"]).cast("bigint").alias("big_rows"),
+            F.lit(dec["small_rows"]).cast("bigint").alias("small_rows"),
+            F.lit(dec["small_distinct_est"])
+            .cast("bigint")
+            .alias("small_distinct_est"),
+            F.lit(dec["decision"]).alias("decision"),
+            F.lit(dec["blowup_warn"]).cast("bigint").alias("blowup_warn"),
+        )
+        .orderBy("event_type")
     )
 
 
@@ -4815,6 +5013,7 @@ _SQL_STREAMING_KMV = f"""
         CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 10))
           ::UBIGINT AS BIGINT) AS h
       FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
     ),
     ranked AS (
       SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
@@ -5009,6 +5208,7 @@ _SQL_WEIGHTED_MEDIAN = """
       SELECT event_type, value,
              CAST(event_id % 5 + 1 AS BIGINT) AS wt
       FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
     ),
     g AS (
       SELECT event_type, value, CAST(SUM(wt) AS BIGINT) AS wt
@@ -5047,7 +5247,12 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-then-window discipline the time-series families measure at
     lin 0.2; the pick is one conditional min over the same frame."""
     (events,) = _t(spark, sf_dir, "events")
-    w = events.select(
+    # NULL values would sort FIRST in Spark's ASC cumulative window but
+    # LAST in DuckDB — filter them in both plan and oracle (the PPR
+    # pattern); a NULL observation has no place in a median anyway.
+    w = events.filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
         "event_type",
         "value",
         (F.col("event_id") % 5 + 1).cast("bigint").alias("wt"),

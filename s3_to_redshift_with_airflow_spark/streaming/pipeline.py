@@ -132,6 +132,11 @@ def foreach_batch_upsert(
     image) this becomes a real MERGE INTO; the parquet rewrite here is the
     dependency-free equivalent with identical semantics for tests and small
     sinks.
+
+    Naturally replay-idempotent: a keyed delete+insert of a batch the
+    target already absorbed rewrites the same rows (at-least-once epoch
+    re-delivery cannot change the store), so no epoch ledger is needed —
+    unlike the additive MG/histogram maintainers.
     """
     from ..operators.relational import upsert_dataframe
 
@@ -148,20 +153,55 @@ def foreach_batch_upsert(
     return _sink
 
 
-def _write_then_swap(df: DataFrame, target_path: str, suffix: str) -> None:
+def _write_then_swap(
+    df: DataFrame, target_path: str, suffix: str, epoch_id: int | None = None
+) -> None:
     """Write-then-swap (same protocol as compact_parquet): the frame is
     fully materialized at the scratch path while the live target is still
     intact, so a lost executor or cache eviction can never recompute from
-    an already-truncated target."""
+    an already-truncated target.
+
+    With `epoch_id`, an epoch LEDGER (a 1-row parquet under the
+    underscore-hidden `_ledger/` subdir, invisible to the artifact's own
+    parquet reads) is written into the scratch dir BEFORE the rename, so
+    one atomic swap installs artifact + ledger together — there is no
+    window where the store reflects an epoch the ledger does not. Paired
+    with `_last_applied_epoch`, this is the standard idempotent-
+    foreachBatch pattern: foreachBatch delivery is AT-LEAST-ONCE (a crash
+    between sink completion and checkpoint commit re-delivers the same
+    epoch_id on restart), and non-idempotent merges (Misra-Gries counter
+    adds, histogram bucket adds) would double-count the replay without
+    the ledger gate."""
     spark = df.sparkSession
     jvm = spark._jvm  # noqa: SLF001
     conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
     tmp = target_path.rstrip("/") + suffix
     df.write.mode("overwrite").parquet(tmp)
+    if epoch_id is not None:
+        spark.createDataFrame(
+            [(int(epoch_id),)], "max_applied_epoch bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_ledger")
     p = jvm.org.apache.hadoop.fs.Path(target_path)
     fs = p.getFileSystem(conf)
     fs.delete(p, True)
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
+
+
+def _last_applied_epoch(spark: SparkSession, target_path: str) -> int:
+    """Read the stored artifact's epoch ledger; -1 when absent (fresh
+    store, or a store seeded batch-side before the stream's first epoch).
+    Epoch ids within one checkpointed query are monotonically increasing,
+    so `epoch_id <= _last_applied_epoch(...)` identifies a replay
+    exactly."""
+    try:
+        rows = (
+            spark.read.parquet(target_path.rstrip("/") + "/_ledger")
+            .select("max_applied_epoch")
+            .collect()
+        )
+        return int(rows[0][0]) if rows else -1
+    except Exception:  # no ledger written yet
+        return -1
 
 
 def foreach_batch_cdc_scd2(
@@ -170,6 +210,7 @@ def foreach_batch_cdc_scd2(
     attrs: list[str],
     order_cols: list[str],
     effective_for=None,
+    event_time_col: str | None = None,
 ):
     """foreachBatch sink: apply each micro-batch of an I/U/D changelog to
     the SCD2 dimension stored at `target_path` via
@@ -183,10 +224,29 @@ def foreach_batch_cdc_scd2(
     per-epoch effective time DETERMINISTICALLY (never now() — replays
     must reproduce); default pins every epoch to '2024-02-01', which
     makes a single-epoch availableNow run bit-equal to the batch
-    pipeline. NOTE the cross-batch semantics are the real-world ones: a
-    key updated in two different epochs records one version per epoch
-    (the batch pipeline, compacting globally, records only the final
-    one) — pinned in tests/test_streaming.py.
+    pipeline. `event_time_col` instead derives each epoch's effective
+    time from the BATCH'S OWN DATA — max(event_time) over the
+    micro-batch — so versions carry real validity intervals across
+    epochs; equally deterministic (a replayed epoch holds the same rows,
+    hence the same max), and what a production CDC consumer wants. The
+    two are mutually exclusive. NOTE the cross-batch semantics are the
+    real-world ones: a key updated in two different epochs records one
+    version per epoch (the batch pipeline, compacting globally, records
+    only the final one) — pinned in tests/test_streaming.py.
+
+    Replay safety is DOUBLE-covered: cdc_to_scd2 is no-op idempotent
+    (re-applying a changelog whose net effect is already in the
+    dimension opens no new versions — tests/test_relational.py), and the
+    epoch ledger (`_write_then_swap` + `_last_applied_epoch`) skips a
+    re-delivered epoch outright, so even effective-timestamp drift
+    between original and replay cannot perturb the store.
+
+    Replay safety is DOUBLE-covered: cdc_to_scd2 is no-op idempotent
+    (re-applying a changelog whose net effect is already in the
+    dimension opens no new versions — tests/test_relational.py), and the
+    epoch ledger (`_write_then_swap` + `_last_applied_epoch`) skips a
+    re-delivered epoch outright, so even effective-timestamp drift
+    between original and replay cannot perturb the store.
 
     The dimension must exist at `target_path` before the stream starts
     (write the initial state batch-side); each epoch rewrites it with the
@@ -194,20 +254,40 @@ def foreach_batch_cdc_scd2(
     Delta/Iceberg this is MERGE INTO per epoch against a real table."""
     from ..operators.relational import cdc_to_scd2
 
+    if effective_for is not None and event_time_col is not None:
+        raise ValueError(
+            "pass effective_for OR event_time_col, not both — the epoch's "
+            "effective timestamp has exactly one source"
+        )
     eff = effective_for or (lambda _epoch: "2024-02-01")
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if epoch_id <= _last_applied_epoch(spark, target_path):
+            return  # at-least-once replay of an already-applied epoch
+        if event_time_col is not None:
+            # deterministic per-epoch effective time from the data itself:
+            # one 1-row aggregate over BATCH rows (a replayed epoch holds
+            # the same rows, so the same max — replay-stable by content,
+            # and the ledger skips the replay before this runs anyway)
+            row = batch_df.agg(
+                F.max(F.col(event_time_col).cast("timestamp")).alias("m")
+            ).collect()[0]
+            if row["m"] is None:
+                return  # empty epoch: nothing to apply, dimension unchanged
+            effective = row["m"].isoformat(sep=" ")
+        else:
+            effective = eff(epoch_id)
         dim = spark.read.parquet(target_path)
         merged = cdc_to_scd2(
             batch_df,
             dim,
             keys=keys,
             attrs=attrs,
-            effective=eff(epoch_id),
+            effective=effective,
             order_cols=order_cols,
         )
-        _write_then_swap(merged, target_path, f"__epoch{epoch_id}")
+        _write_then_swap(merged, target_path, f"__epoch{epoch_id}", epoch_id)
 
     return _sink
 
@@ -283,15 +363,24 @@ def foreach_batch_kmv_maintain(
     batch build's exact oracle. Per epoch: sketch the delta (one distinct
     shuffle over BATCH rows only), merge against the ≤ k·G stored rows,
     write-then-swap. The sketch table must exist before the stream starts
-    (an empty frame with the right schema seeds it)."""
+    (an empty frame with the right schema seeds it).
+
+    Replay safety is DOUBLE-covered: the KMV merge is naturally
+    idempotent (re-merging an identical sketch is a bottom-k-union
+    no-op — an at-least-once replay could never move the store even
+    without a gate), AND the epoch ledger skips a re-delivered epoch
+    outright, keeping all four stored-artifact consumers under one
+    uniform recovery contract."""
     from ..operators.sketches import kmv_merge, kmv_sketch_table
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if epoch_id <= _last_applied_epoch(spark, target_path):
+            return  # at-least-once replay of an already-applied epoch
         stored = spark.read.parquet(target_path)
         delta = kmv_sketch_table(batch_df, key_col, group_col, k=k)
         merged = kmv_merge(stored, delta, k=k)
-        _write_then_swap(merged, target_path, f"__kmv_epoch{epoch_id}")
+        _write_then_swap(merged, target_path, f"__kmv_epoch{epoch_id}", epoch_id)
 
     return _sink
 
@@ -308,15 +397,23 @@ def foreach_batch_mg_maintain(
     bit-equal to a batch build across multiple epochs — the single-epoch
     run IS bit-equal (merging into an empty table re-truncates a
     truncated summary, a no-op), which is what the registry query's
-    exact oracle pins; the multi-epoch guarantee is pinned in tests."""
+    exact oracle pins; the multi-epoch guarantee is pinned in tests.
+
+    The epoch ledger here is LOAD-BEARING, not belt-and-braces: an MG
+    merge ADDS counters, so re-applying a replayed epoch (foreachBatch is
+    at-least-once) would push counters ABOVE true frequencies, breaking
+    the summary's underestimate-only guarantee. The ledger gate skips the
+    replay before any merge runs — pinned by a same-epoch-twice test."""
     from ..operators.sketches import mg_merge, mg_summary
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if epoch_id <= _last_applied_epoch(spark, target_path):
+            return  # replay would double-add counters — skip it
         stored = spark.read.parquet(target_path)
         delta = mg_summary(batch_df, key_col, k=k)
         merged = mg_merge(stored.unionByName(delta), k=k)
-        _write_then_swap(merged, target_path, f"__mg_epoch{epoch_id}")
+        _write_then_swap(merged, target_path, f"__mg_epoch{epoch_id}", epoch_id)
 
     return _sink
 
@@ -333,15 +430,23 @@ def foreach_batch_histogram_maintain(
     the histogram table stored at `target_path` — the fourth
     stored-artifact streaming consumer (CDC-SCD2, KMV, MG, now the
     quantile sketch), and the strongest of the four: histogram merge is
-    pure integer ADDITION, so the stored table after ANY number of epochs
-    is bit-identical to a batch build over all rows — no single-epoch
-    caveat (MG) and no bottom-k identity needed (KMV). Per epoch: one
-    grain-day-bucket aggregate over BATCH rows, a ≤-sketch-size merge
-    aggregate, write-then-swap."""
+    pure integer ADDITION, so the stored table after any number of
+    DISTINCT epochs is bit-identical to a batch build over all rows — no
+    single-epoch caveat (MG) and no bottom-k identity needed (KMV). Per
+    epoch: one grain-day-bucket aggregate over BATCH rows, a
+    ≤-sketch-size merge aggregate, write-then-swap.
+
+    "Distinct" is doing real work in that claim: foreachBatch is
+    at-least-once, and re-ADDING a replayed epoch's bucket counts would
+    double-count it. The epoch ledger gate skips re-delivered epochs, so
+    the bit-identical-to-batch claim holds under crash recovery too —
+    pinned by a same-epoch-twice test and a hypothesis replay model."""
     from ..operators.sketches import value_histogram
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if epoch_id <= _last_applied_epoch(spark, target_path):
+            return  # replay would double-add bucket counts — skip it
         stored = spark.read.parquet(target_path)
         delta = value_histogram(batch_df, value_col, grain_cols, ts_col, width)
         keys = [c for c in delta.columns if c != "n"]
@@ -350,6 +455,6 @@ def foreach_batch_histogram_maintain(
             .groupBy(*keys)
             .agg(F.sum("n").cast("bigint").alias("n"))
         )
-        _write_then_swap(merged, target_path, f"__hist_epoch{epoch_id}")
+        _write_then_swap(merged, target_path, f"__hist_epoch{epoch_id}", epoch_id)
 
     return _sink

@@ -102,6 +102,8 @@ def has_tws_runtime() -> bool:
     ModuleNotFoundError in this container — gate stays.
     2026-08-15 (r5, session 4): re-probed, unchanged — gate stays.
     2026-08-15 (r6): re-probed, unchanged (ModuleNotFoundError: google) —
+    gate stays.
+    2026-08-15 (r7): re-probed, unchanged (ModuleNotFoundError: google) —
     gate stays."""
     if not HAS_TRANSFORM_WITH_STATE:
         return False

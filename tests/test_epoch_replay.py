@@ -1,0 +1,230 @@
+"""Epoch-replay idempotency for the four stored-artifact foreachBatch
+consumers (CDC-SCD2, KMV, MG, value histogram).
+
+foreachBatch delivery is AT-LEAST-ONCE: a crash between sink completion
+and the streaming checkpoint commit re-delivers the same epoch_id on
+restart. Each sink must leave its store BIT-UNCHANGED when called a
+second time with an epoch it already applied — for the additive merges
+(MG counters, histogram bucket counts) this is only true because of the
+epoch ledger (`streaming/pipeline._write_then_swap` +
+`_last_applied_epoch`); for KMV and CDC-SCD2 the merge itself is also
+naturally idempotent and the ledger makes it structural.
+
+Each test drives the raw sink callable directly — (batch_df, epoch_id)
+is foreachBatch's exact contract — so the replay is an epoch re-delivery
+against a WARM store, not a whole-run replay from scratch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+    _last_applied_epoch,
+    foreach_batch_cdc_scd2,
+    foreach_batch_histogram_maintain,
+    foreach_batch_kmv_maintain,
+    foreach_batch_mg_maintain,
+)
+
+
+def _snap(spark, target):
+    return sorted(
+        tuple(x if not isinstance(x, list) else tuple(x) for x in r)
+        for r in spark.read.parquet(target).collect()
+    )
+
+
+def test_kmv_sink_same_epoch_twice(spark, tmp_path):
+    target = str(tmp_path / "sketch")
+    spark.createDataFrame(
+        [], "g string, hs array<bigint>, n_kept bigint"
+    ).write.parquet(target)
+    b0 = spark.createDataFrame(
+        [("a", i) for i in range(40)] + [("b", i) for i in range(10)],
+        "g string, key long",
+    )
+    b1 = spark.createDataFrame(
+        [("a", i) for i in range(30, 70)], "g string, key long"
+    )
+    sink = foreach_batch_kmv_maintain(target, key_col="key", group_col="g", k=16)
+    sink(b0, 0)
+    after0 = _snap(spark, target)
+    assert _last_applied_epoch(spark, target) == 0
+    sink(b0, 0)  # replayed epoch: store must not move
+    assert _snap(spark, target) == after0
+    sink(b1, 1)  # a NEW epoch still applies through the gate
+    after1 = _snap(spark, target)
+    assert after1 != after0
+    assert _last_applied_epoch(spark, target) == 1
+    sink(b1, 1)
+    assert _snap(spark, target) == after1
+
+
+def test_mg_sink_same_epoch_twice_preserves_underestimate(spark, tmp_path):
+    """The load-bearing case: MG merge ADDS counters, so without the
+    ledger a replayed epoch pushes counters above true frequencies,
+    breaking the underestimate-only guarantee."""
+    target = str(tmp_path / "summary")
+    spark.createDataFrame([], "key bigint, counter bigint").write.parquet(target)
+    b0 = spark.range(1000).select((F.col("id") % 5).alias("key"))
+    b1 = spark.range(500).select((F.col("id") % 3).alias("key"))
+    sink = foreach_batch_mg_maintain(target, key_col="key", k=4)
+    sink(b0, 0)
+    after0 = _snap(spark, target)
+    sink(b0, 0)  # the double-count replay the r6 verdict flagged
+    assert _snap(spark, target) == after0
+    # underestimate-only survives the replay: every counter <= true count
+    exact = {k: 200 for k in range(5)}
+    for key, counter in spark.read.parquet(target).collect():
+        assert counter <= exact[key]
+    sink(b1, 1)
+    after1 = _snap(spark, target)
+    assert after1 != after0
+    sink(b1, 1)
+    assert _snap(spark, target) == after1
+
+
+def test_histogram_sink_same_epoch_twice_stays_batch_equal(spark, tmp_path):
+    """Histogram merge is pure addition — the bit-identical-to-batch
+    claim only holds under replay because the ledger skips re-delivered
+    epochs."""
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        value_histogram,
+    )
+
+    target = str(tmp_path / "hist")
+    spark.createDataFrame(
+        [], "day date, bucket bigint, n bigint"
+    ).write.parquet(target)
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.lit("2024-01-01").cast("timestamp").alias("ts"),
+        (F.col("id") % 64).cast("double").alias("value"),
+    )
+    b0, b1 = mk(0, 1000), mk(1000, 1500)
+    sink = foreach_batch_histogram_maintain(target, width=8.0)
+    sink(b0, 0)
+    after0 = _snap(spark, target)
+    sink(b0, 0)
+    assert _snap(spark, target) == after0
+    sink(b1, 1)
+    sink(b1, 1)  # replay of the second epoch too
+    got = _snap(spark, target)
+    want = sorted(
+        tuple(r)
+        for r in value_histogram(
+            b0.unionByName(b1), "value", None, "ts", 8.0
+        ).collect()
+    )
+    assert got == want  # == a batch build despite two replays
+
+
+def test_cdc_scd2_sink_same_epoch_twice(spark, tmp_path):
+    target = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, 1.0, "2024-01-01", None)],
+        "user_id long, v double, valid_from string, valid_to string",
+    ).select(
+        "user_id",
+        "v",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    ).write.parquet(target)
+    ops = spark.createDataFrame(
+        [(1, "2024-01-10 01:00:00", 1, 2.0, "U")],
+        "user_id long, ts string, event_id long, v double, op string",
+    ).select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "v",
+        "op",
+    )
+    sink = foreach_batch_cdc_scd2(
+        target,
+        keys=["user_id"],
+        attrs=["v"],
+        order_cols=["ts", "event_id"],
+        effective_for=lambda e: f"2024-06-{e + 1:02d}",
+    )
+    sink(ops, 0)
+    after0 = _snap(spark, target)
+    assert len(after0) == 2  # closed v=1.0 + open v=2.0
+    sink(ops, 0)
+    assert _snap(spark, target) == after0
+
+
+def test_cdc_scd2_event_time_effective_timestamps(spark, tmp_path):
+    """event_time_col derives each epoch's effective timestamp from the
+    batch's own max event time, so version boundaries carry real validity
+    intervals — deterministic (same rows => same max) and replay-gated."""
+    target = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, 1.0, "2024-01-01 00:00:00", None)],
+        "user_id long, v double, valid_from string, valid_to string",
+    ).select(
+        "user_id",
+        "v",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    ).write.parquet(target)
+
+    def ops(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts string, event_id long, v double, op string"
+        ).select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            "v",
+            "op",
+        )
+
+    sink = foreach_batch_cdc_scd2(
+        target,
+        keys=["user_id"],
+        attrs=["v"],
+        order_cols=["ts", "event_id"],
+        event_time_col="ts",
+    )
+    # epoch 0: two ops, max ts = 2024-01-10 02:00:00
+    b0 = ops(
+        [
+            (1, "2024-01-10 01:00:00", 1, 1.5, "U"),
+            (1, "2024-01-10 02:00:00", 2, 2.0, "U"),
+        ]
+    )
+    # epoch 1: max ts = 2024-02-05 09:00:00
+    b1 = ops([(1, "2024-02-05 09:00:00", 3, 3.0, "U")])
+    sink(b0, 0)
+    sink(b0, 0)  # replay: gated by the ledger
+    sink(b1, 1)
+    rows = {
+        (r["v"], str(r["valid_from"])): str(r["valid_to"])
+        for r in spark.read.parquet(target).collect()
+    }
+    # boundaries == per-epoch max event times
+    assert rows == {
+        (1.0, "2024-01-01 00:00:00"): "2024-01-10 02:00:00",
+        (2.0, "2024-01-10 02:00:00"): "2024-02-05 09:00:00",
+        (3.0, "2024-02-05 09:00:00"): "None",
+    }
+    # an EMPTY epoch is a no-op and does not advance the ledger
+    empty = ops([]).limit(0)
+    before = _snap(spark, target)
+    sink(empty, 2)
+    assert _snap(spark, target) == before
+    assert _last_applied_epoch(spark, target) == 1
+
+
+def test_cdc_scd2_rejects_both_effective_sources(spark):
+    with pytest.raises(ValueError, match="not both"):
+        foreach_batch_cdc_scd2(
+            "/tmp/x",
+            keys=["k"],
+            attrs=["v"],
+            order_cols=["ts"],
+            effective_for=lambda e: "2024-01-01",
+            event_time_col="ts",
+        )

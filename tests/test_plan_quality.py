@@ -306,6 +306,12 @@ def test_registry_wide_plan_audit(spark):
         # the stored-index serving path of the same composition — identical
         # probe broadcast, tables read from parquet
         "ivf_pq_index_search",
+        # the build slot: the coarse k-means assignment's ONE-row
+        # packed-centroid broadcast — same sanction as kmeans_clusters
+        "ivf_pq_index_build",
+        # hybrid retrieval: the BM25 half's 1-row (n_docs, avgl) stats
+        # broadcast — same scalar sanction as bm25_index_search
+        "hybrid_search",
         # 1-row margin-cutpoint broadcast (exact decile boundaries WITHOUT
         # a global NTILE sort) — same scalar sanction as tpch_q11
         "classifier_calibration",

