@@ -151,6 +151,13 @@ HEADLINE = [
     "join_size_estimate",
     "personalized_pagerank",
     "bm25_index_search",
+    # round-7 families: hybrid retrieval served from the two stored
+    # indexes (batched postings probe + ADC scan + RRF fusion), the
+    # sketch-driven join-strategy pre-flight + the join it chose, and
+    # the frozen-quantizer IVF-PQ append (route + encode the delta only)
+    "hybrid_search",
+    "auto_join_strategy",
+    "ivf_pq_index_append",
 ]
 
 

@@ -1182,6 +1182,69 @@ def ivf_pq_index_search(
     )
 
 
+def ivf_pq_index_append(
+    centroids: DataFrame,
+    codebook: DataFrame,
+    new_emb: DataFrame,
+    m_subspaces: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, DataFrame]:
+    """Incremental maintenance of a persisted IVF-PQ index: route NEW
+    vectors to their inverted lists against the FROZEN coarse-centroid
+    table and encode them against the FROZEN PQ codebook — no retraining,
+    so appending a day's embeddings to a 100 TB index is two broadcast
+    scans of the new rows only. Returns {"lists": (id, cluster),
+    "codes": (id, m, code)} deltas shaped exactly like
+    ivf_pq_index_build's tables: append both to the stored parquet and
+    ivf_pq_index_search serves the union.
+
+    Consistency is the key property: search ranks its probes against the
+    SAME frozen centroid table used here, so an appended vector is found
+    through exactly the list its probe ranking reaches — frozen-centroid
+    routing is self-consistent even as the data distribution drifts
+    (what drifts is PROBE RECALL, the standard IVF staleness caveat;
+    retrain on a cadence, ivf_pq_index_build is the rebuild path). The
+    list assignment is the training argmin verbatim (exact bigint scores
+    n²(x·x) − 2n(x·s) + ss over the per-vector-scale quantization,
+    compare score/n², ties to smallest cid), and the PQ half is
+    pq_index_append's frozen-codebook encode — both deterministic, so
+    the appended rows carry their own exact value oracle
+    (plans/clustering.py: ivf_pq_index_append)."""
+    qn = _quantized(new_emb, id_col, vec_col)
+    packed = F.broadcast(
+        centroids.agg(F.collect_list(F.struct("cid", "s", "n", "ss")).alias("cs"))
+    )
+
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                (
+                    (
+                        c["n"] * c["n"] * F.col("xx")
+                        - F.lit(2) * c["n"] * _int_dot(F.col("qv"), c["s"])
+                        + c["ss"]
+                    ).cast("double")
+                    / (c["n"] * c["n"]).cast("double")
+                ).alias("d2"),
+                c["cid"].alias("cluster"),
+            ),
+        )
+    )
+    lists_delta = (
+        qn.join(packed)
+        .select(F.col(id_col), best.alias("b"))
+        .select(id_col, F.col("b.cluster").cast("bigint").alias("cluster"))
+    )
+    codes_delta = pq_index_append(
+        codebook, new_emb, m_subspaces=m_subspaces, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return {"lists": lists_delta, "codes": codes_delta}
+
+
 def pca_project(
     emb: DataFrame,
     k: int = 8,

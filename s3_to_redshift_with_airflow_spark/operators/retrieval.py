@@ -148,6 +148,7 @@ def bm25_index_search_batch(
     stats: DataFrame,
     query_terms: DataFrame,
     top_k: int = _TOPK,
+    push_terms_limit: int = 10_000,
 ) -> DataFrame:
     """Serve a BATCH of BM25 queries from the stored index in ONE lazy
     plan: `query_terms` is (query_id, term) — one row per distinct term
@@ -158,17 +159,28 @@ def bm25_index_search_batch(
     it alone.
 
     Plan (100 TB): the DISTINCT term set across the whole batch probes
-    the sorted postings once (semi-join pushdown keeps the scan ~the
-    queried lists); df aggregates that frame per term, independent of
-    which queries share a term; attaching query_id is a broadcast join of
-    the (small) query_terms table; per-query ranking is a window over the
+    the sorted postings once. A semi-join probe CANNOT reach parquet
+    row-group stats (the term set is data, not a literal), so when the
+    batch's distinct terms number ≤ `push_terms_limit` they are collected
+    (bounded by the batch itself — a query batch's vocabulary, KBs) and
+    pushed as a literal In(term, ...) filter: the scan then skips all but
+    the queried lists' row groups, the whole point of the sorted layout
+    (measured 68.8% row-group skipping, SKIPPING_r6.jsonl). Past the
+    limit it degrades to the broadcast semi-join (post-scan pruning).
+    df aggregates the probed frame per term, independent of which queries
+    share a term; attaching query_id is a broadcast join of the (small)
+    query_terms table; per-query ranking is a window over the
     ≤ batch·candidates hit frame. Amortization is the point: a query
     batch costs one postings probe, not |batch| probes."""
     from .classify import log2_fp_sql
 
     qt = query_terms.select("query_id", "term")
     terms = qt.select("term").distinct()
-    tf = postings.join(F.broadcast(terms), "term", "left_semi")
+    pushed = terms.limit(push_terms_limit + 1).collect()
+    if len(pushed) <= push_terms_limit:
+        tf = postings.filter(F.col("term").isin([r["term"] for r in pushed]))
+    else:
+        tf = postings.join(F.broadcast(terms), "term", "left_semi")
     dfr = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     lg = lambda x: log2_fp_sql(x, dialect="spark")  # noqa: E731
     num = f"(tf * {_K1 + 1000} * 1000 * avgl)"

@@ -60,20 +60,35 @@ _SQL_QK = """
 """
 
 
-def _kmeans_ctes(k: int = _K, n_iter: int = _N_ITER, dim: int = _DIM) -> str:
-    """Unrolled Lloyd iterations as CTEs; final assignment CTE is a{n_iter}."""
+def _kmeans_ctes(
+    k: int = _K,
+    n_iter: int = _N_ITER,
+    dim: int = _DIM,
+    train_where: str | None = None,
+) -> str:
+    """Unrolled Lloyd iterations as CTEs; final assignment CTE is a{n_iter}.
+
+    `train_where` restricts TRAINING (seeds, assignment, centroid updates)
+    to the matching slice of `q` via a `qb` CTE — the frozen-quantizer
+    replay the ivf_pq_index_append oracle needs (train on the standing
+    corpus, route the new slice separately); None keeps the original
+    full-corpus semantics (value-identical, verified by the unchanged
+    kmeans/semdedup/IVF oracles)."""
     elem_sums = ", ".join(f"SUM(qv[{i + 1}])" for i in range(dim))
-    ctes = [
-        _SQL_QK,
-        f"""
+    src = "q"
+    ctes = [_SQL_QK]
+    if train_where is not None:
+        src = "qb"
+        ctes.append(f"""
+    qb AS (SELECT * FROM q WHERE {train_where})""")
+    ctes.append(f"""
     c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS BIGINT) - 1
                AS cid,
              qv AS s, CAST(1 AS BIGINT) AS n,
              CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS ss
-      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id ASC LIMIT {k})
-    )""",
-    ]
+      FROM (SELECT vec_id, qv FROM {src} ORDER BY vec_id ASC LIMIT {k})
+    )""")
     for it in range(n_iter):
         c = f"c{it}"
         ctes.append(f"""
@@ -83,7 +98,7 @@ def _kmeans_ctes(k: int = _K, n_iter: int = _N_ITER, dim: int = _DIM) -> str:
                - 2 * n * CAST(list_sum(list_transform(
                    list_zip(q.qv, {c}.s), p -> p[1] * p[2])) AS BIGINT)
                + ss AS score
-      FROM q, {c}
+      FROM {src} q, {c}
     ),
     a{it + 1} AS (
       SELECT vec_id, cid, score, n FROM (
@@ -99,7 +114,7 @@ def _kmeans_ctes(k: int = _K, n_iter: int = _N_ITER, dim: int = _DIM) -> str:
     c{it + 1}_raw AS (
       SELECT cid, [{elem_sums}]::BIGINT[] AS s,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM a{it + 1} JOIN q USING (vec_id) GROUP BY cid
+      FROM a{it + 1} JOIN {src} USING (vec_id) GROUP BY cid
     ),
     c{it + 1} AS (
       SELECT cid, s, n,
@@ -940,6 +955,118 @@ def q_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pq_index_append(
         codebook, new, m_subspaces=_PQ_M, dim=_DIM
+    )
+
+
+# --- incremental IVF-PQ index maintenance -------------------------------------
+
+_IPQ_APPEND_SPLIT = 50  # vec_id < split = the "new day" slice to append
+
+
+def _ivfpq_append_sql() -> str:
+    """Frozen-quantizer append replay: coarse k-means trained on the BASE
+    slice only (train_where), its final centroid table RECOMPUTED exactly
+    as ivf_pq_index_build persists it (per final-assignment cluster:
+    s = Σqv, n, ss), the new slice routed by the training argmin against
+    those frozen centroids; PQ codebooks trained on the base slice
+    (_SQL_PQ_APPEND's pattern at the IVF-PQ geometry), the new slice
+    encoded against the frozen pcb."""
+    split = _IPQ_APPEND_SPLIT
+    elem_sums = ", ".join(f"SUM(qv[{i + 1}])" for i in range(_DIM))
+    return (
+        _kmeans_ctes(train_where=f"vec_id >= {split}")
+        + f""",
+    cf_raw AS (
+      SELECT cid, [{elem_sums}]::BIGINT[] AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a{_N_ITER} JOIN qb USING (vec_id) GROUP BY cid
+    ),
+    cf AS (
+      SELECT cid, s, n,
+             CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS ss
+      FROM cf_raw
+    ),
+    qnw AS (SELECT * FROM q WHERE vec_id < {split}),
+    nsc AS (
+      SELECT q.vec_id, cf.cid, cf.n,
+             cf.n * cf.n * q.xx
+               - 2 * cf.n * CAST(list_sum(list_transform(
+                   list_zip(q.qv, cf.s), p -> p[1] * p[2])) AS BIGINT)
+               + cf.ss AS score
+      FROM qnw q, cf
+    ),
+    na AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id
+          ORDER BY CAST(score AS DOUBLE) / CAST(n * n AS DOUBLE) ASC,
+                   cid ASC) AS rk
+        FROM nsc) WHERE rk = 1
+    ),"""
+        + _SQL_QF_CTE
+        + f""",
+    qfb AS (SELECT * FROM qf WHERE vec_id >= {split}),
+    qfn AS (SELECT * FROM qf WHERE vec_id < {split}),"""
+        + _pq_train_ctes("p", m=_IPQ_M, sub=_IPQ_SUB, src="qfb")
+        + f"""
+    , pnsubx AS ({_pq_subx_sql("qfn", _IPQ_M, _IPQ_SUB)}),
+    penc AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT sx.vec_id, sx.m, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sx.vec_id, sx.m
+                 ORDER BY CAST(c.n * c.n * sx.sxx
+                     - 2 * c.n * CAST(list_sum(list_transform(
+                         list_zip(sx.sv, c.s), p -> p[1] * p[2])) AS BIGINT)
+                     + c.ss AS DOUBLE) / CAST(c.n * c.n AS DOUBLE) ASC,
+                   c.cid ASC) AS rk
+        FROM pnsubx sx JOIN pcb c ON c.m = sx.m)
+      WHERE rk = 1
+    )
+    SELECT na.vec_id, na.cluster, penc.m, penc.code
+    FROM na JOIN penc ON penc.vec_id = na.vec_id
+    """
+    )
+
+
+@query("ivf_pq_index_append", oracle=_ivfpq_append_sql())
+def q_ivf_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance
+    (operators/clustering.ivf_pq_index_append): the coarse quantizer and
+    PQ codebooks are trained on the standing corpus (vec_id ≥ 50) and
+    FROZEN; the "new day" slice (vec_id < 50) is routed to its inverted
+    list by the training argmin against the frozen centroid table and
+    encoded against the frozen codebook — two broadcast scans of only the
+    new rows, completing the append seam for all three index families
+    (pq_index_append froze the codebook, bm25_index_append froze the
+    tokenizer; IVF-PQ freezes both halves). Frozen-centroid routing is
+    SELF-CONSISTENT with search (probes rank against the same stored
+    table), so appended vectors are reachable exactly; what drifts with
+    data is probe recall — the standard cadence-retrain caveat. Output:
+    the delta rows (vec_id, cluster, m, code), exact-oracled by the
+    frozen-quantizer SQL replay."""
+    from ..operators.clustering import ivf_pq_index_append, ivf_pq_index_build
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= _IPQ_APPEND_SPLIT)
+    new = emb.filter(F.col("vec_id") < _IPQ_APPEND_SPLIT)
+    idx = ivf_pq_index_build(
+        base,
+        n_probe=_IPQ_NPROBE,
+        km_k=_K,
+        km_iter=_N_ITER,
+        m_subspaces=_IPQ_M,
+        k_centroids=_PQ_K,
+        pq_iter=_PQ_ITER,
+        dim=_DIM,
+    )
+    delta = ivf_pq_index_append(
+        idx["centroids"], idx["codebook"], new, m_subspaces=_IPQ_M, dim=_DIM
+    )
+    return (
+        delta["lists"]
+        .join(delta["codes"], "vec_id")
+        .select("vec_id", "cluster", "m", F.col("code").cast("bigint"))
     )
 
 

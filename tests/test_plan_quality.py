@@ -309,6 +309,10 @@ def test_registry_wide_plan_audit(spark):
         # the build slot: the coarse k-means assignment's ONE-row
         # packed-centroid broadcast — same sanction as kmeans_clusters
         "ivf_pq_index_build",
+        # the append slot: frozen-centroid routing + frozen-codebook
+        # encode, each a ONE-row packed broadcast folded per NEW row —
+        # same sanction as pq_index_append/kmeans_clusters
+        "ivf_pq_index_append",
         # hybrid retrieval: the BM25 half's 1-row (n_docs, avgl) stats
         # broadcast — same scalar sanction as bm25_index_search
         "hybrid_search",
