@@ -158,6 +158,9 @@ HEADLINE = [
     "hybrid_search",
     "auto_join_strategy",
     "ivf_pq_index_append",
+    # metadata-filtered ANN over the stored PQ code table (the id-only
+    # semi-join prune composing with the compressed index)
+    "filtered_pq_ann_topk",
 ]
 
 

@@ -421,14 +421,19 @@ def _pq_train_ctes(
     return ",".join(parts)
 
 
-def _pq_serve_ctes(n_iter: int = _PQ_ITER, topk: int = _PQ_TOPK) -> str:
+def _pq_serve_ctes(
+    n_iter: int = _PQ_ITER, topk: int = _PQ_TOPK, codes_src: str | None = None
+) -> str:
     """ADC serve CTEs (assume subx / a{n_iter} / cb in scope): anchor
     subvectors, per-(query, candidate, m) partial distances, the STRICT
     m-ordered fold (list(d2 ORDER BY m) + list_reduce — the same
     accumulation order as the Spark plan's sort_array + aggregate, so the
     summed doubles match bit-for-bit), ending in `pq_top` (query_id,
-    vec_id, adc_d2, rk ≤ topk). Shared by _pq_sql and the hybrid-search
-    oracle (plans/hybrid.py)."""
+    vec_id, adc_d2, rk ≤ topk). Shared by _pq_sql and the hybrid/filtered
+    oracles (plans/hybrid.py); `codes_src` overrides the code table the
+    ADC scans (default the full a{n_iter} — pass a filtered CTE for
+    metadata-constrained search)."""
+    codes = codes_src or f"a{n_iter}"
     return f"""
     , qsub AS (
       SELECT vec_id AS query_id, m, sv AS qv_m, sxx AS qxx_m
@@ -440,7 +445,7 @@ def _pq_serve_ctes(n_iter: int = _PQ_ITER, topk: int = _PQ_TOPK) -> str:
                   - 2 * cb.n * CAST(list_sum(list_transform(
                       list_zip(qs.qv_m, cb.s), p -> p[1] * p[2])) AS BIGINT)
                   + cb.ss AS DOUBLE) / CAST(cb.n * cb.n AS DOUBLE) AS d2
-      FROM a{n_iter} a
+      FROM {codes} a
       JOIN cb ON cb.m = a.m AND cb.cid = a.cid
       JOIN qsub qs ON qs.m = a.m
     ),

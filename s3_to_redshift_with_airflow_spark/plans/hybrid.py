@@ -192,3 +192,115 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _HY_TOPK)
         .select("query_id", "doc_id", "rrf", "rk")
     )
+
+
+# --- metadata-filtered vector search -------------------------------------------
+
+# The filtered-ANN mode every production vector store ships (Qdrant/Vespa/
+# Milvus "pre-filtering"): restrict the search to vectors whose DOCUMENT
+# satisfies a metadata predicate, then rank only those. doc_id ≡ vec_id in
+# the testdata, so the documents table IS the metadata sidecar.
+
+_FILTER_LANG = "en"  # ~44% selectivity at sf0.01 — the filter does real work
+
+_DOT = "list_sum(list_transform(list_zip(cv, qv), x -> x[1]*x[2]))"
+_NORM_CV = "sqrt(list_sum(list_transform(cv, x -> x*x)))"
+_NORM_QV = "sqrt(list_sum(list_transform(qv, x -> x*x)))"
+
+_SQL_FILTERED_ANN = f"""
+    WITH allowed AS (
+      SELECT doc_id AS vec_id FROM documents WHERE lang = '{_FILTER_LANG}'
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    c AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS cv
+      FROM embeddings e JOIN allowed USING (vec_id)
+    ),
+    s AS (
+      SELECT query_id, vec_id, {_DOT} / ({_NORM_CV} * {_NORM_QV}) AS cos_sim
+      FROM c, q WHERE vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rk
+      FROM s
+    )
+    SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 10
+"""
+
+
+@query("filtered_ann_topk", oracle=_SQL_FILTERED_ANN)
+def q_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact vector search: top-10 cosine neighbors per
+    anchor query restricted to documents with lang = 'en' — the
+    correctness baseline for the filtered-ANN mode (PRE-filtering: the
+    allowed id set constrains candidates BEFORE ranking, so a query
+    always gets k results from the allowed set; post-filtering an
+    unfiltered top-k can starve). Plan: the metadata predicate reduces to
+    an id set (a narrow documents projection, broadcast), one left-semi
+    prune of the corpus, then ann_topk's broadcast-query scan + window
+    top-k over ~44% of the rows. At 100 TB the allowed set stays an
+    id-only semi-join (never a wide join) and the predicate pushes into
+    the documents scan."""
+    from ..operators.similarity import brute_force_topk
+
+    docs, emb = _t(spark, sf_dir, "documents", "embeddings")
+    allowed = docs.filter(F.col("lang") == _FILTER_LANG).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = emb.join(F.broadcast(allowed), "vec_id", "left_semi")
+    out = brute_force_topk(corpus, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+_SQL_FILTERED_PQ = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+    + _SQL_QF_CTE
+    + ","
+    + _pq_train_ctes("")
+    + f""",
+    allowed AS (
+      SELECT doc_id AS vec_id FROM documents WHERE lang = '{_FILTER_LANG}'
+    ),
+    fcodes AS (
+      SELECT a.* FROM a{_PQ_ITER} a JOIN allowed USING (vec_id)
+    )"""
+    + _pq_serve_ctes(_PQ_ITER, 10, codes_src="fcodes")
+    + """
+    SELECT query_id, vec_id, adc_d2, rk FROM pq_top
+    """
+)
+
+
+@query("filtered_pq_ann_topk", oracle=_SQL_FILTERED_PQ)
+def q_filtered_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN over the STORED PQ index — the scale path of
+    filtered_ann_topk: the metadata predicate reduces to an id-only
+    allowed set that left-semi prunes the parquet CODE table (8 bytes per
+    vector, never the raw corpus), then the standard broadcast-codebook
+    ADC scan ranks only allowed candidates. Pre-filtering composes with
+    the compressed index for free BECAUSE the code table is an ordinary
+    keyed table — this is the practical argument for codes-as-a-table
+    over opaque index blobs. Same exact oracle discipline as pq_ann_topk
+    with the code CTE filtered."""
+    from ..operators.clustering import pq_index_search
+
+    docs, emb = _t(spark, sf_dir, "documents", "embeddings")
+    codes, codebook = ensure_pq_index(spark, sf_dir)
+    allowed = docs.filter(F.col("lang") == _FILTER_LANG).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    fcodes = codes.join(F.broadcast(allowed), "vec_id", "left_semi")
+    out = pq_index_search(
+        codes=fcodes,
+        codebook=codebook,
+        queries=emb.filter(F.col("vec_id") < 5),
+        k=10,
+        m_subspaces=_PQ_M,
+        dim=_DIM,
+    )
+    return out.select(
+        "query_id", "vec_id", "adc_d2", F.col("rk").cast("bigint").alias("rk")
+    )

@@ -316,6 +316,10 @@ def test_registry_wide_plan_audit(spark):
         # hybrid retrieval: the BM25 half's 1-row (n_docs, avgl) stats
         # broadcast — same scalar sanction as bm25_index_search
         "hybrid_search",
+        # metadata-filtered brute-force baseline: the FIXED 5-row query
+        # broadcast over one (pre-filtered) corpus scan — same sanction
+        # as ann_topk
+        "filtered_ann_topk",
         # 1-row margin-cutpoint broadcast (exact decile boundaries WITHOUT
         # a global NTILE sort) — same scalar sanction as tpch_q11
         "classifier_calibration",
