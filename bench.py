@@ -161,6 +161,9 @@ HEADLINE = [
     # metadata-filtered ANN over the stored PQ code table (the id-only
     # semi-join prune composing with the compressed index)
     "filtered_pq_ann_topk",
+    # PSI drift between two windows served from the histogram sketch
+    # (bucket-granularity after the one histogram aggregate)
+    "histogram_drift_psi",
 ]
 
 

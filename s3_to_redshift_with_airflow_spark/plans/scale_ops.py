@@ -5900,3 +5900,164 @@ def q_trending_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "rnk")
     )
+
+
+# --- distribution drift: PSI from the stored histogram sketch ----------------------
+
+_PSI_WEEK_A = ("2024-01-01", "2024-01-07")
+_PSI_WEEK_B = ("2024-01-22", "2024-01-28")
+_PSI_SCALE = 65536  # log2_fp's fixed-point scale
+_PSI_UNIT = 1_000_000.0 * _PSI_SCALE  # ppm × fp-bits → bits
+
+
+def _psi_sql() -> str:
+    from ..operators.classify import log2_fp_sql
+
+    lg = lambda x: log2_fp_sql(x, dialect="duck")  # noqa: E731
+    a0, a1 = _PSI_WEEK_A
+    b0, b1 = _PSI_WEEK_B
+    return f"""
+    WITH h AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    wa AS (
+      SELECT event_type, bucket, CAST(SUM(n) AS BIGINT) AS n_a
+      FROM h WHERE day BETWEEN '{a0}' AND '{a1}' GROUP BY 1, 2
+    ),
+    wb AS (
+      SELECT event_type, bucket, CAST(SUM(n) AS BIGINT) AS n_b
+      FROM h WHERE day BETWEEN '{b0}' AND '{b1}' GROUP BY 1, 2
+    ),
+    ta AS (SELECT event_type, CAST(SUM(n_a) AS BIGINT) AS tot_a FROM wa GROUP BY 1),
+    tb AS (SELECT event_type, CAST(SUM(n_b) AS BIGINT) AS tot_b FROM wb GROUP BY 1),
+    j AS (
+      SELECT COALESCE(wa.event_type, wb.event_type) AS event_type,
+             COALESCE(wa.bucket, wb.bucket) AS bucket,
+             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      FROM wa FULL OUTER JOIN wb
+        ON wa.event_type = wb.event_type AND wa.bucket = wb.bucket
+    ),
+    f AS (
+      SELECT j.event_type,
+             n_a * 1000000 // tot_a AS p_ppm,
+             n_b * 1000000 // tot_b AS q_ppm
+      FROM j
+      JOIN ta ON ta.event_type = j.event_type
+      JOIN tb ON tb.event_type = j.event_type
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN p_ppm >= 1 AND q_ppm >= 1
+                  THEN (p_ppm - q_ppm) * ({lg("p_ppm")} - {lg("q_ppm")})
+                  ELSE 0 END) AS BIGINT) AS psi_fp,
+             CAST(SUM(CASE WHEN p_ppm >= 1 AND q_ppm >= 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_buckets,
+             CAST(SUM(CASE WHEN NOT (p_ppm >= 1 AND q_ppm >= 1)
+                  THEN p_ppm ELSE 0 END) AS BIGINT) AS skipped_a_ppm,
+             CAST(SUM(CASE WHEN NOT (p_ppm >= 1 AND q_ppm >= 1)
+                  THEN q_ppm ELSE 0 END) AS BIGINT) AS skipped_b_ppm
+      FROM f GROUP BY event_type
+    )
+    SELECT event_type, psi_fp,
+           CAST(psi_fp AS DOUBLE) / {_PSI_UNIT} AS psi_bits,
+           n_buckets, skipped_a_ppm, skipped_b_ppm
+    FROM agg ORDER BY event_type
+"""
+
+
+@query("histogram_drift_psi", oracle=_psi_sql())
+def q_histogram_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring from the STORED histogram sketch:
+    the population stability index between two time windows' value
+    distributions per event_type — the standard ML-data drift gate
+    (PSI < 0.1 stable / > 0.25 drifted, at the usual ln scale; ours is
+    log2-based, a constant ln2 factor, monotone-equivalent), computed
+    entirely from the persisted (grain, day, bucket, n) histogram table:
+    merge each window's days by bucket ADDITION (the sketch's native op),
+    normalize to integer ppm, PSI_fp = Σ (p_ppm − q_ppm)·(lg₂fp(p_ppm) −
+    lg₂fp(q_ppm)) over buckets populated in BOTH windows — the ratio's
+    log taken as a difference of fixed-point logs of bounded ppm values
+    (≤ 10⁶ at ANY corpus size — no overflow path), every term ≥ 0 because
+    (p−q) and lg(p)−lg(q) share sign under a monotone lg. Buckets failing
+    the both-sides floor (the ε-smoothing question every PSI
+    implementation must answer) are EXCLUDED and their masses REPORTED
+    (skipped_*_ppm) instead of smoothed — deterministic and honest where
+    ε-hacks are neither. psi_bits is the one sanctioned IEEE division.
+
+    Output: (event_type, psi_fp, psi_bits, n_buckets, skipped_a_ppm,
+    skipped_b_ppm). An event_type must appear in both windows to have a
+    drift row (inner join to both totals — a type born or retired between
+    windows is a schema-level change, not drift).
+
+    Plan (100 TB): the raw scan builds the histogram ONCE (in production
+    it is already stored — value_histogram_daily's table, the raw data
+    deleted); everything after runs at bucket granularity: two window
+    merges (map-side combinable), a bucket-keyed full outer join of two
+    ≤range/width-row frames, one aggregate. Drift monitoring at sketch
+    cost, never a second raw scan — pinned by a delete-the-raw-data test
+    like the rest of the sketch families."""
+    from ..operators.classify import log2_fp_sql
+    from ..operators.sketches import value_histogram
+
+    lg = lambda x: log2_fp_sql(x, dialect="spark")  # noqa: E731
+    (events,) = _t(spark, sf_dir, "events")
+    hist = value_histogram(events, "value", ["event_type"], "ts", _HIST_WIDTH)
+    return histogram_psi(hist, _PSI_WEEK_A, _PSI_WEEK_B, lg)
+
+
+def histogram_psi(hist: DataFrame, week_a, week_b, lg) -> DataFrame:
+    """PSI from a (event_type, day, bucket, n) histogram frame (live or
+    parquet-read — tests pin that the stored table serves identically)."""
+    a0, a1 = week_a
+    b0, b1 = week_b
+
+    def window(lo, hi, out):
+        return (
+            hist.filter(F.col("day").between(lo, hi))
+            .groupBy("event_type", "bucket")
+            .agg(F.sum("n").cast("bigint").alias(out))
+        )
+
+    wa = window(a0, a1, "n_a")
+    wb = window(b0, b1, "n_b")
+    ta = wa.groupBy("event_type").agg(F.sum("n_a").cast("bigint").alias("tot_a"))
+    tb = wb.groupBy("event_type").agg(F.sum("n_b").cast("bigint").alias("tot_b"))
+    j = (
+        wa.join(wb, ["event_type", "bucket"], "full_outer")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        )
+        .join(ta, "event_type")
+        .join(tb, "event_type")
+        .select(
+            "event_type",
+            F.expr("n_a * 1000000 div tot_a").alias("p_ppm"),
+            F.expr("n_b * 1000000 div tot_b").alias("q_ppm"),
+        )
+    )
+    ok = (F.col("p_ppm") >= 1) & (F.col("q_ppm") >= 1)
+    term = F.expr(f"(p_ppm - q_ppm) * ({lg('p_ppm')} - {lg('q_ppm')})")
+    agg = j.groupBy("event_type").agg(
+        F.sum(F.when(ok, term).otherwise(F.lit(0))).cast("bigint").alias("psi_fp"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(~ok, F.col("p_ppm")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("skipped_a_ppm"),
+        F.sum(F.when(~ok, F.col("q_ppm")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("skipped_b_ppm"),
+    )
+    return agg.select(
+        "event_type",
+        "psi_fp",
+        (F.col("psi_fp").cast("double") / F.lit(_PSI_UNIT)).alias("psi_bits"),
+        "n_buckets",
+        "skipped_a_ppm",
+        "skipped_b_ppm",
+    ).orderBy("event_type")

@@ -1371,3 +1371,60 @@ def test_trending_rank_delta_semantics(spark):
     for d in days:
         rnks = [r.rnk for r in rows if r.day == d]
         assert sorted(rnks) == list(range(1, len(rnks) + 1)) and max(rnks) <= 10
+
+
+def test_histogram_psi_properties(spark, tmp_path):
+    """PSI from the stored histogram: (a) identical windows → psi_fp == 0
+    for every group; (b) planted drift → psi_fp > 0 and every term-sum
+    nonnegative by the shared-sign argument; (c) serving from the
+    parquet-written histogram table is bit-identical to the live frame;
+    (d) one-window-only buckets are excluded and their mass reported, not
+    smoothed."""
+    from s3_to_redshift_with_airflow_spark.operators.classify import (
+        log2_fp_sql,
+    )
+    from s3_to_redshift_with_airflow_spark.plans.scale_ops import (
+        histogram_psi,
+    )
+
+    lg = lambda x: log2_fp_sql(x, dialect="spark")  # noqa: E731
+    rows = []
+    # week A: values 0..63 uniform; week B: same uniform (no drift) for
+    # group "u", shifted mass for group "d"
+    for day, tag in (("2024-01-02", "A"), ("2024-01-23", "B")):
+        for v in range(64):
+            rows.append(("u", day, v // 8, 10))
+        if tag == "A":
+            rows += [("d", day, b, 100) for b in range(4)]
+        else:
+            rows += [("d", day, 0, 300), ("d", day, 1, 100)]  # mass shifts
+            rows += [("d", day, 9, 200)]  # new bucket only in B
+    hist = spark.createDataFrame(
+        rows, "event_type string, day string, bucket long, n long"
+    ).select("event_type", F.to_date("day").alias("day"), "bucket", "n")
+
+    out = {
+        r["event_type"]: r
+        for r in histogram_psi(
+            hist, ("2024-01-01", "2024-01-07"), ("2024-01-22", "2024-01-28"), lg
+        ).collect()
+    }
+    assert out["u"]["psi_fp"] == 0 and out["u"]["skipped_a_ppm"] == 0
+    assert out["d"]["psi_fp"] > 0
+    # bucket 9 exists only in window B: excluded, mass reported
+    assert out["d"]["skipped_b_ppm"] > 0
+    assert out["d"]["n_buckets"] == 2
+
+    # stored-table serve is bit-identical
+    p = str(tmp_path / "hist")
+    hist.write.parquet(p)
+    stored = {
+        r["event_type"]: tuple(r)
+        for r in histogram_psi(
+            spark.read.parquet(p),
+            ("2024-01-01", "2024-01-07"),
+            ("2024-01-22", "2024-01-28"),
+            lg,
+        ).collect()
+    }
+    assert stored == {k: tuple(v) for k, v in out.items()}
