@@ -1361,6 +1361,33 @@ def fam_auto_join(spark, mult):
     return events, n, run
 
 
+def fam_psi(spark, mult):
+    """PSI drift gate (registry: histogram_drift_psi): the raw scan
+    builds the histogram once; the PSI itself runs at bucket granularity
+    (two window merges + one bucket-keyed join + one aggregate), so the
+    curve should track the single histogram aggregate — near-linear in
+    the scan, constant in the sketch algebra."""
+    from s3_to_redshift_with_airflow_spark.operators.classify import (
+        log2_fp_sql,
+    )
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        value_histogram,
+    )
+    from s3_to_redshift_with_airflow_spark.plans.scale_ops import histogram_psi
+
+    lg = lambda x: log2_fp_sql(x, dialect="spark")  # noqa: E731
+    n = BASE_EVENTS * mult
+    events = _events(spark, n).localCheckpoint()
+
+    def run():
+        hist = value_histogram(events, "value", ["event_type"], "ts", 8.0)
+        return histogram_psi(
+            hist, ("2024-01-01", "2024-01-07"), ("2024-01-22", "2024-01-28"), lg
+        ).collect()
+
+    return events, n, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -1405,6 +1432,7 @@ FAMILIES = {
     "sssp": fam_sssp,
     "hybrid": fam_hybrid,
     "auto_join": fam_auto_join,
+    "psi": fam_psi,
 }
 
 
