@@ -195,7 +195,16 @@ def _last_applied_epoch(spark: SparkSession, target_path: str) -> int:
     store, or a store seeded batch-side before the stream's first epoch).
     Epoch ids within one checkpointed query are monotonically increasing,
     so `epoch_id <= _last_applied_epoch(...)` identifies a replay
-    exactly."""
+    exactly.
+
+    ONLY the missing-ledger case maps to -1 (AnalysisException: path not
+    found). Any other failure — a transient storage error on a ledger
+    that EXISTS — re-raises: treating it as "no ledger" would wave a
+    replayed epoch through the gate and double-apply it, the exact
+    failure class the ledger prevents. Failing the micro-batch instead
+    lets the streaming runtime retry the epoch with the gate intact."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = (
             spark.read.parquet(target_path.rstrip("/") + "/_ledger")
@@ -203,8 +212,10 @@ def _last_applied_epoch(spark: SparkSession, target_path: str) -> int:
             .collect()
         )
         return int(rows[0][0]) if rows else -1
-    except Exception:  # no ledger written yet
-        return -1
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return -1  # no ledger written yet
+        raise
 
 
 def foreach_batch_cdc_scd2(
