@@ -179,18 +179,26 @@ def compact_parquet(
     """
     import math
 
+    # Two-rename crash-safe install (shared protocol with the streaming
+    # stored-artifact sinks): at every instant a complete copy exists at
+    # `path` or `path__prev` — the old delete+rename had a window where the
+    # table lived only at the scratch path. _store_path resolves a table
+    # parked at __prev by a crash inside a previous swap window.
+    from ..streaming.pipeline import _install, _store_path
+
+    live = _store_path(spark, path)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
+    p = jvm.org.apache.hadoop.fs.Path(live)
     fs = p.getFileSystem(conf)
     total_bytes = fs.getContentSummary(p).getLength()
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
 
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(live)
     tmp = path.rstrip("/") + "__compacting"
+    # the live table's scan happens during this write — before any rename
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    fs.delete(p, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
+    _install(spark, tmp, path)
     return n_files
 
 

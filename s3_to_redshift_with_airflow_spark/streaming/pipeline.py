@@ -138,19 +138,36 @@ def foreach_batch_upsert(
     re-delivery cannot change the store), so no epoch ledger is needed —
     unlike the additive MG/histogram maintainers.
     """
+    from pyspark.errors import AnalysisException
+
     from ..operators.relational import upsert_dataframe
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(keys)  # idempotency within the batch
         try:
-            target = spark.read.parquet(target_path)
+            target = spark.read.parquet(_store_path(spark, target_path))
             merged = upsert_dataframe(target, batch, keys)
-        except Exception:  # first epoch: target does not exist yet
-            merged = batch
+        except AnalysisException as e:
+            # ONLY the missing-target case means "first epoch, seed the
+            # store with the batch". Any other read failure — a corrupt
+            # footer, a permission fault, a transient storage error on a
+            # target that EXISTS — re-raises: treating it as first-epoch
+            # would swap the whole store for just this batch (silent data
+            # loss). Same discipline as _last_applied_epoch below.
+            if not _is_path_missing(e):
+                raise
+            merged = batch  # first epoch: target does not exist yet
         _write_then_swap(merged, target_path, f"__epoch{epoch_id}")
 
     return _sink
+
+
+def _is_path_missing(e: Exception) -> bool:
+    """True iff the error is parquet-read-on-absent-path — the only
+    failure class that safely maps to 'no store yet'."""
+    msg = str(e)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
 
 
 def _write_then_swap(
@@ -171,10 +188,11 @@ def _write_then_swap(
     between sink completion and checkpoint commit re-delivers the same
     epoch_id on restart), and non-idempotent merges (Misra-Gries counter
     adds, histogram bucket adds) would double-count the replay without
-    the ledger gate."""
+    the ledger gate.
+
+    Note the live store's scan happens DURING the tmp write (Spark reads
+    are lazy) — strictly before any rename below touches it."""
     spark = df.sparkSession
-    jvm = spark._jvm  # noqa: SLF001
-    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
     tmp = target_path.rstrip("/") + suffix
     df.write.mode("overwrite").parquet(tmp)
     if epoch_id is not None:
@@ -184,10 +202,56 @@ def _write_then_swap(
         spark.range(1).select(
             F.lit(int(epoch_id)).cast("bigint").alias("max_applied_epoch")
         ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_ledger")
-    p = jvm.org.apache.hadoop.fs.Path(target_path)
-    fs = p.getFileSystem(conf)
-    fs.delete(p, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
+    _install(spark, tmp, target_path)
+
+
+def _install(spark: SparkSession, tmp: str, target_path: str) -> None:
+    """Two-rename crash-safe install: `target`→`target__prev`,
+    `tmp`→`target`, delete `__prev`. The previous protocol (delete target,
+    then rename tmp over it) had a crash window in which the store existed
+    ONLY at the scratch path — a restart found no artifact and no ledger.
+    Here the invariant is: at every instant, a COMPLETE artifact exists at
+    `target` or at `target__prev` (read-side resolution: `_store_path`).
+    A crash inside the rename window parks the store at `__prev`; the next
+    install's restore step (or any `_store_path` read) recovers it. Cost:
+    two metadata renames instead of delete+rename — free."""
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    P = jvm.org.apache.hadoop.fs.Path
+    tgt = P(target_path)
+    prev = P(target_path.rstrip("/") + "__prev")
+    fs = tgt.getFileSystem(conf)
+    if not fs.exists(tgt) and fs.exists(prev):
+        # a previous install crashed inside its swap window: the live
+        # store is parked at __prev. Restore it so the invariant holds
+        # through this install too.
+        fs.rename(prev, tgt)
+    if fs.exists(prev):
+        fs.delete(prev, True)  # leftover from a completed install
+    if fs.exists(tgt):
+        fs.rename(tgt, prev)
+    fs.rename(P(tmp), tgt)
+    if fs.exists(prev):
+        fs.delete(prev, True)
+
+
+def _store_path(spark: SparkSession, target_path: str) -> str:
+    """Resolve the live store: `target_path` normally, or the swap
+    protocol's `__prev` park when a crash landed inside the two-rename
+    window (target renamed away, replacement not yet installed). Pure
+    read-side resolution — no filesystem mutation; the next `_install`
+    moves the parked store back."""
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    P = jvm.org.apache.hadoop.fs.Path
+    tgt = P(target_path)
+    fs = tgt.getFileSystem(conf)
+    if fs.exists(tgt):
+        return target_path
+    prev = target_path.rstrip("/") + "__prev"
+    if fs.exists(P(prev)):
+        return prev
+    return target_path
 
 
 def _last_applied_epoch(spark: SparkSession, target_path: str) -> int:
@@ -202,12 +266,19 @@ def _last_applied_epoch(spark: SparkSession, target_path: str) -> int:
     that EXISTS — re-raises: treating it as "no ledger" would wave a
     replayed epoch through the gate and double-apply it, the exact
     failure class the ledger prevents. Failing the micro-batch instead
-    lets the streaming runtime retry the epoch with the gate intact."""
+    lets the streaming runtime retry the epoch with the gate intact.
+
+    Reads through `_store_path`, so a store parked at `__prev` by a crash
+    inside the swap window still reports its true epoch — without the
+    fallback, a post-crash restart would see "no ledger", treat the next
+    delivery as fresh, and re-apply it against the recovered store."""
     from pyspark.errors import AnalysisException
 
     try:
         rows = (
-            spark.read.parquet(target_path.rstrip("/") + "/_ledger")
+            spark.read.parquet(
+                _store_path(spark, target_path).rstrip("/") + "/_ledger"
+            )
             .select("max_applied_epoch")
             .collect()
         )
@@ -255,13 +326,6 @@ def foreach_batch_cdc_scd2(
     re-delivered epoch outright, so even effective-timestamp drift
     between original and replay cannot perturb the store.
 
-    Replay safety is DOUBLE-covered: cdc_to_scd2 is no-op idempotent
-    (re-applying a changelog whose net effect is already in the
-    dimension opens no new versions — tests/test_relational.py), and the
-    epoch ledger (`_write_then_swap` + `_last_applied_epoch`) skips a
-    re-delivered epoch outright, so even effective-timestamp drift
-    between original and replay cannot perturb the store.
-
     The dimension must exist at `target_path` before the stream starts
     (write the initial state batch-side); each epoch rewrites it with the
     same write-then-swap protocol as foreach_batch_upsert. With
@@ -292,7 +356,7 @@ def foreach_batch_cdc_scd2(
             effective = row["m"].isoformat(sep=" ")
         else:
             effective = eff(epoch_id)
-        dim = spark.read.parquet(target_path)
+        dim = spark.read.parquet(_store_path(spark, target_path))
         merged = cdc_to_scd2(
             batch_df,
             dim,
@@ -391,7 +455,7 @@ def foreach_batch_kmv_maintain(
         spark = batch_df.sparkSession
         if epoch_id <= _last_applied_epoch(spark, target_path):
             return  # at-least-once replay of an already-applied epoch
-        stored = spark.read.parquet(target_path)
+        stored = spark.read.parquet(_store_path(spark, target_path))
         delta = kmv_sketch_table(batch_df, key_col, group_col, k=k)
         merged = kmv_merge(stored, delta, k=k)
         _write_then_swap(merged, target_path, f"__kmv_epoch{epoch_id}", epoch_id)
@@ -424,7 +488,7 @@ def foreach_batch_mg_maintain(
         spark = batch_df.sparkSession
         if epoch_id <= _last_applied_epoch(spark, target_path):
             return  # replay would double-add counters — skip it
-        stored = spark.read.parquet(target_path)
+        stored = spark.read.parquet(_store_path(spark, target_path))
         delta = mg_summary(batch_df, key_col, k=k)
         merged = mg_merge(stored.unionByName(delta), k=k)
         _write_then_swap(merged, target_path, f"__mg_epoch{epoch_id}", epoch_id)
@@ -461,7 +525,7 @@ def foreach_batch_histogram_maintain(
         spark = batch_df.sparkSession
         if epoch_id <= _last_applied_epoch(spark, target_path):
             return  # replay would double-add bucket counts — skip it
-        stored = spark.read.parquet(target_path)
+        stored = spark.read.parquet(_store_path(spark, target_path))
         delta = value_histogram(batch_df, value_col, grain_cols, ts_col, width)
         keys = [c for c in delta.columns if c != "n"]
         merged = (

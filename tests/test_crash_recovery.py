@@ -1,0 +1,183 @@
+"""Crash-window recovery for the stored-artifact swap protocol, and the
+read-error discipline of foreach_batch_upsert (VERDICT r7 #1 and #2).
+
+The two failure classes closed here:
+  1. `foreach_batch_upsert` must NOT treat an arbitrary read failure on a
+     target that EXISTS (corrupt footer, transient storage fault) as
+     "first epoch" — that would swap the whole store for just the current
+     batch. Only PATH_NOT_FOUND maps to first-epoch.
+  2. The install is a two-rename protocol (target -> target__prev,
+     tmp -> target, delete __prev): a crash inside the window parks the
+     complete store at __prev, and both the read path (`_store_path`,
+     `_last_applied_epoch`) and the next install recover it. The old
+     delete+rename protocol had a window where the store existed only at
+     the scratch path — a restart found no artifact and no ledger.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+    _install,
+    _last_applied_epoch,
+    _store_path,
+    foreach_batch_histogram_maintain,
+    foreach_batch_upsert,
+)
+
+
+def _snap(spark, path):
+    return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def test_upsert_sink_seeds_on_missing_target(spark, tmp_path):
+    target = str(tmp_path / "upsert")
+    sink = foreach_batch_upsert(target, keys=["k"])
+    sink(_batch(spark, 0, 5), 0)
+    assert _snap(spark, target) == [(i, i * 10) for i in range(5)]
+
+
+def test_upsert_sink_raises_on_corrupt_target_instead_of_truncating(
+    spark, tmp_path
+):
+    """A read failure on an EXISTING target must raise (the streaming
+    runtime then retries the epoch) — never silently replace the store
+    with the current batch."""
+    target = tmp_path / "upsert"
+    target.mkdir()
+    garbage = target / "part-00000.parquet"
+    garbage.write_bytes(b"this is not a parquet file")
+    sink = foreach_batch_upsert(str(target), keys=["k"])
+    with pytest.raises(Exception):
+        sink(_batch(spark, 0, 5), 0)
+    # the store was not swapped out from under the fault:
+    assert garbage.read_bytes() == b"this is not a parquet file"
+    assert not os.path.exists(str(target) + "__epoch0")
+
+
+def test_upsert_sink_normal_merge_still_green(spark, tmp_path):
+    target = str(tmp_path / "upsert")
+    sink = foreach_batch_upsert(target, keys=["k"])
+    sink(_batch(spark, 0, 5), 0)
+    sink(
+        spark.range(3, 8).select(
+            F.col("id").alias("k"), F.lit(-1).cast("bigint").alias("v")
+        ),
+        1,
+    )
+    got = dict(_snap(spark, target))
+    assert got == {0: 0, 1: 10, 2: 20, 3: -1, 4: -1, 5: -1, 6: -1, 7: -1}
+
+
+def _park(target: str) -> None:
+    """Simulate a crash inside the swap window: target renamed to __prev,
+    replacement not yet installed."""
+    shutil.move(target, target + "__prev")
+
+
+def test_store_path_resolves_parked_store(spark, tmp_path):
+    target = str(tmp_path / "store")
+    spark.range(3).write.parquet(target)
+    assert _store_path(spark, target) == target
+    _park(target)
+    assert _store_path(spark, target) == target + "__prev"
+    # nothing anywhere: resolution falls through to the target path
+    missing = str(tmp_path / "nope")
+    assert _store_path(spark, missing) == missing
+
+
+def test_ledger_read_falls_back_to_parked_store(spark, tmp_path):
+    """After a crash in the window, the ledger must still report the true
+    epoch — otherwise a restart treats the re-delivered epoch as fresh and
+    double-applies it against the recovered store."""
+    target = str(tmp_path / "hist")
+    spark.createDataFrame([], "day date, bucket bigint, n bigint").write.parquet(
+        target
+    )
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.lit("2024-01-01").cast("timestamp").alias("ts"),
+        (F.col("id") % 64).cast("double").alias("value"),
+    )
+    sink = foreach_batch_histogram_maintain(target, width=8.0)
+    sink(mk(0, 1000), 0)
+    parked_snap = _snap(spark, target)
+    _park(target)
+    assert _last_applied_epoch(spark, target) == 0
+    # replay of the already-applied epoch is still gated while parked
+    sink(mk(0, 1000), 0)
+    assert _snap(spark, target + "__prev") == parked_snap
+    assert not os.path.exists(target)
+
+
+def test_next_epoch_recovers_parked_store_and_stays_batch_equal(
+    spark, tmp_path
+):
+    """The full recovery story: crash in the window after epoch 0, then
+    epoch 1 arrives — the sink reads the parked store, applies the delta,
+    and the installed result equals a batch build over both epochs. The
+    park is cleaned up."""
+    from s3_to_redshift_with_airflow_spark.operators.sketches import (
+        value_histogram,
+    )
+
+    target = str(tmp_path / "hist")
+    spark.createDataFrame([], "day date, bucket bigint, n bigint").write.parquet(
+        target
+    )
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.lit("2024-01-01").cast("timestamp").alias("ts"),
+        (F.col("id") % 64).cast("double").alias("value"),
+    )
+    b0, b1 = mk(0, 1000), mk(1000, 1500)
+    sink = foreach_batch_histogram_maintain(target, width=8.0)
+    sink(b0, 0)
+    _park(target)
+    sink(b1, 1)
+    want = sorted(
+        tuple(r)
+        for r in value_histogram(b0.unionByName(b1), "value", None, "ts", 8.0).collect()
+    )
+    assert _snap(spark, target) == want
+    assert not os.path.exists(target + "__prev")
+    assert _last_applied_epoch(spark, target) == 1
+
+
+def test_install_cleans_leftover_prev_from_completed_install(spark, tmp_path):
+    """A crash AFTER the tmp->target rename but before the final delete
+    leaves both target and __prev; the next install must prefer target
+    (the newer state) and clear the leftover."""
+    target = str(tmp_path / "store")
+    spark.range(5).write.parquet(target)  # current state
+    spark.range(3).write.parquet(target + "__prev")  # stale leftover
+    tmp = target + "__next"
+    spark.range(7).write.parquet(tmp)
+    _install(spark, tmp, target)
+    assert {r[0] for r in spark.read.parquet(target).collect()} == set(range(7))
+    assert not os.path.exists(target + "__prev")
+    assert not os.path.exists(tmp)
+
+
+def test_compact_parquet_recovers_parked_table(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.sources.writers import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "table")
+    spark.range(100).repartition(8).write.parquet(path)
+    _park(path)
+    n = compact_parquet(spark, path, target_file_mb=256)
+    assert n == 1
+    assert {r[0] for r in spark.read.parquet(path).collect()} == set(range(100))
+    assert not os.path.exists(path + "__prev")
+    assert not os.path.exists(path + "__compacting")
