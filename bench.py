@@ -164,6 +164,18 @@ HEADLINE = [
     # PSI drift between two windows served from the histogram sketch
     # (bucket-granularity after the one histogram aggregate)
     "histogram_drift_psi",
+    # round-8 consumers: the bucketed CDC-SCD2 sink (per-epoch rewrite
+    # bounded to the delta's touched buckets — contrast with
+    # streaming_cdc_scd2's whole-dimension rewrite) and the streaming
+    # BM25 index maintainer (seed build + one streamed append epoch +
+    # serve, all inside the timed window because the query is
+    # self-contained)
+    "streaming_cdc_scd2_bucketed",
+    "streaming_bm25_maintain",
+    # filtered IVF-PQ serve with per-query adaptive probe escalation
+    # (stored index reused; the allowed-set prune + probe decision are
+    # the timed serve cost)
+    "filtered_ivf_pq_ann_topk",
 ]
 
 

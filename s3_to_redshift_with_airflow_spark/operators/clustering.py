@@ -487,6 +487,169 @@ def _rank_probes(
     )
 
 
+def _rank_probes_all(
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """_rank_probes without the n_probe cutoff: EVERY centroid per query,
+    with its probe rank `prk` (1 = nearest, same exact d² and cid
+    tie-break) — the input the adaptive probe-escalation filter needs.
+    |queries| × |clusters| rows, broadcast."""
+    packed = F.broadcast(
+        centroids.agg(F.collect_list(F.struct("cid", "s", "n", "ss")).alias("cs"))
+    )
+    qv = F.transform(quantize_int8(F.col("__qvec")), lambda x: x.cast("bigint"))
+    qq = (
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+        .filter(norm(F.col("__qvec")) > 0)
+        .withColumn("qv", qv)
+        .withColumn("xx", _int_dot(F.col("qv"), F.col("qv")))
+    )
+
+    def _d2(c):
+        num = (
+            c["n"] * c["n"] * F.col("xx")
+            - F.lit(2) * c["n"] * _int_dot(F.col("qv"), c["s"])
+            + c["ss"]
+        )
+        return num.cast("double") / (c["n"] * c["n"]).cast("double")
+
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(_d2(c).alias("d2"), c["cid"].alias("cluster")),
+        )
+    )
+    return F.broadcast(
+        qq.crossJoin(packed)
+        .select(query_id_col, "__qvec", F.posexplode(ranked).alias("__i", "p"))
+        .select(
+            query_id_col,
+            "__qvec",
+            (F.col("__i") + 1).cast("int").alias("prk"),
+            F.col("p.cluster").alias("cluster"),
+        )
+    )
+
+
+def ivf_pq_index_search_filtered(
+    lists: DataFrame,
+    centroids: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    allowed: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    min_candidates: int | None = None,
+    m_subspaces: int = 8,
+    dim: int = 64,
+    refine: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Metadata-filtered IVFADC over the stored index — the production
+    failure mode every vector store documents, handled: a selective
+    filter composed with fixed-n_probe IVF can STARVE (the allowed
+    vectors may cluster outside the probed lists), so probe depth must
+    adapt to the filter. `allowed` is an id-only frame (the metadata
+    predicate already reduced — same discipline as filtered_pq_ann_topk's
+    left-semi prune); coarse routing stays intact (the stored centroid
+    ranking), candidates are restricted to allowed list members BEFORE
+    any ADC work.
+
+    Escalation is DETERMINISTIC and per-query (no retry loop): with
+    `min_candidates`, each query probes its ranked lists in order until
+    the cumulative ALLOWED population reaches min_candidates (floor:
+    n_probe lists) — the declarative form of faiss-style adaptive
+    probing under filters. A filter whose total allowed population is
+    below min_candidates degrades to an exhaustive scan of the allowed
+    set — exactly right (that scan is SMALL by construction). The whole
+    decision is integer arithmetic over the stored tables, so the query
+    carries an exact DuckDB oracle like the unfiltered family.
+
+    Cost: the allowed-per-list counts are one groupBy over the id-only
+    (vec_id → cluster) lists table semi-joined to allowed; the probe
+    selection is |queries|·|lists| broadcast rows; the ADC scan then
+    touches only allowed members of selected lists."""
+    aset = F.broadcast(allowed.select(id_col).distinct())
+    alists = lists.join(aset, id_col, "left_semi")
+    ranked = _rank_probes_all(centroids, queries, id_col, vec_col, query_id_col)
+    if min_candidates is None:
+        sel = ranked.filter(F.col("prk") <= n_probe)
+    else:
+        per_cluster = alists.groupBy("cluster").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__an")
+        )
+        w = (
+            Window.partitionBy(query_id_col)
+            .orderBy("prk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sel = (
+            ranked.join(F.broadcast(per_cluster), "cluster", "left")
+            .withColumn("__an", F.coalesce(F.col("__an"), F.lit(0)))
+            .withColumn("__cum", F.sum("__an").over(w))
+            .filter(
+                (F.col("prk") <= n_probe)
+                | (F.col("__cum") - F.col("__an") < F.lit(min_candidates))
+            )
+        )
+    cand = (
+        alists.join(
+            F.broadcast(sel.select(query_id_col, "cluster")), "cluster"
+        )
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(F.col(query_id_col).alias("query_id"), id_col)
+    )
+    fcodes = codes.join(aset, id_col, "left_semi")
+    adc = pq_index_search(
+        fcodes,
+        codebook,
+        queries,
+        k=refine if refine is not None else k,
+        m_subspaces=m_subspaces,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        candidates=cand,
+    )
+    if refine is None:
+        return adc
+    from .relational import topk_per_group
+
+    cv = vectors.filter(norm(F.col(vec_col)) > 0).select(
+        F.col(id_col), F.col(vec_col).alias("__cv")
+    )
+    qv2 = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    rerank = (
+        adc.select("query_id", id_col, "adc_d2")
+        .join(cv, id_col)
+        .join(F.broadcast(qv2), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            "adc_d2",
+            cosine(F.col("__cv"), F.col("__qv")).alias("cos_sim"),
+        )
+    )
+    return topk_per_group(
+        rerank,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col(id_col).asc()],
+        k=k,
+    )
+
+
 def ivf_int8_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -3253,6 +3253,60 @@ def q_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_index_search(p2, l2, s2, _SEARCH_TERMS)
 
 
+@query("streaming_bm25_maintain", oracle=_bm25_sql())
+def q_streaming_bm25_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING index maintenance — the fifth stored-artifact foreachBatch
+    consumer, composing the replay-safe consumer family (epoch ledger +
+    crash-safe install) with the frozen-tokenizer bm25_index_append seam:
+    an inverted index that TRACKS a document stream, the thing a
+    production retrieval stack actually runs. The stored index is seeded
+    batch-side over two thirds of the corpus (how a deployment backfills
+    before attaching the stream); the remaining third streams through
+    streaming.pipeline.foreach_batch_bm25_maintain, which per epoch
+    tokenizes ONLY the delta, unions it into the stored postings/doclens,
+    recomputes the 1-row stats, and installs all three tables + the epoch
+    ledger in ONE atomic swap (no reader can see epoch-N postings with
+    epoch-N-1 stats).
+
+    Carries the FULL-corpus exact oracle: maintain-then-search must be
+    bit-identical to rebuild-then-search, rank for rank — the same
+    identity bm25_index_append proves batch-side, now through the
+    streaming consumer. The ledger is LOAD-BEARING here (a replayed epoch
+    re-appended would double-count postings and corrupt df/avgl/n_docs);
+    same-epoch-twice + cross-epoch-id-reuse pinned in
+    tests/test_streaming_index_maintain.py."""
+    import tempfile
+
+    from ..operators.retrieval import (
+        bm25_index_build,
+        bm25_index_search,
+        read_bm25_index,
+        write_bm25_index,
+    )
+    from ..session import ensure_utc
+    from ..sources.readers import table_path
+    from ..streaming.pipeline import foreach_batch_bm25_maintain, stream_source
+
+    ensure_utc(spark)
+    (docs,) = _t(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="stream_bm25_") + "/index"
+    write_bm25_index(*bm25_index_build(docs.filter(F.col("doc_id") % 3 != 0)), idx)
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    src = stream_source(
+        spark, sf_dir, schema, watermark=None, path_glob_filter="documents.parquet"
+    ).filter(F.col("doc_id") % 3 == 0)
+    (
+        src.writeStream.foreachBatch(foreach_batch_bm25_maintain(idx))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_bm25_"))
+        .start()
+        .awaitTermination()
+    )
+    postings, doclens, stats = read_bm25_index(spark, idx)
+    return bm25_index_search(postings, doclens, stats, _SEARCH_TERMS)
+
+
 _KFOLD_K = 5
 
 

@@ -205,34 +205,49 @@ def _write_then_swap(
     _install(spark, tmp, target_path)
 
 
-def _install(spark: SparkSession, tmp: str, target_path: str) -> None:
+def _install(
+    spark: SparkSession, tmp: str, target_path: str, prev_path: str | None = None
+) -> None:
     """Two-rename crash-safe install: `target`→`target__prev`,
     `tmp`→`target`, delete `__prev`. The previous protocol (delete target,
     then rename tmp over it) had a crash window in which the store existed
     ONLY at the scratch path — a restart found no artifact and no ledger.
     Here the invariant is: at every instant, a COMPLETE artifact exists at
-    `target` or at `target__prev` (read-side resolution: `_store_path`).
+    `target` or at the park path (read-side resolution: `_store_path`).
     A crash inside the rename window parks the store at `__prev`; the next
     install's restore step (or any `_store_path` read) recovers it. Cost:
-    two metadata renames instead of delete+rename — free."""
+    two metadata renames instead of delete+rename — free.
+
+    `prev_path` overrides the park location — used by the bucketed stores,
+    whose park must live OUTSIDE the partitioned table root (a
+    `bucket=K__prev` dir inside it would poison partition discovery)."""
     jvm = spark._jvm  # noqa: SLF001
     conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
     P = jvm.org.apache.hadoop.fs.Path
     tgt = P(target_path)
-    prev = P(target_path.rstrip("/") + "__prev")
+    prev = P(prev_path or target_path.rstrip("/") + "__prev")
     fs = tgt.getFileSystem(conf)
     if not fs.exists(tgt) and fs.exists(prev):
         # a previous install crashed inside its swap window: the live
-        # store is parked at __prev. Restore it so the invariant holds
-        # through this install too.
-        fs.rename(prev, tgt)
+        # store is parked at the prev path. Restore it so the invariant
+        # holds through this install too.
+        _rename_or_raise(fs, prev, tgt)
     if fs.exists(prev):
         fs.delete(prev, True)  # leftover from a completed install
     if fs.exists(tgt):
-        fs.rename(tgt, prev)
-    fs.rename(P(tmp), tgt)
+        fs.mkdirs(prev.getParent())  # park parent may not exist yet
+        _rename_or_raise(fs, tgt, prev)
+    _rename_or_raise(fs, P(tmp), tgt)
     if fs.exists(prev):
         fs.delete(prev, True)
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop FileSystem.rename reports failure by RETURNING false (missing
+    parent, existing destination, cross-FS) — a silently-ignored false here
+    would break the install invariant, so surface it."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
 
 
 def _store_path(spark: SparkSession, target_path: str) -> str:
@@ -274,11 +289,15 @@ def _last_applied_epoch(spark: SparkSession, target_path: str) -> int:
     delivery as fresh, and re-apply it against the recovered store."""
     from pyspark.errors import AnalysisException
 
+    # outer _store_path: a ledger individually parked by a crash inside
+    # its own install window (bucketed stores install the ledger as its
+    # own artifact); inner: the whole store parked at target__prev
+    ledger_path = _store_path(
+        spark, _store_path(spark, target_path).rstrip("/") + "/_ledger"
+    )
     try:
         rows = (
-            spark.read.parquet(
-                _store_path(spark, target_path).rstrip("/") + "/_ledger"
-            )
+            spark.read.parquet(ledger_path)
             .select("max_applied_epoch")
             .collect()
         )
@@ -343,19 +362,9 @@ def foreach_batch_cdc_scd2(
         spark = batch_df.sparkSession
         if epoch_id <= _last_applied_epoch(spark, target_path):
             return  # at-least-once replay of an already-applied epoch
-        if event_time_col is not None:
-            # deterministic per-epoch effective time from the data itself:
-            # one 1-row aggregate over BATCH rows (a replayed epoch holds
-            # the same rows, so the same max — replay-stable by content,
-            # and the ledger skips the replay before this runs anyway)
-            row = batch_df.agg(
-                F.max(F.col(event_time_col).cast("timestamp")).alias("m")
-            ).collect()[0]
-            if row["m"] is None:
-                return  # empty epoch: nothing to apply, dimension unchanged
-            effective = row["m"].isoformat(sep=" ")
-        else:
-            effective = eff(epoch_id)
+        effective = _epoch_effective(batch_df, epoch_id, eff, event_time_col)
+        if effective is None:
+            return  # empty epoch: nothing to apply, dimension unchanged
         dim = spark.read.parquet(_store_path(spark, target_path))
         merged = cdc_to_scd2(
             batch_df,
@@ -368,6 +377,25 @@ def foreach_batch_cdc_scd2(
         _write_then_swap(merged, target_path, f"__epoch{epoch_id}", epoch_id)
 
     return _sink
+
+
+def _epoch_effective(
+    batch_df: DataFrame, epoch_id: int, eff, event_time_col: str | None
+) -> str | None:
+    """The epoch's effective timestamp: `eff(epoch_id)` by default, or —
+    with `event_time_col` — derived deterministically from the batch's own
+    max event time (one 1-row aggregate over BATCH rows; a replayed epoch
+    holds the same rows, so the same max — replay-stable by content, and
+    the ledger skips the replay before this runs anyway). None signals an
+    empty epoch (nothing to apply)."""
+    if event_time_col is None:
+        return eff(epoch_id)
+    row = batch_df.agg(
+        F.max(F.col(event_time_col).cast("timestamp")).alias("m")
+    ).collect()[0]
+    if row["m"] is None:
+        return None
+    return row["m"].isoformat(sep=" ")
 
 
 def _path_bytes(spark: SparkSession, path: str) -> int:
@@ -534,5 +562,239 @@ def foreach_batch_histogram_maintain(
             .agg(F.sum("n").cast("bigint").alias("n"))
         )
         _write_then_swap(merged, target_path, f"__hist_epoch{epoch_id}", epoch_id)
+
+    return _sink
+
+
+def foreach_batch_bm25_maintain(
+    index_dir: str, id_col: str = "doc_id", text_col: str = "text"
+):
+    """foreachBatch sink: fold each micro-batch of documents into the
+    STORED BM25 inverted index at `index_dir` via
+    operators/retrieval.bm25_index_append — the fifth stored-artifact
+    streaming consumer, and the composition a production retrieval stack
+    actually runs: an index that tracks a document stream. Per epoch:
+    tokenize ONLY the delta (the frozen-tokenizer contract), union the
+    delta postings/doclens into the stored tables, recompute the 1-row
+    stats, rewrite the index at a scratch dir (postings keep the
+    range-partitioned term-sorted layout the serve path's row-group
+    skipping depends on), and install atomically.
+
+    Atomicity is WHOLE-INDEX: the scratch dir holds all three tables
+    (postings/doclens/stats) plus the epoch ledger, and one `_install`
+    swap publishes them together — a reader can never observe postings
+    from epoch N with stats from epoch N-1, and a crash anywhere leaves
+    either the old complete index or the new complete index (the
+    two-rename park covers the swap window).
+
+    The ledger is LOAD-BEARING: bm25_index_append REQUIRES delta doc_ids
+    disjoint from the stored index (re-appending would double-count
+    postings and corrupt df/avgl/n_docs — its guard raises), so an
+    at-least-once replay of an already-applied epoch MUST be skipped
+    before the append runs; the gate does exactly that, pinned by a
+    same-epoch-twice test. The disjointness guard stays on as
+    defense-in-depth against upstream id reuse ACROSS distinct epochs —
+    the failure the ledger cannot see.
+
+    Write amplification: each epoch rewrites the full postings table to
+    preserve the globally sorted layout — right for indexes that fit a
+    rewrite budget; at larger scale the bucketed-store pattern
+    (foreach_batch_cdc_scd2_bucketed below) applies: hash-bucket postings
+    by term, rewrite only the delta's touched buckets, trade row-group
+    skipping within a bucket for bounded per-epoch I/O."""
+    from ..operators.retrieval import (
+        bm25_index_append,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if epoch_id <= _last_applied_epoch(spark, index_dir):
+            return  # replay would re-append and corrupt df/avgl — skip it
+        if batch_df.isEmpty():
+            return  # empty epoch: index unchanged, ledger not advanced
+        live = _store_path(spark, index_dir)
+        postings, doclens, _stats = read_bm25_index(spark, live)
+        p2, l2, s2 = bm25_index_append(
+            postings, doclens, batch_df, id_col=id_col, text_col=text_col
+        )
+        tmp = index_dir.rstrip("/") + f"__bm25_epoch{epoch_id}"
+        # all three tables fully materialize at the scratch dir (their
+        # scans of the live index happen during these writes), then the
+        # ledger, then ONE swap installs everything together
+        write_bm25_index(p2, l2, s2, tmp)
+        spark.range(1).select(
+            F.lit(int(epoch_id)).cast("bigint").alias("max_applied_epoch")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_ledger")
+        _install(spark, tmp, index_dir)
+
+    return _sink
+
+
+def bucket_expr(keys: list[str], n_buckets: int):
+    """The bucketed stores' key → bucket mapping: pmod(xxhash64(keys), n).
+    xxhash64 is a fixed published algorithm — stable across Spark versions,
+    sessions, and partitionings, which is what lets the bucket directory
+    layout persist across epochs and restarts."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+def write_bucketed_store(
+    df: DataFrame, target_path: str, keys: list[str], n_buckets: int
+) -> None:
+    """Seed a hash-bucketed stored artifact: the frame lands under
+    `target_path/bucket=K/` dirs keyed by `bucket_expr`, so a consumer can
+    read, rewrite, and swap ONLY the buckets an epoch touches. Every row
+    of a given key lands in one bucket (the expr is a pure function of the
+    keys), so per-key operators applied bucket-wise equal the whole-table
+    application."""
+    (
+        df.withColumn("bucket", bucket_expr(keys, n_buckets))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(target_path)
+    )
+
+
+def read_bucketed_store(spark: SparkSession, target_path: str) -> DataFrame:
+    """The bucketed store with its layout column dropped — what downstream
+    consumers of the ARTIFACT (not the layout) read."""
+    return spark.read.parquet(target_path).drop("bucket")
+
+
+def _recover_buckets(spark: SparkSession, target_path: str) -> None:
+    """Restore bucket dirs parked at `target__prevb/bucket=K` by a crash
+    inside a per-bucket swap window (park lives outside the table root so
+    partition discovery never sees it). Mirrors `_install`'s restore step:
+    a parked bucket whose target is absent moves back; a leftover park
+    whose target exists (crash after install, before cleanup) is stale —
+    delete it."""
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    P = jvm.org.apache.hadoop.fs.Path
+    prev_root = P(target_path.rstrip("/") + "__prevb")
+    fs = prev_root.getFileSystem(conf)
+    if not fs.exists(prev_root):
+        return
+    for st in fs.listStatus(prev_root):
+        name = st.getPath().getName()
+        tgt = P(f"{target_path.rstrip('/')}/{name}")
+        if fs.exists(tgt):
+            fs.delete(st.getPath(), True)  # stale leftover
+        else:
+            _rename_or_raise(fs, st.getPath(), tgt)  # parked — restore
+    fs.delete(prev_root, True)
+
+
+def foreach_batch_cdc_scd2_bucketed(
+    target_path: str,
+    keys: list[str],
+    attrs: list[str],
+    order_cols: list[str],
+    n_buckets: int = 64,
+    effective_for=None,
+    event_time_col: str | None = None,
+):
+    """foreach_batch_cdc_scd2 with the per-epoch write amplification
+    BOUNDED: the stored dimension is hash-bucketed by key
+    (`write_bucketed_store`), each epoch computes the buckets its delta
+    touches, reads ONLY those buckets (partition pruning on the bucket
+    dir column), applies cdc_to_scd2 to that slice, and rewrites ONLY the
+    touched bucket dirs — per-epoch I/O is O(|touched buckets| · bucket
+    size), not O(|dimension|), the parquet-native stand-in for MERGE INTO
+    on Delta/Iceberg (jars absent from this image). Slice-wise equals
+    whole-table because cdc_to_scd2 is strictly per-key (one key-window,
+    key joins) and every version of a key lives in its key's bucket.
+
+    Crash protocol, in order: (1) restore any buckets parked by an
+    earlier crash; (2) gate on the ledger; (3) fully materialize the
+    merged slice (partitioned by bucket) AND the new ledger at a scratch
+    dir — the live dimension's scan happens here, before any rename;
+    (4) install each touched bucket with the two-rename park (parks under
+    `target__prevb/`, outside the table root); (5) install the ledger
+    LAST. A crash between bucket installs re-delivers the epoch with the
+    OLD ledger: re-application is safe because cdc_to_scd2 is no-op
+    idempotent and the effective timestamp is deterministic per epoch —
+    already-updated buckets don't move, not-yet-updated buckets catch up.
+    The ledger still earns its place: it skips clean replays without
+    paying the merge, and it is what `_last_applied_epoch` reports to
+    observers.
+
+    The per-batch touched-bucket collect is bounded by n_buckets (a
+    layout constant, ≤ thousands at 100 TB) — a sanctioned driver-side
+    decision input, same class as auto_join_strategy's 1-row collect."""
+    from ..operators.relational import cdc_to_scd2
+
+    if effective_for is not None and event_time_col is not None:
+        raise ValueError(
+            "pass effective_for OR event_time_col, not both — the epoch's "
+            "effective timestamp has exactly one source"
+        )
+    eff = effective_for or (lambda _epoch: "2024-02-01")
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_buckets(spark, target_path)
+        if epoch_id <= _last_applied_epoch(spark, target_path):
+            return  # at-least-once replay of an already-applied epoch
+        touched = sorted(
+            r["b"]
+            for r in batch_df.select(
+                bucket_expr(keys, n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return  # empty epoch: dimension unchanged, ledger not advanced
+        effective = _epoch_effective(batch_df, epoch_id, eff, event_time_col)
+        dim_slice = (
+            spark.read.parquet(target_path)
+            .filter(F.col("bucket").isin([int(b) for b in touched]))
+            .drop("bucket")
+        )
+        merged = cdc_to_scd2(
+            batch_df,
+            dim_slice,
+            keys=keys,
+            attrs=attrs,
+            effective=effective,
+            order_cols=order_cols,
+        )
+        tmp = target_path.rstrip("/") + f"__cdcb_epoch{epoch_id}"
+        (
+            merged.withColumn("bucket", bucket_expr(keys, n_buckets))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
+        spark.range(1).select(
+            F.lit(int(epoch_id)).cast("bigint").alias("max_applied_epoch")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_ledger")
+        jvm = spark._jvm  # noqa: SLF001
+        conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        P = jvm.org.apache.hadoop.fs.Path
+        fs = P(target_path).getFileSystem(conf)
+        root = target_path.rstrip("/")
+        for b in touched:
+            btmp = f"{tmp}/bucket={int(b)}"
+            if fs.exists(P(btmp)):  # a delete-only new key can leave none
+                _install(
+                    spark,
+                    btmp,
+                    f"{root}/bucket={int(b)}",
+                    prev_path=f"{root}__prevb/bucket={int(b)}",
+                )
+        _install(spark, f"{tmp}/_ledger", f"{root}/_ledger")
+        fs.delete(P(tmp), True)
+        # each bucket's _install cleaned its own park; after a crash-free
+        # epoch the park root is empty — remove it (a crash mid-loop never
+        # reaches this line, leaving the parks for the next recovery)
+        fs.delete(P(f"{root}__prevb"), True)
 
     return _sink

@@ -480,3 +480,48 @@ def test_kmv_sketch_table_drops_null_keys_and_groups(spark):
     # NULL keys and NULL groups contribute nothing; group b had ONLY a
     # NULL key so it has no sketch row at all
     assert out == {"a": 2}
+
+
+def test_filtered_ivfpq_recall_pinned(spark):
+    """VERDICT r7 #5's done-criterion: the filtered IVF-PQ search's
+    adaptive probe escalation recovers recall >= 0.9 against the exact
+    filtered baseline, and the fixed-low-probe mode demonstrably starves
+    below it (the production failure the escalation exists for)."""
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    rows = {
+        r["mode"]: r
+        for r in REGISTRY["filtered_ann_recall_report"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert rows["escalated"]["recall_at_10"] >= 0.9
+    assert rows["fixed"]["recall_at_10"] < rows["escalated"]["recall_at_10"]
+
+
+def test_filtered_ivfpq_exhausts_allowed_when_filter_is_tiny(spark, emb):
+    """A filter whose total allowed population is below min_candidates
+    degrades to an exhaustive scan of the allowed set — recall exactly
+    1.0 by construction (the right behavior: that scan is small)."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        ivf_pq_index_build,
+        ivf_pq_index_search_filtered,
+    )
+    from s3_to_redshift_with_airflow_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    idx = ivf_pq_index_build(emb, n_probe=2, km_k=8, km_iter=1,
+                             m_subspaces=8, k_centroids=8, pq_iter=1)
+    allowed = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = ivf_pq_index_search_filtered(
+        idx["lists"], idx["centroids"], idx["codes"], idx["codebook"],
+        emb, queries, allowed,
+        k=5, n_probe=2, min_candidates=10_000, m_subspaces=8, refine=50,
+    ).select("query_id", "vec_id")
+    corpus = emb.join(F.broadcast(allowed), "vec_id", "left_semi")
+    want = brute_force_topk(corpus, queries, k=5).select("query_id", "vec_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -181,3 +181,17 @@ def test_compact_parquet_recovers_parked_table(spark, tmp_path):
     assert {r[0] for r in spark.read.parquet(path).collect()} == set(range(100))
     assert not os.path.exists(path + "__prev")
     assert not os.path.exists(path + "__compacting")
+
+
+def test_ledger_parked_mid_install_still_reports_epoch(spark, tmp_path):
+    """Bucketed stores install the ledger as its own artifact; a crash
+    inside THAT install window parks it at _ledger__prev — the reader
+    must resolve it rather than reporting 'no ledger' and waving a
+    replayed epoch through."""
+    target = str(tmp_path / "store")
+    os.makedirs(target)
+    spark.range(1).selectExpr("CAST(4 AS BIGINT) AS max_applied_epoch").coalesce(
+        1
+    ).write.parquet(target + "/_ledger")
+    shutil.move(target + "/_ledger", target + "/_ledger__prev")
+    assert _last_applied_epoch(spark, target) == 4

@@ -331,6 +331,16 @@ def test_registry_wide_plan_audit(spark):
         # two 1-row aggregates (exact count, sketch min) composed by
         # broadcast — same scalar sanction as curation_funnel
         "join_size_estimate",
+        # the streaming twin of bm25_index_search: the serve it returns
+        # carries the identical 1-row (n_docs, avgl) stats broadcast
+        "streaming_bm25_maintain",
+        # filtered IVFADC: the ONE-row packed-centroid probe broadcast
+        # (same sanction as ivf_pq_index_search) — the allowed-set prune
+        # itself is an id-only left-semi equi join
+        "filtered_ivf_pq_ann_topk",
+        # composes the sanctioned filtered searches with the sanctioned
+        # brute-force filtered baseline (filtered_ann_topk's sanction)
+        "filtered_ann_recall_report",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",

@@ -1428,3 +1428,35 @@ def test_histogram_psi_properties(spark, tmp_path):
         ).collect()
     }
     assert stored == {k: tuple(v) for k, v in out.items()}
+
+
+def test_drift_gate_equals_ungated_when_threshold_high(spark):
+    """VERDICT r7 #6's done-criterion: with no drift above the threshold
+    the gated selection is row-identical to the ungated query — the gate
+    is pure pass-through unless the PSI arithmetic says otherwise."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.plans.scale_ops import (
+        _drift_gated_selection,
+        _DRIFT_THRESH_FP,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    gated = _drift_gated_selection(spark, sf, _DRIFT_THRESH_FP)
+    ungated = _drift_gated_selection(spark, sf, 1 << 62)
+    # decision consistency on the real threshold: zeroed iff drifted
+    for r in gated.collect():
+        assert r["drifted"] == (r["psi_fp"] > _DRIFT_THRESH_FP)
+        if r["drifted"]:
+            assert r["n_selected"] == 0 and r["selected_value"] == 0.0
+    # at an unreachable threshold nothing is gated, and every row matches
+    # the plain selection the ungated twin computes
+    un = {r["event_type"]: r for r in ungated.collect()}
+    assert not any(r["drifted"] for r in un.values())
+    g = {r["event_type"]: r for r in gated.collect()}
+    for et, r in un.items():
+        if not g[et]["drifted"]:
+            assert (g[et]["n_selected"], g[et]["selected_value"]) == (
+                r["n_selected"], r["selected_value"],
+            )
+        assert g[et]["psi_fp"] == r["psi_fp"]

@@ -1,0 +1,283 @@
+"""The fifth stored-artifact streaming consumer (BM25 index maintenance)
+and the bounded-write-amplification CDC-SCD2 consumer (bucketed store).
+
+BM25: each epoch appends into the stored inverted index via the frozen-
+tokenizer bm25_index_append seam, under the epoch ledger — the ledger is
+LOAD-BEARING (a replayed append would double-count postings; the append's
+own disjointness guard would raise). The maintained index must be
+bit-equal to a batch rebuild over everything indexed.
+
+Bucketed CDC-SCD2: the stored dimension is hash-bucketed by key; an epoch
+rewrites ONLY the buckets its delta touches — per-epoch I/O proportional
+to the delta's bucket coverage, not the dimension.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_to_redshift_with_airflow_spark.operators.retrieval import (
+    bm25_index_build,
+    write_bm25_index,
+)
+from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+    _last_applied_epoch,
+    bucket_expr,
+    foreach_batch_bm25_maintain,
+    foreach_batch_cdc_scd2,
+    foreach_batch_cdc_scd2_bucketed,
+    write_bucketed_store,
+)
+
+# ---------------------------------------------------------------- BM25 --
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _snap_index(spark, index_dir):
+    return {
+        name: sorted(
+            tuple(r) for r in spark.read.parquet(f"{index_dir}/{name}").collect()
+        )
+        for name in ("postings", "doclens", "stats")
+    }
+
+
+def test_bm25_maintain_equals_batch_rebuild(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    a = _docs(spark, [(1, "spark shuffles data"), (2, "data moves in shuffles")])
+    b = _docs(spark, [(3, "broadcast joins move no data")])
+    c = _docs(spark, [(4, "sorted postings skip row groups")])
+    write_bm25_index(*bm25_index_build(a), idx)
+    sink = foreach_batch_bm25_maintain(idx)
+    sink(b, 0)
+    after0 = _snap_index(spark, idx)
+    assert _last_applied_epoch(spark, idx) == 0
+    sink(b, 0)  # replayed epoch: gated before the append can double-count
+    assert _snap_index(spark, idx) == after0
+    sink(c, 1)
+    want = _snap_index_frames(spark, *bm25_index_build(a.unionByName(b).unionByName(c)), tmp_path)
+    assert _snap_index(spark, idx) == want
+    assert _last_applied_epoch(spark, idx) == 1
+
+
+def _snap_index_frames(spark, postings, doclens, stats, tmp_path):
+    ref = str(tmp_path / "ref_idx")
+    write_bm25_index(postings, doclens, stats, ref)
+    return _snap_index(spark, ref)
+
+
+def test_bm25_maintain_disjointness_guard_fires_across_epochs(spark, tmp_path):
+    """Upstream id reuse across DISTINCT epochs is the failure the ledger
+    cannot see — the append's guard catches it."""
+    idx = str(tmp_path / "idx")
+    write_bm25_index(*bm25_index_build(_docs(spark, [(1, "one doc")])), idx)
+    sink = foreach_batch_bm25_maintain(idx)
+    sink(_docs(spark, [(2, "second doc")]), 0)
+    before = _snap_index(spark, idx)
+    with pytest.raises(ValueError, match="already"):
+        sink(_docs(spark, [(2, "same id new epoch")]), 1)
+    assert _snap_index(spark, idx) == before  # failed epoch moved nothing
+    assert _last_applied_epoch(spark, idx) == 0
+
+
+def test_bm25_maintain_empty_epoch_is_noop(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    write_bm25_index(*bm25_index_build(_docs(spark, [(1, "one doc")])), idx)
+    sink = foreach_batch_bm25_maintain(idx)
+    sink(_docs(spark, [(2, "two")]), 0)
+    before = _snap_index(spark, idx)
+    sink(_docs(spark, []).limit(0), 1)
+    assert _snap_index(spark, idx) == before
+    assert _last_applied_epoch(spark, idx) == 0  # ledger not advanced
+
+
+# ------------------------------------------------------- bucketed CDC --
+
+_N_BUCKETS = 16
+
+
+def _dim(spark, n_keys=200):
+    return spark.range(n_keys).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+
+
+def _ops(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, v double, op string"
+    ).select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "v",
+        "op",
+    )
+
+
+def _snap(spark, path, drop_bucket=True):
+    df = spark.read.parquet(path)
+    if drop_bucket and "bucket" in df.columns:
+        df = df.drop("bucket")
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _bucket_files(target):
+    """{bucket_dir: frozenset(part file names)} — rewritten buckets get
+    fresh UUID part names, so name-set equality proves a bucket was NOT
+    rewritten."""
+    out = {}
+    for d in os.listdir(target):
+        if d.startswith("bucket="):
+            out[d] = frozenset(
+                f for f in os.listdir(os.path.join(target, d)) if f.startswith("part-")
+            )
+    return out
+
+
+def test_bucketed_cdc_matches_plain_sink_and_bounds_rewrite(spark, tmp_path):
+    plain_t = str(tmp_path / "plain")
+    buck_t = str(tmp_path / "bucketed")
+    dim = _dim(spark)
+    dim.write.parquet(plain_t)
+    write_bucketed_store(dim, buck_t, ["user_id"], _N_BUCKETS)
+    assert _snap(spark, plain_t) == _snap(spark, buck_t)
+
+    ops = _ops(
+        spark,
+        [
+            (7, "2024-03-01 10:00:00", 1, 700.0, "U"),
+            (8, "2024-03-01 11:00:00", 2, 800.0, "U"),
+            (9, "2024-03-01 12:00:00", 3, None, "D"),
+            (1000, "2024-03-01 13:00:00", 4, 1.5, "I"),  # brand-new key
+        ],
+    )
+    kw = dict(keys=["user_id"], attrs=["v"], order_cols=["ts", "event_id"])
+    plain = foreach_batch_cdc_scd2(plain_t, **kw)
+    bucketed = foreach_batch_cdc_scd2_bucketed(
+        buck_t, n_buckets=_N_BUCKETS, **kw
+    )
+    files_before = _bucket_files(buck_t)
+    plain(ops, 0)
+    bucketed(ops, 0)
+    assert _snap(spark, plain_t) == _snap(spark, buck_t)
+    files_after = _bucket_files(buck_t)
+
+    touched = {
+        f"bucket={r['b']}"
+        for r in ops.select(bucket_expr(["user_id"], _N_BUCKETS).alias("b"))
+        .distinct()
+        .collect()
+    }
+    untouched_before = {k: v for k, v in files_before.items() if k not in touched}
+    untouched_after = {k: v for k, v in files_after.items() if k not in touched}
+    # the write-amplification claim: every untouched bucket's files are
+    # byte-for-byte the SAME files (not rewritten), and at least one
+    # bucket was untouched for the claim to mean anything
+    assert untouched_before == untouched_after
+    assert len(untouched_before) >= _N_BUCKETS - len(touched) > 0
+    for b in touched & set(files_before):
+        assert files_after[b] != files_before[b]  # touched buckets DID move
+
+
+def test_bucketed_cdc_same_epoch_twice(spark, tmp_path):
+    buck_t = str(tmp_path / "bucketed")
+    write_bucketed_store(_dim(spark, 50), buck_t, ["user_id"], _N_BUCKETS)
+    sink = foreach_batch_cdc_scd2_bucketed(
+        buck_t,
+        keys=["user_id"],
+        attrs=["v"],
+        order_cols=["ts", "event_id"],
+        n_buckets=_N_BUCKETS,
+    )
+    ops = _ops(spark, [(3, "2024-03-01 10:00:00", 1, 33.0, "U")])
+    sink(ops, 0)
+    after0 = _snap(spark, buck_t)
+    assert _last_applied_epoch(spark, buck_t) == 0
+    sink(ops, 0)  # replay: ledger gate
+    assert _snap(spark, buck_t) == after0
+    ops1 = _ops(spark, [(3, "2024-04-01 10:00:00", 2, 34.0, "U")])
+    sink1 = foreach_batch_cdc_scd2_bucketed(
+        buck_t,
+        keys=["user_id"],
+        attrs=["v"],
+        order_cols=["ts", "event_id"],
+        n_buckets=_N_BUCKETS,
+        effective_for=lambda e: f"2024-05-{e + 1:02d}",
+    )
+    sink1(ops1, 1)
+    after1 = _snap(spark, buck_t)
+    assert after1 != after0
+    sink1(ops1, 1)
+    assert _snap(spark, buck_t) == after1
+
+
+def test_bucketed_cdc_recovers_parked_bucket(spark, tmp_path):
+    """Crash inside a bucket's swap window parks it at target__prevb;
+    the next epoch restores it before gating and applies cleanly."""
+    buck_t = str(tmp_path / "bucketed")
+    write_bucketed_store(_dim(spark, 50), buck_t, ["user_id"], _N_BUCKETS)
+    sink = foreach_batch_cdc_scd2_bucketed(
+        buck_t,
+        keys=["user_id"],
+        attrs=["v"],
+        order_cols=["ts", "event_id"],
+        n_buckets=_N_BUCKETS,
+    )
+    sink(_ops(spark, [(3, "2024-03-01 10:00:00", 1, 33.0, "U")]), 0)
+    whole = _snap(spark, buck_t)
+    # park the bucket key 3 lives in (simulated crash in its window)
+    b3 = spark.range(1).select(
+        bucket_expr_lit(3, _N_BUCKETS).alias("b")
+    ).collect()[0]["b"]
+    os.makedirs(f"{buck_t}__prevb", exist_ok=True)
+    shutil.move(f"{buck_t}/bucket={b3}", f"{buck_t}__prevb/bucket={b3}")
+    assert _snap(spark, buck_t) != whole  # rows genuinely missing while parked
+    sink(_ops(spark, [(4, "2024-04-01 10:00:00", 2, 44.0, "U")]), 1)
+    got = sorted(r for r in _snap(spark, buck_t))
+    assert not os.path.exists(f"{buck_t}__prevb")
+    # parked bucket restored AND epoch 1 applied: key 3's epoch-0 version
+    # and key 4's epoch-1 versions all present
+    assert any(r[0] == 3 and r[1] == 33.0 for r in got)
+    assert any(r[0] == 4 and r[1] == 44.0 for r in got)
+
+
+def bucket_expr_lit(key: int, n_buckets: int):
+    return F.pmod(F.xxhash64(F.lit(key).cast("long")), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+def test_bucketed_cdc_stale_leftover_park_is_cleaned(spark, tmp_path):
+    """Crash AFTER a bucket's install but before park cleanup leaves a
+    stale park alongside the newer target bucket — the next epoch must
+    prefer the target and clear the leftover."""
+    buck_t = str(tmp_path / "bucketed")
+    write_bucketed_store(_dim(spark, 50), buck_t, ["user_id"], _N_BUCKETS)
+    sink = foreach_batch_cdc_scd2_bucketed(
+        buck_t,
+        keys=["user_id"],
+        attrs=["v"],
+        order_cols=["ts", "event_id"],
+        n_buckets=_N_BUCKETS,
+    )
+    sink(_ops(spark, [(3, "2024-03-01 10:00:00", 1, 33.0, "U")]), 0)
+    after0 = _snap(spark, buck_t)
+    b3 = spark.range(1).select(
+        bucket_expr_lit(3, _N_BUCKETS).alias("b")
+    ).collect()[0]["b"]
+    os.makedirs(f"{buck_t}__prevb", exist_ok=True)
+    shutil.copytree(f"{buck_t}/bucket={b3}", f"{buck_t}__prevb/bucket={b3}")
+    sink(_ops(spark, [(4, "2024-04-01 10:00:00", 2, 44.0, "U")]), 1)
+    assert not os.path.exists(f"{buck_t}__prevb")
+    got = _snap(spark, buck_t)
+    assert [r for r in got if r[0] == 3] == [r for r in after0 if r[0] == 3]

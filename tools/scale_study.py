@@ -1388,6 +1388,57 @@ def fam_psi(spark, mult):
     return events, n, run
 
 
+def fam_bucketed_cdc(spark, mult):
+    """Bucketed CDC-SCD2 consumer (registry: streaming_cdc_scd2_bucketed):
+    per-epoch sink cost as the STORED DIMENSION grows at a FIXED 100-key
+    delta — the bounded-rewrite claim. The plain consumer's epoch cost is
+    O(|dimension|) (read + rewrite everything); the bucketed consumer
+    reads and rewrites only the delta's touched buckets (≤100 of 256
+    here), so the curve should stay near-FLAT in dimension size (the
+    touched buckets themselves grow ∝ dimension/n_buckets — sublinear
+    until bucket size dominates). Each run applies a fresh epoch (new
+    keys, same delta size) so the ledger gate never skips."""
+    import tempfile
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_cdc_scd2_bucketed,
+        write_bucketed_store,
+    )
+
+    n = BASE_EVENTS * mult
+    dim = spark.range(n).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") * 1.0).alias("state_value"),
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    target = tempfile.mkdtemp(prefix=f"sc_cdcb_{mult}_") + "/dim"
+    write_bucketed_store(dim, target, ["user_id"], 256)
+    sink = foreach_batch_cdc_scd2_bucketed(
+        target,
+        keys=["user_id"],
+        attrs=["state_value"],
+        order_cols=["ts", "event_id"],
+        n_buckets=256,
+    )
+    epoch = {"i": 0}
+
+    def run():
+        e = epoch["i"]
+        epoch["i"] += 1
+        ops = spark.range(100).select(
+            (F.col("id") * 99991 + e).alias("user_id"),
+            F.lit("2024-03-01 10:00:00").cast("timestamp").alias("ts"),
+            F.col("id").alias("event_id"),
+            F.lit(-1.0 - e).alias("state_value"),
+            F.lit("U").alias("op"),
+        )
+        sink(ops, e)
+        return 100
+
+    return dim, n, run
+
+
 FAMILIES = {
     "hourly_agg": fam_hourly_agg,
     "pagerank": fam_pagerank,
@@ -1433,6 +1484,7 @@ FAMILIES = {
     "hybrid": fam_hybrid,
     "auto_join": fam_auto_join,
     "psi": fam_psi,
+    "bucketed_cdc": fam_bucketed_cdc,
 }
 
 
