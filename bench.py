@@ -172,6 +172,9 @@ HEADLINE = [
     # self-contained)
     "streaming_cdc_scd2_bucketed",
     "streaming_bm25_maintain",
+    # the O(delta) segment-model twin (publish one immutable segment per
+    # epoch + mid-plan compaction + serve-equality assertion)
+    "streaming_bm25_maintain_segmented",
     # filtered IVF-PQ serve with per-query adaptive probe escalation
     # (stored index reused; the allowed-set prune + probe decision are
     # the timed serve cost)

@@ -3307,6 +3307,70 @@ def q_streaming_bm25_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_index_search(postings, doclens, stats, _SEARCH_TERMS)
 
 
+@query("streaming_bm25_maintain_segmented", oracle=_bm25_sql())
+def q_streaming_bm25_maintain_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_bm25_maintain with O(delta) per-epoch writes — the Lucene
+    segment model on parquet (streaming.pipeline.
+    foreach_batch_bm25_maintain_segmented): each epoch publishes an
+    immutable segment dir holding only the delta's postings/doclens
+    (term-sorted within the segment), by ONE rename — no index rewrite,
+    no ledger artifact (the segment directory IS the ledger: presence ==
+    epoch applied), no window where a reader sees a partial index. The
+    serve path unions the segments and recomputes the 1-row stats with
+    the build's exact integer formula, so the segmented serve is
+    bit-identical to a monolithic rebuild — this row carries the same
+    full-corpus exact oracle as the whole-rewrite consumer, and
+    additionally COMPACTS the segments mid-plan (compact_bm25_segments:
+    union → one sorted segment → two-rename swap of the segs dir) and
+    asserts the pre/post-compaction serves agree before returning the
+    post-compaction result — the maintain → serve → merge lifecycle a
+    search engine actually runs, under one oracle."""
+    import tempfile
+
+    from ..operators.retrieval import bm25_index_search
+    from ..session import ensure_utc
+    from ..sources.readers import table_path
+    from ..streaming.pipeline import (
+        compact_bm25_segments,
+        foreach_batch_bm25_maintain_segmented,
+        read_bm25_index_segmented,
+        seed_bm25_index_segmented,
+        stream_source,
+    )
+
+    ensure_utc(spark)
+    (docs,) = _t(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="stream_bm25_seg_") + "/index"
+    seed_bm25_index_segmented(docs.filter(F.col("doc_id") % 3 != 0), idx)
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    src = stream_source(
+        spark, sf_dir, schema, watermark=None, path_glob_filter="documents.parquet"
+    ).filter(F.col("doc_id") % 3 == 0)
+    (
+        src.writeStream.foreachBatch(foreach_batch_bm25_maintain_segmented(idx))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_bm25s_"))
+        .start()
+        .awaitTermination()
+    )
+    before = bm25_index_search(
+        *read_bm25_index_segmented(spark, idx), _SEARCH_TERMS
+    )
+    pre = sorted(tuple(r) for r in before.collect())
+    merged_away = compact_bm25_segments(spark, idx)
+    after = bm25_index_search(
+        *read_bm25_index_segmented(spark, idx), _SEARCH_TERMS
+    )
+    post = sorted(tuple(r) for r in after.collect())
+    if merged_away < 1 or pre != post:
+        raise AssertionError(
+            f"segment compaction changed the serve ({merged_away} segments "
+            f"merged): {pre != post}"
+        )
+    return after
+
+
 _KFOLD_K = 5
 
 

@@ -798,3 +798,140 @@ def foreach_batch_cdc_scd2_bucketed(
         fs.delete(P(f"{root}__prevb"), True)
 
     return _sink
+
+
+def foreach_batch_bm25_maintain_segmented(
+    index_dir: str, id_col: str = "doc_id", text_col: str = "text"
+):
+    """foreach_batch_bm25_maintain with O(delta) per-epoch writes — the
+    Lucene segment model on parquet: instead of rewriting the whole index
+    to keep one globally-sorted postings table, each epoch publishes an
+    immutable SEGMENT directory `segs/seg_<epoch>/{postings,doclens}`
+    holding only the delta (tokenized once, postings term-sorted WITHIN
+    the segment so per-segment row-group skipping still holds), and the
+    serve path reads the union of segments
+    (`read_bm25_index_segmented`). Per-epoch write cost is the delta's
+    postings — independent of index size; segment-count growth is
+    bounded by `compact_bm25_segments` (the search-engine merge policy,
+    expressed with this engine's own compaction discipline).
+
+    Crash model — simpler than the ledger consumers because segments are
+    immutable: the segment is fully written at a scratch path and
+    published by ONE rename, so a reader never sees a partial segment
+    and a crash leaves only invisible scratch (overwritten on retry).
+    THE SEGMENT DIRECTORY IS THE LEDGER: `seg_N` existing == epoch N
+    applied, so an at-least-once replay is skipped by a directory-exists
+    probe — no separate ledger artifact, no window where store and
+    ledger disagree. The bm25_index_append disjointness guard still runs
+    against the UNION doclens before publish (id reuse across distinct
+    epochs is the failure presence-probes cannot see)."""
+    from ..operators.retrieval import bm25_index_build
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm  # noqa: SLF001
+        conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        P = jvm.org.apache.hadoop.fs.Path
+        root = index_dir.rstrip("/")
+        seg = P(f"{root}/segs/seg_{int(epoch_id)}")
+        fs = seg.getFileSystem(conf)
+        if fs.exists(seg):
+            return  # at-least-once replay: this epoch's segment is live
+        if batch_df.isEmpty():
+            return  # empty epoch: no segment, nothing to publish
+        _, doclens, _ = read_bm25_index_segmented(spark, index_dir)
+        dup = (
+            doclens.join(
+                F.broadcast(
+                    batch_df.select(F.col(id_col).alias("doc_id")).distinct()
+                ),
+                "doc_id",
+                "left_semi",
+            )
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"bm25 segmented maintain: doc_id {dup[0]['doc_id']!r} is "
+                "already indexed; appends must be disjoint from the stored "
+                "index"
+            )
+        p_new, l_new, _ = bm25_index_build(batch_df, id_col, text_col)
+        tmp = f"{root}/__seg_epoch{int(epoch_id)}"
+        (
+            p_new.repartitionByRange(F.col("term"))
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/postings")
+        )
+        l_new.write.mode("overwrite").parquet(f"{tmp}/doclens")
+        fs.mkdirs(seg.getParent())
+        _rename_or_raise(fs, P(tmp), seg)  # atomic publish
+
+    return _sink
+
+
+def read_bm25_index_segmented(spark: SparkSession, index_dir: str):
+    """(postings, doclens, stats) over the UNION of live segments. The
+    glob read plans one scan per segment (plan-level union, no shuffle);
+    term probes prune row groups per segment exactly as on the monolithic
+    layout. stats is recomputed from the union doclens with
+    bm25_index_build's exact integer formula (sum(len) div count), so the
+    segmented serve is bit-identical to a monolithic rebuild — which is
+    why the segmented consumer's registry row carries the same full-corpus
+    oracle."""
+    root = index_dir.rstrip("/")
+    postings = spark.read.parquet(f"{root}/segs/*/postings")
+    doclens = spark.read.parquet(f"{root}/segs/*/doclens")
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("sum(len) div count(1)").cast("bigint").alias("avgl"),
+    )
+    return postings, doclens, stats
+
+
+def seed_bm25_index_segmented(docs: DataFrame, index_dir: str) -> None:
+    """Batch-side backfill: the standing corpus becomes segment
+    `seg_base` (how a deployment seeds before attaching the stream)."""
+    from ..operators.retrieval import bm25_index_build
+
+    root = index_dir.rstrip("/")
+    p, l, _ = bm25_index_build(docs)
+    (
+        p.repartitionByRange(F.col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{root}/segs/seg_base/postings")
+    )
+    l.write.mode("overwrite").parquet(f"{root}/segs/seg_base/doclens")
+
+
+def compact_bm25_segments(spark: SparkSession, index_dir: str) -> int:
+    """Merge ALL live segments into one (the search-engine merge policy,
+    one tier): read the union, rewrite it as a single globally-sorted
+    segment at a scratch path, then swap the whole `segs/` directory with
+    the two-rename install — readers see either the old segment set or
+    the compacted one, never a mixture. Serve results are bit-identical
+    before and after (postings rows are a set union; stats recompute from
+    the same doclens). Returns the number of segments merged away."""
+    root = index_dir.rstrip("/")
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    P = jvm.org.apache.hadoop.fs.Path
+    segs = P(f"{root}/segs")
+    fs = segs.getFileSystem(conf)
+    n_before = len(fs.listStatus(segs)) if fs.exists(segs) else 0
+    if n_before <= 1:
+        return 0
+    postings, doclens, _ = read_bm25_index_segmented(spark, index_dir)
+    tmp = f"{root}/__compacting_segs"
+    (
+        postings.repartitionByRange(F.col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/seg_base/postings")
+    )
+    doclens.write.mode("overwrite").parquet(f"{tmp}/seg_base/doclens")
+    _install(spark, tmp, f"{root}/segs")
+    return n_before - 1

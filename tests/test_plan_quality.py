@@ -331,9 +331,9 @@ def test_registry_wide_plan_audit(spark):
         # two 1-row aggregates (exact count, sketch min) composed by
         # broadcast — same scalar sanction as curation_funnel
         "join_size_estimate",
-        # the streaming twin of bm25_index_search: the serve it returns
+        # the streaming twins of bm25_index_search: the serve they return
         # carries the identical 1-row (n_docs, avgl) stats broadcast
-        "streaming_bm25_maintain",
+        "streaming_bm25_maintain", "streaming_bm25_maintain_segmented",
         # filtered IVFADC: the ONE-row packed-centroid probe broadcast
         # (same sanction as ivf_pq_index_search) — the allowed-set prune
         # itself is an id-only left-semi equi join

@@ -281,3 +281,98 @@ def test_bucketed_cdc_stale_leftover_park_is_cleaned(spark, tmp_path):
     assert not os.path.exists(f"{buck_t}__prevb")
     got = _snap(spark, buck_t)
     assert [r for r in got if r[0] == 3] == [r for r in after0 if r[0] == 3]
+
+
+# ------------------------------------------------- segmented BM25 --
+
+
+def test_bm25_segmented_equals_rebuild_and_replay_skips(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_bm25_maintain_segmented,
+        read_bm25_index_segmented,
+        seed_bm25_index_segmented,
+    )
+
+    idx = str(tmp_path / "segidx")
+    a = _docs(spark, [(1, "spark shuffles data"), (2, "data moves in shuffles")])
+    b = _docs(spark, [(3, "broadcast joins move no data")])
+    c = _docs(spark, [(4, "sorted postings skip row groups")])
+    seed_bm25_index_segmented(a, idx)
+    sink = foreach_batch_bm25_maintain_segmented(idx)
+    sink(b, 0)
+    sink(c, 1)
+
+    def serve_snap():
+        p, l, s = read_bm25_index_segmented(spark, idx)
+        return (
+            sorted(tuple(r) for r in p.collect()),
+            sorted(tuple(r) for r in l.collect()),
+            [tuple(r) for r in s.collect()],
+        )
+
+    got = serve_snap()
+    # bit-equal to a monolithic rebuild over everything indexed
+    from s3_to_redshift_with_airflow_spark.operators.retrieval import (
+        bm25_index_build,
+    )
+
+    p, l, s = bm25_index_build(a.unionByName(b).unionByName(c))
+    assert got[0] == sorted(tuple(r) for r in p.collect())
+    assert got[1] == sorted(tuple(r) for r in l.collect())
+    assert got[2] == [tuple(r) for r in s.collect()]
+    # replay: the segment dir is the ledger — re-delivery is a no-op
+    # (without the presence probe the disjointness guard would raise)
+    sink(b, 0)
+    assert serve_snap() == got
+
+
+def test_bm25_segmented_disjointness_and_empty_epoch(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_bm25_maintain_segmented,
+        seed_bm25_index_segmented,
+    )
+
+    idx = str(tmp_path / "segidx")
+    seed_bm25_index_segmented(_docs(spark, [(1, "one doc")]), idx)
+    sink = foreach_batch_bm25_maintain_segmented(idx)
+    with pytest.raises(ValueError, match="already indexed"):
+        sink(_docs(spark, [(1, "same id new epoch")]), 0)
+    assert not os.path.exists(f"{idx}/segs/seg_0")  # failed epoch published nothing
+    sink(_docs(spark, []).limit(0), 1)
+    assert not os.path.exists(f"{idx}/segs/seg_1")  # empty epoch: no segment
+
+
+def test_bm25_segment_compaction_preserves_serve(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.operators.retrieval import (
+        bm25_index_search,
+    )
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        compact_bm25_segments,
+        foreach_batch_bm25_maintain_segmented,
+        read_bm25_index_segmented,
+        seed_bm25_index_segmented,
+    )
+
+    idx = str(tmp_path / "segidx")
+    seed_bm25_index_segmented(
+        _docs(spark, [(1, "spark data pipelines"), (2, "data at scale")]), idx
+    )
+    sink = foreach_batch_bm25_maintain_segmented(idx)
+    sink(_docs(spark, [(3, "data moves between stages")]), 0)
+    sink(_docs(spark, [(4, "pipelines of data everywhere")]), 1)
+    before = sorted(
+        tuple(r)
+        for r in bm25_index_search(
+            *read_bm25_index_segmented(spark, idx), ["data", "pipelines"]
+        ).collect()
+    )
+    assert compact_bm25_segments(spark, idx) == 2  # 3 segments -> 1
+    assert len(os.listdir(f"{idx}/segs")) == 1
+    after = sorted(
+        tuple(r)
+        for r in bm25_index_search(
+            *read_bm25_index_segmented(spark, idx), ["data", "pipelines"]
+        ).collect()
+    )
+    assert before == after
+    assert compact_bm25_segments(spark, idx) == 0  # single segment: no-op
