@@ -935,3 +935,69 @@ def compact_bm25_segments(spark: SparkSession, index_dir: str) -> int:
     doclens.write.mode("overwrite").parquet(f"{tmp}/seg_base/doclens")
     _install(spark, tmp, f"{root}/segs")
     return n_before - 1
+
+
+def foreach_batch_upsert_bucketed(
+    target_path: str, keys: list[str], n_buckets: int = 64
+):
+    """foreach_batch_upsert with the same bounded-rewrite treatment as
+    the bucketed CDC consumer: the upsert target is hash-bucketed by key
+    (`write_bucketed_store`), each epoch anti-join+unions ONLY the
+    buckets its batch touches, and rewrites only those — per-epoch I/O
+    is O(touched buckets), not O(|target|). Slice-wise equals whole
+    because the upsert is strictly per-key.
+
+    No ledger (same reasoning as the plain upsert: a keyed delete+insert
+    of an already-absorbed batch rewrites the same rows — replay cannot
+    move the store), but parked buckets from a crashed install ARE
+    recovered before each epoch, and a brand-new bucket (first key
+    hashing into it) installs cleanly. Seeding: write the initial state
+    with `write_bucketed_store(df, target, keys, n_buckets)` — unlike
+    the plain sink there is no read-error path to misclassify, so a
+    missing target is an error here (seed explicitly), not first-epoch."""
+    from ..operators.relational import upsert_dataframe
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_buckets(spark, target_path)
+        batch = batch_df.dropDuplicates(keys)
+        touched = sorted(
+            r["b"]
+            for r in batch.select(bucket_expr(keys, n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return
+        target_slice = (
+            spark.read.parquet(target_path)
+            .filter(F.col("bucket").isin([int(b) for b in touched]))
+            .drop("bucket")
+        )
+        merged = upsert_dataframe(target_slice, batch, keys)
+        tmp = target_path.rstrip("/") + f"__upb_epoch{epoch_id}"
+        (
+            merged.withColumn("bucket", bucket_expr(keys, n_buckets))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
+        jvm = spark._jvm  # noqa: SLF001
+        conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        P = jvm.org.apache.hadoop.fs.Path
+        fs = P(target_path).getFileSystem(conf)
+        root = target_path.rstrip("/")
+        for b in touched:
+            btmp = f"{tmp}/bucket={int(b)}"
+            if fs.exists(P(btmp)):
+                _install(
+                    spark,
+                    btmp,
+                    f"{root}/bucket={int(b)}",
+                    prev_path=f"{root}__prevb/bucket={int(b)}",
+                )
+        fs.delete(P(tmp), True)
+        fs.delete(P(f"{root}__prevb"), True)
+
+    return _sink

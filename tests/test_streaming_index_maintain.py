@@ -376,3 +376,70 @@ def test_bm25_segment_compaction_preserves_serve(spark, tmp_path):
     )
     assert before == after
     assert compact_bm25_segments(spark, idx) == 0  # single segment: no-op
+
+
+# ------------------------------------------------- bucketed upsert --
+
+
+def test_bucketed_upsert_matches_plain_and_bounds_rewrite(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+        foreach_batch_upsert_bucketed,
+    )
+
+    plain_t = str(tmp_path / "plain")
+    buck_t = str(tmp_path / "bucketed")
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    base.write.parquet(plain_t)
+    write_bucketed_store(base, buck_t, ["k"], _N_BUCKETS)
+
+    batch = spark.createDataFrame(
+        [(7, -1), (8, -1), (1000, -1), (7, -1)], "k long, v long"
+    )
+    files_before = _bucket_files(buck_t)
+    foreach_batch_upsert(plain_t, keys=["k"])(batch, 0)
+    foreach_batch_upsert_bucketed(buck_t, keys=["k"], n_buckets=_N_BUCKETS)(
+        batch, 0
+    )
+    assert _snap(spark, plain_t) == _snap(spark, buck_t)
+    files_after = _bucket_files(buck_t)
+    touched = {
+        f"bucket={r['b']}"
+        for r in batch.select(bucket_expr(["k"], _N_BUCKETS).alias("b"))
+        .distinct()
+        .collect()
+    }
+    untouched = {k: v for k, v in files_before.items() if k not in touched}
+    assert untouched == {k: v for k, v in files_after.items() if k not in touched}
+    assert len(untouched) > 0
+    # replay idempotency (no ledger needed — keyed delete+insert)
+    snap = _snap(spark, buck_t)
+    foreach_batch_upsert_bucketed(buck_t, keys=["k"], n_buckets=_N_BUCKETS)(
+        batch, 0
+    )
+    assert _snap(spark, buck_t) == snap
+
+
+def test_bucketed_upsert_recovers_parked_bucket(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_upsert_bucketed,
+    )
+
+    buck_t = str(tmp_path / "bucketed")
+    base = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    write_bucketed_store(base, buck_t, ["k"], _N_BUCKETS)
+    sink = foreach_batch_upsert_bucketed(buck_t, keys=["k"], n_buckets=_N_BUCKETS)
+    sink(spark.createDataFrame([(3, -1)], "k long, v long"), 0)
+    b3 = spark.range(1).select(
+        bucket_expr_lit(3, _N_BUCKETS).alias("b")
+    ).collect()[0]["b"]
+    os.makedirs(f"{buck_t}__prevb", exist_ok=True)
+    shutil.move(f"{buck_t}/bucket={b3}", f"{buck_t}__prevb/bucket={b3}")
+    sink(spark.createDataFrame([(4, -2)], "k long, v long"), 1)
+    got = dict(_snap(spark, buck_t))
+    assert got[3] == -1 and got[4] == -2  # parked bucket restored, epoch applied
+    assert not os.path.exists(f"{buck_t}__prevb")
