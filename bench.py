@@ -175,6 +175,14 @@ HEADLINE = [
     # the O(delta) segment-model twin (publish one immutable segment per
     # epoch + mid-plan compaction + serve-equality assertion)
     "streaming_bm25_maintain_segmented",
+    # the sixth stored-artifact consumer: IVF-PQ tracking a vector stream
+    # (frozen-quantizer routing/encode of the delta into one published
+    # segment; the seed train is inside the window — self-contained row)
+    "streaming_ivf_pq_maintain",
+    # materialized join-view maintenance: the batch delta-algebra identity
+    # and its streaming consumer (ΔA⋈B per epoch into one segment)
+    "incremental_join_view",
+    "streaming_join_view_maintain",
     # filtered IVF-PQ serve with per-query adaptive probe escalation
     # (stored index reused; the allowed-set prune + probe decision are
     # the timed serve cost)

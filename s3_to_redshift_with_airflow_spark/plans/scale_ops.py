@@ -6235,3 +6235,129 @@ def _drift_gated_selection(
         )
         .orderBy("event_type")
     )
+
+
+# --- incremental join-view maintenance ------------------------------------
+
+_IJV_CUTOFF = "2000-01-01"  # orders at/after this date are the "new" delta
+
+_SQL_FULL_JOIN_VIEW = """
+    SELECT o_orderkey, o_custkey, c_mktsegment,
+           CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_orderkey
+"""
+
+
+@query("incremental_join_view", oracle=_SQL_FULL_JOIN_VIEW)
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized JOIN-view maintenance by DELTA ALGEBRA — the join
+    analog of incremental_agg_merge's partial-aggregate rule: for
+    V = A ⋈ B with inserts ΔA (a new day of orders) and ΔB (newly
+    registered customers),
+
+        V' = (A_old ⋈ B_old)  ∪  (ΔA ⋈ B')  ∪  (A_old ⋈ ΔB)
+
+    — the three pieces are DISJOINT by construction (every joined pair is
+    classified by which side of each split it falls on), so the union is
+    a plain unionByName, and the oracle is the FULL recompute: equality
+    proves maintain(V, ΔA, ΔB) == recompute(A' ⋈ B'), the identity every
+    incremental view-maintenance engine (DBSP/Materialize/Delta Live)
+    rests on.
+
+    Plan (100 TB): the standing piece V is already materialized (here
+    rebuilt for self-containment); the maintenance work is two joins
+    whose DELTA side is small — ΔA broadcasts against B', ΔB broadcasts
+    against A_old (with the base sides stored bucketed by join key, the
+    delta's touched buckets prune the base scans exactly as in the
+    bucketed CDC consumer). History is never rejoined."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    cutoff = F.lit(_IJV_CUTOFF).cast("timestamp")
+    a_old = orders.filter(F.col("o_orderdate") < cutoff)
+    a_new = orders.filter(F.col("o_orderdate") >= cutoff)
+    b_old = customer.filter(F.col("c_custkey") % 20 != 0)
+    b_new = customer.filter(F.col("c_custkey") % 20 == 0)
+
+    def piece(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a["o_custkey"] == b["c_custkey"]).select(
+            "o_orderkey",
+            "o_custkey",
+            "c_mktsegment",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+        )
+
+    view_old = piece(a_old, b_old)  # the standing materialized view
+    maintained = (
+        view_old.unionByName(piece(a_new, customer))
+        .unionByName(piece(a_old, b_new))
+    )
+    return maintained.orderBy("o_orderkey")
+
+
+@query("streaming_join_view_maintain", oracle=_SQL_FULL_JOIN_VIEW)
+def q_streaming_join_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING materialized join-view maintenance — the seventh
+    stored-artifact foreachBatch consumer
+    (streaming.pipeline.foreach_batch_join_view_maintain): the standing
+    view (pre-cutoff orders ⋈ customer) is seeded batch-side as segment
+    seg_base; the post-cutoff orders stream through the sink, which joins
+    ONLY each epoch's delta against the dimension (broadcast) and
+    publishes the joined rows as one immutable segment — V' = V ∪ (ΔA⋈B)
+    per epoch, O(delta) writes, the segment dir as the ledger. Carries
+    the FULL-recompute exact oracle: maintain-then-read must equal
+    recompute(A ⋈ B), row for row."""
+    import tempfile
+
+    from ..session import ensure_utc
+    from ..streaming.pipeline import (
+        foreach_batch_join_view_maintain,
+        read_join_view_segments,
+        stream_source,
+    )
+
+    ensure_utc(spark)
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    cutoff = F.lit(_IJV_CUTOFF).cast("timestamp")
+    view_dir = tempfile.mkdtemp(prefix="stream_jv_") + "/view"
+
+    def piece(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a["o_custkey"] == b["c_custkey"]).select(
+            "o_orderkey",
+            "o_custkey",
+            "c_mktsegment",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+        )
+
+    piece(orders.filter(F.col("o_orderdate") < cutoff), customer).write.parquet(
+        f"{view_dir}/segs/seg_base"
+    )
+    schema = spark.read.parquet(table_path(sf_dir, "orders")).schema
+    src = (
+        stream_source(
+            spark, sf_dir, schema, watermark=None,
+            path_glob_filter="orders.parquet",
+        )
+        .filter(F.col("o_orderdate").cast("timestamp") >= cutoff)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+        )
+    )
+    sink = foreach_batch_join_view_maintain(
+        view_dir,
+        table_path(sf_dir, "customer"),
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        dim_cols=["c_mktsegment"],
+    )
+    (
+        src.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_jv_"))
+        .start()
+        .awaitTermination()
+    )
+    return read_join_view_segments(spark, view_dir).select(
+        "o_orderkey", "o_custkey", "c_mktsegment", "total_price"
+    ).orderBy("o_orderkey")

@@ -1001,3 +1001,183 @@ def foreach_batch_upsert_bucketed(
         fs.delete(P(f"{root}__prevb"), True)
 
     return _sink
+
+
+def seed_ivf_pq_index_segmented(
+    emb: DataFrame,
+    index_dir: str,
+    n_probe: int = 4,
+    km_k: int = 32,
+    km_iter: int = 2,
+    m_subspaces: int = 8,
+    k_centroids: int = 16,
+    pq_iter: int = 2,
+    dim: int = 64,
+) -> None:
+    """Batch-side backfill for the segmented IVF-PQ store: train on the
+    standing corpus (operators/clustering.ivf_pq_index_build), persist the
+    FROZEN quantizer tables (centroids, codebook) at the index root and
+    the per-vector tables (lists, codes) as segment `seg_base`."""
+    from ..operators.clustering import ivf_pq_index_build
+
+    root = index_dir.rstrip("/")
+    idx = ivf_pq_index_build(
+        emb,
+        n_probe=n_probe,
+        km_k=km_k,
+        km_iter=km_iter,
+        m_subspaces=m_subspaces,
+        k_centroids=k_centroids,
+        pq_iter=pq_iter,
+        dim=dim,
+    )
+    idx["centroids"].write.mode("overwrite").parquet(f"{root}/centroids")
+    idx["codebook"].write.mode("overwrite").parquet(f"{root}/codebook")
+    idx["lists"].write.mode("overwrite").parquet(f"{root}/segs/seg_base/lists")
+    idx["codes"].write.mode("overwrite").parquet(f"{root}/segs/seg_base/codes")
+
+
+def read_ivf_pq_index_segmented(
+    spark: SparkSession, index_dir: str
+) -> dict[str, DataFrame]:
+    """The four index tables over the union of live segments: centroids
+    and codebook are the FROZEN root tables (appends never move them);
+    lists and codes union across segments (plan-level union per scan, no
+    shuffle). ivf_pq_index_search serves this dict exactly like a
+    monolithic index — probes rank against the same frozen centroids the
+    appends routed by, so appended vectors are reachable by
+    construction."""
+    root = index_dir.rstrip("/")
+    return {
+        "centroids": spark.read.parquet(f"{root}/centroids"),
+        "codebook": spark.read.parquet(f"{root}/codebook"),
+        "lists": spark.read.parquet(f"{root}/segs/*/lists"),
+        "codes": spark.read.parquet(f"{root}/segs/*/codes"),
+    }
+
+
+def foreach_batch_ivf_pq_maintain_segmented(
+    index_dir: str,
+    m_subspaces: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch sink: a persisted IVF-PQ index that TRACKS a vector
+    stream — the sixth stored-artifact consumer, composing the
+    frozen-quantizer append seam (operators/clustering.
+    ivf_pq_index_append: route new vectors by the training argmin against
+    the FROZEN centroid table, encode against the FROZEN codebook — two
+    broadcast scans of the delta only) with the segment publish protocol
+    of foreach_batch_bm25_maintain_segmented: each epoch's (lists, codes)
+    delta lands as one immutable segment dir installed by a single
+    rename; the segment directory IS the ledger (presence == epoch
+    applied); the quantizer tables never move, so there is nothing to
+    swap atomically WITH — per-epoch write cost is exactly the delta's 8
+    bytes/vector of codes plus its list assignments, at ANY index size.
+
+    Frozen-quantizer caveat (same as the batch append): appended vectors
+    are reachable exactly (search probes rank against the same stored
+    centroids), but probe recall drifts as the data distribution moves —
+    the standard cadence-retrain contract, stated not hidden."""
+    from ..operators.clustering import ivf_pq_index_append
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm  # noqa: SLF001
+        conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        P = jvm.org.apache.hadoop.fs.Path
+        root = index_dir.rstrip("/")
+        seg = P(f"{root}/segs/seg_{int(epoch_id)}")
+        fs = seg.getFileSystem(conf)
+        if fs.exists(seg):
+            return  # replay: this epoch's segment is live
+        if batch_df.isEmpty():
+            return
+        stored = read_ivf_pq_index_segmented(spark, index_dir)
+        dup = (
+            stored["lists"]
+            .join(
+                F.broadcast(
+                    batch_df.select(F.col(id_col).alias("vec_id")).distinct()
+                ),
+                "vec_id",
+                "left_semi",
+            )
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"ivf-pq segmented maintain: vec_id {dup[0]['vec_id']!r} is "
+                "already indexed; appends must be disjoint from the stored "
+                "index"
+            )
+        delta = ivf_pq_index_append(
+            stored["centroids"],
+            stored["codebook"],
+            batch_df,
+            m_subspaces=m_subspaces,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        tmp = f"{root}/__ivfseg_epoch{int(epoch_id)}"
+        delta["lists"].write.mode("overwrite").parquet(f"{tmp}/lists")
+        delta["codes"].write.mode("overwrite").parquet(f"{tmp}/codes")
+        fs.mkdirs(seg.getParent())
+        _rename_or_raise(fs, P(tmp), seg)  # atomic publish
+
+    return _sink
+
+
+def foreach_batch_join_view_maintain(
+    view_dir: str,
+    dim_path: str,
+    fact_key: str,
+    dim_key: str,
+    dim_cols: list[str],
+):
+    """foreachBatch sink: maintain a MATERIALIZED JOIN VIEW from a fact
+    stream — the seventh stored-artifact consumer, and the join analog of
+    incremental_agg_merge's partial-aggregate rule: for an insert-only
+    fact stream, V' = V ∪ (ΔA ⋈ B), so each epoch joins ONLY its delta
+    against the dimension (broadcast here; bucket-pruned at scale) and
+    publishes the result as one immutable segment — per-epoch cost is
+    O(|delta| · join fanout), never a view rescan. Segment protocol as
+    the BM25/IVF-PQ maintainers: single-rename publish, the segment dir
+    IS the ledger (presence == epoch applied), readers union segments
+    (`read_join_view_segments`). Dimension updates are out of scope for
+    this sink by design — a changing B is the CDC consumer's job
+    (foreach_batch_cdc_scd2*), composed upstream; this sink assumes the
+    dimension read per epoch is the epoch's effective version."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm  # noqa: SLF001
+        conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        P = jvm.org.apache.hadoop.fs.Path
+        root = view_dir.rstrip("/")
+        seg = P(f"{root}/segs/seg_{int(epoch_id)}")
+        fs = seg.getFileSystem(conf)
+        if fs.exists(seg):
+            return  # replay: this epoch's segment is live
+        if batch_df.isEmpty():
+            return
+        dim = spark.read.parquet(dim_path).select(dim_key, *dim_cols)
+        # drop by COLUMN reference, not name: when fact_key == dim_key a
+        # name-drop would remove both sides' key
+        delta_view = batch_df.join(
+            F.broadcast(dim), batch_df[fact_key] == dim[dim_key]
+        ).drop(dim[dim_key])
+        tmp = f"{root}/__jv_epoch{int(epoch_id)}"
+        delta_view.write.mode("overwrite").parquet(tmp)
+        fs.mkdirs(seg.getParent())
+        _rename_or_raise(fs, P(tmp), seg)  # atomic publish
+
+    return _sink
+
+
+def read_join_view_segments(spark: SparkSession, view_dir: str) -> DataFrame:
+    """The maintained join view over the union of live segments."""
+    return spark.read.parquet(f"{view_dir.rstrip('/')}/segs/*")

@@ -195,3 +195,51 @@ def test_ledger_parked_mid_install_still_reports_epoch(spark, tmp_path):
     ).write.parquet(target + "/_ledger")
     shutil.move(target + "/_ledger", target + "/_ledger__prev")
     assert _last_applied_epoch(spark, target) == 4
+
+
+def test_install_crash_at_every_step_is_recoverable(spark, tmp_path):
+    """Exhaustive crash-point enumeration for the two-rename protocol:
+    simulate the install halting after EVERY prefix of its filesystem
+    operations and assert the invariant — a COMPLETE copy of either the
+    old or the new artifact is resolvable via _store_path, and a
+    subsequent _install completes cleanly to the new state. This is the
+    claim the old delete+rename protocol could not make (its window had
+    the store only at the scratch path)."""
+
+    def fresh(step_dir):
+        target = str(step_dir / "store")
+        prev = target + "__prev"
+        tmp = target + "__next"
+        spark.range(5).write.parquet(target)  # old state: ids 0..4
+        spark.range(7).write.parquet(tmp)  # new state: ids 0..6
+        return target, prev, tmp
+
+    # the protocol's op sequence on the normal path (no pre-existing park):
+    # 1. rename(target, prev)   2. rename(tmp, target)   3. delete(prev)
+    def ops(target, prev, tmp):
+        return [
+            lambda: shutil.move(target, prev),
+            lambda: shutil.move(tmp, target),
+            lambda: shutil.rmtree(prev),
+        ]
+
+    for crash_after in range(0, 4):  # 0 = before anything, 3 = completed
+        d = tmp_path / f"crash{crash_after}"
+        d.mkdir()
+        target, prev, tmp = fresh(d)
+        for op in ops(target, prev, tmp)[:crash_after]:
+            op()
+        # invariant: a complete artifact is resolvable RIGHT NOW
+        live = _store_path(spark, target)
+        vals = {r[0] for r in spark.read.parquet(live).collect()}
+        assert vals in ({0, 1, 2, 3, 4}, {0, 1, 2, 3, 4, 5, 6}), (
+            f"crash point {crash_after}: resolved store is not a complete "
+            f"artifact: {sorted(vals)}"
+        )
+        # and the next install (retry with a rebuilt scratch) completes
+        if not os.path.exists(tmp):
+            spark.range(7).write.parquet(tmp)
+        _install(spark, tmp, target)
+        got = {r[0] for r in spark.read.parquet(target).collect()}
+        assert got == {0, 1, 2, 3, 4, 5, 6}
+        assert not os.path.exists(prev)

@@ -443,3 +443,132 @@ def test_bucketed_upsert_recovers_parked_bucket(spark, tmp_path):
     got = dict(_snap(spark, buck_t))
     assert got[3] == -1 and got[4] == -2  # parked bucket restored, epoch applied
     assert not os.path.exists(f"{buck_t}__prevb")
+
+
+# ------------------------------------------------- segmented IVF-PQ --
+
+
+def _emb(spark, lo, hi, dim=8):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: ((F.col("id") * 37 + i * 11) % 19 - 9.0) / 3.0,
+        ).alias("embedding"),
+    )
+
+
+def test_ivf_pq_segmented_maintain_matches_batch_append(spark, tmp_path):
+    """Single-epoch maintained index content == the batch frozen-quantizer
+    append; appended vectors are REACHABLE through search over the
+    segmented union (probes rank against the same frozen centroids)."""
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        ivf_pq_index_append,
+        ivf_pq_index_build,
+        ivf_pq_index_search,
+    )
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_ivf_pq_maintain_segmented,
+        read_ivf_pq_index_segmented,
+        seed_ivf_pq_index_segmented,
+    )
+
+    kw = dict(n_probe=2, km_k=4, km_iter=1, m_subspaces=4, k_centroids=4,
+              pq_iter=1, dim=8)
+    base, new = _emb(spark, 20, 120), _emb(spark, 0, 20)
+    idx = str(tmp_path / "ivfidx")
+    seed_ivf_pq_index_segmented(base, idx, **kw)
+    sink = foreach_batch_ivf_pq_maintain_segmented(idx, m_subspaces=4, dim=8)
+    sink(new, 0)
+
+    stored = read_ivf_pq_index_segmented(spark, idx)
+    got = sorted(
+        tuple(r)
+        for r in stored["lists"].join(stored["codes"], "vec_id")
+        .filter(F.col("vec_id") < 20)
+        .select("vec_id", "cluster", "m", "code")
+        .collect()
+    )
+    bidx = ivf_pq_index_build(base, **kw)
+    delta = ivf_pq_index_append(
+        bidx["centroids"], bidx["codebook"], new, m_subspaces=4, dim=8
+    )
+    want = sorted(
+        tuple(r)
+        for r in delta["lists"].join(delta["codes"], "vec_id")
+        .select("vec_id", "cluster", "m", "code")
+        .collect()
+    )
+    assert got == want
+    # replay: segment presence gates re-application (the append's
+    # disjointness guard would otherwise raise)
+    sink(new, 0)
+    stored2 = read_ivf_pq_index_segmented(spark, idx)
+    assert stored2["codes"].count() == stored["codes"].count()
+    # reachability: an appended vector appears in search results for a
+    # query near it (vec 0 queries itself excluded; use full union)
+    all_emb = base.unionByName(new)
+    hits = ivf_pq_index_search(
+        stored["lists"], stored["centroids"], stored["codes"],
+        stored["codebook"], all_emb, _emb(spark, 0, 3),
+        k=5, n_probe=4, m_subspaces=4, dim=8,
+    )
+    appended_hits = hits.filter(F.col("vec_id") < 20).count()
+    assert appended_hits > 0
+
+
+def test_ivf_pq_segmented_disjointness_and_empty(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_ivf_pq_maintain_segmented,
+        seed_ivf_pq_index_segmented,
+    )
+
+    kw = dict(n_probe=2, km_k=4, km_iter=1, m_subspaces=4, k_centroids=4,
+              pq_iter=1, dim=8)
+    idx = str(tmp_path / "ivfidx")
+    seed_ivf_pq_index_segmented(_emb(spark, 20, 60), idx, **kw)
+    sink = foreach_batch_ivf_pq_maintain_segmented(idx, m_subspaces=4, dim=8)
+    with pytest.raises(ValueError, match="already indexed"):
+        sink(_emb(spark, 30, 35), 0)  # overlaps the seeded base
+    assert not os.path.exists(f"{idx}/segs/seg_0")
+    sink(_emb(spark, 0, 0).limit(0), 1)
+    assert not os.path.exists(f"{idx}/segs/seg_1")
+
+
+# ------------------------------------------------- join-view maintain --
+
+
+def test_join_view_maintain_equals_recompute_and_replays(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_join_view_maintain,
+        read_join_view_segments,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, attr string"
+    ).write.parquet(dim_path)
+    view_dir = str(tmp_path / "view")
+    facts = lambda rows: spark.createDataFrame(rows, "fid long, k long")  # noqa: E731
+    # seed: the standing view over the first fact slice
+    spark.createDataFrame(
+        [(10, 1, "a")], "fid long, k long, attr string"
+    ).write.parquet(f"{view_dir}/segs/seg_base")
+    sink = foreach_batch_join_view_maintain(
+        view_dir, dim_path, fact_key="k", dim_key="k", dim_cols=["attr"]
+    )
+    sink(facts([(11, 2), (12, 3)]), 0)
+    sink(facts([(13, 1), (14, 99)]), 1)  # 99: no dim match -> inner-drop
+    got = sorted(
+        tuple(r)
+        for r in read_join_view_segments(spark, view_dir)
+        .select("fid", "k", "attr")
+        .collect()
+    )
+    assert got == [(10, 1, "a"), (11, 2, "b"), (12, 3, "c"), (13, 1, "a")]
+    # replay of epoch 0 is skipped by segment presence
+    sink(facts([(11, 2), (12, 3)]), 0)
+    assert len(read_join_view_segments(spark, view_dir).collect()) == 4
+    # empty epoch publishes nothing
+    sink(facts([]).limit(0), 2)
+    assert not os.path.exists(f"{view_dir}/segs/seg_2")
