@@ -6361,3 +6361,101 @@ def q_streaming_join_view_maintain(spark: SparkSession, sf_dir: str) -> DataFram
     return read_join_view_segments(spark, view_dir).select(
         "o_orderkey", "o_custkey", "c_mktsegment", "total_price"
     ).orderBy("o_orderkey")
+
+
+# --- quantiles served from the stored histogram sketch ---------------------
+
+_HQ_PCTS = (50, 95)  # the monitoring pair every latency/value dashboard asks
+
+
+@query(
+    "histogram_quantiles",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total_n FROM h GROUP BY 1),
+    c AS (
+      SELECT event_type, bucket, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+      FROM h
+    ),
+    q AS (SELECT UNNEST([{", ".join(str(p) for p in _HQ_PCTS)}]) AS q_pct),
+    hit AS (
+      SELECT c.event_type, q.q_pct, t.total_n, c.bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.event_type, q.q_pct ORDER BY c.bucket) AS rk
+      FROM c JOIN t USING (event_type) CROSS JOIN q
+      WHERE c.cum >= (t.total_n * q.q_pct + 99) // 100
+    )
+    SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct, total_n, bucket,
+           CAST(bucket * {_HIST_WIDTH} AS DOUBLE) AS est_lo,
+           CAST((bucket + 1) * {_HIST_WIDTH} AS DOUBLE) AS est_hi
+    FROM hit WHERE rk = 1
+    ORDER BY event_type, q_pct
+""",
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles SERVED from the stored histogram sketch — the reason a
+    deployment keeps the (grain, bucket, n) table at all: p50/p95 per
+    event_type answered at BUCKET granularity (error bounded by the bucket
+    width, reported as an [est_lo, est_hi) interval rather than a point —
+    honest about the sketch's resolution where percentile_approx hides
+    its error). The lower quantile rule in exact integers: the smallest
+    bucket whose cumulative count reaches ceil(total·q/100) — one
+    cumulative window over the ≤range/width-row histogram and a 2-row
+    quantile frame, zero raw-data access in steady state (the histogram
+    is the stored artifact the streaming maintainer keeps fresh; the raw
+    scan here only builds it for self-containment, same discipline as
+    histogram_drift_psi).
+
+    Plan (100 TB): everything after the histogram aggregate runs at
+    sketch granularity; serving N quantiles costs one window pass
+    regardless of corpus size."""
+    from ..operators.sketches import value_histogram
+
+    (events,) = _t(spark, sf_dir, "events")
+    hist = (
+        value_histogram(events, "value", ["event_type"], "ts", _HIST_WIDTH)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    t = hist.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total_n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = hist.withColumn("cum", F.sum("n").over(w))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _HQ_PCTS])).alias("q_pct")
+    )
+    hit = (
+        c.join(t, "event_type")
+        .join(F.broadcast(qs))
+        .filter(
+            F.col("cum")
+            >= F.expr("(total_n * q_pct + 99) div 100")
+        )
+    )
+    rw = Window.partitionBy("event_type", "q_pct").orderBy("bucket")
+    return (
+        hit.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("q_pct").cast("bigint").alias("q_pct"),
+            "total_n",
+            "bucket",
+            (F.col("bucket") * F.lit(_HIST_WIDTH)).cast("double").alias("est_lo"),
+            ((F.col("bucket") + 1) * F.lit(_HIST_WIDTH))
+            .cast("double")
+            .alias("est_hi"),
+        )
+        .orderBy("event_type", "q_pct")
+    )

@@ -341,6 +341,10 @@ def test_registry_wide_plan_audit(spark):
         # composes the sanctioned filtered searches with the sanctioned
         # brute-force filtered baseline (filtered_ann_topk's sanction)
         "filtered_ann_recall_report",
+        # a FIXED 2-row quantile frame broadcast onto the bucket-
+        # granularity histogram — same scalar-threshold sanction as
+        # tpch_q11/heavy_hitters
+        "histogram_quantiles",
     }
     SKIP = {
         "streaming_window_agg", "streaming_join", "streaming_dedup",

@@ -1460,3 +1460,37 @@ def test_drift_gate_equals_ungated_when_threshold_high(spark):
                 r["n_selected"], r["selected_value"],
             )
         assert g[et]["psi_fp"] == r["psi_fp"]
+
+
+def test_histogram_quantiles_interval_contains_exact_quantile(spark):
+    """The served [est_lo, est_hi) interval must CONTAIN the exact type-1
+    (ceil-rank element) quantile — the sketch's bounded-error contract,
+    checked against a driver-side exact computation."""
+    import math
+
+    from s3_to_redshift_with_airflow_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["event_type"], r["q_pct"]): r
+        for r in REGISTRY["histogram_quantiles"].fn(spark, sf).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .filter("value IS NOT NULL")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in by_type.items():
+        vals.sort()
+        for q in (50, 95):
+            exact = vals[math.ceil(len(vals) * q / 100) - 1]
+            r = got[(et, q)]
+            assert r["est_lo"] <= exact < r["est_hi"], (
+                f"{et} p{q}: exact {exact} outside "
+                f"[{r['est_lo']}, {r['est_hi']})"
+            )
+            assert r["total_n"] == len(vals)
