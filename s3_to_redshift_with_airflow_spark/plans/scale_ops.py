@@ -6305,11 +6305,14 @@ def q_streaming_join_view_maintain(spark: SparkSession, sf_dir: str) -> DataFram
     publishes the joined rows as one immutable segment — V' = V ∪ (ΔA⋈B)
     per epoch, O(delta) writes, the segment dir as the ledger. Carries
     the FULL-recompute exact oracle: maintain-then-read must equal
-    recompute(A ⋈ B), row for row."""
+    recompute(A ⋈ B), row for row. r9: the plan additionally COMPACTS
+    the view's segments mid-plan (compact_join_view_segments, VERDICT r8
+    #2) and asserts the pre/post serves agree before returning."""
     import tempfile
 
     from ..session import ensure_utc
     from ..streaming.pipeline import (
+        compact_join_view_segments,
         foreach_batch_join_view_maintain,
         read_join_view_segments,
         stream_source,
@@ -6358,9 +6361,21 @@ def q_streaming_join_view_maintain(spark: SparkSession, sf_dir: str) -> DataFram
         .start()
         .awaitTermination()
     )
-    return read_join_view_segments(spark, view_dir).select(
-        "o_orderkey", "o_custkey", "c_mktsegment", "total_price"
-    ).orderBy("o_orderkey")
+    def serve():
+        return read_join_view_segments(spark, view_dir).select(
+            "o_orderkey", "o_custkey", "c_mktsegment", "total_price"
+        ).orderBy("o_orderkey")
+
+    pre = [tuple(r) for r in serve().collect()]
+    merged_away = compact_join_view_segments(spark, view_dir)
+    out = serve()
+    post = [tuple(r) for r in out.collect()]
+    if merged_away < 1 or pre != post:
+        raise AssertionError(
+            f"join-view segment compaction changed the serve "
+            f"({merged_away} segments merged): {pre != post}"
+        )
+    return out
 
 
 # --- quantiles served from the stored histogram sketch ---------------------

@@ -243,3 +243,107 @@ def test_install_crash_at_every_step_is_recoverable(spark, tmp_path):
         got = {r[0] for r in spark.read.parquet(target).collect()}
         assert got == {0, 1, 2, 3, 4, 5, 6}
         assert not os.path.exists(prev)
+
+
+# ------------------------------- r9: segment-compaction crash windows --
+
+
+def _seed_segmented_bm25(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_bm25_maintain_segmented,
+        seed_bm25_index_segmented,
+    )
+
+    idx = str(tmp_path / "segidx")
+    docs = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    seed_bm25_index_segmented(docs([(1, "base data doc"), (2, "more data")]), idx)
+    sink = foreach_batch_bm25_maintain_segmented(idx)
+    sink(docs([(3, "streamed data epoch zero")]), 0)
+    sink(docs([(4, "streamed data epoch one")]), 1)
+    return idx, docs, sink
+
+
+def _serve_bm25(spark, idx):
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        read_bm25_index_segmented,
+    )
+
+    p, l, s = read_bm25_index_segmented(spark, idx)
+    return (
+        sorted(tuple(r) for r in p.collect()),
+        sorted(tuple(r) for r in l.collect()),
+        [tuple(r) for r in s.collect()],
+    )
+
+
+def test_compaction_crash_at_every_step_is_recoverable(spark, tmp_path):
+    """ADVICE r8 #1: the segs/ swap inside compaction gets the same
+    exhaustive crash-point treatment as the artifact install. At every
+    prefix of compaction's filesystem ops the invariants hold: (a) serve
+    (read_bm25_index_segmented) answers with the complete pre- or
+    post-compaction index — never raises, never a mixture; (b) a replayed
+    epoch is skipped, not fatal; (c) a fresh maintain epoch applies; and
+    (d) a subsequent compact converges to one segment. Before the fix,
+    the segs-parked state made serve AND every later epoch raise
+    PATH_NOT_FOUND until manual repair."""
+    import shutil as _sh
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        compact_bm25_segments,
+    )
+
+    # reference: the serve every crash state must reproduce (plus seg_5)
+    ref_idx, docs, _ = _seed_segmented_bm25(spark, tmp_path / "ref")
+    want_pre = _serve_bm25(spark, ref_idx)
+
+    # compaction's op sequence after the marker install:
+    #   1. write merged seg at __compacting_segs (scratch, invisible)
+    #   2. rename(segs, segs__prev)      } the two-rename swap
+    #   3. rename(__compacting_segs, segs)
+    #   4. delete(segs__prev)
+    for crash_after in range(0, 5):
+        d = tmp_path / f"crash{crash_after}"
+        d.mkdir()
+        idx, docs, sink = _seed_segmented_bm25(spark, d)
+        segs, prev, scratch = (
+            f"{idx}/segs",
+            f"{idx}/segs__prev",
+            f"{idx}/__compacting_segs",
+        )
+        if crash_after >= 1:
+            # run the REAL compaction, then rewind its tail ops to the
+            # crash state — the merged content is the protocol's own, and
+            # the pre-compaction segment set comes from an identically
+            # seeded twin (the build is deterministic)
+            pre_segs = str(tmp_path / f"presegs{crash_after}")
+            _sh.copytree(segs, pre_segs)
+            n = compact_bm25_segments(spark, idx)
+            assert n == 2
+            if crash_after == 1:  # scratch written, swap not started
+                _sh.copytree(segs, scratch)
+                _sh.rmtree(segs)
+                _sh.copytree(pre_segs, segs)
+            elif crash_after == 2:  # segs parked, replacement not in
+                _sh.copytree(segs, scratch)
+                _sh.rmtree(segs)
+                _sh.copytree(pre_segs, prev)
+            elif crash_after == 3:  # replacement in, stale park remains
+                _sh.copytree(pre_segs, prev)
+            # crash_after == 4: completed compaction, nothing to rewind
+        # invariant (a): serve answers the complete index RIGHT NOW
+        assert _serve_bm25(spark, idx) == want_pre, f"crash point {crash_after}"
+        # invariant (b): replay of an applied epoch is skipped, not fatal
+        sink(docs([(3, "streamed data epoch zero")]), 0)
+        assert _serve_bm25(spark, idx) == want_pre
+        # invariant (c): a fresh epoch applies cleanly
+        sink(docs([(5, "post crash epoch")]), 5)
+        after = _serve_bm25(spark, idx)
+        assert len(after[1]) == len(want_pre[1]) + 1
+        # invariant (d): compaction completes from this state
+        compact_bm25_segments(spark, idx)
+        assert _serve_bm25(spark, idx) == after
+        assert not os.path.exists(prev)
+        assert not os.path.exists(scratch)
+        assert sorted(os.listdir(f"{idx}/segs")) == ["seg_base"]
