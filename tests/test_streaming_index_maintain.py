@@ -811,3 +811,103 @@ def test_bucketed_cdc_all_null_event_time_batch_is_noop(spark, tmp_path):
     # a later epoch with real event times applies normally
     sink(_ops(spark, [(3, "2024-03-01 10:00:00", 3, 35.0, "U")]), 1)
     assert any(r[1] == 35.0 for r in _snap(spark, buck_t) if r[0] == 3)
+
+
+# ------------------------------------------------- r9: quantizer retrain --
+
+
+def test_ivf_pq_retrain_recovers_recall_and_preserves_membership(spark, tmp_path):
+    """The cadence-retrain seam: after a distribution-shifted block
+    streams in through the frozen quantizer, retraining on the current
+    corpus must (a) keep the index membership identical, (b) not lose
+    recall on shifted queries (strictly improves on this fixture), and
+    (c) keep skipping replays of pre-retrain epochs (the marker carries
+    forward through the root swap)."""
+    from s3_to_redshift_with_airflow_spark.operators.clustering import (
+        ivf_pq_index_search,
+    )
+    from s3_to_redshift_with_airflow_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_ivf_pq_maintain_segmented,
+        ivf_pq_index_retrain,
+        read_ivf_pq_index_segmented,
+        seed_ivf_pq_index_segmented,
+    )
+
+    kw = dict(n_probe=2, km_k=8, km_iter=2, m_subspaces=4, k_centroids=8,
+              pq_iter=2, dim=8)
+    base = _emb(spark, 50, 250)
+    shifted = _emb(spark, 0, 50).select(
+        "vec_id", F.transform("embedding", lambda x: x + 6.0).alias("embedding")
+    )
+    corpus = base.unionByName(shifted)
+    idx = str(tmp_path / "ivfidx")
+    seed_ivf_pq_index_segmented(base, idx, **kw)
+    sink = foreach_batch_ivf_pq_maintain_segmented(idx, m_subspaces=4, dim=8)
+    sink(shifted, 0)
+    queries = shifted.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(corpus, queries, k=5).select("query_id", "vec_id")
+
+    def recall_hits():
+        s = read_ivf_pq_index_segmented(spark, idx)
+        approx = ivf_pq_index_search(
+            s["lists"], s["centroids"], s["codes"], s["codebook"],
+            corpus, queries, k=5, n_probe=3, m_subspaces=4, dim=8,
+        )
+        return approx.join(exact, ["query_id", "vec_id"], "left_semi").count()
+
+    def members():
+        return sorted(
+            r[0]
+            for r in read_ivf_pq_index_segmented(spark, idx)["lists"]
+            .select("vec_id")
+            .collect()
+        )
+
+    before_members = members()
+    frozen_hits = recall_hits()
+    ivf_pq_index_retrain(spark, idx, corpus, **kw)
+    assert members() == before_members  # membership preserved exactly
+    assert recall_hits() >= frozen_hits  # recall never lost
+    assert os.listdir(f"{idx}/segs") == ["seg_base"]  # segments absorbed
+    # (c) pre-retrain epoch replay: skipped by the carried-forward marker
+    pre = members()
+    sink(shifted, 0)
+    assert members() == pre
+    # fresh epochs still apply against the retrained quantizer
+    sink(_emb(spark, 300, 310), 1)
+    assert len(members()) == len(pre) + 10
+
+
+def test_ivf_pq_retrain_crash_in_root_swap_is_recoverable(spark, tmp_path):
+    """A crash inside the retrain's whole-root swap parks the complete
+    old index at root__prev: serve resolves the park, and the next
+    maintain epoch restores it before publishing."""
+    import shutil as _sh
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_ivf_pq_maintain_segmented,
+        read_ivf_pq_index_segmented,
+        seed_ivf_pq_index_segmented,
+    )
+
+    kw = dict(n_probe=2, km_k=4, km_iter=1, m_subspaces=4, k_centroids=4,
+              pq_iter=1, dim=8)
+    idx = str(tmp_path / "ivfidx")
+    seed_ivf_pq_index_segmented(_emb(spark, 20, 80), idx, **kw)
+    sink = foreach_batch_ivf_pq_maintain_segmented(idx, m_subspaces=4, dim=8)
+    sink(_emb(spark, 0, 10), 0)
+
+    def snap():
+        s = read_ivf_pq_index_segmented(spark, idx)
+        return sorted(tuple(r) for r in s["lists"].collect())
+
+    want = snap()
+    _sh.move(idx, idx + "__prev")  # crash inside the root swap window
+    assert snap() == want  # serve resolves the parked root
+    sink(_emb(spark, 10, 15), 1)  # next epoch restores + applies
+    assert os.path.exists(f"{idx}/segs/seg_1")
+    assert not os.path.exists(idx + "__prev")
+    assert len(snap()) == len(want) + 5
