@@ -187,6 +187,16 @@ HEADLINE = [
     # (stored index reused; the allowed-set prune + probe decision are
     # the timed serve cost)
     "filtered_ivf_pq_ann_topk",
+    # round-9: join-view maintenance against a CHANGING SCD2 dimension —
+    # two real fact-stream epochs interleaved with a CDC dimension epoch,
+    # every fact joined as-of its own event time (self-contained row:
+    # seeding + both streams + the CDC apply are inside the timed window).
+    # ivf_pq_index_retrain is deliberately NOT a headline row: it is a
+    # cadence lifecycle op whose cost ceiling is the build slot already
+    # measured (ivf_pq_index_build) plus two recall measurements — ~30 s
+    # x4 runs would dominate bench wall-clock without new plan
+    # information; its per-round timing lands in CORRECTNESS_LOCAL.
+    "streaming_join_view_scd2_maintain",
 ]
 
 

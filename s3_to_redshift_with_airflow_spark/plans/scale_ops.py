@@ -6378,6 +6378,144 @@ def q_streaming_join_view_maintain(spark: SparkSession, sf_dir: str) -> DataFram
     return out
 
 
+_JV2_T0 = "1990-01-01"  # the seed dimension version's valid_from
+_JV2_T2 = "1998-01-01"  # the dimension update's effective time (mid-corpus)
+
+# the oracle is the BATCH AS-OF RECOMPUTE: every order joined against the
+# dimension version whose [valid_from, valid_to) interval covers its
+# order date, over the FINAL SCD2 history
+_SQL_JV2_ASOF = f"""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '{_JV2_T0}' AS valid_from,
+             CASE WHEN c_custkey % 10 = 0 THEN TIMESTAMP '{_JV2_T2}' END
+               AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'MOVED', TIMESTAMP '{_JV2_T2}',
+             CAST(NULL AS TIMESTAMP)
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT o.o_orderkey, o.o_custkey, d.c_mktsegment,
+           CAST(o.o_totalprice AS DOUBLE) AS total_price,
+           d.valid_from AS dim_valid_from
+    FROM orders o JOIN dim d ON d.c_custkey = o.o_custkey
+      AND d.valid_from <= o.o_orderdate
+      AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    ORDER BY o_orderkey
+"""
+
+
+@query("streaming_join_view_scd2_maintain", oracle=_SQL_JV2_ASOF)
+def q_streaming_join_view_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view maintenance composed with a CHANGING dimension (VERDICT
+    r8 #4 — the full streaming denormalization story): the dimension is
+    an SCD2 history store maintained by the CDC consumer; fact epochs
+    interleave with a dimension update, and each fact epoch's delta joins
+    AS-OF its own event time via
+    streaming.pipeline.foreach_batch_join_view_scd2_maintain, so a fact
+    dated before the update carries the old attributes and one dated
+    after carries the new — even though both were processed against
+    different dimension states. Timeline driven here: fact epoch 0
+    (pre-cutoff orders, a real availableNow stream) → dimension CDC
+    epoch (customers c_custkey%10==0 move segment, effective at the
+    cutoff, applied through the CDC consumer's sink) → fact epoch 1
+    (post-cutoff orders, the SAME checkpoint restarted — epoch ids
+    continue). Carries the batch as-of recompute over the FINAL history
+    as its exact oracle: maintain-with-interleaving == recompute, row
+    for row including each row's joined-version valid_from — the
+    dim-before-fact ordering contract makes SCD2 closes append-only in
+    version space, so earlier epochs' joins are never invalidated."""
+    import glob as _glob
+    import shutil as _sh
+    import tempfile
+
+    from ..session import ensure_utc
+    from ..streaming.pipeline import (
+        foreach_batch_cdc_scd2,
+        foreach_batch_join_view_scd2_maintain,
+        read_join_view_segments,
+        stream_source,
+    )
+
+    ensure_utc(spark)
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    t2 = F.lit(_JV2_T2).cast("timestamp")
+    base = tempfile.mkdtemp(prefix="stream_jv2_")
+    dim_store, view_dir = f"{base}/dim", f"{base}/view"
+    staging = tempfile.mkdtemp(prefix="jv2_facts_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_jv2_")
+    # seed the SCD2 dimension: one open version per customer
+    customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(_JV2_T0).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    ).write.parquet(dim_store)
+    facts = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        F.col("o_totalprice").cast("double").alias("total_price"),
+    )
+
+    def stage(df: DataFrame, name: str) -> None:
+        tmpd = tempfile.mkdtemp(prefix="jv2_stage_")
+        df.coalesce(1).write.parquet(f"{tmpd}/out")
+        _sh.copy(_glob.glob(f"{tmpd}/out/part-*.parquet")[0], f"{staging}/{name}.parquet")
+
+    sink = foreach_batch_join_view_scd2_maintain(
+        view_dir,
+        dim_store,
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        dim_cols=["c_mktsegment"],
+        event_time_col="o_orderdate",
+    )
+
+    def run_stream() -> None:
+        src = stream_source(spark, staging, facts.schema, watermark=None)
+        (
+            src.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+
+    # fact epoch 0: pre-cutoff orders join the seed dimension version
+    stage(facts.filter(F.col("o_orderdate") < t2), "epoch_a")
+    run_stream()
+    # dimension CDC epoch (the dim-before-fact ordering contract): movers
+    # get a new version effective at the cutoff, applied through the CDC
+    # consumer's own sink (its streaming drive is streaming_cdc_scd2's row)
+    ops = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        t2.alias("ts"),
+        F.lit(1).cast("bigint").alias("event_id"),
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.lit("U").alias("op"),
+    )
+    foreach_batch_cdc_scd2(
+        dim_store,
+        keys=["c_custkey"],
+        attrs=["c_mktsegment"],
+        order_cols=["ts", "event_id"],
+        effective_for=lambda _e: _JV2_T2,
+    )(ops, 0)
+    # fact epoch 1: post-cutoff orders, SAME checkpoint — as-of their times
+    stage(facts.filter(F.col("o_orderdate") >= t2), "epoch_b")
+    run_stream()
+    return (
+        read_join_view_segments(spark, view_dir)
+        .select(
+            "o_orderkey", "o_custkey", "c_mktsegment", "total_price",
+            "dim_valid_from",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 # --- quantiles served from the stored histogram sketch ---------------------
 
 _HQ_PCTS = (50, 95)  # the monitoring pair every latency/value dashboard asks

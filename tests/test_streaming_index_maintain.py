@@ -911,3 +911,89 @@ def test_ivf_pq_retrain_crash_in_root_swap_is_recoverable(spark, tmp_path):
     assert os.path.exists(f"{idx}/segs/seg_1")
     assert not os.path.exists(idx + "__prev")
     assert len(snap()) == len(want) + 5
+
+
+# -------------------------------------- r9: join view x SCD2 dimension --
+
+
+def test_join_view_scd2_asof_interleaved_equals_recompute(spark, tmp_path):
+    """Fact epochs interleaved with a dimension update: each fact joins
+    the dimension version effective at ITS event time, and the final view
+    equals the batch as-of join over the final history."""
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_cdc_scd2,
+        foreach_batch_join_view_scd2_maintain,
+        read_join_view_segments,
+    )
+
+    dim_store = str(tmp_path / "dim")
+    view_dir = str(tmp_path / "view")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, attr string"
+    ).select(
+        "k", "attr",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    ).write.parquet(dim_store)
+    facts = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "fid long, k long, ts string"
+    ).select("fid", "k", F.col("ts").cast("timestamp").alias("ts"))
+    sink = foreach_batch_join_view_scd2_maintain(
+        view_dir, dim_store, fact_key="k", dim_key="k",
+        dim_cols=["attr"], event_time_col="ts",
+    )
+    # epoch 0: both facts predate any update -> seed versions
+    sink(facts([(10, 1, "2023-01-01"), (11, 2, "2023-06-01")]), 0)
+    # dimension update: key 1 -> 'a2', effective 2024-01-01
+    ops = spark.createDataFrame(
+        [(1, "2024-01-01", 1, "a2", "U")],
+        "k long, ts string, event_id long, attr string, op string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "event_id", "attr", "op")
+    foreach_batch_cdc_scd2(
+        dim_store, keys=["k"], attrs=["attr"], order_cols=["ts", "event_id"],
+        effective_for=lambda _e: "2024-01-01",
+    )(ops, 0)
+    # epoch 1: one fact BEFORE the update's effective time (old version),
+    # one after (new version) — both processed against the updated store
+    sink(facts([(12, 1, "2023-12-31"), (13, 1, "2024-02-01")]), 1)
+    got = sorted(
+        tuple(r)
+        for r in read_join_view_segments(spark, view_dir)
+        .select("fid", "k", "attr")
+        .collect()
+    )
+    assert got == [(10, 1, "a"), (11, 2, "b"), (12, 1, "a"), (13, 1, "a2")]
+    # replay of epoch 1 is skipped (segment presence)
+    sink(facts([(12, 1, "2023-12-31"), (13, 1, "2024-02-01")]), 1)
+    assert read_join_view_segments(spark, view_dir).count() == 4
+
+
+def test_join_view_scd2_serves_dim_parked_by_cdc_crash(spark, tmp_path):
+    """A CDC-consumer crash inside ITS swap window parks the dimension at
+    dim__prev; the join-view sink must keep serving from the park (its
+    dim read resolves through _store_path)."""
+    import shutil as _sh
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_join_view_scd2_maintain,
+        read_join_view_segments,
+    )
+
+    dim_store = str(tmp_path / "dim")
+    view_dir = str(tmp_path / "view")
+    spark.createDataFrame([(1, "a")], "k long, attr string").select(
+        "k", "attr",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    ).write.parquet(dim_store)
+    _sh.move(dim_store, dim_store + "__prev")  # crash inside the CDC swap
+    sink = foreach_batch_join_view_scd2_maintain(
+        view_dir, dim_store, fact_key="k", dim_key="k",
+        dim_cols=["attr"], event_time_col="ts",
+    )
+    facts = spark.createDataFrame([(10, 1, "2023-01-01")], "fid long, k long, ts string").select(
+        "fid", "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    sink(facts, 0)
+    got = [tuple(r) for r in read_join_view_segments(spark, view_dir).select("fid", "k", "attr").collect()]
+    assert got == [(10, 1, "a")]
