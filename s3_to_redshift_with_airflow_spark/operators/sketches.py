@@ -115,14 +115,18 @@ def bloom_bitmap(keys: DataFrame, key_col: str, n_bits: int, k_hashes: int) -> D
     )
 
 
-def bloom_member(key: F.Column, n_bits: int, k_hashes: int) -> F.Column:
+def bloom_member(key: F.Column, n_bits, k_hashes: int) -> F.Column:
     """Membership test against a packed `bloom_bitmap` row: true iff all
     k bit positions for `key` are set in the `arr` column (which must be
     in scope — broadcast-joined alongside the probe rows). Zero false
     negatives by construction: a key that was fed to `bloom_bitmap` under
     the same (n_bits, k_hashes) ALWAYS passes, so a non-member verdict is
     proof of absence — the property the segmented index maintainers'
-    O(delta) disjointness probe rests on (streaming/pipeline.py)."""
+    O(delta) disjointness probe rests on (streaming/pipeline.py).
+
+    `n_bits` may be an int (one filter) or a Column — pass
+    `F.size("arr") * 32` when probing rows of DIFFERENTLY-SIZED bitmaps
+    (the segment stores size each bitmap to its segment's cardinality)."""
 
     def _bit_ok(j: int) -> F.Column:
         p = _bloom_pos(key, j, n_bits)

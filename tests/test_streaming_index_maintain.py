@@ -718,58 +718,69 @@ def test_auto_compaction_bounds_segment_count(spark, tmp_path):
     assert sorted(map(tuple, l.collect())) == sorted(map(tuple, bl.collect()))
 
 
-def test_bloom_probe_bytes_independent_of_index_size(spark, tmp_path):
-    """The measured point for VERDICT r8 #1: the disjointness probe reads
-    the per-segment id bitmaps (fixed 4 KiB of words each), NOT the union
-    doclens — so probe input bytes are flat while the index grows 10x."""
+def test_bloom_probe_localizes_suspects_and_scales(spark, tmp_path):
+    """The measured point for VERDICT r8 #1, under the three-tier probe:
+    a range-disjoint delta (monotone ids — the production norm) is
+    proven by segment (id_min, id_max) metadata alone; an interleaved
+    but disjoint delta is proven by the per-segment bitmaps; an
+    overlapping delta names exactly the segment(s) it overlaps, so the
+    exact fallback scans one segment, not the union; and each bitmap's
+    bytes track its own segment's cardinality (32 bits/key, capped),
+    not the index."""
     from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
-        _SEG_BLOOM_BITS as _SEG_BLOOM_BITS_TEST,
-        _bloom_proves_disjoint,
+        _SEG_BLOOM_BITS_PER_KEY,
+        _SEG_BLOOM_MAX_BITS,
+        _bloom_suspect_segments,
         _path_bytes,
+        foreach_batch_bm25_maintain_segmented,
         seed_bm25_index_segmented,
     )
 
-    sizes = {}
-    # sizes stay inside the bitmap's design capacity (~13k ids at ~1% FP);
-    # far beyond it the filter saturates and every probe honestly reports
-    # cannot-prove (exact fallback — degraded cost, never wrong)
-    for name, n_docs in (("small", 1_000), ("large", 10_000)):
-        idx = str(tmp_path / name)
-        docs = spark.range(n_docs).select(
-            F.col("id").alias("doc_id"),
-            F.concat(F.lit("document body token"), (F.col("id") % 97).cast("string")).alias("text"),
-        )
-        seed_bm25_index_segmented(docs, idx)
-        sizes[name] = (
-            _path_bytes(spark, f"{idx}/segs/seg_base/idbloom"),
-            _path_bytes(spark, f"{idx}/segs/seg_base/doclens"),
-        )
-        # not 10_000: that id happens to be one of the filter's ~2% false
-        # positives at the large size (deterministic, verified) — a hit
-        # would be an honest cannot-prove, not a wrong answer
-        fresh = spark.range(10_001, 10_006).select(F.col("id").alias("doc_id"))
-        assert _bloom_proves_disjoint(spark, f"{idx}/segs", fresh, "doc_id")
-        overlap = spark.range(3, 5).select(F.col("id").alias("doc_id"))
-        assert not _bloom_proves_disjoint(spark, f"{idx}/segs", overlap, "doc_id")
-    bloom_small, doclens_small = sizes["small"]
-    bloom_large, doclens_large = sizes["large"]
-    assert doclens_large > doclens_small * 3  # the index genuinely grew
-    # the probe input is CAPPED at the bitmap's packed size (2^17 bits =
-    # 16 KiB + parquet framing; sparser bitmaps compress below it) — at
-    # any index size the probe reads <= this per segment, while the old
-    # union-doclens probe scaled with the corpus
-    cap = (_SEG_BLOOM_BITS_TEST // 8) * 2
-    assert bloom_small <= cap and bloom_large <= cap
+    # EVEN doc ids, so interleaved-but-absent (odd) ids exist
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        (F.col("id") * 2).alias("doc_id"),
+        F.concat(
+            F.lit("document body token"), (F.col("id") % 97).cast("string")
+        ).alias("text"),
+    )
+    idx = str(tmp_path / "segidx")
+    seed_bm25_index_segmented(mk(0, 20_000), idx)  # a BIG base segment
+    sink = foreach_batch_bm25_maintain_segmented(idx)
+    sink(mk(20_000, 20_100), 0)
+    sink(mk(20_100, 20_200), 1)
+    segs = f"{idx}/segs"
+    # tier 1: a monotone delta beyond every segment's id range is proven
+    # disjoint from metadata alone (no bitmap pages read)
+    fresh = spark.range(80_000, 80_500).select(F.col("id").alias("doc_id"))
+    assert _bloom_suspect_segments(spark, segs, fresh, "doc_id") == []
+    # tier 2: odd ids interleave every segment's range but hit no bitmap
+    # — proven disjoint even against the 20k-id base segment (the
+    # fixed-size union-OR design this replaces was measured reporting
+    # false hits on every epoch at this size)
+    odd = spark.range(250).select((F.col("id") * 2 + 1).alias("doc_id"))
+    assert _bloom_suspect_segments(spark, segs, odd, "doc_id") == []
+    # tier 3 localization: exactly the overlapped segment is named
+    in_seg0 = spark.range(20_025, 20_030).select((F.col("id") * 2).alias("doc_id"))
+    assert _bloom_suspect_segments(spark, segs, in_seg0, "doc_id") == ["seg_0"]
+    in_base = spark.range(3, 13).select((F.col("id") * 2).alias("doc_id"))
+    assert _bloom_suspect_segments(spark, segs, in_base, "doc_id") == ["seg_base"]
+    # bitmap bytes track the SEGMENT's cardinality (capped), not the index
+    base_bytes = _path_bytes(spark, f"{segs}/seg_base/idbloom")
+    seg0_bytes = _path_bytes(spark, f"{segs}/seg_0/idbloom")
+    assert seg0_bytes < base_bytes  # small segment, small bitmap
+    assert base_bytes <= _SEG_BLOOM_MAX_BITS // 8 + 10_000
+    assert base_bytes <= 2 * (20_000 * _SEG_BLOOM_BITS_PER_KEY // 8) + 10_000
 
 
 def test_legacy_segment_without_bloom_falls_back_to_exact(spark, tmp_path):
     """A store seeded before the bitmap existed: the probe reports
-    cannot-prove and the maintainer runs the exact semi-join — same
-    correctness, pre-fix cost. Compaction then UPGRADES the store."""
+    cannot-localize (None) and the maintainer runs the exact union
+    semi-join — same correctness, pre-fix cost. Compaction then UPGRADES
+    the store."""
     import shutil as _sh
 
     from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
-        _bloom_proves_disjoint,
+        _bloom_suspect_segments,
         compact_bm25_segments,
         foreach_batch_bm25_maintain_segmented,
         seed_bm25_index_segmented,
@@ -779,14 +790,14 @@ def test_legacy_segment_without_bloom_falls_back_to_exact(spark, tmp_path):
     seed_bm25_index_segmented(_docs(spark, [(1, "legacy doc")]), idx)
     _sh.rmtree(f"{idx}/segs/seg_base/idbloom")  # simulate a legacy store
     fresh = spark.range(100, 102).select(F.col("id").alias("doc_id"))
-    assert not _bloom_proves_disjoint(spark, f"{idx}/segs", fresh, "doc_id")
+    assert _bloom_suspect_segments(spark, f"{idx}/segs", fresh, "doc_id") is None
     sink = foreach_batch_bm25_maintain_segmented(idx)
     sink(_docs(spark, [(2, "new doc")]), 0)  # exact fallback path, applies
     with pytest.raises(ValueError, match="already indexed"):
         sink(_docs(spark, [(1, "legacy id reused")]), 1)
     assert compact_bm25_segments(spark, idx) == 1
     assert os.path.exists(f"{idx}/segs/seg_base/idbloom")  # upgraded
-    assert _bloom_proves_disjoint(spark, f"{idx}/segs", fresh, "doc_id")
+    assert _bloom_suspect_segments(spark, f"{idx}/segs", fresh, "doc_id") == []
 
 
 def test_bucketed_cdc_all_null_event_time_batch_is_noop(spark, tmp_path):
