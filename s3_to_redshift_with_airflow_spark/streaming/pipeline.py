@@ -867,10 +867,60 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return P(path).getFileSystem(conf), P
 
 
+def _manifest_segments(spark: SparkSession, segs_dir: str) -> list[str] | None:
+    """The manifest-listed live segment names, or None for a glob-mode
+    store (one without a `_manifest` — seeds write one; stores created
+    before it existed, or grown maintainer-first without a seed, serve
+    by directory listing until a compaction upgrades them). The manifest
+    is what makes PARTIAL (tiered) merges crash-safe: readers see only
+    listed segments, so a merged segment can be published invisibly and
+    revealed in the same atomic step that retires its constituents — no
+    window where both are served (the double-count window a dir-glob
+    reader cannot avoid). Lucene's segments_N file, on parquet."""
+    fs, P = _hadoop_fs(spark, segs_dir)
+    m = _store_path(spark, f"{segs_dir}/_manifest")
+    if not fs.exists(P(m)):
+        return None
+    return sorted(r["seg"] for r in spark.read.parquet(m).collect())
+
+
+def _write_manifest(spark: SparkSession, segs_dir: str, names: list[str]) -> None:
+    """Atomically install the manifest listing exactly `names` (two-
+    rename _install; `_manifest_segments` resolves a mid-swap park)."""
+    if not names:
+        raise ValueError("refusing to write an empty segment manifest")
+    tmp = f"{segs_dir}/__manifest_next"
+    # range+explode(lits), not createDataFrame: the local-relation path
+    # ships rows through a Python worker (the _write_then_swap note)
+    (
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(n) for n in sorted(names)])).alias("seg"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    _install(spark, tmp, f"{segs_dir}/_manifest")
+
+
+def _manifest_add(spark: SparkSession, segs_dir: str, name: str) -> None:
+    """Add a just-published segment to the manifest. No-op for glob-mode
+    stores (presence IS visibility there) and for names already listed —
+    the idempotence the replay-repair path relies on."""
+    names = _manifest_segments(spark, segs_dir)
+    if names is None or name in names:
+        return
+    _write_manifest(spark, segs_dir, [*names, name])
+
+
 def _live_segments(spark: SparkSession, segs_dir: str) -> list[str]:
-    """Names of the live segment dirs under `segs_dir` (seg_base,
-    seg_<epoch>, ...), skipping hidden/scratch entries. Cost: one
-    directory listing — O(segment count), never O(index size)."""
+    """Names of the live segments under `segs_dir`: the manifest list
+    when one exists (orphan dirs awaiting GC or replay-repair are NOT
+    live), else the directory listing (glob-mode store), skipping
+    hidden/scratch entries. Cost: one metadata read — O(segment count),
+    never O(index size)."""
+    names = _manifest_segments(spark, segs_dir)
+    if names is not None:
+        return names
     fs, P = _hadoop_fs(spark, segs_dir)
     d = P(segs_dir)
     if not fs.exists(d):
@@ -882,14 +932,25 @@ def _live_segments(spark: SparkSession, segs_dir: str) -> list[str]:
     )
 
 
+_SEG_NAME_RE = None  # compiled lazily below
+
+
+def _seg_epoch(name: str) -> int:
+    """The epoch a segment name carries: seg_<e> (a published epoch) or
+    seg_m<e>[_k] (a tiered merge covering epochs ≤ e); -1 for seg_base /
+    unparseable."""
+    import re
+
+    global _SEG_NAME_RE
+    if _SEG_NAME_RE is None:
+        _SEG_NAME_RE = re.compile(r"seg_m?(\d+)(?:_\d+)?")
+    m = _SEG_NAME_RE.fullmatch(name)
+    return int(m.group(1)) if m else -1
+
+
 def _max_seg_epoch(names: list[str]) -> int:
-    """Largest epoch id among seg_<epoch> names (-1 if only seg_base)."""
-    out = -1
-    for n in names:
-        tail = n.rsplit("_", 1)[-1]
-        if n.startswith("seg_") and tail.isdigit():
-            out = max(out, int(tail))
-    return out
+    """Largest epoch id among the names (-1 if only seg_base)."""
+    return max((_seg_epoch(n) for n in names), default=-1)
 
 
 def _compacted_through(spark: SparkSession, root: str) -> int:
@@ -986,7 +1047,9 @@ def _bloom_suspect_segments(
         return []  # empty store: trivially disjoint
     if not all(fs.exists(P(f"{segs_dir}/{n}/idbloom")) for n in names):
         return None  # legacy segment without a bitmap: cannot localize
-    raw = spark.read.parquet(f"{segs_dir}/*/idbloom")
+    # explicit per-name paths, not a glob: a manifest store may hold
+    # orphan dirs (merged away, GC pending) whose bitmaps must not probe
+    raw = spark.read.parquet(*[f"{segs_dir}/{n}/idbloom" for n in names])
     if not {"k", "id_min", "id_max"}.issubset(raw.columns):
         return None  # pre-range bitmap format: cannot probe it
     seg_of = F.element_at(F.split(F.input_file_name(), "/"), -3)
@@ -1032,46 +1095,135 @@ def _bloom_suspect_segments(
 def _segment_replay_applied(
     spark: SparkSession, root: str, epoch_id: int, fs, P
 ) -> bool:
-    """The segmented stores' replay gate: epoch applied iff its segment
-    dir is live OR the epoch is at/below the compaction marker (its
-    segment was merged away — still applied)."""
-    if fs.exists(P(f"{root}/segs/seg_{int(epoch_id)}")):
+    """The segmented stores' replay gate: epoch applied iff it is
+    at/below the compaction marker (segment merged away — still applied)
+    OR its segment dir exists. Marker FIRST: a merged-away orphan dir
+    awaiting GC must not be repaired back into the manifest. A dir that
+    exists above the marker gets `_manifest_add` — the repair for a
+    crash between segment publish and manifest commit (the re-delivered
+    epoch makes the already-published segment visible instead of
+    re-writing it; segment content is deterministic, so the dir is
+    complete). No-op on glob-mode stores."""
+    if epoch_id <= _compacted_through(spark, root):
         return True
-    return epoch_id <= _compacted_through(spark, root)
+    seg_name = f"seg_{int(epoch_id)}"
+    if fs.exists(P(f"{root}/segs/{seg_name}")):
+        _manifest_add(spark, f"{root}/segs", seg_name)
+        return True
+    return False
 
 
-def _compact_segment_store(spark: SparkSession, root: str, write_merged) -> int:
-    """The shared compaction protocol (one merge tier, all live segments
-    → seg_base): recover a `segs/` parked by a crash inside a previous
-    compaction's swap window (ADVICE r8 #1 — without this, compact
-    early-returned 0 on the missing dir and never reached _install's
-    restore), advance the max-compacted-epoch marker, fully materialize
-    the merged segment at a scratch dir via `write_merged(tmp)` (which
-    must create `{tmp}/seg_base/...`; its scans of the live segments run
-    during the write, strictly before any rename), then swap `segs/` with
-    the two-rename install — readers see the old segment set or the
-    compacted one, never a mixture.
+def _gc_orphan_segments(spark: SparkSession, root: str) -> None:
+    """Delete segment dirs a crashed PARTIAL compaction left behind —
+    present on disk but not in the manifest: constituents whose delete
+    step didn't finish (their epochs are ≤ the marker, written first) and
+    merged seg_m dirs published before the manifest swap crashed. A
+    seg_<e> dir with e ABOVE the marker is NOT garbage — it is a
+    published epoch awaiting the replay repair (`_segment_replay_applied`
+    re-lists it) — and stays. Glob-mode stores have no manifest and no
+    orphans (their only compaction is the whole-dir swap)."""
+    segs_dir = f"{root}/segs"
+    manifest = _manifest_segments(spark, segs_dir)
+    if manifest is None:
+        return
+    fs, P = _hadoop_fs(spark, segs_dir)
+    d = P(segs_dir)
+    if not fs.exists(d):
+        return
+    mark = _compacted_through(spark, root)
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")) or name in manifest:
+            continue
+        ep = _seg_epoch(name)
+        if name.startswith("seg_m") or (0 <= ep <= mark):
+            fs.delete(st.getPath(), True)
 
-    MARKER BEFORE SWAP is the crash-safe order: a crash between the two
-    leaves the marker claiming epochs ≤ E compacted while their segments
-    are still individually live — harmless (those epochs ARE applied;
-    replays skip either way; serve reads the same union; the next compact
-    re-runs). The reverse order would leave merged-away epochs
-    unrecognized — exactly the ADVICE r8 #3 stream-killer.
+
+def _compact_segment_store(
+    spark: SparkSession, root: str, write_merged, tiered: bool = False
+) -> int:
+    """The shared compaction protocol. Two modes:
+
+    ALL-MERGE (default; the only mode for glob stores): every live
+    segment merges into one seg_base, fully materialized at a scratch
+    dir by `write_merged(tmp, names, "seg_base")` together with a fresh
+    one-line manifest, then the WHOLE `segs/` dir swaps via the
+    two-rename install — readers see the old set or the compacted one,
+    never a mixture, and a glob-mode store is UPGRADED to manifest mode
+    by the swap.
+
+    TIERED (manifest stores; what the maintainers' auto-trigger uses):
+    the size-tiered merge policy — segments holding more than half the
+    store's bytes are EXCLUDED (the giant seg_base is never rewritten to
+    absorb a day of epochs), the rest merge into one seg_m<maxepoch>
+    published INVISIBLY (not yet in the manifest), revealed and retired
+    in ONE atomic manifest swap, constituents deleted after. Amortized
+    per-epoch compaction cost is O(delta · tiers), not the all-merge's
+    O(index/trigger-interval); when the merged tier grows comparable to
+    the base, the >half rule stops excluding it and the policy
+    escalates to a natural full merge.
+
+    Crash safety in both modes: recover a parked `segs/` first (ADVICE
+    r8 #1), GC manifest orphans, and advance the max-compacted-epoch
+    marker BEFORE any visible mutation — a crash leaves either the old
+    manifest (constituents still listed and live; the invisible merged
+    dir is ≤-marker garbage, GC'd next time) or the new one (orphan
+    constituents ≤ marker, GC'd next time); replays of merged-away
+    epochs skip on the marker either way (ADVICE r8 #3). The reverse
+    order would leave merged-away epochs unrecognized — the
+    stream-killer.
 
     Returns the number of segments merged away (0 = nothing to do)."""
     segs_dir = f"{root}/segs"
     _recover_parked(spark, segs_dir)
-    names = _live_segments(spark, segs_dir)
+    fs, P = _hadoop_fs(spark, segs_dir)
+    _gc_orphan_segments(spark, root)
+    manifest = _manifest_segments(spark, segs_dir)
+    names = manifest if manifest is not None else _live_segments(spark, segs_dir)
     if len(names) <= 1:
         return 0
+    if tiered and manifest is not None:
+        sizes = {n: _path_bytes(spark, f"{segs_dir}/{n}") for n in names}
+        total = sum(sizes.values())
+        merge_set = sorted(n for n in names if sizes[n] * 2 <= total)
+        if len(merge_set) <= 1:
+            return 0  # one small segment at most: nothing worth merging
+    else:
+        merge_set = list(names)
     new_mark = max(_compacted_through(spark, root), _max_seg_epoch(names))
     if new_mark >= 0:
         _write_compaction_marker(spark, root, new_mark)
     tmp = f"{root}/__compacting_segs"
-    write_merged(tmp)
-    _install(spark, tmp, segs_dir)
-    return len(names) - 1
+    if fs.exists(P(tmp)):
+        fs.delete(P(tmp), True)
+    if len(merge_set) == len(names):
+        # full merge: whole-dir swap (upgrades glob stores to manifest mode)
+        write_merged(tmp, list(names), "seg_base")
+        (
+            spark.range(1)
+            .select(F.lit("seg_base").alias("seg"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/_manifest")
+        )
+        _install(spark, tmp, segs_dir)
+        return len(names) - 1
+    # partial merge: publish invisibly, reveal+retire in one manifest swap
+    top = max(_seg_epoch(n) for n in merge_set)
+    out_name = f"seg_m{top}"
+    gen = 1
+    while out_name in names:  # never collide with a live segment
+        gen += 1
+        out_name = f"seg_m{top}_{gen}"
+    write_merged(tmp, merge_set, out_name)
+    _rename_or_raise(fs, P(f"{tmp}/{out_name}"), P(f"{segs_dir}/{out_name}"))
+    survivors = sorted(set(names) - set(merge_set)) + [out_name]
+    _write_manifest(spark, segs_dir, survivors)
+    for n in merge_set:
+        fs.delete(P(f"{segs_dir}/{n}"), True)
+    fs.delete(P(tmp), True)
+    return len(merge_set) - 1
 
 
 def foreach_batch_bm25_maintain_segmented(
@@ -1093,13 +1245,17 @@ def foreach_batch_bm25_maintain_segmented(
     auto-triggered every `compact_every` live segments when set.
 
     Crash model — simpler than the ledger consumers because segments are
-    immutable: the segment is fully written at a scratch path and
-    published by ONE rename, so a reader never sees a partial segment
-    and a crash leaves only invisible scratch (overwritten on retry).
-    THE SEGMENT DIRECTORY IS THE LEDGER: `seg_N` existing == epoch N
-    applied — and, post-compaction, the max-compacted-epoch marker
-    extends the claim to merged-away segments (ADVICE r8 #3), so an
-    at-least-once replay is skipped in both lifetimes.
+    immutable: the segment is fully written at a scratch path, published
+    by ONE rename, and made reader-visible by the manifest commit
+    (`_manifest_add`; seeds create the manifest, legacy stores without
+    one serve by directory glob). A reader never sees a partial segment;
+    a crash between publish and manifest commit is repaired by the
+    epoch's at-least-once re-delivery (the gate re-lists the complete
+    dir instead of re-writing it). THE SEGMENT DIRECTORY IS THE LEDGER:
+    `seg_N` existing == epoch N applied — and, post-compaction, the
+    max-compacted-epoch marker extends the claim to merged-away
+    segments (ADVICE r8 #3), so an at-least-once replay is skipped in
+    every lifetime.
 
     The per-epoch disjointness probe is O(delta) in steady state, not
     O(index): each segment ships an id Bloom bitmap sized to its own
@@ -1159,9 +1315,12 @@ def foreach_batch_bm25_maintain_segmented(
         _write_segment_bloom(l_new, "doc_id", tmp)
         seg = P(f"{root}/segs/seg_{int(epoch_id)}")
         fs.mkdirs(seg.getParent())
-        _rename_or_raise(fs, P(tmp), seg)  # atomic publish
+        _rename_or_raise(fs, P(tmp), seg)  # publish (invisible until listed)
+        _manifest_add(spark, f"{root}/segs", f"seg_{int(epoch_id)}")
         if compact_every and len(_live_segments(spark, f"{root}/segs")) >= compact_every:
-            compact_bm25_segments(spark, index_dir)
+            # tiered: the giant base is never rewritten to absorb a few
+            # epochs — amortized O(delta · tiers), not O(index/interval)
+            compact_bm25_segments(spark, index_dir, tiered=True)
 
     return _sink
 
@@ -1180,8 +1339,8 @@ def read_bm25_index_segmented(spark: SparkSession, index_dir: str):
     # whole at segs__prev — serve from the park rather than raising
     # PATH_NOT_FOUND until manual repair (ADVICE r8 #1)
     segs = _store_path(spark, f"{root}/segs")
-    postings = spark.read.parquet(f"{segs}/*/postings")
-    doclens = spark.read.parquet(f"{segs}/*/doclens")
+    postings = _read_segment_table(spark, segs, "postings")
+    doclens = _read_segment_table(spark, segs, "doclens")
     stats = doclens.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.expr("sum(len) div count(1)").cast("bigint").alias("avgl"),
@@ -1189,10 +1348,27 @@ def read_bm25_index_segmented(spark: SparkSession, index_dir: str):
     return postings, doclens, stats
 
 
+def _read_segment_table(
+    spark: SparkSession, segs_dir: str, table: str | None, names: list[str] | None = None
+) -> DataFrame:
+    """One scan over a per-segment table across the live segments: the
+    manifest-listed set when the store has one (orphans excluded — the
+    no-double-count contract), the directory glob otherwise. `table` is
+    the subdir inside each segment (None for flat segment dirs); `names`
+    narrows to a subset (compaction's merge set)."""
+    if names is None:
+        names = _manifest_segments(spark, segs_dir)
+    sub = f"/{table}" if table else ""
+    if names is None:
+        return spark.read.parquet(f"{segs_dir}/*{sub}")
+    return spark.read.parquet(*[f"{segs_dir}/{n}{sub}" for n in names])
+
+
 def seed_bm25_index_segmented(docs: DataFrame, index_dir: str) -> None:
     """Batch-side backfill: the standing corpus becomes segment
     `seg_base` (how a deployment seeds before attaching the stream),
-    carrying its id bitmap like every streamed segment."""
+    carrying its id bitmap like every streamed segment, under a fresh
+    one-line manifest."""
     from ..operators.retrieval import bm25_index_build
 
     root = index_dir.rstrip("/")
@@ -1205,35 +1381,40 @@ def seed_bm25_index_segmented(docs: DataFrame, index_dir: str) -> None:
     )
     l.write.mode("overwrite").parquet(f"{root}/segs/seg_base/doclens")
     _write_segment_bloom(l, "doc_id", f"{root}/segs/seg_base")
+    _write_manifest(docs.sparkSession, f"{root}/segs", ["seg_base"])
 
 
-def compact_bm25_segments(spark: SparkSession, index_dir: str) -> int:
-    """Merge ALL live segments into one (the search-engine merge policy,
-    one tier) under `_compact_segment_store`'s crash-safe protocol:
-    recover a parked segs/, advance the max-compacted-epoch marker, write
-    the merged globally-sorted segment (with its id bitmap rebuilt from
-    the union doclens — which also UPGRADES legacy bitmap-less stores),
-    swap. Serve results are bit-identical before and after (postings rows
-    are a set union; stats recompute from the same doclens). Returns the
-    number of segments merged away."""
+def compact_bm25_segments(
+    spark: SparkSession, index_dir: str, tiered: bool = False
+) -> int:
+    """BM25 segment compaction under `_compact_segment_store`'s
+    crash-safe protocol (all-merge by default; `tiered=True` applies the
+    size-tiered policy that never rewrites the giant base). The merged
+    segment keeps the globally-sorted postings layout and rebuilds its
+    id bitmap from the merged doclens — which also UPGRADES legacy
+    bitmap-less stores. Serve results are bit-identical before and after
+    (postings rows are a set union; stats recompute from the same
+    doclens). Returns the number of segments merged away."""
     root = index_dir.rstrip("/")
+    segs = f"{root}/segs"
 
-    def write_merged(tmp: str) -> None:
-        postings, doclens, _ = read_bm25_index_segmented(spark, index_dir)
+    def write_merged(tmp: str, names: list[str], out_name: str) -> None:
+        postings = _read_segment_table(spark, segs, "postings", names)
+        doclens = _read_segment_table(spark, segs, "doclens", names)
         (
             postings.repartitionByRange(F.col("term"))
             .sortWithinPartitions("term", "doc_id")
             .write.mode("overwrite")
-            .parquet(f"{tmp}/seg_base/postings")
+            .parquet(f"{tmp}/{out_name}/postings")
         )
-        doclens.write.mode("overwrite").parquet(f"{tmp}/seg_base/doclens")
+        doclens.write.mode("overwrite").parquet(f"{tmp}/{out_name}/doclens")
         _write_segment_bloom(
-            spark.read.parquet(f"{tmp}/seg_base/doclens"),
+            spark.read.parquet(f"{tmp}/{out_name}/doclens"),
             "doc_id",
-            f"{tmp}/seg_base",
+            f"{tmp}/{out_name}",
         )
 
-    return _compact_segment_store(spark, root, write_merged)
+    return _compact_segment_store(spark, root, write_merged, tiered=tiered)
 
 
 def foreach_batch_upsert_bucketed(
@@ -1339,6 +1520,7 @@ def seed_ivf_pq_index_segmented(
         "vec_id",
         f"{root}/segs/seg_base",
     )
+    _write_manifest(emb.sparkSession, f"{root}/segs", ["seg_base"])
 
 
 def read_ivf_pq_index_segmented(
@@ -1359,8 +1541,8 @@ def read_ivf_pq_index_segmented(
     return {
         "centroids": spark.read.parquet(f"{root}/centroids"),
         "codebook": spark.read.parquet(f"{root}/codebook"),
-        "lists": spark.read.parquet(f"{segs}/*/lists"),
-        "codes": spark.read.parquet(f"{segs}/*/codes"),
+        "lists": _read_segment_table(spark, segs, "lists"),
+        "codes": _read_segment_table(spark, segs, "codes"),
     }
 
 
@@ -1441,35 +1623,40 @@ def foreach_batch_ivf_pq_maintain_segmented(
         )
         seg = P(f"{root}/segs/seg_{int(epoch_id)}")
         fs.mkdirs(seg.getParent())
-        _rename_or_raise(fs, P(tmp), seg)  # atomic publish
+        _rename_or_raise(fs, P(tmp), seg)  # publish (invisible until listed)
+        _manifest_add(spark, f"{root}/segs", f"seg_{int(epoch_id)}")
         if compact_every and len(_live_segments(spark, f"{root}/segs")) >= compact_every:
-            compact_ivf_pq_segments(spark, index_dir)
+            compact_ivf_pq_segments(spark, index_dir, tiered=True)
 
     return _sink
 
 
-def compact_ivf_pq_segments(spark: SparkSession, index_dir: str) -> int:
+def compact_ivf_pq_segments(
+    spark: SparkSession, index_dir: str, tiered: bool = False
+) -> int:
     """Segment compaction for the IVF-PQ store (VERDICT r8 next-round #2
-    — `compact_bm25_segments` generalized): merge all live segments'
-    (lists, codes) into one seg_base with its id bitmap rebuilt from the
-    union lists, under the shared marker-then-swap protocol. The frozen
-    quantizer tables at the index root never move — compaction touches
-    only the per-vector tables, and serve is bit-identical before/after
-    (lists/codes rows are a set union; probes rank against the same
-    centroids)."""
+    — `compact_bm25_segments` generalized): merge the live segments'
+    (lists, codes) with the id bitmap rebuilt from the merged lists,
+    under the shared marker-then-manifest protocol (all-merge or
+    size-tiered). The frozen quantizer tables at the index root never
+    move — compaction touches only the per-vector tables, and serve is
+    bit-identical before/after (lists/codes rows are a set union; probes
+    rank against the same centroids)."""
     root = index_dir.rstrip("/")
+    segs = f"{root}/segs"
 
-    def write_merged(tmp: str) -> None:
-        stored = read_ivf_pq_index_segmented(spark, index_dir)
-        stored["lists"].write.mode("overwrite").parquet(f"{tmp}/seg_base/lists")
-        stored["codes"].write.mode("overwrite").parquet(f"{tmp}/seg_base/codes")
+    def write_merged(tmp: str, names: list[str], out_name: str) -> None:
+        lists = _read_segment_table(spark, segs, "lists", names)
+        codes = _read_segment_table(spark, segs, "codes", names)
+        lists.write.mode("overwrite").parquet(f"{tmp}/{out_name}/lists")
+        codes.write.mode("overwrite").parquet(f"{tmp}/{out_name}/codes")
         _write_segment_bloom(
-            spark.read.parquet(f"{tmp}/seg_base/lists"),
+            spark.read.parquet(f"{tmp}/{out_name}/lists"),
             "vec_id",
-            f"{tmp}/seg_base",
+            f"{tmp}/{out_name}",
         )
 
-    return _compact_segment_store(spark, root, write_merged)
+    return _compact_segment_store(spark, root, write_merged, tiered=tiered)
 
 
 def ivf_pq_index_retrain(
@@ -1553,6 +1740,13 @@ def ivf_pq_index_retrain(
         "vec_id",
         f"{tmp}/segs/seg_base",
     )
+    (
+        spark.range(1)
+        .select(F.lit("seg_base").alias("seg"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/segs/_manifest")
+    )
     if new_mark >= 0:
         spark.range(1).select(
             F.lit(int(new_mark)).cast("bigint").alias("compacted_through")
@@ -1603,9 +1797,10 @@ def foreach_batch_join_view_maintain(
         delta_view.write.mode("overwrite").parquet(tmp)
         seg = P(f"{root}/segs/seg_{int(epoch_id)}")
         fs.mkdirs(seg.getParent())
-        _rename_or_raise(fs, P(tmp), seg)  # atomic publish
+        _rename_or_raise(fs, P(tmp), seg)  # publish (invisible until listed)
+        _manifest_add(spark, f"{root}/segs", f"seg_{int(epoch_id)}")
         if compact_every and len(_live_segments(spark, f"{root}/segs")) >= compact_every:
-            compact_join_view_segments(spark, view_dir)
+            compact_join_view_segments(spark, view_dir, tiered=True)
 
     return _sink
 
@@ -1677,32 +1872,37 @@ def foreach_batch_join_view_scd2_maintain(
         delta_view.write.mode("overwrite").parquet(tmp)
         seg = P(f"{root}/segs/seg_{int(epoch_id)}")
         fs.mkdirs(seg.getParent())
-        _rename_or_raise(fs, P(tmp), seg)  # atomic publish
+        _rename_or_raise(fs, P(tmp), seg)  # publish (invisible until listed)
+        _manifest_add(spark, f"{root}/segs", f"seg_{int(epoch_id)}")
         if compact_every and len(_live_segments(spark, f"{root}/segs")) >= compact_every:
-            compact_join_view_segments(spark, view_dir)
+            compact_join_view_segments(spark, view_dir, tiered=True)
 
     return _sink
 
 
 def read_join_view_segments(spark: SparkSession, view_dir: str) -> DataFrame:
-    """The maintained join view over the union of live segments (reads
-    through `_store_path` so a compaction-crash park still serves)."""
+    """The maintained join view over the union of live segments (the
+    manifest-listed set when one exists; reads through `_store_path` so
+    a compaction-crash park still serves)."""
     segs = _store_path(spark, f"{view_dir.rstrip('/')}/segs")
-    return spark.read.parquet(f"{segs}/*")
+    return _read_segment_table(spark, segs, None)
 
 
-def compact_join_view_segments(spark: SparkSession, view_dir: str) -> int:
+def compact_join_view_segments(
+    spark: SparkSession, view_dir: str, tiered: bool = False
+) -> int:
     """Segment compaction for the materialized join view (VERDICT r8
-    next-round #2): all live segments merge into one seg_base under the
-    shared marker-then-swap protocol. The view has no id tables — its
-    replay gate is segment presence + the marker alone — so the merged
-    segment is a plain union rewrite; serve is row-identical before and
-    after."""
+    next-round #2): live segments merge under the shared marker-then-
+    manifest protocol (all-merge or size-tiered). The view has no id
+    tables — its replay gate is the marker + segment presence alone — so
+    the merged segment is a plain union rewrite; serve is row-identical
+    before and after."""
     root = view_dir.rstrip("/")
+    segs = f"{root}/segs"
 
-    def write_merged(tmp: str) -> None:
-        read_join_view_segments(spark, view_dir).write.mode("overwrite").parquet(
-            f"{tmp}/seg_base"
-        )
+    def write_merged(tmp: str, names: list[str], out_name: str) -> None:
+        _read_segment_table(spark, segs, None, names).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/{out_name}")
 
-    return _compact_segment_store(spark, root, write_merged)
+    return _compact_segment_store(spark, root, write_merged, tiered=tiered)

@@ -346,4 +346,4 @@ def test_compaction_crash_at_every_step_is_recoverable(spark, tmp_path):
         assert _serve_bm25(spark, idx) == after
         assert not os.path.exists(prev)
         assert not os.path.exists(scratch)
-        assert sorted(os.listdir(f"{idx}/segs")) == ["seg_base"]
+        assert sorted(d for d in os.listdir(f"{idx}/segs") if not d.startswith("_")) == ["seg_base"]

@@ -367,7 +367,7 @@ def test_bm25_segment_compaction_preserves_serve(spark, tmp_path):
         ).collect()
     )
     assert compact_bm25_segments(spark, idx) == 2  # 3 segments -> 1
-    assert len(os.listdir(f"{idx}/segs")) == 1
+    assert [d for d in os.listdir(f"{idx}/segs") if not d.startswith("_")] == ["seg_base"]
     after = sorted(
         tuple(r)
         for r in bm25_index_search(
@@ -682,7 +682,7 @@ def test_join_view_compaction_and_replay_skip(spark, tmp_path):
     pre = snap()
     assert compact_join_view_segments(spark, view_dir) == 1
     assert snap() == pre
-    assert len(os.listdir(f"{view_dir}/segs")) == 1
+    assert [d for d in os.listdir(f"{view_dir}/segs") if not d.startswith("_")] == ["seg_base"]
     sink(b0, 0)  # merged-away replay: marker skips (no duplicate rows)
     assert snap() == pre
     sink(facts([(13, 2)]), 2)
@@ -882,7 +882,7 @@ def test_ivf_pq_retrain_recovers_recall_and_preserves_membership(spark, tmp_path
     ivf_pq_index_retrain(spark, idx, corpus, **kw)
     assert members() == before_members  # membership preserved exactly
     assert recall_hits() >= frozen_hits  # recall never lost
-    assert os.listdir(f"{idx}/segs") == ["seg_base"]  # segments absorbed
+    assert [d for d in os.listdir(f"{idx}/segs") if not d.startswith("_")] == ["seg_base"]  # segments absorbed
     # (c) pre-retrain epoch replay: skipped by the carried-forward marker
     pre = members()
     sink(shifted, 0)
@@ -1008,3 +1008,156 @@ def test_join_view_scd2_serves_dim_parked_by_cdc_crash(spark, tmp_path):
     sink(facts, 0)
     got = [tuple(r) for r in read_join_view_segments(spark, view_dir).select("fid", "k", "attr").collect()]
     assert got == [(10, 1, "a")]
+
+
+# ------------------------------- r9: manifest catalog + tiered merge --
+
+
+def _serve_bm25_pl(spark, idx):
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        read_bm25_index_segmented,
+    )
+
+    p, l, _ = read_bm25_index_segmented(spark, idx)
+    return (
+        sorted(tuple(r) for r in p.collect()),
+        sorted(tuple(r) for r in l.collect()),
+    )
+
+
+def test_tiered_merge_never_rewrites_the_giant_base(spark, tmp_path):
+    """The size-tiered policy: segments holding more than half the
+    store's bytes are excluded from the merge, so the seed base is never
+    rewritten to absorb a few epochs — its files are byte-identical
+    after a tiered compact, the small segments merge into one seg_m, and
+    serve equals a monolithic rebuild."""
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        _live_segments,
+        _manifest_segments,
+        compact_bm25_segments,
+        foreach_batch_bm25_maintain_segmented,
+        seed_bm25_index_segmented,
+    )
+    from s3_to_redshift_with_airflow_spark.operators.retrieval import (
+        bm25_index_build,
+    )
+
+    idx = str(tmp_path / "segidx")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body token "), (F.col("id") % 53).cast("string")).alias("text"),
+    )
+    seed_bm25_index_segmented(mk(0, 3000), idx)  # the giant base
+    sink = foreach_batch_bm25_maintain_segmented(idx)
+    sink(mk(3000, 3010), 0)
+    sink(mk(3010, 3020), 1)
+    base_files = sorted(os.listdir(f"{idx}/segs/seg_base/postings"))
+    base_mtime = os.path.getmtime(f"{idx}/segs/seg_base/postings")
+    assert compact_bm25_segments(spark, idx, tiered=True) == 1  # 2 smalls -> 1
+    assert _manifest_segments(spark, f"{idx}/segs") == ["seg_base", "seg_m1"]
+    assert sorted(os.listdir(f"{idx}/segs/seg_base/postings")) == base_files
+    assert os.path.getmtime(f"{idx}/segs/seg_base/postings") == base_mtime
+    assert not os.path.exists(f"{idx}/segs/seg_0")  # constituents retired
+    assert not os.path.exists(f"{idx}/segs/seg_1")
+    p, l = _serve_bm25_pl(spark, idx)
+    bp, bl, _ = bm25_index_build(mk(0, 3020))
+    assert p == sorted(tuple(r) for r in bp.collect())
+    assert l == sorted(tuple(r) for r in bl.collect())
+    # replay of a merged-away epoch: skipped via the marker, not fatal
+    sink(mk(3000, 3010), 0)
+    assert _serve_bm25_pl(spark, idx) == (p, l)
+    # a later epoch + another tiered pass merges the mid with the new small
+    sink(mk(3020, 3030), 2)
+    assert compact_bm25_segments(spark, idx, tiered=True) == 1
+    assert _manifest_segments(spark, f"{idx}/segs") == ["seg_base", "seg_m2"]
+    assert len(_live_segments(spark, f"{idx}/segs")) == 2
+
+
+def test_partial_merge_crash_windows_never_double_count(spark, tmp_path):
+    """The manifest is what makes PARTIAL merges crash-safe: at every
+    crash point of the partial path — merged segment published but not
+    yet listed; manifest swapped but constituents not yet deleted — the
+    serve is row-identical to the pre-compaction serve (never a mixture,
+    never a double count), replays stay gated, and the next compact
+    converges."""
+    import shutil as _sh
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        _manifest_segments,
+        compact_bm25_segments,
+        foreach_batch_bm25_maintain_segmented,
+        seed_bm25_index_segmented,
+    )
+
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body token "), (F.col("id") % 53).cast("string")).alias("text"),
+    )
+
+    def build(d):
+        idx = str(d / "segidx")
+        seed_bm25_index_segmented(mk(0, 3000), idx)
+        sink = foreach_batch_bm25_maintain_segmented(idx)
+        sink(mk(3000, 3010), 0)
+        sink(mk(3010, 3020), 1)
+        return idx, sink
+
+    ref_idx, _ = build(tmp_path / "ref")
+    want = _serve_bm25_pl(spark, ref_idx)
+
+    # crash A: merged seg_m1 dir published, manifest NOT swapped
+    idx, sink = build(tmp_path / "crashA")
+    assert compact_bm25_segments(spark, idx, tiered=True) == 1
+    # rewind: restore old manifest + constituents, keep the orphan seg_m1
+    _sh.copytree(f"{ref_idx}/segs/seg_0".replace(ref_idx, ref_idx), f"{idx}/segs/seg_0")
+    _sh.copytree(f"{ref_idx}/segs/seg_1", f"{idx}/segs/seg_1")
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import _write_manifest
+
+    _write_manifest(spark, f"{idx}/segs", ["seg_0", "seg_1", "seg_base"])
+    assert _serve_bm25_pl(spark, idx) == want  # orphan seg_m1 NOT served
+    sink(mk(3000, 3010), 0)  # replay: still gated (marker)
+    assert _serve_bm25_pl(spark, idx) == want
+    assert compact_bm25_segments(spark, idx, tiered=True) == 1  # converges
+    assert _serve_bm25_pl(spark, idx) == want
+    # the orphan seg_m1 was GC'd at the retry's start, freeing its name
+    assert _manifest_segments(spark, f"{idx}/segs") == ["seg_base", "seg_m1"]
+
+    # crash B: manifest swapped, constituents NOT deleted (orphans live)
+    idx, sink = build(tmp_path / "crashB")
+    assert compact_bm25_segments(spark, idx, tiered=True) == 1
+    _sh.copytree(f"{ref_idx}/segs/seg_0", f"{idx}/segs/seg_0")  # orphan
+    _sh.copytree(f"{ref_idx}/segs/seg_1", f"{idx}/segs/seg_1")  # orphan
+    assert _serve_bm25_pl(spark, idx) == want  # orphans NOT double-served
+    sink(mk(3000, 3010), 0)  # replay of merged-away epoch: marker gates it
+    assert _serve_bm25_pl(spark, idx) == want
+    compact_bm25_segments(spark, idx, tiered=True)  # GC pass
+    assert not os.path.exists(f"{idx}/segs/seg_0")
+    assert not os.path.exists(f"{idx}/segs/seg_1")
+    assert _serve_bm25_pl(spark, idx) == want
+
+
+def test_publish_crash_before_manifest_commit_is_repaired_by_replay(
+    spark, tmp_path
+):
+    """A crash between segment publish and manifest commit leaves a
+    complete-but-invisible segment; the at-least-once re-delivery of the
+    same epoch repairs the manifest instead of re-writing (or worse,
+    raising on) the already-published segment."""
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        _manifest_segments,
+        _write_manifest,
+        foreach_batch_bm25_maintain_segmented,
+        seed_bm25_index_segmented,
+    )
+
+    idx = str(tmp_path / "segidx")
+    seed_bm25_index_segmented(_docs(spark, [(1, "base doc")]), idx)
+    sink = foreach_batch_bm25_maintain_segmented(idx)
+    sink(_docs(spark, [(2, "epoch zero doc")]), 0)
+    full = _serve_bm25_pl(spark, idx)
+    # simulate the crash: the segment dir stays, the manifest forgets it
+    _write_manifest(spark, f"{idx}/segs", ["seg_base"])
+    assert _serve_bm25_pl(spark, idx) != full  # invisible, as a reader must see
+    sink(_docs(spark, [(2, "epoch zero doc")]), 0)  # re-delivery repairs
+    assert _manifest_segments(spark, f"{idx}/segs") == ["seg_0", "seg_base"]
+    assert _serve_bm25_pl(spark, idx) == full
