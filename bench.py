@@ -197,6 +197,14 @@ HEADLINE = [
     # x4 runs would dominate bench wall-clock without new plan
     # information; its per-round timing lands in CORRECTNESS_LOCAL.
     "streaming_join_view_scd2_maintain",
+    # round-9: z-set incremental view maintenance with RETRACTIONS (the
+    # delete gap in the incremental family), batch + the eighth stored-
+    # artifact streaming consumer, and the Lee-et-al repeated-span
+    # detector (two (doc_id, hash)-pair shuffles, spans never leave the
+    # map side)
+    "incremental_agg_retract",
+    "streaming_agg_retract_maintain",
+    "repeated_span_report",
 ]
 
 

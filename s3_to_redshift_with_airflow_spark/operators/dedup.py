@@ -754,3 +754,79 @@ def containment_pairs(
         )
         .filter(F.col("inter") * F.lit(t_den) >= F.lit(t_num) * F.col("n_a"))
     )
+
+
+def repeated_span_report(
+    docs: DataFrame, w: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-document repeated-SPAN detection — the exact-substring-dedup
+    primitive of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499) at w-token granularity:
+    every sliding window of w consecutive tokens is hashed, a window
+    whose exact token sequence occurs MORE THAN ONCE anywhere in the
+    corpus (another document, or the same document again) is "repeated",
+    and each document reports how much of it is made of such spans —
+    the signal span-level dedup trims on (boilerplate headers, license
+    blocks, templated passages — the duplication document-level and
+    near-dup detectors cannot see when the surrounding text differs).
+
+    Returns (doc_id, n_spans, n_repeated, dup_ratio_bp):
+      n_spans      = max(len - w + 1, 0) sliding windows;
+      n_repeated   = windows whose span occurs >= 2 times corpus-wide
+                     (multiplicity counts: three copies = three repeated
+                     windows, matching Lee et al.'s keep-one semantics);
+      dup_ratio_bp = n_repeated * 10000 div n_spans (0 for short docs).
+
+    Plan (100 TB): tokenize once; the window hashes are built INSIDE a
+    per-row transform (one ~n_tokens-element bigint array per doc — no
+    string spans materialize in the shuffle, only 8-byte hashes, the
+    md5-int60 engine-portable hash so the whole report carries an exact
+    DuckDB oracle); one groupBy(h) shuffle with map-side combine for the
+    corpus frequency table; one h-shuffle join back; one doc_id groupBy.
+    Span strings never leave the map side — the two shuffles move
+    (doc_id, h) pairs only."""
+    from ..functions.text import tokens as _tok
+    from .classify import _md5_int60
+
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), _tok(F.col(text_col)).alias("toks")
+    )
+    hashed = toked.select(
+        "doc_id",
+        F.when(
+            F.size("toks") >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(w) + 1),
+                lambda i: _md5_int60(
+                    F.concat(
+                        F.lit("sp:"),
+                        F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(w))),
+                    )
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("hs"),
+    )
+    per_doc = hashed.select(
+        "doc_id", F.size("hs").cast("bigint").alias("n_spans")
+    )
+    spans = hashed.select("doc_id", F.explode("hs").alias("h"))
+    freq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    rep = (
+        spans.join(freq.filter(F.col("c") >= 2).select("h"), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_repeated"))
+    )
+    return (
+        per_doc.join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_repeated", F.lit(0)).cast("bigint").alias("n_repeated"),
+            F.expr(
+                "CASE WHEN n_spans = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE coalesce(n_repeated, 0) * 10000 div n_spans END"
+            ).alias("dup_ratio_bp"),
+        )
+    )

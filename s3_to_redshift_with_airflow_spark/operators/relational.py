@@ -338,3 +338,59 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         .cast("bigint")
         .alias("checksum_sum"),
     )
+
+
+def apply_weighted_delta(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Z-set incremental aggregate maintenance WITH RETRACTIONS — the
+    DBSP weighted-relation rule that completes the insert-only families
+    (incremental_agg_merge merges disjoint slices; the join-view
+    consumers append): `state` is a grouped aggregate view
+    (keys..., cnt, sm) with exact decimal partial sums; `delta` is a
+    weighted changelog (keys..., value, w ∈ {+1, -1}) where +1 inserts
+    a row and -1 RETRACTS a previously inserted one (an upstream delete
+    or correction). The maintained state is
+
+        cnt' = cnt + Σw,   sm' = sm + Σ(w · value)
+
+    per key, and a group whose cnt' reaches 0 DISAPPEARS — the z-set
+    zero-weight rule, which is what makes maintain == recompute exact:
+    re-aggregating the surviving multiset yields the identical table
+    (pinned by the incremental_agg_retract oracle and unit tests,
+    including full-group retraction and retract-then-reinsert).
+
+    Exactness: counts are integers; sums are decimal(38,6) partials, so
+    addition is associative/commutative and the maintained sum is
+    bit-equal to the recompute under ANY delta batching. A retraction
+    of a NULL-valued row moves cnt but not sm — matching re-aggregation
+    (SUM skips NULLs) on both engines.
+
+    Plan (100 TB): the delta aggregates to |touched keys| rows behind
+    its own scan (map-side combined), then one |keys|-cardinality merge
+    groupBy against the state — history is never re-scanned; with the
+    state stored hash-bucketed (write_bucketed_store) the merge prunes
+    to the delta's touched buckets exactly like the CDC consumer."""
+    dec = F.col(value_col).cast("decimal(27,6)")
+    d = delta.groupBy(*keys).agg(
+        F.sum(weight_col).cast("bigint").alias("cnt"),
+        F.sum(F.col(weight_col) * dec).cast("decimal(38,6)").alias("sm"),
+    )
+    return (
+        state.select(
+            *keys,
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("sm").cast("decimal(38,6)").alias("sm"),
+        )
+        .unionByName(d)
+        .groupBy(*keys)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("sm").cast("decimal(38,6)").alias("sm"),
+        )
+        .filter(F.col("cnt") != 0)
+    )

@@ -3558,3 +3558,60 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang", "pred_lang")
     )
+
+
+_RSPAN_W = 8  # window width in tokens (Lee et al. used 50 at web scale;
+#               8 suits this corpus's 30-60-token documents)
+
+
+@query(
+    "repeated_span_report",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    spans AS (
+      SELECT t.doc_id,
+             ('0x' || substr(md5('sp:' ||
+                array_to_string(list_slice(t.toks, g.i, g.i + {_RSPAN_W} - 1), ' ')),
+                1, 15))::UBIGINT AS h
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(t.toks) - {_RSPAN_W} + 1)) AS i
+      ) g
+      WHERE len(t.toks) >= {_RSPAN_W}
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {_RSPAN_W}
+                  THEN len(toks) - {_RSPAN_W} + 1 ELSE 0 END AS n_spans
+      FROM t
+    ),
+    freq AS (SELECT h, COUNT(*) AS c FROM spans GROUP BY h),
+    rep AS (
+      SELECT s.doc_id, COUNT(*) AS n_repeated
+      FROM spans s JOIN freq f ON f.h = s.h AND f.c >= 2
+      GROUP BY s.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.n_spans AS BIGINT) AS n_spans,
+           CAST(COALESCE(r.n_repeated, 0) AS BIGINT) AS n_repeated,
+           CAST(CASE WHEN p.n_spans = 0 THEN 0
+                ELSE COALESCE(r.n_repeated, 0) * 10000 // p.n_spans
+                END AS BIGINT) AS dup_ratio_bp
+    FROM per_doc p LEFT JOIN rep r USING (doc_id)
+    ORDER BY doc_id
+""",
+)
+def q_repeated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN detection
+    (operators/dedup.repeated_span_report) — the exact-substring-dedup
+    primitive of Lee et al. 2021 (arXiv:2107.06499) at 8-token
+    granularity: per document, how many of its sliding token windows
+    occur more than once anywhere in the corpus — the boilerplate /
+    templated-passage signal document-level and near-dup detectors miss
+    when surrounding text differs. Exact value oracle: the md5-int60
+    span hashes rebuild bit-for-bit in DuckDB. Plan: span STRINGS never
+    leave the map side — the shuffles move (doc_id, hash) pairs only;
+    one frequency groupBy, one hash join back, one doc rollup."""
+    from ..operators.dedup import repeated_span_report
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return repeated_span_report(docs, w=_RSPAN_W).orderBy("doc_id")

@@ -1866,6 +1866,148 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RETRACT_CUTOFF = "2024-06-01"
+
+
+@query(
+    "incremental_agg_retract",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE NOT (ts < TIMESTAMP '{_RETRACT_CUTOFF}' AND event_id % 7 = 0)
+    GROUP BY event_type
+    ORDER BY event_type
+""",
+)
+def q_incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance WITH RETRACTIONS
+    (operators/relational.apply_weighted_delta) — the z-set/DBSP rule
+    that closes the delete gap in the incremental family: the standing
+    view aggregates the pre-cutoff history; the changelog then both
+    INSERTS the post-cutoff slice (w=+1) and RETRACTS a deterministic
+    subset of already-aggregated history (event_id % 7 == 0, w=-1 — an
+    upstream correction/GDPR-delete shape). cnt adds weights, the exact
+    decimal sum adds weighted values, zero-weight groups disappear.
+    The oracle is the FULL recompute over the surviving multiset:
+    equality proves maintain(state, Δ) == recompute(apply(Δ, data)) with
+    deletes in play — the identity insert-only merge cannot express.
+
+    Plan: the delta aggregates behind its own scan filters (map-side
+    combine), the merge groupBy runs at |groups| cardinality — history
+    is scanned once to seed the view (self-containment), never again
+    for maintenance."""
+    from ..operators.relational import apply_weighted_delta
+
+    (events,) = _t(spark, sf_dir, "events")
+    cutoff = F.lit(_RETRACT_CUTOFF).cast("timestamp")
+    dec_val = F.col("value").cast("decimal(27,6)")
+    state = (
+        events.filter(F.col("ts") < cutoff)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(dec_val).alias("sm"))
+    )
+    inserts = events.filter(F.col("ts") >= cutoff).select(
+        "event_type", "value", F.lit(1).alias("w")
+    )
+    retractions = events.filter(
+        (F.col("ts") < cutoff) & (F.col("event_id") % 7 == 0)
+    ).select("event_type", "value", F.lit(-1).alias("w"))
+    maintained = apply_weighted_delta(
+        state, inserts.unionByName(retractions), ["event_type"], "value"
+    )
+    return maintained.select(
+        "event_type",
+        F.col("cnt").alias("n_events"),
+        F.col("sm").cast("double").alias("total_value"),
+    ).orderBy("event_type")
+
+
+@query(
+    "streaming_agg_retract_maintain",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE NOT (ts < TIMESTAMP '{_RETRACT_CUTOFF}' AND event_id % 7 = 0)
+    GROUP BY event_type
+    ORDER BY event_type
+""",
+)
+def q_streaming_agg_retract_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING z-set view maintenance — the eighth stored-artifact
+    foreachBatch consumer (streaming.pipeline.
+    foreach_batch_weighted_agg_maintain): the stored aggregate view is
+    seeded batch-side over the pre-cutoff history, then a WEIGHTED
+    changelog streams through — inserts of the post-cutoff slice (w=+1)
+    interleaved with retractions of already-aggregated history (w=-1,
+    the correction/GDPR-delete shape) — and the maintained view must
+    equal the batch recompute over the surviving multiset, the same
+    exact oracle as the batch twin (incremental_agg_retract). The epoch
+    ledger is load-bearing (additive weighted merges would double-count
+    a replay); zero-weight groups disappear per the z-set rule."""
+    import tempfile
+
+    from ..session import ensure_utc
+    from ..sources.readers import table_path
+    from ..streaming.pipeline import (
+        foreach_batch_weighted_agg_maintain,
+        stream_source,
+    )
+
+    ensure_utc(spark)
+    (events,) = _t(spark, sf_dir, "events")
+    cutoff = F.lit(_RETRACT_CUTOFF).cast("timestamp")
+    dec_val = F.col("value").cast("decimal(27,6)")
+    target = tempfile.mkdtemp(prefix="stream_wagg_") + "/state"
+    (
+        events.filter(F.col("ts") < cutoff)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(dec_val).cast("decimal(38,6)").alias("sm"),
+        )
+        .write.parquet(target)
+    )
+    # stage the weighted changelog, then stream it through the sink
+    staging = tempfile.mkdtemp(prefix="wagg_delta_")
+    inserts = events.filter(F.col("ts") >= cutoff).select(
+        "event_type", "value", F.lit(1).cast("int").alias("w")
+    )
+    retractions = events.filter(
+        (F.col("ts") < cutoff) & (F.col("event_id") % 7 == 0)
+    ).select("event_type", "value", F.lit(-1).cast("int").alias("w"))
+    changelog = inserts.unionByName(retractions)
+    changelog.write.parquet(f"{staging}/delta.parquet")
+    src = stream_source(
+        spark,
+        f"{staging}/delta.parquet",
+        changelog.schema,
+        watermark=None,
+    )
+    sink = foreach_batch_weighted_agg_maintain(
+        target, ["event_type"], "value"
+    )
+    (
+        src.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_wagg_"))
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(target)
+        .select(
+            "event_type",
+            F.col("cnt").alias("n_events"),
+            F.col("sm").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query(
     "trailing_window_features",
     oracle="""

@@ -591,6 +591,46 @@ def foreach_batch_histogram_maintain(
     return _sink
 
 
+def foreach_batch_weighted_agg_maintain(
+    target_path: str,
+    keys: list[str],
+    value_col: str,
+    weight_col: str = "w",
+):
+    """foreachBatch sink: maintain a stored grouped-aggregate view under
+    a WEIGHTED changelog (w=+1 insert, w=-1 retraction) via
+    operators/relational.apply_weighted_delta — the eighth stored-
+    artifact consumer, and the one that closes the delete gap in the
+    streaming family: the KMV/MG/histogram consumers absorb inserts
+    only, the CDC consumer versions rather than aggregates; this is the
+    z-set view maintainer a correction/GDPR-delete stream needs. Per
+    epoch: aggregate the batch to its net per-key weighted delta
+    (map-side combined), merge against the |keys|-row stored state,
+    drop zero-weight groups, write-then-swap.
+
+    The epoch ledger is LOAD-BEARING (the MG/histogram argument):
+    weighted merges are ADDITIVE, so re-applying a replayed epoch would
+    double-add both counts and sums — the gate skips re-delivery before
+    any merge runs. Seed the state batch-side (keys..., cnt, sm as
+    decimal(38,6)) before attaching the stream; after ANY number of
+    distinct epochs the stored view equals a batch recompute over the
+    surviving multiset — the oracle streaming_agg_retract_maintain
+    carries."""
+    from ..operators.relational import apply_weighted_delta
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if epoch_id <= _last_applied_epoch(spark, target_path):
+            return  # replay would double-add weighted state — skip it
+        state = spark.read.parquet(_store_path(spark, target_path))
+        merged = apply_weighted_delta(
+            state, batch_df, keys, value_col, weight_col=weight_col
+        )
+        _write_then_swap(merged, target_path, f"__wagg_epoch{epoch_id}", epoch_id)
+
+    return _sink
+
+
 def foreach_batch_bm25_maintain(
     index_dir: str, id_col: str = "doc_id", text_col: str = "text"
 ):

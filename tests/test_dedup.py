@@ -327,3 +327,35 @@ def test_containment_integer_threshold_boundary_and_max_df(spark):
     }
     assert loose == {(1, 2)}
     release_shingle_cache()
+
+
+def test_repeated_span_report_semantics(spark):
+    """Lee et al. span semantics: multiplicity counts (every occurrence
+    of a >=2x span is repeated), within-doc repeats count, short docs
+    report zero windows, unique text reports zero repeats."""
+    from s3_to_redshift_with_airflow_spark.operators.dedup import (
+        repeated_span_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # 9 toks
+            (2, "intro text the quick brown fox jumps over the lazy dog"),
+            (3, "totally unique words appear in this document only here"),
+            (4, "tiny doc"),  # shorter than the window
+            (5, "loop loop loop loop loop loop loop loop loop loop"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_repeated"], r["dup_ratio_bp"])
+        for r in repeated_span_report(docs, w=8).collect()
+    }
+    # doc 1: 2 windows, both also occur in doc 2 -> fully repeated
+    assert got[1] == (2, 2, 10000)
+    # doc 2: 4 windows, the last 2 are doc 1's -> half repeated
+    assert got[2] == (4, 2, 5000)
+    assert got[3] == (2, 0, 0)  # unique text
+    assert got[4] == (0, 0, 0)  # too short for any window
+    # doc 5: 3 windows of identical text -> within-doc repetition counts
+    assert got[5] == (3, 3, 10000)

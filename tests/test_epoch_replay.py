@@ -228,3 +228,49 @@ def test_cdc_scd2_rejects_both_effective_sources(spark):
             effective_for=lambda e: "2024-01-01",
             event_time_col="ts",
         )
+
+
+def test_weighted_agg_maintain_replay_and_zero_rule(spark, tmp_path):
+    """The eighth consumer's ledger is LOAD-BEARING: weighted merges are
+    additive, so a replayed epoch must be skipped before any merge; and
+    a fully retracted group disappears from the stored view."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        _last_applied_epoch,
+        foreach_batch_weighted_agg_maintain,
+    )
+
+    target = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, value double"
+    )
+    (
+        base.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("decimal(38,6)")
+            .alias("sm"),
+        )
+        .write.parquet(target)
+    )
+    sink = foreach_batch_weighted_agg_maintain(target, ["k"], "value")
+    delta = spark.createDataFrame(
+        [("a", 10.0, 1), ("b", 5.0, -1)], "k string, value double, w int"
+    )
+    sink(delta, 0)
+
+    def snap():
+        return {
+            r["k"]: (r["cnt"], float(r["sm"]))
+            for r in spark.read.parquet(target).collect()
+        }
+
+    after0 = snap()
+    assert after0 == {"a": (3, 13.0)}  # b fully retracted -> gone
+    assert _last_applied_epoch(spark, target) == 0
+    sink(delta, 0)  # at-least-once replay: must NOT double-add
+    assert snap() == after0
+    sink(spark.createDataFrame([("a", 3.0, -1)], "k string, value double, w int"), 1)
+    assert snap() == {"a": (2, 10.0)}

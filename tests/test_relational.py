@@ -262,3 +262,42 @@ def test_skew_report_stats_and_null_exclusion(spark):
         raise AssertionError("accepted top_k=0")
     except ValueError:
         pass
+
+
+def test_apply_weighted_delta_zero_rule_and_reinsert(spark):
+    """The z-set rules insert-only merge cannot express: a fully
+    retracted group DISAPPEARS (cnt reaches 0), and retract-then-
+    reinsert converges to the same state as never-touched."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.relational import (
+        apply_weighted_delta,
+    )
+
+    rows = lambda data: spark.createDataFrame(  # noqa: E731
+        data, "k string, value double, w int"
+    )
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, value double"
+    )
+    state = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("sm"),
+    )
+
+    # retract ALL of group b -> it disappears from the view
+    out = apply_weighted_delta(state, rows([("b", 5.0, -1)]), ["k"], "value")
+    got = {r["k"]: (r["cnt"], float(r["sm"])) for r in out.collect()}
+    assert got == {"a": (2, 3.0)}
+
+    # retract one 'a' row then reinsert it (possibly in the same delta):
+    # state converges back to the original
+    delta = rows([("a", 2.0, -1), ("a", 2.0, 1), ("b", 5.0, -1), ("b", 5.0, 1)])
+    out2 = apply_weighted_delta(state, delta, ["k"], "value")
+    got2 = {r["k"]: (r["cnt"], float(r["sm"])) for r in out2.collect()}
+    assert got2 == {"a": (2, 3.0), "b": (1, 5.0)}
+
+    # a NULL-valued row moves cnt but not the sum, matching re-aggregation
+    state3 = apply_weighted_delta(state, rows([("a", None, 1)]), ["k"], "value")
+    got3 = {r["k"]: (r["cnt"], float(r["sm"])) for r in state3.collect()}
+    assert got3["a"] == (3, 3.0)
