@@ -127,6 +127,74 @@ def main() -> None:
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    # ---- tiered vs all-merge compaction: amortized maintenance cost ----
+    # A fixed epoch stream over a big base, auto-compacting every 3
+    # epochs. All-merge rewrites the WHOLE index each trigger; tiered
+    # merges only the small tier and never touches the base — the
+    # difference is the amortized per-epoch maintenance cost at scale.
+    base_docs, n_epochs, epoch_docs = 100_000, 9, 500
+    for mode, tiered in (("all_merge", False), ("tiered", True)):
+        idx = tempfile.mkdtemp(prefix=f"probe_cmp_{mode}_") + "/index"
+        corpus = synthetic_documents(
+            spark, base_docs + n_epochs * epoch_docs, group=1
+        ).localCheckpoint()
+        seed_bm25_index_segmented(
+            corpus.filter(F.col("doc_id") < base_docs), idx
+        )
+        base_bytes = _path_bytes(spark, f"{idx}/segs/seg_base")
+        from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+            compact_bm25_segments,
+        )
+
+        t0 = time.time()
+        compact_sec = 0.0
+        compact_bytes_written = 0
+        n_compactions = 0
+        for e in range(n_epochs):
+            lo_id = base_docs + e * epoch_docs
+            delta = corpus.filter(
+                (F.col("doc_id") >= lo_id) & (F.col("doc_id") < lo_id + epoch_docs)
+            )
+            foreach_batch_bm25_maintain_segmented(idx)(delta, e)
+            if len(_live_segments(spark, f"{idx}/segs")) >= 3:
+                before = {
+                    s: _path_bytes(spark, f"{idx}/segs/{s}")
+                    for s in _live_segments(spark, f"{idx}/segs")
+                }
+                c0 = time.time()
+                compact_bm25_segments(spark, idx, tiered=tiered)
+                compact_sec += time.time() - c0
+                n_compactions += 1
+                # compaction write volume = segments it created or replaced
+                # (all-merge replaces seg_base IN PLACE — name diff alone
+                # would miss it)
+                after = {
+                    s: _path_bytes(spark, f"{idx}/segs/{s}")
+                    for s in _live_segments(spark, f"{idx}/segs")
+                }
+                compact_bytes_written += sum(
+                    b for s, b in after.items() if before.get(s) != b
+                )
+        total_sec = round(time.time() - t0, 3)
+        base_now = _path_bytes(spark, f"{idx}/segs/seg_base")
+        print(
+            json.dumps(
+                {
+                    "family": "tiered_vs_all_compaction",
+                    "mode": mode,
+                    "index_docs": base_docs,
+                    "epochs": n_epochs,
+                    "epoch_docs": epoch_docs,
+                    "total_sec": total_sec,
+                    "compact_sec": round(compact_sec, 3),
+                    "n_compactions": n_compactions,
+                    "compact_bytes_written": compact_bytes_written,
+                    "base_segment_untouched": base_now == base_bytes,
+                }
+            ),
+            flush=True,
+        )
+
     lo, hi = rows[0], rows[-1]
     print(
         json.dumps(
