@@ -622,6 +622,8 @@ def foreach_batch_weighted_agg_maintain(
         spark = batch_df.sparkSession
         if epoch_id <= _last_applied_epoch(spark, target_path):
             return  # replay would double-add weighted state — skip it
+        if batch_df.isEmpty():
+            return  # empty epoch: state unchanged, ledger not advanced
         state = spark.read.parquet(_store_path(spark, target_path))
         merged = apply_weighted_delta(
             state, batch_df, keys, value_col, weight_col=weight_col

@@ -274,3 +274,29 @@ def test_weighted_agg_maintain_replay_and_zero_rule(spark, tmp_path):
     assert snap() == after0
     sink(spark.createDataFrame([("a", 3.0, -1)], "k string, value double, w int"), 1)
     assert snap() == {"a": (2, 10.0)}
+
+
+def test_weighted_agg_maintain_empty_epoch_is_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        _last_applied_epoch,
+        foreach_batch_weighted_agg_maintain,
+    )
+
+    target = str(tmp_path / "state")
+    spark.createDataFrame([("a", 1.0)], "k string, value double").groupBy(
+        "k"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .cast("decimal(38,6)")
+        .alias("sm"),
+    ).write.parquet(target)
+    sink = foreach_batch_weighted_agg_maintain(target, ["k"], "value")
+    before = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    sink(
+        spark.createDataFrame([], "k string, value double, w int").limit(0), 0
+    )
+    assert sorted(tuple(r) for r in spark.read.parquet(target).collect()) == before
+    assert _last_applied_epoch(spark, target) == -1  # ledger not advanced
