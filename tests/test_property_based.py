@@ -1350,3 +1350,117 @@ def test_histogram_store_replays_equal_batch_build(spark, vals, cuts, replays):
         for r in value_histogram(df_of(vals), "value", None, "ts", 8.0).collect()
     )
     assert got == want
+
+
+# --- r9: z-set retraction maintenance == recompute under ANY batching ----
+
+_wkeys = st.sampled_from(["a", "b", "c"])
+_wvals = st.integers(min_value=-4, max_value=4)
+# a changelog: inserts interleaved with retractions OF EARLIER INSERTS
+_winserts = st.lists(st.tuples(_wkeys, _wvals), min_size=0, max_size=14)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    inserts=_winserts,
+    retract_mask=st.lists(st.booleans(), min_size=14, max_size=14),
+    split=st.integers(min_value=0, max_value=14),
+)
+def test_weighted_delta_maintain_equals_recompute(spark, inserts, retract_mask, split):
+    """apply_weighted_delta == recompute over the surviving multiset for
+    ANY insert set, ANY retraction subset of it, and ANY batching point:
+    rows are inserted (w=+1), a mask retracts some of them (w=-1), the
+    changelog is split into state-then-delta at an arbitrary point, and
+    the maintained view must equal the brute-force aggregate of what
+    survives — including groups that vanish entirely."""
+    from s3_to_redshift_with_airflow_spark.operators.relational import (
+        apply_weighted_delta,
+    )
+
+    survivors = [
+        kv for i, kv in enumerate(inserts) if not retract_mask[i]
+    ]
+    changelog = [(k, float(v), 1) for k, v in inserts] + [
+        (k, float(v), -1)
+        for i, (k, v) in enumerate(inserts)
+        if retract_mask[i]
+    ]
+    head, tail = changelog[:split], changelog[split:]
+    schema = "k string, value double, w int"
+    state = (
+        spark.createDataFrame(head, schema)
+        .groupBy("k")
+        .agg(
+            F.sum("w").cast("bigint").alias("cnt"),
+            F.sum(F.col("w") * F.col("value").cast("decimal(27,6)"))
+            .cast("decimal(38,6)")
+            .alias("sm"),
+        )
+        .filter(F.col("cnt") != 0)
+    )
+    out = apply_weighted_delta(
+        state, spark.createDataFrame(tail, schema), ["k"], "value"
+    )
+    got = {r["k"]: (r["cnt"], float(r["sm"])) for r in out.collect()}
+    want: dict = {}
+    for k, v in survivors:
+        c, s = want.get(k, (0, 0.0))
+        want[k] = (c + 1, s + float(v))
+    assert got == want
+
+
+# --- r9: segment store — any epoch split x any compaction schedule ------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    cuts=st.lists(
+        st.integers(min_value=1, max_value=29), min_size=0, max_size=3, unique=True
+    ),
+    compact_after=st.lists(st.booleans(), min_size=4, max_size=4),
+    tiered=st.booleans(),
+)
+def test_segmented_bm25_any_schedule_equals_rebuild(
+    spark, tmp_path_factory, cuts, compact_after, tiered
+):
+    """The segment store's global invariant under hypothesis: for ANY
+    partition of the corpus into a seed + epochs, with compaction (all-
+    merge or tiered) fired after ANY subset of epochs, the served index
+    is bit-identical to a monolithic rebuild over everything indexed."""
+    from s3_to_redshift_with_airflow_spark.operators.retrieval import (
+        bm25_index_build,
+    )
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        compact_bm25_segments,
+        foreach_batch_bm25_maintain_segmented,
+        read_bm25_index_segmented,
+        seed_bm25_index_segmented,
+    )
+
+    docs = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok "), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    bounds = [0, *sorted(cuts), 30]
+    idx = str(tmp_path_factory.mktemp("seg") / "index")
+    seed_bm25_index_segmented(docs(bounds[0], bounds[1]), idx)
+    sink = foreach_batch_bm25_maintain_segmented(idx)
+    for e in range(1, len(bounds) - 1):
+        sink(docs(bounds[e], bounds[e + 1]), e)
+        if compact_after[e % len(compact_after)]:
+            compact_bm25_segments(spark, idx, tiered=tiered)
+    if compact_after[0]:
+        compact_bm25_segments(spark, idx, tiered=tiered)
+    p, l, s = read_bm25_index_segmented(spark, idx)
+    bp, bl, bs = bm25_index_build(docs(0, 30))
+    assert sorted(map(tuple, p.collect())) == sorted(map(tuple, bp.collect()))
+    assert sorted(map(tuple, l.collect())) == sorted(map(tuple, bl.collect()))
+    assert [tuple(r) for r in s.collect()] == [tuple(r) for r in bs.collect()]
