@@ -777,46 +777,63 @@ def repeated_span_report(
                      windows, matching Lee et al.'s keep-one semantics);
       dup_ratio_bp = n_repeated * 10000 div n_spans (0 for short docs).
 
-    Plan (100 TB): tokenize once; the window hashes are built INSIDE a
-    per-row transform (one ~n_tokens-element bigint array per doc — no
-    string spans materialize in the shuffle, only 8-byte hashes, the
-    md5-int60 engine-portable hash so the whole report carries an exact
-    DuckDB oracle); one groupBy(h) shuffle with map-side combine for the
-    corpus frequency table; one h-shuffle join back; one doc_id groupBy.
-    Span strings never leave the map side — the two shuffles move
-    (doc_id, h) pairs only."""
+    Plan (100 TB): tokens posexplode once; each window's span string is
+    assembled with w-1 LEAD calls over the per-doc position window and
+    hashed immediately (md5-int60 — engine-portable, so the whole report
+    carries an exact DuckDB oracle) — span strings live only inside that
+    window stage, never crossing a shuffle; repetition is decided by ONE
+    COUNT window over the hash partition (no self-join, the span stream
+    is computed exactly once); one final doc_id rollup. Three shuffles
+    total (doc_id positions, h, doc_id), every expression whole-stage
+    codegen. (A first cut built the hashes inside a higher-order
+    `transform` lambda — HOF lambdas evaluate INTERPRETED per element,
+    measured ~17 µs/window and recomputed per consumer: 20 s at sf0.1
+    where this plan runs in ~3 s.)"""
+    from pyspark.sql import Window
+
     from ..functions.text import tokens as _tok
     from .classify import _md5_int60
 
     toked = docs.select(
         F.col(id_col).alias("doc_id"), _tok(F.col(text_col)).alias("toks")
     )
-    hashed = toked.select(
+    per_doc = toked.select(
         "doc_id",
-        F.when(
-            F.size("toks") >= w,
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - F.lit(w) + 1),
-                lambda i: _md5_int60(
-                    F.concat(
-                        F.lit("sp:"),
-                        F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(w))),
-                    )
-                ),
-            ),
+        F.greatest(F.size("toks") - F.lit(w) + 1, F.lit(0))
+        .cast("bigint")
+        .alias("n_spans"),
+    )
+    tok_pos = toked.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.posexplode("toks").alias("pos", "tok"),
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    span = F.concat_ws(
+        " ",
+        F.col("tok"),
+        *[F.lead("tok", j).over(wspec) for j in range(1, w)],
+    )
+    spans = (
+        tok_pos.select(
+            "doc_id", "n", "pos", span.alias("span")
         )
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("hs"),
+        # only positions with a FULL w-token window ahead (lead past the
+        # doc end yields NULL, which concat_ws would silently skip)
+        .filter(F.col("pos") <= F.col("n") - w)
+        .select(
+            "doc_id",
+            _md5_int60(F.concat(F.lit("sp:"), F.col("span"))).alias("h"),
+        )
     )
-    per_doc = hashed.select(
-        "doc_id", F.size("hs").cast("bigint").alias("n_spans")
+    flagged = spans.select(
+        "doc_id",
+        (F.count(F.lit(1)).over(Window.partitionBy("h")) >= 2).alias("rep"),
     )
-    spans = hashed.select("doc_id", F.explode("hs").alias("h"))
-    freq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
-    rep = (
-        spans.join(freq.filter(F.col("c") >= 2).select("h"), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_repeated"))
+    rep = flagged.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("rep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeated")
     )
     return (
         per_doc.join(rep, "doc_id", "left")
