@@ -204,6 +204,7 @@ HEADLINE = [
     # map side)
     "incremental_agg_retract",
     "streaming_agg_retract_maintain",
+    "streaming_agg_retract_maintain_bucketed",
     "repeated_span_report",
 ]
 

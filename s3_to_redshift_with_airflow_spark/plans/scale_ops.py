@@ -2009,6 +2009,87 @@ def q_streaming_agg_retract_maintain(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "streaming_agg_retract_maintain_bucketed",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE NOT (ts < TIMESTAMP '{_RETRACT_CUTOFF}' AND event_id % 7 = 0)
+    GROUP BY event_type
+    ORDER BY event_type
+""",
+)
+def q_streaming_agg_retract_maintain_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The bucketed twin of streaming_agg_retract_maintain
+    (streaming.pipeline.foreach_batch_weighted_agg_maintain_bucketed):
+    the stored z-set aggregate state is hash-bucketed by key and each
+    epoch rewrites ONLY the buckets its weighted delta touches — the
+    bounded-rewrite treatment a per-user-grain state (billions of groups
+    at 100 TB) needs, with the z-set-specific twist that a bucket
+    emptied by the zero-weight rule is DELETED rather than skipped.
+    Same exact oracle as the unbucketed twin: the full recompute over
+    the surviving multiset."""
+    import tempfile
+
+    from ..session import ensure_utc
+    from ..streaming.pipeline import (
+        foreach_batch_weighted_agg_maintain_bucketed,
+        read_bucketed_store,
+        stream_source,
+        write_bucketed_store,
+    )
+
+    ensure_utc(spark)
+    (events,) = _t(spark, sf_dir, "events")
+    cutoff = F.lit(_RETRACT_CUTOFF).cast("timestamp")
+    dec_val = F.col("value").cast("decimal(27,6)")
+    target = tempfile.mkdtemp(prefix="stream_waggb_") + "/state"
+    state = (
+        events.filter(F.col("ts") < cutoff)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(dec_val).cast("decimal(38,6)").alias("sm"),
+        )
+    )
+    write_bucketed_store(state, target, ["event_type"], 16)
+    staging = tempfile.mkdtemp(prefix="waggb_delta_")
+    changelog = (
+        events.filter(F.col("ts") >= cutoff)
+        .select("event_type", "value", F.lit(1).cast("int").alias("w"))
+        .unionByName(
+            events.filter(
+                (F.col("ts") < cutoff) & (F.col("event_id") % 7 == 0)
+            ).select("event_type", "value", F.lit(-1).cast("int").alias("w"))
+        )
+    )
+    changelog.write.parquet(f"{staging}/delta.parquet")
+    sink = foreach_batch_weighted_agg_maintain_bucketed(
+        target, ["event_type"], "value", n_buckets=16
+    )
+    (
+        stream_source(spark, f"{staging}/delta.parquet", changelog.schema, watermark=None)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_waggb_"))
+        .start()
+        .awaitTermination()
+    )
+    return (
+        read_bucketed_store(spark, target)
+        .select(
+            "event_type",
+            F.col("cnt").alias("n_events"),
+            F.col("sm").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "trailing_window_features",
     oracle="""
     SELECT event_id, user_id,

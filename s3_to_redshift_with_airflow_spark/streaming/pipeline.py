@@ -633,6 +633,88 @@ def foreach_batch_weighted_agg_maintain(
     return _sink
 
 
+def foreach_batch_weighted_agg_maintain_bucketed(
+    target_path: str,
+    keys: list[str],
+    value_col: str,
+    weight_col: str = "w",
+    n_buckets: int = 64,
+):
+    """foreach_batch_weighted_agg_maintain with the bounded-rewrite
+    treatment (the CDC/upsert bucketed pattern): the stored aggregate
+    state is hash-bucketed by key, each epoch reads/merges/rewrites ONLY
+    the buckets its delta touches — per-epoch I/O is O(touched buckets),
+    not O(|groups|), which is what a per-user-grain state (billions of
+    groups at 100 TB) needs. Slice-wise equals whole because
+    apply_weighted_delta is strictly per-key.
+
+    One subtlety the CDC/upsert twins never face: the z-set zero-weight
+    rule can empty a bucket ENTIRELY (every group in it retracted to
+    cnt=0). A bucket whose merged slice has no rows must be DELETED, not
+    skipped — skipping would leave the stale pre-epoch state serving
+    forever. The delete is replay-idempotent (re-deleting an absent dir
+    is a no-op) and crash-recoverable (a mid-loop crash re-delivers the
+    epoch under the old ledger; already-deleted buckets no-op,
+    not-yet-touched buckets catch up, because the merge re-derives the
+    same slices — the CDC consumer's recovery argument verbatim).
+
+    Seed with `write_bucketed_store(state, target, keys, n_buckets)`;
+    ledger installed LAST, same order as the bucketed CDC consumer."""
+    from ..operators.relational import apply_weighted_delta
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_buckets(spark, target_path)
+        if epoch_id <= _last_applied_epoch(spark, target_path):
+            return  # replay would double-add weighted state — skip it
+        touched = sorted(
+            r["b"]
+            for r in batch_df.select(bucket_expr(keys, n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return  # empty epoch: state unchanged, ledger not advanced
+        # direct read, not _store_path: bucketed stores park per-bucket
+        # under __prevb (recovered above), never the whole root
+        state_slice = (
+            spark.read.parquet(target_path)
+            .filter(F.col("bucket").isin([int(b) for b in touched]))
+            .drop("bucket")
+        )
+        merged = apply_weighted_delta(
+            state_slice, batch_df, keys, value_col, weight_col=weight_col
+        )
+        tmp = target_path.rstrip("/") + f"__waggb_epoch{epoch_id}"
+        (
+            merged.withColumn("bucket", bucket_expr(keys, n_buckets))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
+        spark.range(1).select(
+            F.lit(int(epoch_id)).cast("bigint").alias("max_applied_epoch")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_ledger")
+        fs, P = _hadoop_fs(spark, target_path)
+        root = target_path.rstrip("/")
+        for b in touched:
+            btmp = f"{tmp}/bucket={int(b)}"
+            live = f"{root}/bucket={int(b)}"
+            if fs.exists(P(btmp)):
+                _install(
+                    spark, btmp, live, prev_path=f"{root}__prevb/bucket={int(b)}"
+                )
+            elif fs.exists(P(live)):
+                # the z-set zero rule emptied this bucket: it must GO
+                fs.delete(P(live), True)
+        _install(spark, f"{tmp}/_ledger", f"{root}/_ledger")
+        fs.delete(P(tmp), True)
+        fs.delete(P(f"{root}__prevb"), True)
+
+    return _sink
+
+
 def foreach_batch_bm25_maintain(
     index_dir: str, id_col: str = "doc_id", text_col: str = "text"
 ):

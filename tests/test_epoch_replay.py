@@ -300,3 +300,86 @@ def test_weighted_agg_maintain_empty_epoch_is_noop(spark, tmp_path):
     )
     assert sorted(tuple(r) for r in spark.read.parquet(target).collect()) == before
     assert _last_applied_epoch(spark, target) == -1  # ledger not advanced
+
+
+def test_weighted_agg_bucketed_matches_plain_and_zeroed_bucket_disappears(
+    spark, tmp_path
+):
+    """The bucketed z-set maintainer: row-identical to the plain sink,
+    untouched buckets' files byte-identical (bounded rewrite), and a
+    bucket emptied by the zero-weight rule is DELETED, not left stale —
+    the subtlety the CDC/upsert bucketed twins never face."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        _last_applied_epoch,
+        bucket_expr,
+        foreach_batch_weighted_agg_maintain,
+        foreach_batch_weighted_agg_maintain_bucketed,
+        write_bucketed_store,
+    )
+
+    n_buckets = 8
+    base = spark.range(64).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    state = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .cast("decimal(38,6)")
+        .alias("sm"),
+    )
+    plain_t, buck_t = str(tmp_path / "plain"), str(tmp_path / "buck")
+    state.write.parquet(plain_t)
+    write_bucketed_store(state, buck_t, ["k"], n_buckets)
+
+    def snap(path):
+        df = spark.read.parquet(path)
+        if "bucket" in df.columns:
+            df = df.drop("bucket")
+        return sorted((r["k"], r["cnt"], float(r["sm"])) for r in df.collect())
+
+    # the delta retracts EVERY key of one bucket entirely + inserts a new key
+    target_b = spark.createDataFrame([("k3",)], "k string").select(
+        bucket_expr(["k"], n_buckets).alias("b")
+    ).collect()[0]["b"]
+    doomed = [
+        r["k"]
+        for r in spark.read.parquet(buck_t)
+        .filter(F.col("bucket") == int(target_b))
+        .select("k")
+        .collect()
+    ]
+    delta = spark.createDataFrame(
+        [(k, float(k[1:]), -1) for k in doomed] + [("new1", 99.0, 1)],
+        "k string, value double, w int",
+    )
+    plain = foreach_batch_weighted_agg_maintain(plain_t, ["k"], "value")
+    bucketed = foreach_batch_weighted_agg_maintain_bucketed(
+        buck_t, ["k"], "value", n_buckets=n_buckets
+    )
+    files_before = {
+        d: frozenset(os.listdir(os.path.join(buck_t, d)))
+        for d in os.listdir(buck_t)
+        if d.startswith("bucket=")
+    }
+    plain(delta, 0)
+    bucketed(delta, 0)
+    assert snap(plain_t) == snap(buck_t)
+    assert not os.path.exists(f"{buck_t}/bucket={int(target_b)}")  # zeroed: GONE
+    touched = {
+        f"bucket={r['b']}"
+        for r in delta.select(bucket_expr(["k"], n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    }
+    for d, files in files_before.items():
+        if d not in touched:
+            assert frozenset(os.listdir(os.path.join(buck_t, d))) == files
+    after0 = snap(buck_t)
+    bucketed(delta, 0)  # replay: ledger gates the additive merge
+    assert snap(buck_t) == after0
+    assert _last_applied_epoch(spark, buck_t) == 0
