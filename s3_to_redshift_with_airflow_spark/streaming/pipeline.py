@@ -648,23 +648,40 @@ def foreach_batch_weighted_agg_maintain_bucketed(
     groups at 100 TB) needs. Slice-wise equals whole because
     apply_weighted_delta is strictly per-key.
 
+    Crash protocol — transactional ROLLBACK, not the CDC twins'
+    catch-up (ADVICE r9): apply_weighted_delta is ADDITIVE, so
+    re-delivering an epoch against buckets it already updated would
+    double-add cnt/sm, and a bucket the z-set zero rule deleted would
+    re-merge from an empty slice into negative counts. Catch-up recovery
+    is only sound for per-key-idempotent merges (CDC/upsert). Here:
+    (1) fully materialize the merged slices, the new ledger, AND an
+    `_inflight` manifest (epoch, bucket, existed-pre-epoch) at a scratch
+    dir; (2) one atomic rename commits the manifest into `__prevb/` —
+    the mutation-begins marker, BEFORE any live dir moves; (3) each
+    touched live bucket is PARKED under `__prevb/` (never deleted) and
+    its replacement renamed in — a zero-emptied bucket simply gets no
+    replacement, its park IS the rewind record; (4) the ledger install
+    is the commit point; (5) parks and scratch are dropped. A crash
+    anywhere before (4) leaves the manifest ahead of the ledger, and
+    `_rollback_or_commit_wagg` rewinds every touched bucket to its
+    pre-epoch state, so the replay applies against exactly the state it
+    expects; a crash after (4) is commit — recovery drops the leftovers.
+    Pinned by a crash-at-every-fs-op enumeration in
+    tests/test_crash_recovery.py.
+
     One subtlety the CDC/upsert twins never face: the z-set zero-weight
     rule can empty a bucket ENTIRELY (every group in it retracted to
-    cnt=0). A bucket whose merged slice has no rows must be DELETED, not
-    skipped — skipping would leave the stale pre-epoch state serving
-    forever. The delete is replay-idempotent (re-deleting an absent dir
-    is a no-op) and crash-recoverable (a mid-loop crash re-delivers the
-    epoch under the old ledger; already-deleted buckets no-op,
-    not-yet-touched buckets catch up, because the merge re-derives the
-    same slices — the CDC consumer's recovery argument verbatim).
+    cnt=0). A bucket whose merged slice has no rows must end the epoch
+    ABSENT, not skipped — skipping would leave the stale pre-epoch state
+    serving forever. The park-then-don't-replace move above is that
+    delete, made rewindable.
 
-    Seed with `write_bucketed_store(state, target, keys, n_buckets)`;
-    ledger installed LAST, same order as the bucketed CDC consumer."""
+    Seed with `write_bucketed_store(state, target, keys, n_buckets)`."""
     from ..operators.relational import apply_weighted_delta
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        _recover_buckets(spark, target_path)
+        _rollback_or_commit_wagg(spark, target_path)
         if epoch_id <= _last_applied_epoch(spark, target_path):
             return  # replay would double-add weighted state — skip it
         touched = sorted(
@@ -676,7 +693,7 @@ def foreach_batch_weighted_agg_maintain_bucketed(
         if not touched:
             return  # empty epoch: state unchanged, ledger not advanced
         # direct read, not _store_path: bucketed stores park per-bucket
-        # under __prevb (recovered above), never the whole root
+        # under __prevb (rolled back / committed above), never the root
         state_slice = (
             spark.read.parquet(target_path)
             .filter(F.col("bucket").isin([int(b) for b in touched]))
@@ -685,7 +702,8 @@ def foreach_batch_weighted_agg_maintain_bucketed(
         merged = apply_weighted_delta(
             state_slice, batch_df, keys, value_col, weight_col=weight_col
         )
-        tmp = target_path.rstrip("/") + f"__waggb_epoch{epoch_id}"
+        root = target_path.rstrip("/")
+        tmp = root + f"__waggb_epoch{epoch_id}"
         (
             merged.withColumn("bucket", bucket_expr(keys, n_buckets))
             .repartition("bucket")
@@ -697,22 +715,94 @@ def foreach_batch_weighted_agg_maintain_bucketed(
             F.lit(int(epoch_id)).cast("bigint").alias("max_applied_epoch")
         ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_ledger")
         fs, P = _hadoop_fs(spark, target_path)
-        root = target_path.rstrip("/")
-        for b in touched:
-            btmp = f"{tmp}/bucket={int(b)}"
-            live = f"{root}/bucket={int(b)}"
-            if fs.exists(P(btmp)):
-                _install(
-                    spark, btmp, live, prev_path=f"{root}__prevb/bucket={int(b)}"
+        # the rewind record: which buckets this epoch touches, and which
+        # of them exist pre-epoch (existed=false buckets are "unbirthed"
+        # on rollback; existed=true buckets are restored from their park)
+        spark.createDataFrame(
+            [
+                (
+                    int(epoch_id),
+                    int(b),
+                    bool(fs.exists(P(f"{root}/bucket={int(b)}"))),
                 )
-            elif fs.exists(P(live)):
-                # the z-set zero rule emptied this bucket: it must GO
-                fs.delete(P(live), True)
-        _install(spark, f"{tmp}/_ledger", f"{root}/_ledger")
+                for b in touched
+            ],
+            "epoch bigint, bucket int, existed boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_inflight")
+        fs.mkdirs(P(root + "__prevb"))
+        # mutation-begins marker: one atomic rename; recovery treats a
+        # park root WITHOUT this manifest as "nothing moved yet"
+        _rename_or_raise(
+            fs, P(f"{tmp}/_inflight"), P(root + "__prevb/_inflight")
+        )
+        for b in touched:
+            live = P(f"{root}/bucket={int(b)}")
+            park = P(f"{root}__prevb/bucket={int(b)}")
+            if fs.exists(live):
+                # parked, NOT deleted — kept until the ledger commits so
+                # a mid-loop crash can rewind (ADVICE r9)
+                _rename_or_raise(fs, live, park)
+            btmp = P(f"{tmp}/bucket={int(b)}")
+            if fs.exists(btmp):
+                _rename_or_raise(fs, btmp, live)
+            # else: the z-set zero rule emptied this bucket — leaving the
+            # live dir absent IS the delete, and its park makes it rewindable
+        _install(spark, f"{tmp}/_ledger", f"{root}/_ledger")  # commit point
+        fs.delete(P(root + "__prevb"), True)
         fs.delete(P(tmp), True)
-        fs.delete(P(f"{root}__prevb"), True)
 
     return _sink
+
+
+def _rollback_or_commit_wagg(spark: SparkSession, target_path: str) -> None:
+    """Recovery for the ADDITIVE bucketed store (the weighted z-set
+    aggregate maintainer): unlike `_recover_buckets` — whose catch-up
+    argument holds only for per-key-idempotent merges like CDC/upsert —
+    this rewinds or finalizes a crashed epoch transactionally, using the
+    `__prevb/_inflight` manifest the sink commits before any mutation:
+
+      - no park root: nothing in flight (stale scratch dirs are swept);
+      - park root without a manifest: either no live dir ever moved (the
+        manifest rename precedes every park) or a post-commit cleanup was
+        interrupted mid-delete — both leave the live store consistent,
+        so the park root is dropped;
+      - manifest with ledger >= manifest epoch: the epoch COMMITTED
+        (crash between the ledger install and cleanup) — drop leftovers;
+      - manifest with ledger < manifest epoch: crash mid-mutation —
+        rewind every manifest bucket to its pre-epoch state: restore its
+        park where one exists (delete the half-installed replacement
+        first), delete the live dir of a bucket that did not exist
+        pre-epoch. Re-entrant: a crash inside the rewind re-runs it; an
+        already-restored bucket has no park and is skipped.
+
+    After either branch, any `__waggb_epoch*` scratch dir is garbage
+    (committed epochs were consumed, the rolled-back epoch rebuilds its
+    scratch from the replayed batch) and is deleted."""
+    fs, P = _hadoop_fs(spark, target_path)
+    root = target_path.rstrip("/")
+    prev_root = P(root + "__prevb")
+    if fs.exists(prev_root):
+        inflight = root + "__prevb/_inflight"
+        if fs.exists(P(inflight)):
+            rows = spark.read.parquet(inflight).collect()
+            epoch = int(rows[0]["epoch"])
+            if epoch > _last_applied_epoch(spark, target_path):
+                for r in rows:
+                    b = int(r["bucket"])
+                    live = P(f"{root}/bucket={b}")
+                    park = P(f"{root}__prevb/bucket={b}")
+                    if bool(r["existed"]):
+                        if fs.exists(park):
+                            if fs.exists(live):
+                                fs.delete(live, True)
+                            _rename_or_raise(fs, park, live)
+                        # park absent: bucket never parked, live untouched
+                    elif fs.exists(live):
+                        fs.delete(live, True)  # born this epoch: unbirth it
+        fs.delete(prev_root, True)
+    stale = fs.globStatus(P(root + "__waggb_epoch*"))
+    for st in list(stale) if stale is not None else []:
+        fs.delete(st.getPath(), True)
 
 
 def foreach_batch_bm25_maintain(

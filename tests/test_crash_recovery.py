@@ -347,3 +347,247 @@ def test_compaction_crash_at_every_step_is_recoverable(spark, tmp_path):
         assert not os.path.exists(prev)
         assert not os.path.exists(scratch)
         assert sorted(d for d in os.listdir(f"{idx}/segs") if not d.startswith("_")) == ["seg_base"]
+
+
+# -------------------- r10: additive bucketed store crash windows (ADVICE r9) --
+
+
+class _CrashNow(Exception):
+    """Simulated process death between two filesystem operations."""
+
+
+class _CrashingFS:
+    """Proxy over the Hadoop FileSystem that spends one unit of `budget`
+    per MUTATING op (rename/delete/mkdirs) and raises _CrashNow when it
+    runs out — read ops (exists, globStatus, ...) pass through free. Lets
+    a test enumerate every fs-op prefix of a sink's mutation sequence."""
+
+    def __init__(self, fs, budget):
+        self._fs = fs
+        self._budget = budget
+
+    def _spend(self):
+        self._budget[0] -= 1
+        if self._budget[0] < 0:
+            raise _CrashNow()
+
+    def rename(self, src, dst):
+        self._spend()
+        return self._fs.rename(src, dst)
+
+    def delete(self, path, recursive=True):
+        self._spend()
+        return self._fs.delete(path, recursive)
+
+    def mkdirs(self, path):
+        self._spend()
+        return self._fs.mkdirs(path)
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+
+def test_wagg_bucketed_crash_at_every_fs_op_is_recoverable(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9 (high): the bucketed weighted-aggregate maintainer's merge
+    is ADDITIVE, so the CDC twins' catch-up recovery (re-apply the epoch,
+    already-updated buckets converge) double-adds here, and a bucket the
+    z-set zero rule deleted re-merges into negative counts. The fixed
+    protocol parks every pre-epoch bucket until the ledger commits and
+    rolls back on replay. This test kills the process (simulated) after
+    EVERY mutating fs op of the epoch — including mid-bucket-loop, after
+    the zero-emptied bucket's park, and between the ledger install and
+    cleanup — then replays, and asserts the store equals the plain
+    (unbucketed, separately-oracled) sink's result exactly: no double-add,
+    no negative counts, no resurrected zero-emptied bucket."""
+    import s3_to_redshift_with_airflow_spark.streaming.pipeline as pl
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        bucket_expr,
+        foreach_batch_weighted_agg_maintain,
+        foreach_batch_weighted_agg_maintain_bucketed,
+        write_bucketed_store,
+    )
+
+    n_buckets = 8
+    base = spark.range(64).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    state = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .cast("decimal(38,6)")
+        .alias("sm"),
+    )
+
+    def snap(path):
+        df = spark.read.parquet(path)
+        if "bucket" in df.columns:
+            df = df.drop("bucket")
+        return sorted((r["k"], r["cnt"], float(r["sm"])) for r in df.collect())
+
+    # epoch-0 delta: zero-empty one whole bucket, insert a new key, update
+    # an existing key in a DIFFERENT bucket — exercises all three bucket
+    # fates (deleted / born / rewritten) under every crash point
+    target_b = (
+        spark.createDataFrame([("k3",)], "k string")
+        .select(bucket_expr(["k"], n_buckets).alias("b"))
+        .collect()[0]["b"]
+    )
+    seed_rows = state.withColumn("b", bucket_expr(["k"], n_buckets)).collect()
+    doomed = [r["k"] for r in seed_rows if r["b"] == int(target_b)]
+    survivor = next(r["k"] for r in seed_rows if r["b"] != int(target_b))
+    delta0 = spark.createDataFrame(
+        [(k, float(k[1:]), -1) for k in doomed]
+        + [("new1", 99.0, 1), (survivor, 5.0, 1)],
+        "k string, value double, w int",
+    )
+    delta1 = spark.createDataFrame(
+        [("new1", 99.0, -1), ("new2", 7.0, 1)], "k string, value double, w int"
+    )
+
+    # oracle twin: the plain sink (its maintain==recompute is oracled by
+    # streaming_agg_retract_maintain and hypothesis-tested)
+    plain_t = str(tmp_path / "plain")
+    state.write.parquet(plain_t)
+    plain = foreach_batch_weighted_agg_maintain(plain_t, ["k"], "value")
+    plain(delta0, 0)
+    want0 = snap(plain_t)
+    plain(delta1, 1)
+    want1 = snap(plain_t)
+
+    real_hfs, real_install = pl._hadoop_fs, pl._install
+    crash_after = 0
+    while True:
+        target = str(tmp_path / f"crash{crash_after}")
+        write_bucketed_store(state, target, ["k"], n_buckets)
+        budget = [crash_after]
+
+        def crashing_hfs(spark_, path, _b=budget):
+            fs, P = real_hfs(spark_, path)
+            return _CrashingFS(fs, _b), P
+
+        def crashing_install(*a, _b=budget, **kw):
+            _b[0] -= 1
+            if _b[0] < 0:
+                raise _CrashNow()
+            return real_install(*a, **kw)
+
+        sink = foreach_batch_weighted_agg_maintain_bucketed(
+            target, ["k"], "value", n_buckets=n_buckets
+        )
+        monkeypatch.setattr(pl, "_hadoop_fs", crashing_hfs)
+        monkeypatch.setattr(pl, "_install", crashing_install)
+        try:
+            sink(delta0, 0)
+            completed = True
+        except _CrashNow:
+            completed = False
+        finally:
+            monkeypatch.setattr(pl, "_hadoop_fs", real_hfs)
+            monkeypatch.setattr(pl, "_install", real_install)
+
+        # at-least-once replay of the same epoch after the crash: recovery
+        # must rewind (or finalize) so the replay lands on the exact state
+        sink(delta0, 0)
+        assert snap(target) == want0, f"crash point {crash_after}"
+        assert pl._last_applied_epoch(spark, target) == 0
+        # zero-emptied bucket stays gone (not resurrected by rollback)
+        assert not os.path.exists(f"{target}/bucket={int(target_b)}")
+        # no crash debris
+        assert not os.path.exists(target + "__prevb")
+        assert not os.path.exists(target + "__waggb_epoch0")
+        # and the next epoch applies cleanly on top
+        sink(delta1, 1)
+        assert snap(target) == want1, f"crash point {crash_after}"
+        if completed:
+            break  # every crash point before completion has been enumerated
+        crash_after += 1
+    assert crash_after >= 8  # the enumeration actually covered the loop
+
+
+def test_wagg_bucketed_rollback_itself_is_reentrant(spark, tmp_path, monkeypatch):
+    """A crash DURING recovery's rewind must leave a state the next
+    recovery completes from: crash the epoch mid-bucket-loop, then crash
+    the rollback at every one of ITS fs ops, then replay cleanly."""
+    import s3_to_redshift_with_airflow_spark.streaming.pipeline as pl
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_weighted_agg_maintain,
+        foreach_batch_weighted_agg_maintain_bucketed,
+        write_bucketed_store,
+    )
+
+    state = spark.range(64).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+        F.lit(1).cast("bigint").alias("cnt"),
+        F.col("id").cast("decimal(38,6)").alias("sm"),
+    )
+    delta = spark.createDataFrame(
+        [(f"k{i}", float(i), -1) for i in range(0, 64, 2)] + [("nw", 3.0, 1)],
+        "k string, value double, w int",
+    )
+    plain_t = str(tmp_path / "plain")
+    state.write.parquet(plain_t)
+    foreach_batch_weighted_agg_maintain(plain_t, ["k"], "value")(delta, 0)
+    want = sorted(
+        (r["k"], r["cnt"], float(r["sm"]))
+        for r in spark.read.parquet(plain_t).collect()
+    )
+
+    real_hfs, real_install = pl._hadoop_fs, pl._install
+    for rollback_crash in range(0, 12):
+        target = str(tmp_path / f"rb{rollback_crash}")
+        write_bucketed_store(state, target, ["k"], 8)
+        sink = foreach_batch_weighted_agg_maintain_bucketed(
+            target, ["k"], "value", n_buckets=8
+        )
+        # first crash: mid-mutation (after the manifest + a few bucket moves)
+        budget = [5]
+        monkeypatch.setattr(
+            pl,
+            "_hadoop_fs",
+            lambda s, p, _b=budget: (_CrashingFS(real_hfs(s, p)[0], _b), real_hfs(s, p)[1]),
+        )
+        monkeypatch.setattr(
+            pl,
+            "_install",
+            lambda *a, _b=budget, **kw: (_b.__setitem__(0, _b[0] - 1), real_install(*a, **kw))[1]
+            if _b[0] > 0
+            else (_ for _ in ()).throw(_CrashNow()),
+        )
+        try:
+            sink(delta, 0)
+        except _CrashNow:
+            pass
+        # second crash: during the replay's ROLLBACK
+        budget2 = [rollback_crash]
+        monkeypatch.setattr(
+            pl,
+            "_hadoop_fs",
+            lambda s, p, _b=budget2: (_CrashingFS(real_hfs(s, p)[0], _b), real_hfs(s, p)[1]),
+        )
+        monkeypatch.setattr(
+            pl,
+            "_install",
+            lambda *a, _b=budget2, **kw: (_b.__setitem__(0, _b[0] - 1), real_install(*a, **kw))[1]
+            if _b[0] > 0
+            else (_ for _ in ()).throw(_CrashNow()),
+        )
+        try:
+            sink(delta, 0)
+            second_completed = True
+        except _CrashNow:
+            second_completed = False
+        finally:
+            monkeypatch.setattr(pl, "_hadoop_fs", real_hfs)
+            monkeypatch.setattr(pl, "_install", real_install)
+        # clean replay converges regardless of where the rollback died
+        sink(delta, 0)
+        got = sorted(
+            (r["k"], r["cnt"], float(r["sm"]))
+            for r in spark.read.parquet(target).drop("bucket").collect()
+        )
+        assert got == want, f"rollback crash point {rollback_crash}"
+        if second_completed:
+            break
