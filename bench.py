@@ -206,6 +206,11 @@ HEADLINE = [
     "streaming_agg_retract_maintain",
     "streaming_agg_retract_maintain_bucketed",
     "repeated_span_report",
+    # round-10: the span-TRIM transform (Lee et al. keep-one editing —
+    # the report's measure stage plus the coverage join + per-doc
+    # rebuild; curation_funnel_trimmed stays un-benched: a composition
+    # of stages already in this list)
+    "repeated_span_trim",
 ]
 
 

@@ -847,3 +847,117 @@ def repeated_span_report(
             ).alias("dup_ratio_bp"),
         )
     )
+
+
+def repeated_span_trim(
+    docs: DataFrame, w: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-document repeated-span TRIM — the transform half of Lee et
+    al. 2021's exact-substring dedup (arXiv:2107.06499), completing
+    `repeated_span_report` (which only MEASURES): every w-token sliding
+    window whose exact token sequence occurs >= 2 times corpus-wide is a
+    repeated span; the FIRST occurrence in (doc_id, pos) order is kept
+    and every later occurrence is removed — a token is dropped iff it is
+    covered by at least one non-first repeated window. The cleaned
+    corpus (whitespace re-joined surviving tokens) is what the curation
+    funnel consumes: a planted boilerplate block survives exactly once,
+    in the lowest-(doc_id, pos) document that carries it.
+
+    Returns (doc_id, n_tokens, n_removed, clean_text); n_removed counts
+    dropped tokens, clean_text is '' when the whole document was
+    duplicated tail.
+
+    Plan (100 TB): the span stage is `repeated_span_report`'s verbatim —
+    tokens posexplode once, span strings assembled with w-1 codegen
+    LEAD calls and hashed immediately (md5-int60, engine-portable:
+    the whole transform carries an exact DuckDB oracle), so span
+    strings never cross a shuffle. Keep-one is ONE (count, row_number)
+    window over the hash partition — no self-join; the duplicate window
+    STARTS (a row set bounded by the duplication volume, not the corpus)
+    join back to the token stream on (doc_id, pos), and coverage is a
+    w-row sliding MAX over the per-doc position order (positions are
+    dense, so ROWS BETWEEN w-1 PRECEDING == the [pos-w+1, pos] range).
+    The final per-doc rebuild sorts each document's surviving (pos, tok)
+    pairs inside one aggregate — per-doc arrays, never a global sort.
+    Shuffles: doc_id (lead windows), h (keep-one window), (doc_id, pos)
+    (coverage join), doc_id (rebuild) — all key-only or token-width rows.
+
+    The rebuild's field extraction uses a `transform` lambda (interpreted
+    per element) — unlike the hashing this HOF does one struct-field read
+    per kept token, not md5 work; measured harmless (contrast with the
+    20 s HOF trap repeated_span_report's docstring records)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens as _tok
+    from .classify import _md5_int60
+
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), _tok(F.col(text_col)).alias("toks")
+    )
+    tok_pos = toked.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.posexplode("toks").alias("pos", "tok"),
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    span = F.concat_ws(
+        " ",
+        F.col("tok"),
+        *[F.lead("tok", j).over(wspec) for j in range(1, w)],
+    )
+    spans = (
+        tok_pos.select("doc_id", "n", "pos", span.alias("span"))
+        .filter(F.col("pos") <= F.col("n") - w)
+        .select(
+            "doc_id",
+            "pos",
+            _md5_int60(F.concat(F.lit("sp:"), F.col("span"))).alias("h"),
+        )
+    )
+    # keep-one: the first (doc_id, pos) occurrence of a repeated span is
+    # the survivor; every later occurrence is a duplicate window START
+    occ = Window.partitionBy("h").orderBy("doc_id", "pos")
+    dup_starts = (
+        spans.select(
+            "doc_id",
+            "pos",
+            (F.count(F.lit(1)).over(Window.partitionBy("h")) >= 2).alias("rep"),
+            (F.row_number().over(occ) >= 2).alias("later"),
+        )
+        .filter(F.col("rep") & F.col("later"))
+        .select("doc_id", "pos", F.lit(True).alias("dup_start"))
+    )
+    cov_w = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    )
+    covered = (
+        F.max(F.coalesce(F.col("dup_start"), F.lit(False)).cast("int")).over(
+            cov_w
+        )
+        == 1
+    )
+    kept = (
+        tok_pos.join(dup_starts, ["doc_id", "pos"], "left")
+        .select("doc_id", "pos", "tok", covered.alias("cov"))
+        .filter(~F.col("cov"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    base = toked.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    return base.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

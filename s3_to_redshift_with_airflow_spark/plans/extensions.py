@@ -3620,3 +3620,145 @@ def q_repeated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return repeated_span_report(docs, w=_RSPAN_W).orderBy("doc_id")
+
+
+def _rspan_trim_ctes(src: str) -> str:
+    """The repeated-span-trim replay as DuckDB CTEs over `src` (prefixed
+    rt_ so they compose inside other oracles, e.g. the curation funnel):
+    identical arithmetic to operators/dedup.repeated_span_trim — md5-int60
+    span hashes, (doc_id, pos) keep-one ranking, dense-position w-row
+    coverage window."""
+    return f"""
+    rt_t AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
+    rt_tok AS (
+      SELECT rt_t.doc_id, g.i - 1 AS pos, rt_t.toks[g.i] AS tok
+      FROM rt_t, LATERAL (
+        SELECT unnest(generate_series(1, len(rt_t.toks))) AS i
+      ) g
+    ),
+    rt_spans AS (
+      SELECT rt_t.doc_id, g.i - 1 AS pos,
+             ('0x' || substr(md5('sp:' ||
+                array_to_string(list_slice(rt_t.toks, g.i, g.i + {_RSPAN_W} - 1), ' ')),
+                1, 15))::UBIGINT AS h
+      FROM rt_t, LATERAL (
+        SELECT unnest(generate_series(1, len(rt_t.toks) - {_RSPAN_W} + 1)) AS i
+      ) g
+      WHERE len(rt_t.toks) >= {_RSPAN_W}
+    ),
+    rt_dup AS (
+      SELECT doc_id, pos, TRUE AS dup_start FROM (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY h) AS c,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM rt_spans)
+      WHERE c >= 2 AND rn >= 2
+    ),
+    rt_cov AS (
+      SELECT k.doc_id, k.pos, k.tok,
+             MAX(CASE WHEN d.dup_start THEN 1 ELSE 0 END) OVER (
+               PARTITION BY k.doc_id ORDER BY k.pos
+               ROWS BETWEEN {_RSPAN_W - 1} PRECEDING AND CURRENT ROW) AS covered
+      FROM rt_tok k LEFT JOIN rt_dup d ON d.doc_id = k.doc_id AND d.pos = k.pos
+    ),
+    rt_kept AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM rt_cov WHERE covered = 0 GROUP BY doc_id
+    )"""
+
+
+_RSPAN_TRIM_ORACLE = f"""
+    WITH {_rspan_trim_ctes("documents")}
+    SELECT rt_t.doc_id,
+           CAST(len(rt_t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(rt_t.toks) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.clean_text, '') AS clean_text
+    FROM rt_t LEFT JOIN rt_kept k USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+@query("repeated_span_trim", oracle=_RSPAN_TRIM_ORACLE)
+def q_repeated_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span TRIM (operators/dedup.repeated_span_trim) — the
+    transform half of Lee et al. 2021's exact-substring dedup (VERDICT
+    r9 #2): `repeated_span_report` measures repeated w-token windows;
+    this row EDITS the corpus — the first (doc_id, pos) occurrence of
+    each repeated span survives, every later occurrence's tokens are
+    dropped, and the cleaned text is emitted per document. Exact value
+    oracle: the md5-int60 span hashes, the (doc_id, pos) keep-one
+    ranking, and the w-row coverage window all rebuild bit-for-bit in
+    DuckDB, down to the cleaned strings. Plan: span strings never leave
+    the map side; keep-one is one hash-partition window; coverage is a
+    dense-position sliding max — no self-join anywhere."""
+    from ..operators.dedup import repeated_span_trim
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return repeated_span_trim(docs, w=_RSPAN_W).orderBy("doc_id")
+
+
+_SQL_CURATION_TRIMMED = (
+    _CURATION_CTES
+    + ","
+    + _rspan_trim_ctes("curated")
+    + f"""
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM curated) AS n_curated,
+      (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM rt_t) AS total_tokens,
+      (SELECT CAST(SUM(len(toks)) - SUM(COALESCE(k.n_kept, 0)) AS BIGINT)
+       FROM rt_t LEFT JOIN rt_kept k USING (doc_id)) AS span_removed_tokens,
+      (SELECT CAST(SUM(COALESCE(k.n_kept, 0)) AS BIGINT)
+       FROM rt_t LEFT JOIN rt_kept k USING (doc_id)) AS total_tokens_clean
+"""
+)
+
+
+@query("curation_funnel_trimmed", oracle=_SQL_CURATION_TRIMMED)
+def q_curation_funnel_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel extended with Lee et al. exact-substring span
+    TRIM as its final stage (VERDICT r9 #2's composition ask): raw →
+    Gopher gates → exact dedup → MinHash-LSH near-dedup (the
+    curation_funnel stages verbatim) → repeated_span_trim over the
+    SURVIVORS — document-level dedup removes whole near-copies, the span
+    stage then removes the boilerplate blocks that survive inside
+    otherwise-distinct documents (the duplication class doc-granularity
+    passes cannot see). One accounting row: n_curated, total_tokens
+    (pre-trim), span_removed_tokens, total_tokens_clean — the
+    token-budget delta the trim buys. Exact value oracle end-to-end: the
+    funnel CTEs compose with the rt_ trim CTEs over `curated`. Scale
+    shape: each stage is its standalone operator's audited plan; the
+    trim adds its three key-only shuffles over the curated subset."""
+    import functools
+
+    from ..operators.dedup import minhash_lsh_pairs, repeated_span_trim
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    rules = gopher_rules(F.col("text"))
+    quality = docs.filter(functools.reduce(lambda a, b: a & b, rules.values()))
+    canon = (
+        quality.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_surv = quality.join(canon, "doc_id", "left_semi")
+    losers = (
+        minhash_lsh_pairs(exact_surv, threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    curated = exact_surv.join(losers, "doc_id", "left_anti")
+    trimmed = repeated_span_trim(curated, w=_RSPAN_W)
+    return (
+        curated.agg(F.count(F.lit(1)).cast("bigint").alias("n_curated"))
+        .crossJoin(
+            trimmed.agg(
+                F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                F.sum("n_removed").cast("bigint").alias("span_removed_tokens"),
+                (F.sum("n_tokens") - F.sum("n_removed"))
+                .cast("bigint")
+                .alias("total_tokens_clean"),
+            )
+        )
+    )
