@@ -211,6 +211,11 @@ HEADLINE = [
     # rebuild; curation_funnel_trimmed stays un-benched: a composition
     # of stages already in this list)
     "repeated_span_trim",
+    # round-10: retractions through a maintained join view — the batch
+    # bilinear delta-join rule and its streaming consumer (three real
+    # epochs with a delete epoch between inserts)
+    "incremental_join_view_retract",
+    "streaming_join_agg_retract_maintain",
 ]
 
 

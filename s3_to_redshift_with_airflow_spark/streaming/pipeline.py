@@ -805,6 +805,64 @@ def _rollback_or_commit_wagg(spark: SparkSession, target_path: str) -> None:
         fs.delete(st.getPath(), True)
 
 
+def foreach_batch_join_agg_retract_maintain(
+    target_path: str,
+    dim_path: str,
+    keys: list[str],
+    value_col: str,
+    fact_key: str,
+    dim_key: str,
+    dim_cols: list[str],
+    weight_col: str = "w",
+):
+    """foreachBatch sink: maintain a stored GROUPED AGGREGATE OVER A JOIN
+    under a weighted fact changelog — the tenth stored-artifact consumer,
+    composing the DBSP delta-join rule with the z-set aggregate merge
+    (VERDICT r9 #3): each epoch's batch is a weighted changelog of the
+    FACT side (w=+1 insert, w=-1 retraction/GDPR-delete); the sink joins
+    it against the broadcast dimension (ΔA ⋈ B — for a static B the
+    bilinear rule's other two terms vanish; a changing dimension is the
+    batch operator weighted_join_delta's job, composed upstream) and
+    merges the resulting weighted VIEW changelog into the stored
+    (keys..., cnt, sm) state via apply_weighted_delta — so an upstream
+    DELETE of an already-joined fact row propagates through the
+    maintained join view, the gap the insert-only join-view maintainers
+    (V' = V ∪ ΔA⋈B) could not express. Zero-weight groups disappear.
+
+    The epoch ledger is LOAD-BEARING (the weighted-agg argument):
+    weighted merges are ADDITIVE, so a replayed epoch would double-add —
+    the gate skips re-delivery before any merge runs. Per epoch: one
+    broadcast join of the delta only, one |touched keys| aggregate, one
+    |keys|-row merge, write-then-swap. History (the joined view) is
+    never re-scanned; at per-user grain the bucketed treatment
+    (foreach_batch_weighted_agg_maintain_bucketed's rollback protocol)
+    applies to the merge unchanged, since the join step is per-row.
+
+    Seed the state batch-side as aggregate(A_old ⋈ B); after any number
+    of distinct epochs the stored view equals the batch recompute over
+    the surviving fact multiset joined to the dimension — the oracle
+    streaming_join_agg_retract_maintain carries."""
+    from ..operators.relational import apply_weighted_delta
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if epoch_id <= _last_applied_epoch(spark, target_path):
+            return  # replay would double-add weighted state — skip it
+        if batch_df.isEmpty():
+            return  # empty epoch: state unchanged, ledger not advanced
+        dim = spark.read.parquet(dim_path).select(dim_key, *dim_cols)
+        dv = batch_df.join(
+            F.broadcast(dim), batch_df[fact_key] == dim[dim_key]
+        ).drop(dim[dim_key])
+        state = spark.read.parquet(_store_path(spark, target_path))
+        merged = apply_weighted_delta(
+            state, dv, keys, value_col, weight_col=weight_col
+        )
+        _write_then_swap(merged, target_path, f"__jvr_epoch{epoch_id}", epoch_id)
+
+    return _sink
+
+
 def foreach_batch_bm25_maintain(
     index_dir: str, id_col: str = "doc_id", text_col: str = "text"
 ):

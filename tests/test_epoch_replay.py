@@ -383,3 +383,76 @@ def test_weighted_agg_bucketed_matches_plain_and_zeroed_bucket_disappears(
     bucketed(delta, 0)  # replay: ledger gates the additive merge
     assert snap(buck_t) == after0
     assert _last_applied_epoch(spark, buck_t) == 0
+
+
+def test_join_agg_retract_sink_interleaved_epochs_and_replay(spark, tmp_path):
+    """The tenth stored-artifact consumer: deletes interleaved BETWEEN
+    insert epochs propagate through the maintained join-aggregate, the
+    final state equals the batch recompute over the surviving fact
+    multiset, a replayed epoch is gated (additive merge), and a group
+    retracted to zero weight disappears."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        _last_applied_epoch,
+        foreach_batch_join_agg_retract_maintain,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "ck long, seg string"
+    ).write.parquet(dim_path)
+    target = str(tmp_path / "state")
+    # seed: facts (1,10) (2,20) (2,21) -> A:(1,10) B:(2,41)
+    spark.createDataFrame(
+        [("A", 1, "10.000000"), ("B", 2, "41.000000")],
+        "seg string, cnt long, sm string",
+    ).select(
+        "seg",
+        F.col("cnt").cast("bigint"),
+        F.col("sm").cast("decimal(38,6)").alias("sm"),
+    ).write.parquet(target)
+    sink = foreach_batch_join_agg_retract_maintain(
+        target,
+        dim_path,
+        keys=["seg"],
+        value_col="v",
+        fact_key="fk",
+        dim_key="ck",
+        dim_cols=["seg"],
+    )
+    batch = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "fk long, v double, w int"
+    )
+
+    def snap():
+        return sorted(
+            (r["seg"], r["cnt"], float(r["sm"]))
+            for r in spark.read.parquet(target).collect()
+        )
+
+    sink(batch([(3, 30.0, 1)]), 0)  # insert epoch: C appears
+    assert snap() == [("A", 1, 10.0), ("B", 2, 41.0), ("C", 1, 30.0)]
+    # DELETE epoch between inserts: retract both B facts -> B disappears
+    sink(batch([(2, 20.0, -1), (2, 21.0, -1)]), 1)
+    assert snap() == [("A", 1, 10.0), ("C", 1, 30.0)]
+    sink(batch([(1, 5.0, 1)]), 2)  # second insert epoch
+    want = [("A", 2, 15.0), ("C", 1, 30.0)]
+    assert snap() == want
+    # replay of an applied epoch: gated, state unmoved
+    sink(batch([(2, 20.0, -1), (2, 21.0, -1)]), 1)
+    sink(batch([(1, 5.0, 1)]), 2)
+    assert snap() == want
+    assert _last_applied_epoch(spark, target) == 2
+    # batch recompute over the surviving multiset equals the maintained view
+    survivors = batch([(1, 10.0, 1), (3, 30.0, 1), (1, 5.0, 1)]).drop("w")
+    dim = spark.read.parquet(dim_path)
+    rec = (
+        survivors.join(dim, survivors["fk"] == dim["ck"])
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.col("v").cast("decimal(27,6)")).cast("decimal(38,6)").alias("sm"),
+        )
+    )
+    assert sorted((r["seg"], r["cnt"], float(r["sm"])) for r in rec.collect()) == want

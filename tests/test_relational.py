@@ -301,3 +301,131 @@ def test_apply_weighted_delta_zero_rule_and_reinsert(spark):
     state3 = apply_weighted_delta(state, rows([("a", None, 1)]), ["k"], "value")
     got3 = {r["k"]: (r["cnt"], float(r["sm"])) for r in state3.collect()}
     assert got3["a"] == (3, 3.0)
+
+
+def test_weighted_join_delta_bilinear_identity(spark):
+    """VERDICT r9 #3: V_old + ΔV == recompute((A+ΔA) ⋈ (B+ΔB)) with
+    deletes on BOTH sides, including the inclusion-exclusion corners:
+    retracting both halves of a joined pair nets 0, and a retracted
+    fact never pairs with an inserted dimension row."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.relational import (
+        weighted_join_delta,
+    )
+
+    a_old = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    b_old = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "bk long, attr string"
+    )
+    # ΔA: insert (4, 40.0); retract (2, 20.0) and (3, 30.0)
+    da = spark.createDataFrame(
+        [(4, 40.0, 1), (2, 20.0, -1), (3, 30.0, -1)], "k long, v double, w int"
+    )
+    # ΔB: insert (4, 'w'); retract (3, 'z')  -> pair (3,30)x(3,z) retracted
+    # on BOTH sides; retracted fact 2 must not pair with anything new
+    db = spark.createDataFrame(
+        [(4, "w", 1), (3, "z", -1)], "bk long, attr string, w int"
+    )
+    dv = weighted_join_delta(a_old, da, b_old, db, "k", "bk")
+    # materialize the maintained view as a z-set: old pairs weight 1 + dv
+    old_view = (
+        a_old.join(b_old, a_old["k"] == b_old["bk"])
+        .drop(b_old["bk"])
+        .withColumn("w", F.lit(1))
+    )
+    maintained = (
+        old_view.unionByName(dv)
+        .groupBy("k", "v", "attr")
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+    got = sorted(tuple(r) for r in maintained.collect())
+    # recompute: final A = {(1,10),(1,11),(4,40)}, final B = {(1,x),(2,y),(4,w)}
+    want = [(1, 10.0, "x", 1), (1, 11.0, "x", 1), (4, 40.0, "w", 1)]
+    assert got == want
+
+
+def test_weighted_join_delta_matches_recompute_on_testdata(spark):
+    """The bilinear identity at table scale: maintained aggregate over
+    orders ⋈ customer with two-sided deletes equals the recompute."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.relational import (
+        apply_weighted_delta,
+        weighted_join_delta,
+    )
+    from s3_to_redshift_with_airflow_spark.sources.readers import load_tables
+
+    orders, customer = load_tables(
+        spark, "/root/testdata/sf0.001", "orders", "customer"
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    a_cols = lambda df: df.select(  # noqa: E731
+        "o_custkey", F.col("o_totalprice").alias("tp")
+    )
+    a_old = a_cols(orders.filter(F.col("o_orderdate") < cutoff))
+    da = (
+        a_cols(orders.filter(F.col("o_orderdate") >= cutoff))
+        .withColumn("w", F.lit(1))
+        .unionByName(
+            a_cols(
+                orders.filter(
+                    (F.col("o_orderdate") < cutoff) & (F.col("o_orderkey") % 7 == 0)
+                )
+            ).withColumn("w", F.lit(-1))
+        )
+    )
+    b_cols = lambda df: df.select("c_custkey", "c_mktsegment")  # noqa: E731
+    b_old = b_cols(customer.filter(F.col("c_custkey") % 20 != 0))
+    db = (
+        b_cols(customer.filter(F.col("c_custkey") % 20 == 0))
+        .withColumn("w", F.lit(1))
+        .unionByName(
+            b_cols(
+                customer.filter(
+                    (F.col("c_custkey") % 20 != 0) & (F.col("c_custkey") % 9 == 0)
+                )
+            ).withColumn("w", F.lit(-1))
+        )
+    )
+    state = (
+        a_old.join(b_old, a_old["o_custkey"] == b_old["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.col("tp").cast("decimal(27,6)"))
+            .cast("decimal(38,6)")
+            .alias("sm"),
+        )
+    )
+    dv = weighted_join_delta(a_old, da, b_old, db, "o_custkey", "c_custkey")
+    maintained = apply_weighted_delta(state, dv, ["c_mktsegment"], "tp")
+    a_fin = a_cols(
+        orders.filter(
+            ~(
+                (F.col("o_orderdate") < cutoff) & (F.col("o_orderkey") % 7 == 0)
+            )
+        )
+    )
+    b_fin = b_cols(
+        customer.filter(
+            (F.col("c_custkey") % 20 == 0) | (F.col("c_custkey") % 9 != 0)
+        )
+    )
+    recompute = (
+        a_fin.join(b_fin, a_fin["o_custkey"] == b_fin["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.col("tp").cast("decimal(27,6)"))
+            .cast("decimal(38,6)")
+            .alias("sm"),
+        )
+    )
+    snap = lambda df: sorted(  # noqa: E731
+        (r["c_mktsegment"], r["cnt"], str(r["sm"])) for r in df.collect()
+    )
+    assert snap(maintained) == snap(recompute)
