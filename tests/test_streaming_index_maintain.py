@@ -1161,3 +1161,131 @@ def test_publish_crash_before_manifest_commit_is_repaired_by_replay(
     sink(_docs(spark, [(2, "epoch zero doc")]), 0)  # re-delivery repairs
     assert _manifest_segments(spark, f"{idx}/segs") == ["seg_0", "seg_base"]
     assert _serve_bm25_pl(spark, idx) == full
+
+
+# ------------------------------- r10: store-wide summary bloom (tier 1.5) --
+
+
+def test_summary_bloom_proves_covered_segments_disjoint(spark, tmp_path):
+    """VERDICT r9 #5: after a compaction the store-wide summary covers
+    every live segment, so an interleaved-but-absent delta is proven
+    disjoint by ONE capped read — no per-segment bitmap fetches — and
+    the probe still returns [] (correct skip of tier 3)."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        _bloom_suspect_segments,
+        _live_segments,
+        _summary_covered_disjoint,
+        compact_bm25_segments,
+        foreach_batch_bm25_maintain_segmented,
+        seed_bm25_index_segmented,
+    )
+
+    idx = str(tmp_path / "idx")
+    # even doc ids only — odd ids are interleaved-but-absent
+    docs = spark.range(200).select(
+        (F.col("id") * 2).alias("doc_id"),
+        F.concat(F.lit("doc words number "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    seed_bm25_index_segmented(docs.filter(F.col("doc_id") < 300), idx)
+    sink = foreach_batch_bm25_maintain_segmented(idx)
+    sink(docs.filter(F.col("doc_id") >= 300), 0)
+    assert compact_bm25_segments(spark, idx) == 1
+    segs = f"{idx}/segs"
+    live = _live_segments(spark, segs)
+    odd = spark.range(50).select((F.col("id") * 2 + 1).alias("doc_id"))
+    # the summary alone clears EVERY live segment
+    assert _summary_covered_disjoint(spark, segs, odd, "doc_id", live) == set(live)
+    assert _bloom_suspect_segments(spark, segs, odd, "doc_id") == []
+
+
+def test_summary_hit_falls_through_to_per_segment_localization(spark, tmp_path):
+    """A delta containing an indexed id HITS the summary — which cannot
+    localize — so the per-segment tier takes over and names exactly the
+    right suspect; disjointness answers stay correct either way."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        _bloom_suspect_segments,
+        _live_segments,
+        _summary_covered_disjoint,
+        compact_bm25_segments,
+        foreach_batch_bm25_maintain_segmented,
+        seed_bm25_index_segmented,
+    )
+
+    idx = str(tmp_path / "idx")
+    docs = spark.range(200).select(
+        (F.col("id") * 2).alias("doc_id"),
+        F.concat(F.lit("doc words number "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    seed_bm25_index_segmented(docs.filter(F.col("doc_id") < 300), idx)
+    sink = foreach_batch_bm25_maintain_segmented(idx)
+    sink(docs.filter(F.col("doc_id") >= 300), 0)
+    assert compact_bm25_segments(spark, idx) == 1  # summary refreshed
+    segs = f"{idx}/segs"
+    live = _live_segments(spark, segs)
+    dirty = spark.range(1).select(F.lit(42).alias("doc_id"))  # indexed id
+    assert _summary_covered_disjoint(spark, segs, dirty, "doc_id", live) == set()
+    suspects = _bloom_suspect_segments(spark, segs, dirty, "doc_id")
+    assert suspects == ["seg_base"]
+
+
+def test_stale_summary_covers_old_segments_new_ones_probe_individually(
+    spark, tmp_path
+):
+    """Segments published AFTER the summary aren't covered: the summary
+    still clears the compacted mass, the recents fall through to their
+    own bitmaps, and the combined probe stays correct for both a
+    disjoint delta and one that collides with a RECENT segment."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        _bloom_suspect_segments,
+        compact_bm25_segments,
+        foreach_batch_bm25_maintain_segmented,
+        seed_bm25_index_segmented,
+    )
+
+    idx = str(tmp_path / "idx")
+    docs = spark.range(200).select(
+        (F.col("id") * 2).alias("doc_id"),
+        F.concat(F.lit("doc words number "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    seed_bm25_index_segmented(docs.filter(F.col("doc_id") < 300), idx)
+    assert compact_bm25_segments(spark, idx) == 0  # no merge; summary fresh
+    sink = foreach_batch_bm25_maintain_segmented(idx)
+    sink(docs.filter(F.col("doc_id") >= 300), 5)  # post-summary segment
+    segs = f"{idx}/segs"
+    odd = spark.range(50).select((F.col("id") * 2 + 1).alias("doc_id"))
+    assert _bloom_suspect_segments(spark, segs, odd, "doc_id") == []
+    in_recent = spark.range(1).select(F.lit(300).alias("doc_id"))
+    assert _bloom_suspect_segments(spark, segs, in_recent, "doc_id") == ["seg_5"]
+
+
+def test_summary_write_skips_when_saturated(spark, tmp_path):
+    """Past ~8 bits/key the capped summary proves nothing — the writer
+    must refuse to publish a useless 8 MB artifact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        _SEG_SUMMARY_MAX_BITS,
+        _write_segment_summary,
+    )
+
+    segs = str(tmp_path / "segs")
+    os.makedirs(segs)
+    too_many = spark.range(_SEG_SUMMARY_MAX_BITS // 8 + 1).select(
+        F.col("id").alias("doc_id")
+    )
+    _write_segment_summary(spark, segs, too_many, "doc_id", ["seg_base"])
+    assert not os.path.exists(f"{segs}/_summary")
