@@ -1337,7 +1337,23 @@ _RT_SHIFT = 0.4   # additive shift, ~80% of the ambient coordinate range
 _RT_NQ = 10       # shifted queries measured
 
 
-@query("ivf_pq_index_retrain", oracle=None)
+# The retrain oracle (VERDICT r9 #6): the retrained index content is a
+# fresh deterministic build over the CURRENT corpus — base vectors as-is,
+# the shifted block with the same IEEE double +0.4 both engines compute —
+# so the build replay applies verbatim with only the `e` prologue swapped.
+_SQL_IVFPQ_RETRAIN = _SQL_IVFPQ_BUILD.replace(
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+    f"""WITH e AS (
+      SELECT vec_id,
+             CASE WHEN vec_id < {_RT_SPLIT}
+                  THEN list_transform(embedding::DOUBLE[], x -> x + {_RT_SHIFT})
+                  ELSE embedding::DOUBLE[] END AS v
+      FROM embeddings)""",
+    1,
+)
+
+
+@query("ivf_pq_index_retrain", oracle=_SQL_IVFPQ_RETRAIN)
 def q_ivf_pq_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cadence-retrain seam executed end-to-end (VERDICT r8 #3,
     streaming.pipeline.ivf_pq_index_retrain): the quantizer is trained on
@@ -1346,17 +1362,22 @@ def q_ivf_pq_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frozen-quantizer segmented maintainer; then the index is
     RETRAINED on its current corpus (union of segments, raw vectors
     resolved from the vector store) and the whole root swaps atomically.
-    The report is the retrain decision's evidence: recall@10 of the
-    served index for shifted queries against the exact brute-force
-    baseline, before and after — measured here frozen 0.20 → retrained
-    0.46 (the frozen codebook cannot discriminate coordinates outside
-    its training range; the standard IVF staleness caveat made
-    concrete). The plan ASSERTS retrained ≥ frozen before returning.
+    In-plan the recall evidence stays MEASURED and asserted: recall@10
+    of the served index for shifted queries against the exact
+    brute-force baseline must not drop across the retrain (measured
+    frozen 0.20 → retrained 0.46 — the frozen codebook cannot
+    discriminate coordinates outside its training range; the standard
+    IVF staleness caveat made concrete).
 
-    Rows-only like filtered_ann_recall_report (the report's content IS
-    the measured quality; the append/serve paths it composes carry their
-    own exact oracles); retrained > frozen and the crash-recovery of the
-    root swap are pinned in tests/test_streaming_index_maintain.py."""
+    r10 (VERDICT r9 #6): the row RETURNS the retrained index's decision
+    columns (vec_id, cluster, m, code) — the rows a deployment persists
+    — under an exact DuckDB oracle: the retrain is a deterministic
+    integer build over the current corpus, so the build replay applies
+    with the `e` prologue swapped for the shifted corpus (the +0.4 is
+    the same IEEE double add in both engines). The recall comparison
+    stays measured (asserted in-plan, pinned with the root-swap crash
+    recovery in tests/test_streaming_index_maintain.py); the INDEX
+    CONTENT is now value-exact across engines."""
     import tempfile
 
     from ..operators.clustering import ivf_pq_index_search
@@ -1410,27 +1431,21 @@ def q_ivf_pq_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frozen = _measure("frozen").collect()[0]
     ivf_pq_index_retrain(spark, idx, corpus, **kw)
-    retrained_df = _measure("retrained")
-    retrained = retrained_df.collect()[0]
+    retrained = _measure("retrained").collect()[0]
     if retrained["n_hits"] < frozen["n_hits"]:
         raise AssertionError(
             f"retrain lost recall: frozen {frozen['recall_at_10']:.2f} -> "
             f"retrained {retrained['recall_at_10']:.2f}"
         )
-    # spark.range + lits, not createDataFrame: the local-relation path
-    # ships rows through a Python worker (measured 6-9 s per 1-row frame
-    # on this container — the _write_then_swap note); and the frozen row
-    # MUST be materialized as literals — its lazy plan would re-read the
-    # now-retrained index
-    def one(r) -> DataFrame:
-        return spark.range(1).select(
-            F.lit(r["mode"]).alias("mode"),
-            F.lit(int(r["n_queries"])).cast("bigint").alias("n_queries"),
-            F.lit(int(r["n_hits"])).cast("bigint").alias("n_hits"),
-            F.lit(float(r["recall_at_10"])).alias("recall_at_10"),
-        )
-
-    return one(frozen).unionByName(one(retrained)).orderBy("mode")
+    # the hashed output is the retrained INDEX CONTENT — exact-oracled by
+    # the build replay over the shifted corpus (VERDICT r9 #6); the recall
+    # numbers above are the in-plan assertion, not the output
+    stored = read_ivf_pq_index_segmented(spark, idx)
+    return (
+        stored["lists"]
+        .join(stored["codes"], "vec_id")
+        .select("vec_id", "cluster", "m", F.col("code").cast("bigint"))
+    )
 
 
 # --- exact-covariance PCA ---------------------------------------------------
