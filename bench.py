@@ -288,8 +288,13 @@ def main() -> None:
                 ),
                 "sf": sf,
             }
-        )
+        ),
+        # the one-line JSON must be stdout's LAST line AND flushed — the
+        # driver records only the stdout tail (BENCH_r09 carried
+        # "parsed": null when buffering reordered it; VERDICT r9 #8)
+        flush=True,
     )
+    spark.stop()  # nothing may print after the JSON line
 
 
 if __name__ == "__main__":

@@ -108,7 +108,9 @@ def has_tws_runtime() -> bool:
     2026-08-16 (r8): re-probed, unchanged (ModuleNotFoundError: google) —
     gate stays.
     2026-08-16 (r9): re-probed, unchanged (ModuleNotFoundError: google) —
-    gate stays."""
+    gate stays.
+    2026-08-16 (r10): re-probed, unchanged (ModuleNotFoundError: google)
+    — gate stays."""
     if not HAS_TRANSFORM_WITH_STATE:
         return False
     try:
