@@ -216,6 +216,7 @@ HEADLINE = [
     # epochs with a delete epoch between inserts)
     "incremental_join_view_retract",
     "streaming_join_agg_retract_maintain",
+    "streaming_join_agg_retract_maintain_bucketed",
 ]
 
 

@@ -7039,3 +7039,110 @@ def q_streaming_join_agg_retract_maintain(
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "streaming_join_agg_retract_maintain_bucketed",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE NOT (o_orderdate < TIMESTAMP '{_IJV_CUTOFF}' AND o_orderkey % 7 = 0)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+""",
+)
+def q_streaming_join_agg_retract_maintain_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The bucketed twin of streaming_join_agg_retract_maintain
+    (streaming.pipeline.foreach_batch_join_agg_retract_maintain_bucketed):
+    same three-epoch weighted fact stream (insert / DELETE / insert),
+    same full-recompute exact oracle, but the stored aggregate-over-join
+    state is hash-bucketed and each epoch rewrites ONLY the buckets its
+    joined delta touches — the per-user-grain shape. The merge rides the
+    park-until-ledger rollback protocol (ADVICE r9), so the
+    crash-at-every-fs-op guarantee transfers from the weighted-agg
+    family unchanged."""
+    import tempfile
+
+    from ..session import ensure_utc
+    from ..streaming.pipeline import (
+        foreach_batch_join_agg_retract_maintain_bucketed,
+        stream_source,
+        write_bucketed_store,
+    )
+
+    ensure_utc(spark)
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    cutoff = F.lit(_IJV_CUTOFF).cast("timestamp")
+    target = tempfile.mkdtemp(prefix="stream_jvrb_") + "/state"
+    a_old = orders.filter(F.col("o_orderdate") < cutoff)
+    seed = (
+        a_old.join(customer, a_old["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("decimal(38,6)")
+            .alias("sm"),
+        )
+    )
+    write_bucketed_store(seed, target, ["c_mktsegment"], 8)
+    fact = lambda df, w: df.select(  # noqa: E731
+        "o_custkey",
+        F.col("o_totalprice").alias("total_price"),
+        F.lit(w).cast("int").alias("w"),
+    )
+    staging = tempfile.mkdtemp(prefix="jvrb_delta_")
+    post = orders.filter(F.col("o_orderdate") >= cutoff)
+    epochs = [
+        fact(post.filter(F.col("o_orderkey") % 2 == 0), 1),
+        fact(
+            orders.filter(
+                (F.col("o_orderdate") < cutoff) & (F.col("o_orderkey") % 7 == 0)
+            ),
+            -1,
+        ),
+        fact(post.filter(F.col("o_orderkey") % 2 == 1), 1),
+    ]
+    import glob as _glob
+    import shutil as _sh
+
+    for i, e in enumerate(epochs):
+        tmpd = tempfile.mkdtemp(prefix=f"jvrb_e{i}_")
+        e.coalesce(1).write.parquet(f"{tmpd}/out")
+        _sh.copy(
+            _glob.glob(f"{tmpd}/out/part-*.parquet")[0], f"{staging}/d{i}.parquet"
+        )
+    src = stream_source(
+        spark, staging, epochs[0].schema, watermark=None, max_files_per_trigger=1
+    )
+    sink = foreach_batch_join_agg_retract_maintain_bucketed(
+        target,
+        table_path(sf_dir, "customer"),
+        keys=["c_mktsegment"],
+        value_col="total_price",
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        dim_cols=["c_mktsegment"],
+        n_buckets=8,
+    )
+    (
+        src.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_jvrb_"))
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(target)
+        .drop("bucket")
+        .select(
+            "c_mktsegment",
+            F.col("cnt").alias("n_rows"),
+            F.col("sm").cast("double").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

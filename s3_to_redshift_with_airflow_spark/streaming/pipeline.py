@@ -677,79 +677,148 @@ def foreach_batch_weighted_agg_maintain_bucketed(
     delete, made rewindable.
 
     Seed with `write_bucketed_store(state, target, keys, n_buckets)`."""
-    from ..operators.relational import apply_weighted_delta
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         _rollback_or_commit_wagg(spark, target_path)
         if epoch_id <= _last_applied_epoch(spark, target_path):
             return  # replay would double-add weighted state — skip it
-        touched = sorted(
-            r["b"]
-            for r in batch_df.select(bucket_expr(keys, n_buckets).alias("b"))
-            .distinct()
-            .collect()
+        _bucketed_weighted_merge(
+            spark, target_path, batch_df, keys, value_col, weight_col,
+            n_buckets, epoch_id,
         )
-        if not touched:
+
+    return _sink
+
+
+def _bucketed_weighted_merge(
+    spark: SparkSession,
+    target_path: str,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    weight_col: str,
+    n_buckets: int,
+    epoch_id: int,
+) -> None:
+    """The bucketed z-set merge + rollback-transactional install shared
+    by the weighted-agg and join-agg-retract bucketed sinks. Caller
+    contract: the ledger gate has passed and `_rollback_or_commit_wagg`
+    has run (no park root exists). Applies `delta` (a weighted changelog
+    keyed by the aggregate keys) to ONLY the buckets it touches, under
+    the park-until-ledger protocol documented on
+    foreach_batch_weighted_agg_maintain_bucketed."""
+    from ..operators.relational import apply_weighted_delta
+
+    touched = sorted(
+        r["b"]
+        for r in delta.select(bucket_expr(keys, n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return  # empty epoch: state unchanged, ledger not advanced
+    # direct read, not _store_path: bucketed stores park per-bucket
+    # under __prevb (rolled back / committed by the caller), never the root
+    state_slice = (
+        spark.read.parquet(target_path)
+        .filter(F.col("bucket").isin([int(b) for b in touched]))
+        .drop("bucket")
+    )
+    merged = apply_weighted_delta(
+        state_slice, delta, keys, value_col, weight_col=weight_col
+    )
+    root = target_path.rstrip("/")
+    tmp = root + f"__waggb_epoch{epoch_id}"
+    (
+        merged.withColumn("bucket", bucket_expr(keys, n_buckets))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    spark.range(1).select(
+        F.lit(int(epoch_id)).cast("bigint").alias("max_applied_epoch")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_ledger")
+    fs, P = _hadoop_fs(spark, target_path)
+    # the rewind record: which buckets this epoch touches, and which
+    # of them exist pre-epoch (existed=false buckets are "unbirthed"
+    # on rollback; existed=true buckets are restored from their park)
+    spark.createDataFrame(
+        [
+            (
+                int(epoch_id),
+                int(b),
+                bool(fs.exists(P(f"{root}/bucket={int(b)}"))),
+            )
+            for b in touched
+        ],
+        "epoch bigint, bucket int, existed boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_inflight")
+    fs.mkdirs(P(root + "__prevb"))
+    # mutation-begins marker: one atomic rename; recovery treats a
+    # park root WITHOUT this manifest as "nothing moved yet"
+    _rename_or_raise(
+        fs, P(f"{tmp}/_inflight"), P(root + "__prevb/_inflight")
+    )
+    for b in touched:
+        live = P(f"{root}/bucket={int(b)}")
+        park = P(f"{root}__prevb/bucket={int(b)}")
+        if fs.exists(live):
+            # parked, NOT deleted — kept until the ledger commits so
+            # a mid-loop crash can rewind (ADVICE r9)
+            _rename_or_raise(fs, live, park)
+        btmp = P(f"{tmp}/bucket={int(b)}")
+        if fs.exists(btmp):
+            _rename_or_raise(fs, btmp, live)
+        # else: the z-set zero rule emptied this bucket — leaving the
+        # live dir absent IS the delete, and its park makes it rewindable
+    _install(spark, f"{tmp}/_ledger", f"{root}/_ledger")  # commit point
+    fs.delete(P(root + "__prevb"), True)
+    fs.delete(P(tmp), True)
+
+
+def foreach_batch_join_agg_retract_maintain_bucketed(
+    target_path: str,
+    dim_path: str,
+    keys: list[str],
+    value_col: str,
+    fact_key: str,
+    dim_key: str,
+    dim_cols: list[str],
+    weight_col: str = "w",
+    n_buckets: int = 64,
+):
+    """foreach_batch_join_agg_retract_maintain with the bounded-rewrite
+    treatment — the per-user-grain shape (billions of aggregate groups at
+    100 TB): the stored aggregate-over-join state is hash-bucketed by the
+    aggregate keys, each epoch joins its weighted fact changelog against
+    the broadcast dimension and then reads/merges/rewrites ONLY the
+    buckets the joined delta touches — per-epoch I/O is O(touched
+    buckets), not O(|groups|). The merge + install is the SAME
+    park-until-ledger rollback protocol as the bucketed weighted-agg
+    sink (`_bucketed_weighted_merge`, ADVICE r9): the join step is
+    strictly per-row, so the additive-merge crash analysis — and its
+    crash-at-every-fs-op enumeration — transfers unchanged.
+
+    Seed with `write_bucketed_store(agg(A_old ⋈ B), target, keys,
+    n_buckets)`."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _rollback_or_commit_wagg(spark, target_path)
+        if epoch_id <= _last_applied_epoch(spark, target_path):
+            return  # replay would double-add weighted state — skip it
+        if batch_df.isEmpty():
             return  # empty epoch: state unchanged, ledger not advanced
-        # direct read, not _store_path: bucketed stores park per-bucket
-        # under __prevb (rolled back / committed above), never the root
-        state_slice = (
-            spark.read.parquet(target_path)
-            .filter(F.col("bucket").isin([int(b) for b in touched]))
-            .drop("bucket")
+        dim = spark.read.parquet(dim_path).select(dim_key, *dim_cols)
+        dv = batch_df.join(
+            F.broadcast(dim), batch_df[fact_key] == dim[dim_key]
+        ).drop(dim[dim_key])
+        _bucketed_weighted_merge(
+            spark, target_path, dv, keys, value_col, weight_col,
+            n_buckets, epoch_id,
         )
-        merged = apply_weighted_delta(
-            state_slice, batch_df, keys, value_col, weight_col=weight_col
-        )
-        root = target_path.rstrip("/")
-        tmp = root + f"__waggb_epoch{epoch_id}"
-        (
-            merged.withColumn("bucket", bucket_expr(keys, n_buckets))
-            .repartition("bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(tmp)
-        )
-        spark.range(1).select(
-            F.lit(int(epoch_id)).cast("bigint").alias("max_applied_epoch")
-        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_ledger")
-        fs, P = _hadoop_fs(spark, target_path)
-        # the rewind record: which buckets this epoch touches, and which
-        # of them exist pre-epoch (existed=false buckets are "unbirthed"
-        # on rollback; existed=true buckets are restored from their park)
-        spark.createDataFrame(
-            [
-                (
-                    int(epoch_id),
-                    int(b),
-                    bool(fs.exists(P(f"{root}/bucket={int(b)}"))),
-                )
-                for b in touched
-            ],
-            "epoch bigint, bucket int, existed boolean",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_inflight")
-        fs.mkdirs(P(root + "__prevb"))
-        # mutation-begins marker: one atomic rename; recovery treats a
-        # park root WITHOUT this manifest as "nothing moved yet"
-        _rename_or_raise(
-            fs, P(f"{tmp}/_inflight"), P(root + "__prevb/_inflight")
-        )
-        for b in touched:
-            live = P(f"{root}/bucket={int(b)}")
-            park = P(f"{root}__prevb/bucket={int(b)}")
-            if fs.exists(live):
-                # parked, NOT deleted — kept until the ledger commits so
-                # a mid-loop crash can rewind (ADVICE r9)
-                _rename_or_raise(fs, live, park)
-            btmp = P(f"{tmp}/bucket={int(b)}")
-            if fs.exists(btmp):
-                _rename_or_raise(fs, btmp, live)
-            # else: the z-set zero rule emptied this bucket — leaving the
-            # live dir absent IS the delete, and its park makes it rewindable
-        _install(spark, f"{tmp}/_ledger", f"{root}/_ledger")  # commit point
-        fs.delete(P(root + "__prevb"), True)
-        fs.delete(P(tmp), True)
 
     return _sink
 

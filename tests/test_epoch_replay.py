@@ -456,3 +456,87 @@ def test_join_agg_retract_sink_interleaved_epochs_and_replay(spark, tmp_path):
         )
     )
     assert sorted((r["seg"], r["cnt"], float(r["sm"])) for r in rec.collect()) == want
+
+
+def test_join_agg_retract_bucketed_matches_plain_and_crash_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """The bucketed join-retract sink is row-identical to the plain one
+    under the same interleaved insert/delete epochs, gates replays, and
+    — because the merge is the shared park-until-ledger protocol — a
+    mid-epoch crash rolls back and the replay converges exactly."""
+    from pyspark.sql import functions as F
+
+    import s3_to_redshift_with_airflow_spark.streaming.pipeline as pl
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_join_agg_retract_maintain,
+        foreach_batch_join_agg_retract_maintain_bucketed,
+        write_bucketed_store,
+    )
+    from tests.test_crash_recovery import _CrashingFS, _CrashNow
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(i, f"S{i % 5}") for i in range(40)], "ck long, seg string"
+    ).write.parquet(dim_path)
+    seed = spark.createDataFrame(
+        [(f"S{s}", 2, f"{20 + s}.000000") for s in range(5)],
+        "seg string, cnt long, sm string",
+    ).select(
+        "seg",
+        F.col("cnt").cast("bigint"),
+        F.col("sm").cast("decimal(38,6)").alias("sm"),
+    )
+    plain_t, buck_t = str(tmp_path / "plain"), str(tmp_path / "buck")
+    seed.write.parquet(plain_t)
+    write_bucketed_store(seed, buck_t, ["seg"], 4)
+    kw = dict(
+        keys=["seg"], value_col="v", fact_key="fk", dim_key="ck",
+        dim_cols=["seg"],
+    )
+    plain = foreach_batch_join_agg_retract_maintain(plain_t, dim_path, **kw)
+    buck = foreach_batch_join_agg_retract_maintain_bucketed(
+        buck_t, dim_path, n_buckets=4, **kw
+    )
+    batch = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "fk long, v double, w int"
+    )
+    epochs = [
+        batch([(1, 5.0, 1), (7, 3.0, 1)]),          # inserts
+        batch([(2, 10.0, -1), (2, 12.0, -1)]),       # delete epoch (S2)
+        batch([(3, 4.0, 1)]),                        # more inserts
+    ]
+
+    def snap(path):
+        df = spark.read.parquet(path)
+        if "bucket" in df.columns:
+            df = df.drop("bucket")
+        return sorted((r["seg"], r["cnt"], float(r["sm"])) for r in df.collect())
+
+    for i, e in enumerate(epochs):
+        plain(e, i)
+        buck(e, i)
+        assert snap(plain_t) == snap(buck_t), f"epoch {i}"
+    want = snap(buck_t)
+    buck(epochs[1], 1)  # replay: gated
+    assert snap(buck_t) == want
+    # crash mid-epoch 3 (after the manifest + some bucket moves), replay
+    real_hfs, real_install = pl._hadoop_fs, pl._install
+    budget = [4]
+    monkeypatch.setattr(
+        pl,
+        "_hadoop_fs",
+        lambda s, p, _b=budget: (_CrashingFS(real_hfs(s, p)[0], _b), real_hfs(s, p)[1]),
+    )
+    try:
+        buck(batch([(5, 9.0, 1), (2, 1.0, 1)]), 3)
+        crashed = False
+    except _CrashNow:
+        crashed = True
+    finally:
+        monkeypatch.setattr(pl, "_hadoop_fs", real_hfs)
+    buck(batch([(5, 9.0, 1), (2, 1.0, 1)]), 3)  # replay converges
+    plain(batch([(5, 9.0, 1), (2, 1.0, 1)]), 3)
+    assert snap(plain_t) == snap(buck_t)
+    assert crashed  # budget 4 must land inside the mutation phase
+

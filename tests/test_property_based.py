@@ -1464,3 +1464,85 @@ def test_segmented_bm25_any_schedule_equals_rebuild(
     assert sorted(map(tuple, p.collect())) == sorted(map(tuple, bp.collect()))
     assert sorted(map(tuple, l.collect())) == sorted(map(tuple, bl.collect()))
     assert [tuple(r) for r in s.collect()] == [tuple(r) for r in bs.collect()]
+
+
+# --- r10: delta-join maintain == recompute for ANY two-sided changelog ----
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    a_rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-3, 3)), min_size=0, max_size=10
+    ),
+    a_retract=st.lists(st.booleans(), min_size=10, max_size=10),
+    a_insert=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-3, 3)), min_size=0, max_size=4
+    ),
+    b_keys=st.lists(st.integers(0, 5), min_size=0, max_size=6, unique=True),
+    b_retract=st.lists(st.booleans(), min_size=6, max_size=6),
+    b_insert=st.lists(st.integers(0, 5), min_size=0, max_size=3, unique=True),
+)
+def test_weighted_join_delta_equals_recompute_any_changelog(
+    spark, a_rows, a_retract, a_insert, b_keys, b_retract, b_insert
+):
+    """The bilinear rule under hypothesis: for ANY standing relations and
+    ANY two-sided weighted changelogs (fact inserts/deletes, dimension
+    inserts/deletes), state + apply_weighted_delta(weighted_join_delta)
+    == the brute-force aggregate over (A+ΔA) ⋈ (B+ΔB)."""
+    from s3_to_redshift_with_airflow_spark.operators.relational import (
+        apply_weighted_delta,
+        weighted_join_delta,
+    )
+
+    b_insert = [k for k in b_insert if k not in b_keys]  # keys, not multiset
+    a_fin = [kv for i, kv in enumerate(a_rows) if not a_retract[i]] + a_insert
+    b_fin = [k for i, k in enumerate(b_keys) if not b_retract[i]] + b_insert
+    want: dict = {}
+    for k, v in a_fin:
+        if k in b_fin:
+            c, s = want.get(f"attr{k}", (0, 0.0))
+            want[f"attr{k}"] = (c + 1, s + float(v))
+
+    schema_a = "k long, v double"
+    a_old = spark.createDataFrame(
+        [(k, float(v)) for k, v in a_rows] or [(99, 0.0)], schema_a
+    )
+    if not a_rows:
+        a_old = a_old.filter(F.col("k") < 0)  # truly empty, schema kept
+    da_rows = [(k, float(v), 1) for k, v in a_insert] + [
+        (k, float(v), -1) for i, (k, v) in enumerate(a_rows) if a_retract[i]
+    ]
+    da = spark.createDataFrame(da_rows or [(99, 0.0, 0)], "k long, v double, w int")
+    if not da_rows:
+        da = da.filter(F.col("k") < 0)
+    b_old_rows = [(k, f"attr{k}") for k in b_keys]
+    b_old = spark.createDataFrame(b_old_rows or [(99, "x")], "bk long, attr string")
+    if not b_old_rows:
+        b_old = b_old.filter(F.col("bk") < 0)
+    db_rows = [(k, f"attr{k}", 1) for k in b_insert] + [
+        (k, f"attr{k}", -1) for i, k in enumerate(b_keys) if b_retract[i]
+    ]
+    db = spark.createDataFrame(
+        db_rows or [(99, "x", 0)], "bk long, attr string, w int"
+    )
+    if not db_rows:
+        db = db.filter(F.col("bk") < 0)
+
+    state = (
+        a_old.join(b_old, a_old["k"] == b_old["bk"])
+        .groupBy("attr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.col("v").cast("decimal(27,6)"))
+            .cast("decimal(38,6)")
+            .alias("sm"),
+        )
+    )
+    dv = weighted_join_delta(a_old, da, b_old, db, "k", "bk")
+    out = apply_weighted_delta(state, dv, ["attr"], "v")
+    got = {r["attr"]: (r["cnt"], float(r["sm"])) for r in out.collect()}
+    assert got == want
