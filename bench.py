@@ -217,6 +217,9 @@ HEADLINE = [
     "incremental_join_view_retract",
     "streaming_join_agg_retract_maintain",
     "streaming_join_agg_retract_maintain_bucketed",
+    # round-10: GPT-3-style n-gram test-set decontamination (broadcast
+    # benchmark hash set, map-side span probe, one rollup shuffle)
+    "benchmark_decontaminate",
 ]
 
 

@@ -792,40 +792,14 @@ def repeated_span_report(
     from pyspark.sql import Window
 
     from ..functions.text import tokens as _tok
-    from .classify import _md5_int60
 
-    toked = docs.select(
-        F.col(id_col).alias("doc_id"), _tok(F.col(text_col)).alias("toks")
-    )
-    per_doc = toked.select(
-        "doc_id",
-        F.greatest(F.size("toks") - F.lit(w) + 1, F.lit(0))
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.size(_tok(F.col(text_col))) - F.lit(w) + 1, F.lit(0))
         .cast("bigint")
         .alias("n_spans"),
     )
-    tok_pos = toked.select(
-        "doc_id",
-        F.size("toks").alias("n"),
-        F.posexplode("toks").alias("pos", "tok"),
-    )
-    wspec = Window.partitionBy("doc_id").orderBy("pos")
-    span = F.concat_ws(
-        " ",
-        F.col("tok"),
-        *[F.lead("tok", j).over(wspec) for j in range(1, w)],
-    )
-    spans = (
-        tok_pos.select(
-            "doc_id", "n", "pos", span.alias("span")
-        )
-        # only positions with a FULL w-token window ahead (lead past the
-        # doc end yields NULL, which concat_ws would silently skip)
-        .filter(F.col("pos") <= F.col("n") - w)
-        .select(
-            "doc_id",
-            _md5_int60(F.concat(F.lit("sp:"), F.col("span"))).alias("h"),
-        )
-    )
+    spans = _span_hashes(docs, w, id_col, text_col).select("doc_id", "h")
     flagged = spans.select(
         "doc_id",
         (F.count(F.lit(1)).over(Window.partitionBy("h")) >= 2).alias("rep"),
@@ -889,7 +863,6 @@ def repeated_span_trim(
     from pyspark.sql import Window
 
     from ..functions.text import tokens as _tok
-    from .classify import _md5_int60
 
     toked = docs.select(
         F.col(id_col).alias("doc_id"), _tok(F.col(text_col)).alias("toks")
@@ -899,21 +872,7 @@ def repeated_span_trim(
         F.size("toks").alias("n"),
         F.posexplode("toks").alias("pos", "tok"),
     )
-    wspec = Window.partitionBy("doc_id").orderBy("pos")
-    span = F.concat_ws(
-        " ",
-        F.col("tok"),
-        *[F.lead("tok", j).over(wspec) for j in range(1, w)],
-    )
-    spans = (
-        tok_pos.select("doc_id", "n", "pos", span.alias("span"))
-        .filter(F.col("pos") <= F.col("n") - w)
-        .select(
-            "doc_id",
-            "pos",
-            _md5_int60(F.concat(F.lit("sp:"), F.col("span"))).alias("h"),
-        )
-    )
+    spans = _span_hashes(docs, w, id_col, text_col)
     # keep-one: the first (doc_id, pos) occurrence of a repeated span is
     # the survivor; every later occurrence is a duplicate window START
     occ = Window.partitionBy("h").orderBy("doc_id", "pos")
@@ -960,4 +919,107 @@ def repeated_span_trim(
         .cast("bigint")
         .alias("n_removed"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def _span_hashes(
+    docs: DataFrame, w: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, pos, h): the md5-int60 hash of every FULL w-token sliding
+    window — the span stream repeated_span_report/trim and the
+    decontamination report all consume. Span strings are assembled with
+    w-1 codegen LEAD calls over the per-doc position window and hashed
+    immediately; they never cross a shuffle (the repeated_span_report
+    plan note; its 20 s HOF-lambda trap applies here too)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens as _tok
+    from .classify import _md5_int60
+
+    tok_pos = docs.select(
+        F.col(id_col).alias("doc_id"), _tok(F.col(text_col)).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.posexplode("toks").alias("pos", "tok"),
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    span = F.concat_ws(
+        " ",
+        F.col("tok"),
+        *[F.lead("tok", j).over(wspec) for j in range(1, w)],
+    )
+    return (
+        tok_pos.select("doc_id", "n", "pos", span.alias("span"))
+        .filter(F.col("pos") <= F.col("n") - w)
+        .select(
+            "doc_id",
+            "pos",
+            _md5_int60(F.concat(F.lit("sp:"), F.col("span"))).alias("h"),
+        )
+    )
+
+
+def benchmark_contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION — the n-gram test-set-overlap gate every
+    serious pretraining pipeline runs (the GPT-3 appendix-C discipline:
+    a training document sharing any w-token window with an evaluation
+    set is contaminated — evaluating on it would leak): every w-token
+    sliding window of every training document is hashed (md5-int60, the
+    exact-oracle discipline) and tested for membership in the benchmark
+    corpus's window-hash SET; the report is per-document —
+
+      (doc_id, n_spans, n_contaminated, contaminated)
+
+    n_contaminated counts the document's windows that appear anywhere in
+    the benchmark (multiplicity over the DOC's windows; the benchmark
+    side is a set), contaminated = n_contaminated > 0 — the drop/audit
+    signal. Short docs (< w tokens) have n_spans = 0 and are clean by
+    definition (the window gate cannot see them; pair it with exact
+    fingerprint dedup against the benchmark for the degenerate cases).
+
+    Plan (100 TB): the benchmark hash set is DISTINCT-aggregated behind
+    its own scan and BROADCAST (eval suites are thousands-to-millions of
+    windows — driver-safe by construction, and the contract documents
+    it: a benchmark too large to broadcast is a corpus, not an eval
+    set), so the training corpus's span stream is probed entirely
+    map-side — span strings never materialize across a shuffle, the
+    membership test is a broadcast LEFT SEMI-shaped join, and the ONLY
+    shuffle in the whole plan is the final per-doc rollup. Contrast with
+    repeated_span_report's self-repetition count, which needs the
+    hash-partition shuffle; contamination against a FIXED set does not."""
+    from ..functions.text import tokens as _tok
+
+    bench_h = (
+        _span_hashes(bench, w, bench_id_col, bench_text_col)
+        .select("h")
+        .distinct()
+    )
+    spans = _span_hashes(docs, w, id_col, text_col)
+    hits = (
+        spans.join(F.broadcast(bench_h), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    )
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.size(_tok(F.col(text_col))) - F.lit(w) + 1, F.lit(0))
+        .cast("bigint")
+        .alias("n_spans"),
+    )
+    return per_doc.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias(
+            "n_contaminated"
+        ),
+        (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
     )

@@ -3762,3 +3762,69 @@ def q_curation_funnel_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+_DECON_MOD = 97  # doc_id % 97 == 0 plays the held-out evaluation set
+
+
+@query(
+    "benchmark_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    corp AS (SELECT * FROM t WHERE doc_id % {_DECON_MOD} <> 0),
+    bench AS (SELECT * FROM t WHERE doc_id % {_DECON_MOD} = 0),
+    bh AS (
+      SELECT DISTINCT ('0x' || substr(md5('sp:' ||
+               array_to_string(list_slice(b.toks, g.i, g.i + {_RSPAN_W} - 1), ' ')),
+               1, 15))::UBIGINT AS h
+      FROM bench b, LATERAL (
+        SELECT unnest(generate_series(1, len(b.toks) - {_RSPAN_W} + 1)) AS i
+      ) g
+      WHERE len(b.toks) >= {_RSPAN_W}
+    ),
+    cs AS (
+      SELECT c.doc_id,
+             ('0x' || substr(md5('sp:' ||
+               array_to_string(list_slice(c.toks, g.i, g.i + {_RSPAN_W} - 1), ' ')),
+               1, 15))::UBIGINT AS h
+      FROM corp c, LATERAL (
+        SELECT unnest(generate_series(1, len(c.toks) - {_RSPAN_W} + 1)) AS i
+      ) g
+      WHERE len(c.toks) >= {_RSPAN_W}
+    ),
+    hits AS (
+      SELECT cs.doc_id, COUNT(*) AS n_contaminated
+      FROM cs JOIN bh USING (h) GROUP BY cs.doc_id
+    )
+    SELECT c.doc_id,
+           CAST(CASE WHEN len(c.toks) >= {_RSPAN_W}
+                THEN len(c.toks) - {_RSPAN_W} + 1 ELSE 0 END AS BIGINT)
+             AS n_spans,
+           CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+    FROM corp c LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+""",
+)
+def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination
+    (operators/dedup.benchmark_contamination_report) — the GPT-3
+    appendix-C n-gram test-set-overlap gate: training documents sharing
+    any 8-token window with the held-out evaluation set (stand-in:
+    doc_id % 97 == 0) are flagged per-document with their contaminated
+    window count. The corpus's near-dup fixtures make the overlap real,
+    not synthetic. Exact value oracle: the md5-int60 window hashes and
+    the distinct-set membership replay bit-for-bit in DuckDB. Plan: the
+    benchmark window-hash set broadcasts (eval suites are small by
+    contract), so the corpus span stream is probed entirely map-side —
+    the ONLY shuffle is the final per-doc rollup; contamination against
+    a FIXED set needs no hash-partition shuffle (contrast
+    repeated_span_report)."""
+    from ..operators.dedup import benchmark_contamination_report
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    corp = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+    return benchmark_contamination_report(corp, bench, w=_RSPAN_W).orderBy(
+        "doc_id"
+    )

@@ -420,3 +420,59 @@ def test_repeated_span_trim_within_doc_keeps_first_occurrence(spark):
     assert row["clean_text"].count(block) == 1
     assert row["clean_text"].startswith(block)
     assert row["n_removed"] == 8
+
+
+def test_benchmark_contamination_semantics(spark):
+    """The decontamination gate: a training doc sharing a full w-token
+    window with the benchmark is flagged with the right window count;
+    partial (< w token) overlap is clean; short docs are clean by
+    definition; benchmark-internal repetition doesn't inflate counts."""
+    from s3_to_redshift_with_airflow_spark.operators.dedup import (
+        benchmark_contamination_report,
+    )
+
+    eval_q = "what is the capital of france answer paris obviously"  # 9 toks
+    bench = spark.createDataFrame(
+        [(1, eval_q), (2, eval_q)],  # internal repetition: still a SET
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the full eval question -> its 2 windows both hit
+            (10, f"intro text {eval_q} outro"),
+            # shares only 7 tokens -> no full window -> clean
+            (11, "what is the capital of france answer berlin maybe"),
+            (12, "completely unrelated text about something else entirely here"),
+            (13, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_contaminated"], r["contaminated"])
+        for r in benchmark_contamination_report(docs, bench, w=8).collect()
+    }
+    assert got[10] == (5, 2, True)
+    assert got[11] == (2, 0, False)
+    assert got[12] == (1, 0, False)
+    assert got[13] == (0, 0, False)
+
+
+def test_benchmark_contamination_probe_is_broadcast(spark):
+    """Scale shape: the benchmark hash set must reach the span stream as
+    a BROADCAST (the corpus probe stays map-side; the only exchange
+    before the rollup is the benchmark's own distinct)."""
+    from s3_to_redshift_with_airflow_spark.operators.dedup import (
+        benchmark_contamination_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some words repeated here for document {i} padding tokens")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id % 5 = 0")
+    plan = benchmark_contamination_report(
+        docs.filter("doc_id % 5 != 0"), bench, w=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
