@@ -220,6 +220,9 @@ HEADLINE = [
     # round-10: GPT-3-style n-gram test-set decontamination (broadcast
     # benchmark hash set, map-side span probe, one rollup shuffle)
     "benchmark_decontaminate",
+    # ranking-metric eval of the IVF run vs exact graded truth (two
+    # audited ANN plans + a broadcast qrels join)
+    "ann_ranking_eval",
 ]
 
 

@@ -265,3 +265,103 @@ def bm25_index_append(
         F.expr("sum(len) div count(1)").cast("bigint").alias("avgl"),
     )
     return postings2, doclens2, stats2
+
+
+def dcg_discounts(k: int, fp: int = 10**9) -> dict[int, int]:
+    """Fixed-point DCG rank discounts: floor(fp / log2(rank+1)) for rank
+    1..k, computed DRIVER-SIDE with python math.log2 and injected as
+    integer literals into BOTH the Spark plan and the DuckDB oracle — so
+    neither engine's log2 ULP behavior can enter the result (the Shannon
+    -entropy fixed-point-log2 discipline applied to ranking metrics)."""
+    import math
+
+    return {r: int(fp / math.log2(r + 1)) for r in range(1, k + 1)}
+
+
+def ranking_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rk",
+    rel_col: str = "rel",
+    fp: int = 10**9,
+) -> DataFrame:
+    """Retrieval RANKING evaluation — MRR, precision@k, nDCG@k per query,
+    bit-deterministic across engines: `results` is a ranked run
+    (query_col, id_col, rank_col with rank 1 best), `truth` carries
+    graded relevance (query_col, id_col, rel_col ≥ 1; documents absent
+    from truth are irrelevant). All accumulation is exact-integer —
+    DCG folds rel · floor(fp/log2(rank+1)) as bigints (discounts
+    precomputed driver-side, see dcg_discounts), IDCG re-ranks the
+    query's OWN truth ideally (rel desc, id asc — handles ties and
+    short truths, no uniform-grade assumption), and every float in the
+    output is ONE division of exact integers:
+
+      (query_id, n_hits, precision_at_k, mrr, ndcg)
+
+    mrr = 1/rank of the first relevant result (0.0 when none);
+    ndcg = dcg_fp / idcg_fp.
+
+    Plan (100 TB): run⋈truth is an equi-join on (query, id) — broadcast
+    the truth (qrels are small by nature); the metric is one
+    query-granularity aggregate. Nothing here scans a corpus."""
+    from pyspark.sql import Window
+
+    disc = dcg_discounts(k, fp)
+    disc_of = F.create_map(
+        *[F.lit(x) for r, d in disc.items() for x in (r, d)]
+    )
+
+    run = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("__id"),
+        F.col(rank_col).cast("int").alias("__rk"),
+    )
+    t = truth.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("__id"),
+        F.col(rel_col).cast("bigint").alias("__rel"),
+    )
+    j = run.join(F.broadcast(t), ["query_id", "__id"], "left").select(
+        "query_id",
+        "__rk",
+        F.coalesce("__rel", F.lit(0)).alias("__rel"),
+    )
+    hit = F.col("__rel") > 0
+    per_q = j.groupBy("query_id").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_hits"),
+        (
+            F.sum(F.when(hit, 1).otherwise(0)).cast("double")
+            / F.lit(float(k))
+        ).alias("precision_at_k"),
+        F.coalesce(
+            F.lit(1.0) / F.min(F.when(hit, F.col("__rk"))).cast("double"),
+            F.lit(0.0),
+        ).alias("mrr"),
+        F.sum(F.col("__rel") * disc_of[F.col("__rk")])
+        .cast("bigint")
+        .alias("__dcg_fp"),
+    )
+    iw = Window.partitionBy("query_id").orderBy(
+        F.col("__rel").desc(), F.col("__id").asc()
+    )
+    ideal = (
+        t.withColumn("__irk", F.row_number().over(iw).cast("int"))
+        .filter(F.col("__irk") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.col("__rel") * disc_of[F.col("__irk")])
+            .cast("bigint")
+            .alias("__idcg_fp")
+        )
+    )
+    return per_q.join(ideal, "query_id").select(
+        "query_id",
+        "n_hits",
+        "precision_at_k",
+        "mrr",
+        (F.col("__dcg_fp").cast("double") / F.col("__idcg_fp").cast("double"))
+        .alias("ndcg"),
+    )

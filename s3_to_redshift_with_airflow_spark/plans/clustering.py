@@ -1466,3 +1466,138 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return pca_project(emb, k=8, dim=_DIM)
+
+
+def _ranking_eval_sql(k: int = _IVF_TOPK) -> str:
+    """The ann_ranking_eval oracle: the IVF-Flat run (the _ivf_sql CTEs
+    verbatim) evaluated against the exact brute-force ranking, with the
+    DCG discounts injected as the SAME driver-computed fixed-point
+    literals the Spark plan folds (operators/retrieval.dcg_discounts) —
+    no engine computes a log."""
+    from ..operators.retrieval import dcg_discounts
+
+    disc = dcg_discounts(k)
+    disc_case = (
+        "CASE __rk " +
+        " ".join(f"WHEN {r} THEN {d}" for r, d in disc.items()) +
+        " ELSE 0 END"
+    )
+    idisc_case = (
+        "CASE __irk " +
+        " ".join(f"WHEN {r} THEN {d}" for r, d in disc.items()) +
+        " ELSE 0 END"
+    )
+    a = f"a{_N_ITER}"
+    return (
+        _kmeans_ctes()
+        + ", "
+        + _ivf_probe_ctes()
+        + f"""
+    , ivf_cand AS (
+      SELECT p.query_id, {a}.vec_id
+      FROM ivf_probe p JOIN {a} ON {a}.cid = p.cid
+      WHERE {a}.vec_id <> p.query_id
+    ),
+    ivf_scored AS (
+      SELECT c.query_id, c.vec_id,
+             list_sum(list_transform(list_zip(cv.v, qv2.v), x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(cv.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv2.v, x -> x * x))))
+               AS cos_sim
+      FROM ivf_cand c
+      JOIN e cv ON cv.vec_id = c.vec_id
+      JOIN e qv2 ON qv2.vec_id = c.query_id
+      WHERE sqrt(list_sum(list_transform(cv.v, x -> x * x))) > 0
+    ),
+    run AS (
+      SELECT query_id, vec_id, rk FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM ivf_scored)
+      WHERE rk <= {k}
+    ),
+    bf_scored AS (
+      SELECT iq.query_id, cv.vec_id,
+             list_sum(list_transform(list_zip(cv.v, qv2.v), x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(cv.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv2.v, x -> x * x))))
+               AS cos_sim
+      FROM ivf_q iq
+      JOIN e qv2 ON qv2.vec_id = iq.query_id
+      CROSS JOIN e cv
+      WHERE cv.vec_id <> iq.query_id
+        AND sqrt(list_sum(list_transform(cv.v, x -> x * x))) > 0
+    ),
+    truth AS (
+      SELECT query_id, vec_id, CAST({k} - trk + 1 AS BIGINT) AS rel FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id ASC) AS trk
+        FROM bf_scored)
+      WHERE trk <= {k}
+    ),
+    j AS (
+      SELECT r.query_id, r.rk AS __rk, COALESCE(t.rel, 0) AS rel
+      FROM run r LEFT JOIN truth t
+        ON t.query_id = r.query_id AND t.vec_id = r.vec_id
+    ),
+    per_q AS (
+      SELECT query_id,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST({k} AS DOUBLE) AS precision_at_k,
+             COALESCE(1.0 / CAST(MIN(CASE WHEN rel > 0 THEN __rk END)
+                                 AS DOUBLE), 0.0) AS mrr,
+             CAST(SUM(rel * {disc_case}) AS BIGINT) AS dcg_fp
+      FROM j GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT query_id, CAST(SUM(rel * {idisc_case}) AS BIGINT) AS idcg_fp
+      FROM (
+        SELECT query_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id ASC) AS __irk
+        FROM truth)
+      WHERE __irk <= {k}
+      GROUP BY query_id
+    )
+    SELECT p.query_id, p.n_hits, p.precision_at_k, p.mrr,
+           CAST(p.dcg_fp AS DOUBLE) / CAST(i.idcg_fp AS DOUBLE) AS ndcg
+    FROM per_q p JOIN ideal i USING (query_id)
+    ORDER BY p.query_id
+    """
+    )
+
+
+@query("ann_ranking_eval", oracle=_ranking_eval_sql())
+def q_ann_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval RANKING evaluation (operators/retrieval.ranking_metrics)
+    over the deterministic IVF-Flat run: the approximate ranking is
+    scored per query against the exact brute-force top-k with graded
+    relevance (true rank r gets grade k-r+1) — MRR, precision@k, and
+    nDCG@k, the metrics a retrieval stack actually reports, upgraded
+    from the recall-only reports (ann_recall_report) to EXACT value
+    oracles: DCG folds integer fixed-point discounts precomputed
+    driver-side (no engine computes a log), IDCG re-ranks each query's
+    own truth, and every output float is one division of exact
+    integers. Plan: the run and the truth are the already-audited ANN
+    plans; the metric itself is a broadcast qrels join + one
+    query-granularity aggregate."""
+    from ..operators.clustering import ivf_int8_topk
+    from ..operators.retrieval import ranking_metrics
+    from ..operators.similarity import brute_force_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    run = ivf_int8_topk(
+        emb, queries, k=_IVF_TOPK, n_probe=_IVF_NPROBE,
+        km_k=_K, n_iter=_N_ITER, dim=_DIM,
+    )
+    truth = brute_force_topk(emb, queries, k=_IVF_TOPK).select(
+        "query_id",
+        "vec_id",
+        (F.lit(_IVF_TOPK) - F.col("rk") + 1).cast("bigint").alias("rel"),
+    )
+    return ranking_metrics(run, truth, k=_IVF_TOPK).orderBy("query_id")

@@ -253,6 +253,9 @@ def test_registry_wide_plan_audit(spark):
         # five 1-row stage aggregates joined by broadcast — scalar
         # composition, same sanction as class_weights/heavy_hitters
         "curation_funnel",
+        # the funnel's 1-row accounting crossJoined with the span-trim
+        # stage's 1-row aggregate — the same scalar composition
+        "curation_funnel_trimmed",
         # 1-row (pos_tot, neg_tot) totals broadcast onto the 4096-row
         # bucket table — same scalar-threshold sanction as tpch_q11
         "quality_classifier_train",

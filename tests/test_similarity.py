@@ -97,3 +97,40 @@ def test_sign_lsh_neardup_recall_and_precision(spark):
         assert v == brute[k]  # exact cosine, bit-identical
     recall = len(blocked) / len(brute)
     assert recall >= 0.9, f"sign-LSH recall {recall} too low"
+
+
+def test_ranking_metrics_known_values(spark):
+    """ranking_metrics against hand-computed values: a perfect run scores
+    ndcg=mrr=1; a run with the relevant docs shifted down scores the
+    hand-folded fixed-point DCG ratio; a run with no relevant results
+    scores zeros."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.operators.retrieval import (
+        dcg_discounts,
+        ranking_metrics,
+    )
+
+    k = 3
+    disc = dcg_discounts(k)
+    truth = spark.createDataFrame(
+        [(q, d, r) for q in (1, 2, 3) for d, r in [(10, 3), (11, 2), (12, 1)]],
+        "query_id long, vec_id long, rel long",
+    )
+    run = spark.createDataFrame(
+        # q1: perfect order; q2: relevant docs at ranks 2,3 (13 irrelevant
+        # first); q3: nothing relevant
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 13, 1), (2, 10, 2), (2, 11, 3),
+         (3, 13, 1), (3, 14, 2), (3, 15, 3)],
+        "query_id long, vec_id long, rk long",
+    )
+    got = {
+        r["query_id"]: (r["n_hits"], r["precision_at_k"], r["mrr"], r["ndcg"])
+        for r in ranking_metrics(run, truth, k=k).collect()
+    }
+    idcg = 3 * disc[1] + 2 * disc[2] + 1 * disc[3]
+    assert got[1] == (3, 1.0, 1.0, 1.0)
+    q2_dcg = 3 * disc[2] + 2 * disc[3]
+    assert got[2] == (2, 2.0 / 3.0, 0.5, q2_dcg / idcg)
+    assert got[3] == (0, 0.0, 0.0, 0.0)
