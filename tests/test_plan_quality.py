@@ -236,6 +236,10 @@ def test_registry_wide_plan_audit(spark):
         "tpch_q11", "tpch_q22", "tfidf_topk",
         # composes the three sanctioned broadcast-query ANN retrievers
         "ann_recall_report",
+        # the IVF run scored against the brute-force graded truth —
+        # composes ann_topk's broadcast-query sanction; the metric
+        # itself is a broadcast qrels join
+        "ann_ranking_eval",
         # broadcast 5 anchors × one corpus scan with a residual label
         # inequality — O(N·|anchors|), same sanction as ann_topk
         "hard_negatives",
