@@ -223,6 +223,9 @@ HEADLINE = [
     # ranking-metric eval of the IVF run vs exact graded truth (two
     # audited ANN plans + a broadcast qrels join)
     "ann_ranking_eval",
+    # streaming exactly-once dedup gate (3 sequential availableNow runs:
+    # fingerprint, store anti-join, segment publish, idempotent fold)
+    "streaming_dedup_gate",
 ]
 
 

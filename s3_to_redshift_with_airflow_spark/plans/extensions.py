@@ -3828,3 +3828,81 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_contamination_report(corp, bench, w=_RSPAN_W).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "streaming_dedup_gate",
+    oracle=f"""
+    SELECT d.doc_id, md5({_NORM}) AS fp
+    FROM documents d
+    JOIN (
+      SELECT md5({_NORM}) AS kfp, MIN(doc_id) AS keeper
+      FROM documents GROUP BY 1
+    ) k ON k.keeper = d.doc_id
+    ORDER BY d.doc_id
+""",
+)
+def q_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exactly-once exact-dedup — the eleventh stored-artifact
+    foreachBatch consumer (streaming.pipeline.foreach_batch_dedup_gate):
+    the documents stream through THREE ordered epochs (ascending doc_id
+    ranges, each its own availableNow run on one checkpoint — the
+    epoch-order-pinning idiom); each epoch's batch is fingerprinted,
+    deduped within the batch (min-id survivor), anti-joined against the
+    persisted bucketed fingerprint store, its accepted rows published as
+    an immutable corpus segment, and its fingerprints folded back
+    (per-key idempotent min-id merge — catch-up recovery, no ledger
+    needed). The accepted union must equal the batch exact-dedup
+    survivor corpus: one row per content fingerprint, held by the
+    smallest doc_id (epochs ascend by doc_id, so first-epoch-wins IS
+    global min). Exact oracle over the full corpus."""
+    import glob as _glob
+    import shutil as _sh
+    import tempfile
+
+    from ..session import ensure_utc
+    from ..streaming.pipeline import (
+        foreach_batch_dedup_gate,
+        read_dedup_gate_corpus,
+        stream_source,
+    )
+
+    ensure_utc(spark)
+    (docs,) = _t(spark, sf_dir, "documents")
+    lo, hi = [
+        r[0]
+        for r in docs.agg(F.min("doc_id")).collect()
+        + docs.agg(F.max("doc_id")).collect()
+    ]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    store = tempfile.mkdtemp(prefix="dedup_gate_") + "/store"
+    staging = tempfile.mkdtemp(prefix="gate_delta_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_gate_")
+    sink = foreach_batch_dedup_gate(store)
+    slices = [
+        docs.filter(F.col("doc_id") <= cut1),
+        docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)),
+        docs.filter(F.col("doc_id") > cut2),
+    ]
+    for i, sl in enumerate(slices):
+        tmpd = tempfile.mkdtemp(prefix=f"gate_e{i}_")
+        sl.coalesce(1).write.parquet(f"{tmpd}/out")
+        _sh.copy(
+            _glob.glob(f"{tmpd}/out/part-*.parquet")[0],
+            f"{staging}/d{i}.parquet",
+        )
+        # one availableNow run per staged file, same checkpoint: epoch
+        # order is pinned by the run sequence, not file mtimes
+        (
+            stream_source(spark, staging, docs.schema, watermark=None)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+    return (
+        read_dedup_gate_corpus(spark, store)
+        .select("doc_id", F.col("__fp").alias("fp"))
+        .orderBy("doc_id")
+    )

@@ -2427,3 +2427,143 @@ def compact_join_view_segments(
         ).parquet(f"{tmp}/{out_name}")
 
     return _compact_segment_store(spark, root, write_merged, tiered=tiered)
+
+
+def foreach_batch_dedup_gate(
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """foreachBatch sink: EXACTLY-ONCE streaming exact-dedup — the
+    eleventh stored-artifact consumer, the gate a production ingestion
+    pipeline puts in front of its training corpus: each epoch's
+    documents are fingerprinted (functions/text.fingerprint — md5 of the
+    normalized text), deduped within the batch (min-id survivor per
+    fingerprint, the dedup_survivor discipline), anti-joined against the
+    PERSISTED fingerprint membership store (hash-bucketed by
+    fingerprint; the anti-join reads only the batch's touched buckets),
+    and the accepted rows are published as one immutable corpus segment
+    `accepted/seg_<epoch>` by a single rename. The union of segments IS
+    the deduped corpus: each content fingerprint appears exactly once,
+    held by the smallest id of its earliest epoch.
+
+    Crash protocol — publish-then-fold, both halves replay-safe with NO
+    ledger:
+
+      (1) decide: if the epoch's segment is absent, compute the accepted
+          set against the store and publish it atomically (presence ==
+          epoch decided). A replay never recomputes a published segment —
+          recomputing against a store the crashed run already
+          half-folded would re-drop the epoch's own rows (data loss);
+          the published segment is the decision of record.
+      (2) fold: merge the SEGMENT's (fp, holder-id) rows into the
+          bucketed store — union + min-id per fingerprint, a per-key
+          IDEMPOTENT merge, so the CDC/upsert catch-up recovery argument
+          applies verbatim (re-folding converges; parked buckets are
+          restored by _recover_buckets). Runs on every delivery,
+          including replays, which is what makes a crash between (1)
+          and (2) safe.
+
+    Epochs are serial per checkpoint, so epoch N's fold completes before
+    epoch N+1's anti-join consults the store. Scale: per epoch the store
+    I/O is O(touched buckets); the corpus append is O(accepted rows);
+    nothing rescans history."""
+    from pyspark.sql import Window
+
+    from ..functions.text import fingerprint
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        root = store_dir.rstrip("/")
+        fp_store = f"{root}/fps"
+        _recover_buckets(spark, fp_store)
+        fs, P = _hadoop_fs(spark, root)
+        seg = f"{root}/accepted/seg_{int(epoch_id)}"
+
+        def store_slice(buckets: list[int]) -> DataFrame:
+            empty = spark.range(0).select(
+                F.lit("").alias("fp"),
+                F.lit(0).cast("bigint").alias("holder"),
+            )
+            have = fs.globStatus(P(f"{fp_store}/bucket=*"))
+            if not buckets or have is None or len(list(have)) == 0:
+                return empty  # store not yet materialized (or no targets)
+            return (
+                spark.read.parquet(fp_store)
+                .filter(F.col("bucket").isin([int(b) for b in buckets]))
+                .drop("bucket")
+            )
+
+        if not fs.exists(P(seg)):
+            if batch_df.isEmpty():
+                return
+            w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+            cand = (
+                batch_df.withColumn("__fp", fingerprint(F.col(text_col)))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            touched = sorted(
+                r["b"]
+                for r in cand.select(
+                    bucket_expr(["__fp"], n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            known = store_slice(touched).select(F.col("fp").alias("__fp"))
+            accepted = cand.join(F.broadcast(known), "__fp", "left_anti")
+            tmp = f"{root}/__gate_epoch{int(epoch_id)}"
+            accepted.write.mode("overwrite").parquet(tmp)
+            fs.mkdirs(P(f"{root}/accepted"))
+            _rename_or_raise(fs, P(tmp), P(seg))  # epoch decided
+        # fold (always — replays re-fold idempotently)
+        seg_fps = spark.read.parquet(seg).select(
+            F.col("__fp").alias("fp"),
+            F.col(id_col).cast("bigint").alias("holder"),
+        )
+        touched = sorted(
+            r["b"]
+            for r in seg_fps.select(bucket_expr(["fp"], n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return  # empty accepted set: membership unchanged
+        merged = (
+            store_slice(touched)
+            .unionByName(seg_fps)
+            .groupBy("fp")
+            .agg(F.min("holder").cast("bigint").alias("holder"))
+        )
+        tmp = f"{root}/__fps_epoch{int(epoch_id)}"
+        (
+            merged.withColumn("bucket", bucket_expr(["fp"], n_buckets))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
+        fs.mkdirs(P(fp_store))  # first fold: the store root may not exist
+        for b in touched:
+            btmp = f"{tmp}/bucket={int(b)}"
+            if fs.exists(P(btmp)):
+                _install(
+                    spark,
+                    btmp,
+                    f"{fp_store}/bucket={int(b)}",
+                    prev_path=f"{fp_store}__prevb/bucket={int(b)}",
+                )
+        fs.delete(P(tmp), True)
+        fs.delete(P(f"{fp_store}__prevb"), True)
+
+    return _sink
+
+
+def read_dedup_gate_corpus(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The deduped corpus the gate has accepted so far: the union of the
+    immutable accepted/ segments (plan-level union, no shuffle)."""
+    root = store_dir.rstrip("/")
+    return spark.read.parquet(f"{root}/accepted/seg_*")

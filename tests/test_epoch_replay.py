@@ -540,3 +540,73 @@ def test_join_agg_retract_bucketed_matches_plain_and_crash_recovers(
     assert snap(plain_t) == snap(buck_t)
     assert crashed  # budget 4 must land inside the mutation phase
 
+
+
+def test_dedup_gate_drops_cross_epoch_dups_and_survives_crash(
+    spark, tmp_path, monkeypatch
+):
+    """The streaming dedup gate: planted exact dups are dropped within a
+    batch, across epochs, and under (a) replay of a decided epoch and
+    (b) a crash BETWEEN segment publish and fingerprint fold — the
+    publish-then-fold protocol's whole point: the replay must re-fold
+    from the published segment, never recompute it (recomputing against
+    the half-folded store would lose the epoch's rows)."""
+    from pyspark.sql import functions as F
+
+    import s3_to_redshift_with_airflow_spark.streaming.pipeline as pl
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_dedup_gate,
+        read_dedup_gate_corpus,
+    )
+    from tests.test_crash_recovery import _CrashingFS, _CrashNow
+
+    store = str(tmp_path / "gate")
+    sink = foreach_batch_dedup_gate(store, n_buckets=4)
+    batch = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+
+    def corpus():
+        return sorted(
+            r["doc_id"] for r in read_dedup_gate_corpus(spark, store).collect()
+        )
+
+    # epoch 0: within-batch dup (1 and 2 same text) -> min id 1 survives
+    sink(batch([(1, "Alpha  Beta"), (2, "alpha beta"), (3, "unique one")]), 0)
+    assert corpus() == [1, 3]
+    # epoch 1: cross-epoch dup (text of 1) + a new doc
+    sink(batch([(10, "ALPHA BETA"), (11, "fresh text")]), 1)
+    assert corpus() == [1, 3, 11]
+    # replay of epoch 1: decided — corpus unchanged (no duplicate segment)
+    sink(batch([(10, "ALPHA BETA"), (11, "fresh text")]), 1)
+    assert corpus() == [1, 3, 11]
+
+    # epoch 2 crashes between segment publish and the fold
+    real_hfs = pl._hadoop_fs
+    budget = [1]  # survives mkdirs+rename of the segment? count mutations:
+    # publish path = mkdirs(accepted) + rename(tmp->seg) = 2 mutations;
+    # crash on the 3rd (first fold mutation)
+
+    def crashing(s, p, _b=budget):
+        fs, P = real_hfs(s, p)
+        return _CrashingFS(fs, _b), P
+
+    budget[0] = 2
+    monkeypatch.setattr(pl, "_hadoop_fs", crashing)
+    crashed = False
+    try:
+        sink(batch([(20, "post crash doc"), (21, "unique one")]), 2)
+    except _CrashNow:
+        crashed = True
+    finally:
+        monkeypatch.setattr(pl, "_hadoop_fs", real_hfs)
+    assert crashed
+    # segment published (epoch decided: 20 accepted, 21 dropped as dup of 3)
+    assert corpus() == [1, 3, 11, 20]
+    # replay: must NOT recompute (20's fp may already be half-folded);
+    # re-folds from the segment and converges
+    sink(batch([(20, "post crash doc"), (21, "unique one")]), 2)
+    assert corpus() == [1, 3, 11, 20]
+    # a later dup of 20 is now gated by the folded store
+    sink(batch([(30, "POST  CRASH  DOC"), (31, "brand new")]), 3)
+    assert corpus() == [1, 3, 11, 20, 31]
