@@ -226,6 +226,12 @@ HEADLINE = [
     # streaming exactly-once dedup gate (3 sequential availableNow runs:
     # fingerprint, store anti-join, segment publish, idempotent fold)
     "streaming_dedup_gate",
+    # streaming_neardup_gate is deliberately NOT a headline row: it runs
+    # three full stream lifecycles over two bucketed stores (~33 s warm at
+    # sf0.1) — x4 bench runs would dominate wall-clock without new plan
+    # information beyond minhash_neardup + the store folds already timed;
+    # its per-round timing lands in CORRECTNESS_LOCAL (the
+    # ivf_pq_index_retrain precedent).
 ]
 
 

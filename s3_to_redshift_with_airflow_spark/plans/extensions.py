@@ -3906,3 +3906,84 @@ def q_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("__fp").alias("fp"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "streaming_neardup_gate",
+    oracle=f"""
+    WITH shng AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    f AS (SELECT doc_id, sh FROM shng WHERE len(sh) > 0),
+    nd AS (
+      SELECT DISTINCT b.doc_id AS id_b
+      FROM f a, f b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+                 - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.8
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM nd)
+    ORDER BY doc_id
+""",
+)
+def q_streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup gate — the twelfth stored-artifact foreachBatch
+    consumer (streaming.pipeline.foreach_batch_neardup_gate): documents
+    stream through THREE ordered epochs (ascending doc_id ranges, one
+    availableNow run each on a shared checkpoint); every epoch is banded
+    against the PERSISTED MinHash band index of everything seen so far,
+    candidates are exact-Jaccard verified against stored shingles, and a
+    doc is dropped iff a smaller-id SEEN doc is >= 0.8 similar — the
+    monotone min-id drop rule corpus-wide, which is exactly what the
+    batch oracle replays (brute-force Jaccard survivor set; the banded
+    probe's ~5e-15 band-miss bound is the same sanction minhash_neardup
+    carries). Dropped docs are indexed too: a kept-only index would
+    silently turn the rule into order-dependent greedy."""
+    import glob as _glob
+    import shutil as _sh
+    import tempfile
+
+    from ..session import ensure_utc
+    from ..streaming.pipeline import (
+        foreach_batch_neardup_gate,
+        read_neardup_gate_corpus,
+        stream_source,
+    )
+
+    ensure_utc(spark)
+    (docs,) = _t(spark, sf_dir, "documents")
+    lo, hi = [
+        r[0]
+        for r in docs.agg(F.min("doc_id")).collect()
+        + docs.agg(F.max("doc_id")).collect()
+    ]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    store = tempfile.mkdtemp(prefix="ndgate_") + "/store"
+    staging = tempfile.mkdtemp(prefix="ndgate_delta_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ndgate_")
+    sink = foreach_batch_neardup_gate(store)
+    slices = [
+        docs.filter(F.col("doc_id") <= cut1),
+        docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)),
+        docs.filter(F.col("doc_id") > cut2),
+    ]
+    for i, sl in enumerate(slices):
+        tmpd = tempfile.mkdtemp(prefix=f"ndgate_e{i}_")
+        sl.coalesce(1).write.parquet(f"{tmpd}/out")
+        _sh.copy(
+            _glob.glob(f"{tmpd}/out/part-*.parquet")[0],
+            f"{staging}/d{i}.parquet",
+        )
+        (
+            stream_source(spark, staging, docs.schema, watermark=None)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+    return (
+        read_neardup_gate_corpus(spark, store)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -2567,3 +2567,238 @@ def read_dedup_gate_corpus(spark: SparkSession, store_dir: str) -> DataFrame:
     immutable accepted/ segments (plan-level union, no shuffle)."""
     root = store_dir.rstrip("/")
     return spark.read.parquet(f"{root}/accepted/seg_*")
+
+
+def foreach_batch_neardup_gate(
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    n_bands: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+    n_buckets: int = 64,
+):
+    """foreachBatch sink: streaming NEAR-dup gate — the twelfth
+    stored-artifact consumer, MinHash-LSH dedup of a document stream
+    against everything the pipeline has ever SEEN: each epoch's batch is
+    shingled, signed, and banded (operators/dedup's one-hash MinHash
+    construction — band keys are a pure function of the document, the
+    property that makes a persisted band index joinable without
+    recomputing the corpus); candidates come from (a) the batch's band
+    keys probed against the stored band index (touched buckets only) and
+    (b) the batch's own smaller-id band collisions; every candidate is
+    EXACT-Jaccard verified against stored (or in-batch) shingles; a doc
+    is dropped iff some SMALLER-id seen document is >= threshold similar
+    — the monotone min-id drop rule, corpus-wide (epochs ascend by id),
+    which is what gives the gate a batch-replay oracle.
+
+    The decision segment `decided/seg_<epoch>` holds the WHOLE batch
+    with an `accepted` flag — dropped docs are indexed too (the monotone
+    rule compares against all SEEN docs, not just survivors; a
+    kept-only index would silently flip the semantics to order-dependent
+    greedy). Publish-then-fold, NO ledger (the dedup-gate protocol):
+    the segment publish is the decision of record; the fold re-derives
+    bands+shingles FROM the segment (pure functions — deterministic,
+    so replay folds converge) into the two bucketed stores
+    (`bands/` keyed by (band, key), `sh/` keyed by doc id) with per-key
+    idempotent set-union merges and per-bucket parked installs.
+
+    Scale: per epoch the band probe reads O(touched band buckets), the
+    verify reads O(candidate corpus docs) shingle rows by bucket, the
+    fold rewrites O(touched buckets). Shingles are stored as raw string
+    arrays here (exact verification, exact oracle); a 100 TB deployment
+    stores the md5-int60 shingle hashes instead — same join shape,
+    ~8 bytes per shingle, Jaccard on hashes == Jaccard on shingles up to
+    the 60-bit collision bound."""
+    from ..operators.dedup import (
+        _shingled,
+        _signatures_from_shingled,
+        minhash_band_keys,
+    )
+
+    r = num_hashes // n_bands
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        root = store_dir.rstrip("/")
+        bands_store, sh_store = f"{root}/bands", f"{root}/sh"
+        _recover_buckets(spark, bands_store)
+        _recover_buckets(spark, sh_store)
+        fs, P = _hadoop_fs(spark, root)
+        seg = f"{root}/decided/seg_{int(epoch_id)}"
+
+        def slice_of(store: str, buckets: list[int], empty: DataFrame) -> DataFrame:
+            have = fs.globStatus(P(f"{store}/bucket=*"))
+            if not buckets or have is None or len(list(have)) == 0:
+                return empty
+            return (
+                spark.read.parquet(store)
+                .filter(F.col("bucket").isin([int(b) for b in buckets]))
+                .drop("bucket")
+            )
+
+        empty_bands = spark.range(0).select(
+            F.lit(0).alias("band"),
+            F.lit(0).cast("bigint").alias("key"),
+            F.lit(0).cast("bigint").alias("corpus_id"),
+        )
+        empty_sh = spark.range(0).select(
+            F.lit(0).cast("bigint").alias("corpus_id"),
+            F.array(F.lit("")).alias("sh_b"),
+        )
+
+        def bands_and_shingles(docs: DataFrame):
+            sh = _shingled(docs, id_col, text_col, n)
+            sigs = _signatures_from_shingled(sh, id_col, num_hashes, seed)
+            return sh, minhash_band_keys(sigs, id_col, n_bands, r)
+
+        computed = None  # happy-path reuse: decide's bands/shingles ARE
+        # the segment's (the segment is the batch + a flag), so the fold
+        # below skips re-deriving them; a replay (segment exists, decide
+        # skipped) re-derives from the segment — the crash-safe path
+        if not fs.exists(P(seg)):
+            if batch_df.isEmpty():
+                return
+            sh_b, bands_b = bands_and_shingles(batch_df)
+            sh_b = sh_b.localCheckpoint()  # reused 3x below; tiny per epoch
+            bands_b = bands_b.localCheckpoint()
+            computed = (sh_b, bands_b)
+            touched = sorted(
+                rr["b"]
+                for rr in bands_b.select(
+                    bucket_expr(["band", "key"], n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            corp_bands = slice_of(bands_store, touched, empty_bands)
+            cross = (
+                bands_b.select(F.col(id_col), "band", "key")
+                .join(corp_bands, ["band", "key"])
+                .select(id_col, "corpus_id")
+                .distinct()
+            )
+            left = bands_b.select(
+                F.col(id_col).alias("__big"), "band", "key"
+            )
+            right = bands_b.select(
+                F.col(id_col).alias("__small"), "band", "key"
+            )
+            within = (
+                left.join(right, ["band", "key"])
+                .filter(F.col("__small") < F.col("__big"))
+                .select(
+                    F.col("__big").alias(id_col),
+                    F.col("__small").alias("corpus_id"),
+                )
+                .distinct()
+            )
+            # exact-Jaccard verify both candidate families
+            a = sh_b.select(F.col(id_col), F.col("shingles").alias("sh_a"))
+            sh_buckets = sorted(
+                rr["b"]
+                for rr in cross.select(
+                    bucket_expr(["corpus_id"], n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            corp_sh = slice_of(sh_store, sh_buckets, empty_sh)
+            b_within = sh_b.select(
+                F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh_b")
+            )
+            inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+            jac = (inter / union).alias("jaccard")
+
+            def dropped(c: DataFrame, shs: DataFrame) -> DataFrame:
+                return (
+                    c.join(a, id_col)
+                    .join(shs, "corpus_id")
+                    .select(id_col, jac)
+                    .filter(F.col("jaccard") >= threshold)
+                    .select(id_col)
+                )
+
+            bad = dropped(cross, corp_sh).unionByName(
+                dropped(within, b_within)
+            ).distinct()
+            decided = batch_df.join(bad, id_col, "left_anti").select(
+                "*", F.lit(True).alias("accepted")
+            ).unionByName(
+                batch_df.join(bad, id_col, "left_semi").select(
+                    "*", F.lit(False).alias("accepted")
+                )
+            )
+            tmp = f"{root}/__gate_epoch{int(epoch_id)}"
+            decided.write.mode("overwrite").parquet(tmp)
+            fs.mkdirs(P(f"{root}/decided"))
+            _rename_or_raise(fs, P(tmp), P(seg))  # epoch decided
+        # fold (always): ALL the segment's docs — accepted AND dropped —
+        # join the seen index; bands+shingles re-derived deterministically
+        # on replay, reused from the decide phase on the happy path
+        if computed is not None:
+            sh_s, bands_s = computed
+        else:
+            seen = spark.read.parquet(seg).drop("accepted")
+            sh_s, bands_s = bands_and_shingles(seen)
+        band_rows = bands_s.select(
+            "band", "key", F.col(id_col).cast("bigint").alias("corpus_id")
+        )
+        sh_rows = sh_s.select(
+            F.col(id_col).cast("bigint").alias("corpus_id"),
+            F.col("shingles").alias("sh_b"),
+        )
+        for store, keys, rows, dedup_keys in (
+            (bands_store, ["band", "key"], band_rows, ["band", "key", "corpus_id"]),
+            (sh_store, ["corpus_id"], sh_rows, ["corpus_id"]),
+        ):
+            touched = sorted(
+                rr["b"]
+                for rr in rows.select(bucket_expr(keys, n_buckets).alias("b"))
+                .distinct()
+                .collect()
+            )
+            if not touched:
+                continue
+            empty = empty_bands if store == bands_store else empty_sh
+            merged = (
+                slice_of(store, touched, empty)
+                .unionByName(rows)
+                .dropDuplicates(dedup_keys)
+            )
+            tmp = f"{store}__fold_epoch{int(epoch_id)}"
+            (
+                merged.withColumn("bucket", bucket_expr(keys, n_buckets))
+                .repartition("bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(tmp)
+            )
+            fs.mkdirs(P(store))
+            for b in touched:
+                btmp = f"{tmp}/bucket={int(b)}"
+                if fs.exists(P(btmp)):
+                    _install(
+                        spark,
+                        btmp,
+                        f"{store}/bucket={int(b)}",
+                        prev_path=f"{store}__prevb/bucket={int(b)}",
+                    )
+            fs.delete(P(tmp), True)
+            fs.delete(P(f"{store}__prevb"), True)
+
+    return _sink
+
+
+def read_neardup_gate_corpus(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The near-dedup corpus the gate has accepted so far: union of the
+    decision segments, filtered to the accepted flag."""
+    root = store_dir.rstrip("/")
+    return (
+        spark.read.parquet(f"{root}/decided/seg_*")
+        .filter(F.col("accepted"))
+        .drop("accepted")
+    )

@@ -610,3 +610,84 @@ def test_dedup_gate_drops_cross_epoch_dups_and_survives_crash(
     # a later dup of 20 is now gated by the folded store
     sink(batch([(30, "POST  CRASH  DOC"), (31, "brand new")]), 3)
     assert corpus() == [1, 3, 11, 20, 31]
+
+
+def test_neardup_gate_monotone_rule_and_replay(spark, tmp_path):
+    """The streaming near-dup gate's semantics: cross-epoch near-dups
+    drop; a doc similar ONLY to a DROPPED doc still drops (the monotone
+    min-id rule indexes everything seen — a kept-only index would flip
+    this to greedy); replays of a decided epoch are no-ops."""
+    from pyspark.sql import functions as F
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_neardup_gate,
+        read_neardup_gate_corpus,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    v1 = base + " extra"
+    v2 = base + " extra more"  # near v1 AND base; drops via base anyway
+    store = str(tmp_path / "nd")
+    sink = foreach_batch_neardup_gate(store, threshold=0.5, n_buckets=8)
+    batch = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+
+    def kept():
+        return sorted(
+            r["doc_id"] for r in read_neardup_gate_corpus(spark, store).collect()
+        )
+
+    sink(batch([(1, base), (2, "totally different content here entirely")]), 0)
+    assert kept() == [1, 2]
+    # epoch 1: v1 drops (near base=1); 4 is fresh
+    sink(batch([(3, v1), (4, "another unrelated document text")]), 1)
+    assert kept() == [1, 2, 4]
+    # epoch 2: v2 is near BOTH 1 and the DROPPED 3 — must drop even if its
+    # jaccard to 1 were below threshold, because 3 is indexed; here it is
+    # near both, and the rule keys off ANY smaller seen doc
+    sink(batch([(5, v2), (6, "yet another fresh piece of writing")]), 2)
+    assert kept() == [1, 2, 4, 6]
+    # replay epoch 1: decided — nothing changes, no duplicate segments
+    sink(batch([(3, v1), (4, "another unrelated document text")]), 1)
+    assert kept() == [1, 2, 4, 6]
+
+
+def test_neardup_gate_indexes_dropped_docs(spark, tmp_path):
+    """The discriminating case for the seen-index choice: B drops as a
+    near-dup of A; C is a near-dup of B but NOT of A. The monotone rule
+    (compare against all SEEN) drops C; a kept-only greedy index would
+    keep it. Constructed with shingle-set containment chains."""
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_neardup_gate,
+        read_neardup_gate_corpus,
+    )
+
+    # token design (3-shingles): A and B share most shingles; C shares
+    # enough with B but too few with A.
+    a_txt = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    b_txt = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"  # j(A,B) = 0.8
+    c_txt = "w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13"    # j(B,C) = 0.727, j(A,C) = 0.545
+    store = str(tmp_path / "nd2")
+    sink = foreach_batch_neardup_gate(store, threshold=0.6, n_buckets=8)
+    batch = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+    sink(batch([(1, a_txt)]), 0)
+    sink(batch([(2, b_txt)]), 1)
+    sink(batch([(3, c_txt)]), 2)
+    kept = sorted(
+        r["doc_id"] for r in read_neardup_gate_corpus(spark, store).collect()
+    )
+    # verify the fixture's jaccard structure, then the rule
+    from s3_to_redshift_with_airflow_spark.functions.text import token_shingles
+    import pyspark.sql.functions as F
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in batch([(1, a_txt), (2, b_txt), (3, c_txt)])
+        .select("doc_id", token_shingles(F.col("text"), 3).alias("sh"))
+        .collect()
+    }
+    j = lambda x, y: len(sh[x] & sh[y]) / len(sh[x] | sh[y])  # noqa: E731
+    assert j(1, 2) >= 0.6 and j(2, 3) >= 0.6 and j(1, 3) < 0.6
+    assert kept == [1]  # B drops via A; C drops via the DROPPED B
