@@ -2486,14 +2486,19 @@ def foreach_batch_dedup_gate(
                 F.lit("").alias("fp"),
                 F.lit(0).cast("bigint").alias("holder"),
             )
-            have = fs.globStatus(P(f"{fp_store}/bucket=*"))
-            if not buckets or have is None or len(list(have)) == 0:
+            # read the touched bucket dirs by EXPLICIT path — a
+            # partition-pruned read of the root would still LIST every
+            # bucket dir, making epoch cost grow with the layout constant
+            # (measured 2.2->8.1 s across a 64->1600-bucket sweep before
+            # this; O(touched) listing after)
+            paths = [
+                p
+                for p in (f"{fp_store}/bucket={int(b)}" for b in buckets)
+                if fs.exists(P(p))
+            ]
+            if not paths:
                 return empty  # store not yet materialized (or no targets)
-            return (
-                spark.read.parquet(fp_store)
-                .filter(F.col("bucket").isin([int(b) for b in buckets]))
-                .drop("bucket")
-            )
+            return spark.read.parquet(*paths)
 
         if not fs.exists(P(seg)):
             if batch_df.isEmpty():
@@ -2630,14 +2635,16 @@ def foreach_batch_neardup_gate(
         seg = f"{root}/decided/seg_{int(epoch_id)}"
 
         def slice_of(store: str, buckets: list[int], empty: DataFrame) -> DataFrame:
-            have = fs.globStatus(P(f"{store}/bucket=*"))
-            if not buckets or have is None or len(list(have)) == 0:
+            # explicit touched-bucket paths: no root listing (see the
+            # dedup gate's store_slice note)
+            paths = [
+                p
+                for p in (f"{store}/bucket={int(b)}" for b in buckets)
+                if fs.exists(P(p))
+            ]
+            if not paths:
                 return empty
-            return (
-                spark.read.parquet(store)
-                .filter(F.col("bucket").isin([int(b) for b in buckets]))
-                .drop("bucket")
-            )
+            return spark.read.parquet(*paths)
 
         empty_bands = spark.range(0).select(
             F.lit(0).alias("band"),

@@ -189,10 +189,48 @@ def main() -> None:
     rows.append(row)
     print(json.dumps(row), flush=True)
 
+    # ---- part C: the streaming dedup gate's per-epoch cost vs store size.
+    # Bounded-rewrite arithmetic: per-epoch fold I/O = touched_buckets x
+    # bucket_rows ~ |batch| x bucket_rows once n_buckets >> |batch| (each
+    # batch fingerprint lands in its own bucket) — a deployment sizes
+    # n_buckets to BOTH keep bucket_rows ~constant (store/n_buckets ~ 315
+    # here) and dwarf the epoch size. The sweep grows the seeded store 25x
+    # with n_buckets scaled to match and times one fixed 50-doc epoch
+    # (half exact dups of the store, half fresh): flat epoch_sec is the
+    # claim.
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_dedup_gate,
+        read_dedup_gate_corpus,
+    )
+
+    for n_docs, nb in [(20_000, 64), (100_000, 320), (500_000, 1600)]:
+        store = tempfile.mkdtemp(prefix=f"probe_gate_{n_docs}_") + "/store"
+        sink = foreach_batch_dedup_gate(store, n_buckets=nb)
+        corpus = synthetic_documents(spark, n_docs + 25, group=1).localCheckpoint()
+        sink(corpus.filter(F.col("doc_id") < n_docs), 0)  # seed epoch
+        delta = corpus.filter(F.col("doc_id") < 25).unionByName(
+            corpus.filter(F.col("doc_id") >= n_docs)
+        ).localCheckpoint()  # 25 dups + 25 fresh
+        t0 = time.time()
+        sink(delta, 1)
+        epoch_sec = round(time.time() - t0, 3)
+        accepted = read_dedup_gate_corpus(spark, store).count()
+        row = {
+            "family": "dedup_gate_epoch_cost",
+            "index_docs": n_docs,
+            "n_buckets": nb,
+            "delta_docs": 50,
+            "epoch_sec": epoch_sec,
+            "accepted_total": accepted,
+            "dups_rejected": accepted == n_docs + 25,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
     ok = all(
         r["suspects"] == []
         for r in rows
-        if r.get("summary_present", True) is not False
+        if r.get("summary_present", True) is not False and "suspects" in r
     )
     print(
         json.dumps(
