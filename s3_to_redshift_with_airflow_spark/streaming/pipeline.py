@@ -691,6 +691,33 @@ def foreach_batch_weighted_agg_maintain_bucketed(
     return _sink
 
 
+def _read_touched_buckets(
+    spark: SparkSession, target_path: str, touched: list[int]
+) -> DataFrame:
+    """The bucketed store's touched slice, read by EXPLICIT bucket-dir
+    paths: a partition-pruned read of the root still LISTS every bucket
+    dir, so epoch cost would track the layout constant (n_buckets) rather
+    than the work — measured 2.2->8.1 s across a 64->1600-bucket sweep on
+    the dedup gate before the explicit-path read (SCALE_r10.jsonl).
+    Touched buckets that do not exist yet (first key hashing into them)
+    are simply skipped; when NONE exist the root read supplies the typed
+    empty slice (one listing on the rare all-new-buckets epoch)."""
+    fs, P = _hadoop_fs(spark, target_path)
+    root = target_path.rstrip("/")
+    paths = [
+        p
+        for p in (f"{root}/bucket={int(b)}" for b in touched)
+        if fs.exists(P(p))
+    ]
+    if paths:
+        return spark.read.parquet(*paths)  # no partition column
+    return (
+        spark.read.parquet(target_path)
+        .filter(F.col("bucket").isin([int(b) for b in touched]))
+        .drop("bucket")
+    )
+
+
 def _bucketed_weighted_merge(
     spark: SparkSession,
     target_path: str,
@@ -720,11 +747,7 @@ def _bucketed_weighted_merge(
         return  # empty epoch: state unchanged, ledger not advanced
     # direct read, not _store_path: bucketed stores park per-bucket
     # under __prevb (rolled back / committed by the caller), never the root
-    state_slice = (
-        spark.read.parquet(target_path)
-        .filter(F.col("bucket").isin([int(b) for b in touched]))
-        .drop("bucket")
-    )
+    state_slice = _read_touched_buckets(spark, target_path, touched)
     merged = apply_weighted_delta(
         state_slice, delta, keys, value_col, weight_col=weight_col
     )
@@ -1146,11 +1169,7 @@ def foreach_batch_cdc_scd2_bucketed(
         # this read through _store_path would be wrong in the other
         # direction (a stale `target__prev` left by some unrelated tool
         # would shadow the live table).
-        dim_slice = (
-            spark.read.parquet(target_path)
-            .filter(F.col("bucket").isin([int(b) for b in touched]))
-            .drop("bucket")
-        )
+        dim_slice = _read_touched_buckets(spark, target_path, touched)
         merged = cdc_to_scd2(
             batch_df,
             dim_slice,
@@ -1954,11 +1973,7 @@ def foreach_batch_upsert_bucketed(
         )
         if not touched:
             return
-        target_slice = (
-            spark.read.parquet(target_path)
-            .filter(F.col("bucket").isin([int(b) for b in touched]))
-            .drop("bucket")
-        )
+        target_slice = _read_touched_buckets(spark, target_path, touched)
         merged = upsert_dataframe(target_slice, batch, keys)
         tmp = target_path.rstrip("/") + f"__upb_epoch{epoch_id}"
         (
