@@ -224,7 +224,14 @@ HEADLINE = [
     # audited ANN plans + a broadcast qrels join)
     "ann_ranking_eval",
     # streaming exactly-once dedup gate (3 sequential availableNow runs:
-    # fingerprint, store anti-join, segment publish, idempotent fold)
+    # fingerprint, store anti-join, segment publish, idempotent fold).
+    # FROZEN CONTRACT (round 11, per VERDICT r10 wrong #2 / next #5):
+    # this row times the FULL 3-epoch stream lifecycle — staging writes,
+    # three availableNow streams on one checkpoint, and the serve read —
+    # NOT a single maintain epoch. The shape must not change between
+    # rounds or the round-over-round signal breaks (the r9 lesson). The
+    # pure per-epoch cost is measured separately and stays flat across a
+    # 25x store-size sweep (SCALE_r10.jsonl `dedup_gate_epoch_cost`).
     "streaming_dedup_gate",
     # streaming_neardup_gate is deliberately NOT a headline row: it runs
     # three full stream lifecycles over two bucketed stores (~33 s warm at
@@ -289,28 +296,43 @@ def main() -> None:
     # comparison (the full headline grows every round), surfaced directly
     # so artifact readers don't recompute it.
     shared8 = HEADLINE[:8]
+    shared8_sec = round(sum(timings[q] for q in shared8 if q in timings), 3)
+    total = round(sum(timings.values()), 3)
+    # Full per-query map on an EARLIER line: the driver records only a
+    # 2,000-char stdout tail, and the map-bearing line grew to ~8 KB by
+    # round 7 — the FRONT of the line was truncated away and
+    # BENCH_r07–r10.json all carried "parsed": null (VERDICT r10 wrong #1).
+    # The full map is committed per-round as BENCH_LOCAL_r{N}.json anyway;
+    # this line keeps it in raw stdout for anyone reading the log.
+    print(
+        json.dumps(
+            {
+                "detail": "per_query",
+                "queries": timings,
+                "runs": per_run,
+                "warmups": warmups,
+            }
+        ),
+        flush=True,
+    )
+    # The LAST stdout line is a COMPACT summary JSON (~150 chars — far under
+    # the driver's 2,000-char tail capture) and flushed: this is what the
+    # driver parses into BENCH_r{N}.json.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "runs": per_run,
+                "shared8_sec": shared8_sec,
                 "warmup_sec": round(sum(warmups.values()), 3),
-                "warmups": warmups,
-                "shared8_sec": round(
-                    sum(timings[q] for q in shared8 if q in timings), 3
-                ),
+                "n_queries": len(timings),
                 "sf": sf,
             }
         ),
-        # the one-line JSON must be stdout's LAST line AND flushed — the
-        # driver records only the stdout tail (BENCH_r09 carried
-        # "parsed": null when buffering reordered it; VERDICT r9 #8)
         flush=True,
     )
-    spark.stop()  # nothing may print after the JSON line
+    spark.stop()  # nothing may print after the summary line
 
 
 if __name__ == "__main__":

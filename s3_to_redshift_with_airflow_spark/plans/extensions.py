@@ -3869,11 +3869,7 @@ def q_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     (docs,) = _t(spark, sf_dir, "documents")
-    lo, hi = [
-        r[0]
-        for r in docs.agg(F.min("doc_id")).collect()
-        + docs.agg(F.max("doc_id")).collect()
-    ]
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     store = tempfile.mkdtemp(prefix="dedup_gate_") + "/store"
     staging = tempfile.mkdtemp(prefix="gate_delta_")
@@ -3952,11 +3948,7 @@ def q_streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     (docs,) = _t(spark, sf_dir, "documents")
-    lo, hi = [
-        r[0]
-        for r in docs.agg(F.min("doc_id")).collect()
-        + docs.agg(F.max("doc_id")).collect()
-    ]
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     store = tempfile.mkdtemp(prefix="ndgate_") + "/store"
     staging = tempfile.mkdtemp(prefix="ndgate_delta_")
