@@ -233,6 +233,15 @@ HEADLINE = [
     # pure per-epoch cost is measured separately and stays flat across a
     # 25x store-size sweep (SCALE_r10.jsonl `dedup_gate_epoch_cost`).
     "streaming_dedup_gate",
+    # round-11: the maintained join RELATION under retractions — the
+    # batch bilinear-delta -> weighted-row-store merge, and the twelfth
+    # stored-artifact consumer (epoch-append LSM store; FROZEN SHAPE:
+    # full 3-epoch lifecycle, the gate-row contract).
+    # join_relation_read_at is deliberately NOT a headline row: it is the
+    # same lifecycle plus an epoch-capped serve (no new plan information);
+    # its per-round timing lands in CORRECTNESS_LOCAL.
+    "incremental_join_relation_retract",
+    "streaming_join_relation_retract_maintain",
     # streaming_neardup_gate is deliberately NOT a headline row: it runs
     # three full stream lifecycles over two bucketed stores (~33 s warm at
     # sf0.1) — x4 bench runs would dominate wall-clock without new plan

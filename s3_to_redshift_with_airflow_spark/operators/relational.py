@@ -451,3 +451,53 @@ def weighted_join_delta(
         .unionByName(piece(ao, db_, broadcast_left=False))  # A_old ⋈ ΔB
         .unionByName(piece(da_, db_, broadcast_left=True))  # ΔA ⋈ ΔB
     )
+
+
+def merge_weighted_relation(
+    state: DataFrame, delta: DataFrame, weight_col: str = "w"
+) -> DataFrame:
+    """Merge a weighted row changelog into a weighted RELATION store —
+    the z-set addition rule applied to the relation ITSELF rather than
+    an aggregate over it (VERDICT r10 next #2; the other consumer of
+    `weighted_join_delta`'s output its docstring names): both inputs are
+    (row columns..., w) z-sets; the merge groups by ALL row columns,
+    sums the weights, and drops rows whose net weight is zero — an
+    insert (+1) later retracted (-1) vanishes from the store entirely.
+    Negative net weights are KEPT in the store (a retraction arriving
+    before its insert in a reordered changelog must cancel against the
+    later +1 — z-set addition is what makes maintain == recompute hold
+    under ANY epoch batching); `served_relation` is the read-side view
+    that hides them.
+
+    Maintains the materialized-view contract the reference's staging
+    layer approximates by full rewrite (extract_stream_data.py:24): the
+    maintained store, served through `served_relation`, equals the bag
+    recompute of the view over the surviving inputs.
+
+    Plan (100 TB): one hash aggregate keyed on the full row — map-side
+    combined, and in the streaming consumer applied per TOUCHED BUCKET
+    slice (never the whole store). Rows are compared by content, so
+    co-bucketing any deterministic key subset suffices for slice-wise ==
+    whole."""
+    cols = [c for c in state.columns if c != weight_col]
+    return (
+        state.select(*cols, F.col(weight_col).cast("bigint").alias(weight_col))
+        .unionByName(
+            delta.select(
+                *cols, F.col(weight_col).cast("bigint").alias(weight_col)
+            )
+        )
+        .groupBy(*cols)
+        .agg(F.sum(weight_col).cast("bigint").alias(weight_col))
+        .filter(F.col(weight_col) != 0)
+    )
+
+
+def served_relation(store: DataFrame, weight_col: str = "w") -> DataFrame:
+    """The relation a weighted row store SERVES: rows with positive net
+    weight, weight = bag multiplicity. A negative net weight (an
+    out-of-order over-retraction awaiting its insert) is in-flight
+    changelog state, not a relation row — a relation cannot hold a row
+    a negative number of times — so the read-side view hides it while
+    the store keeps it for cancellation."""
+    return store.filter(F.col(weight_col) > 0)

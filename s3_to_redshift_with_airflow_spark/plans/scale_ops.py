@@ -7146,3 +7146,263 @@ def q_streaming_join_agg_retract_maintain_bucketed(
         )
         .orderBy("c_mktsegment")
     )
+
+
+_IJR_ORACLE_FINAL = f"""
+    WITH survivors AS (
+      SELECT o_custkey, o_orderpriority FROM orders
+      WHERE NOT (o_orderdate < TIMESTAMP '{_IJV_CUTOFF}' AND o_orderkey % 7 = 0)
+    )
+    SELECT o_custkey, o_orderpriority, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM survivors JOIN customer ON c_custkey = o_custkey
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+
+@query(
+    "incremental_join_relation_retract",
+    oracle=f"""
+    WITH a_final AS (
+      SELECT o_custkey, o_orderpriority FROM orders
+      WHERE NOT (o_orderdate < TIMESTAMP '{_IJV_CUTOFF}' AND o_orderkey % 7 = 0)
+    ),
+    b_final AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE (c_custkey % 20 = 0) OR (c_custkey % 9 <> 0)
+    )
+    SELECT o_custkey, o_orderpriority, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM a_final JOIN b_final ON c_custkey = o_custkey
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+""",
+)
+def q_incremental_join_relation_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The maintained join RELATION under retractions (VERDICT r10 next
+    #2 — the composition weighted_join_delta's docstring names): the
+    standing artifact is the join VIEW ITSELF as a weighted (row, w) bag
+    — one row per distinct (o_custkey, o_orderpriority, c_mktsegment)
+    with w = its multiplicity — not an aggregate over it. Both sides
+    then mutate (post-cutoff orders insert, pre-cutoff orderkey % 7
+    history DELETES; the dimension gains % 20 customers and loses % 9
+    standing ones); the bilinear rule turns both changelogs into one
+    weighted view changelog and operators.relational.
+    merge_weighted_relation z-set-adds it into the stored relation —
+    rows netting to zero vanish, so a retracted fact's join rows
+    disappear from the served bag exactly. Oracle: the full bag
+    recompute over the surviving relations (GROUP BY all columns,
+    COUNT(*) = multiplicity) — the materialized-view contract the
+    reference's staging layer approximates by full rewrite
+    (extract_stream_data.py:24).
+
+    Plan (100 TB): the three delta-join pieces broadcast their changelog
+    side; the merge is one hash aggregate keyed on the full row,
+    map-side combined — the streaming twin applies it per touched
+    bucket, never the whole store."""
+    from ..operators.relational import (
+        merge_weighted_relation,
+        served_relation,
+        weighted_join_delta,
+    )
+
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    cutoff = F.lit(_IJV_CUTOFF).cast("timestamp")
+    a_cols = lambda df: df.select("o_custkey", "o_orderpriority")  # noqa: E731
+    a_old = a_cols(orders.filter(F.col("o_orderdate") < cutoff))
+    da = (
+        a_cols(orders.filter(F.col("o_orderdate") >= cutoff))
+        .withColumn("w", F.lit(1))
+        .unionByName(
+            a_cols(
+                orders.filter(
+                    (F.col("o_orderdate") < cutoff) & (F.col("o_orderkey") % 7 == 0)
+                )
+            ).withColumn("w", F.lit(-1))
+        )
+    )
+    b_cols = lambda df: df.select("c_custkey", "c_mktsegment")  # noqa: E731
+    b_old = b_cols(customer.filter(F.col("c_custkey") % 20 != 0))
+    db = (
+        b_cols(customer.filter(F.col("c_custkey") % 20 == 0))
+        .withColumn("w", F.lit(1))
+        .unionByName(
+            b_cols(
+                customer.filter(
+                    (F.col("c_custkey") % 20 != 0) & (F.col("c_custkey") % 9 == 0)
+                )
+            ).withColumn("w", F.lit(-1))
+        )
+    )
+    state = (
+        a_old.join(b_old, a_old["o_custkey"] == b_old["c_custkey"])
+        .drop("c_custkey")
+        .groupBy("o_custkey", "o_orderpriority", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    dv = weighted_join_delta(a_old, da, b_old, db, "o_custkey", "c_custkey")
+    return (
+        served_relation(merge_weighted_relation(state, dv))
+        .select("o_custkey", "o_orderpriority", "c_mktsegment", "w")
+        .orderBy("o_custkey", "o_orderpriority", "c_mktsegment")
+    )
+
+
+def _stage_ijr_epochs(spark, sf_dir: str, orders):
+    """The shared three-epoch weighted fact staging (insert / DELETE /
+    insert) for the relation-store streaming rows — the
+    jvr/jvrb rows' staging idiom: one flat parquet file per epoch,
+    maxFilesPerTrigger=1 pins epoch order."""
+    import glob as _glob
+    import shutil as _sh
+    import tempfile
+
+    cutoff = F.lit(_IJV_CUTOFF).cast("timestamp")
+    fact = lambda df, w: df.select(  # noqa: E731
+        "o_custkey",
+        "o_orderpriority",
+        F.lit(w).cast("int").alias("w"),
+    )
+    post = orders.filter(F.col("o_orderdate") >= cutoff)
+    epochs = [
+        fact(post.filter(F.col("o_orderkey") % 2 == 0), 1),
+        fact(
+            orders.filter(
+                (F.col("o_orderdate") < cutoff) & (F.col("o_orderkey") % 7 == 0)
+            ),
+            -1,
+        ),
+        fact(post.filter(F.col("o_orderkey") % 2 == 1), 1),
+    ]
+    staging = tempfile.mkdtemp(prefix="ijr_delta_")
+    for i, e in enumerate(epochs):
+        tmpd = tempfile.mkdtemp(prefix=f"ijr_e{i}_")
+        e.coalesce(1).write.parquet(f"{tmpd}/out")
+        _sh.copy(
+            _glob.glob(f"{tmpd}/out/part-*.parquet")[0], f"{staging}/d{i}.parquet"
+        )
+    return staging, epochs[0].schema
+
+
+def _run_ijr_stream(spark, sf_dir: str):
+    """Seed the weighted relation store (pre-cutoff orders ⋈ customer as
+    a netted bag), stream the three staged weighted-fact epochs through
+    foreach_batch_join_relation_retract_maintain, return the store path."""
+    import tempfile
+
+    from ..session import ensure_utc
+    from ..streaming.pipeline import (
+        foreach_batch_join_relation_retract_maintain,
+        seed_weighted_relation_store,
+        stream_source,
+    )
+
+    ensure_utc(spark)
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    cutoff = F.lit(_IJV_CUTOFF).cast("timestamp")
+    target = tempfile.mkdtemp(prefix="stream_ijr_") + "/store"
+    a_old = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_custkey", "o_orderpriority"
+    )
+    seed = (
+        a_old.join(customer, a_old["o_custkey"] == customer["c_custkey"])
+        .groupBy("o_custkey", "o_orderpriority", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    seed_weighted_relation_store(seed, target, ["o_custkey"], 8)
+    staging, schema = _stage_ijr_epochs(spark, sf_dir, orders)
+    src = stream_source(
+        spark, staging, schema, watermark=None, max_files_per_trigger=1
+    )
+    sink = foreach_batch_join_relation_retract_maintain(
+        target,
+        table_path(sf_dir, "customer"),
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        dim_cols=["c_mktsegment"],
+        bucket_keys=["o_custkey"],
+        n_buckets=8,
+    )
+    (
+        src.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ijr_"))
+        .start()
+        .awaitTermination()
+    )
+    return target
+
+
+@query("streaming_join_relation_retract_maintain", oracle=_IJR_ORACLE_FINAL)
+def q_streaming_join_relation_retract_maintain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING maintenance of the join RELATION under retractions —
+    the twelfth stored-artifact foreachBatch consumer
+    (streaming.pipeline.foreach_batch_join_relation_retract_maintain):
+    the stored artifact is the bucketed weighted ROW store (the join
+    view as a bag), seeded batch-side, then maintained through THREE
+    real epochs (insert / DELETE of already-joined history / insert).
+    Each epoch joins only its delta against the broadcast dimension and
+    APPENDS the netted changelog as an immutable `epoch=E` subdir —
+    per-epoch I/O is O(|delta|), the LSM shape; the serve read nets
+    weights across subdirs under a committed-snapshot epoch cap, so the
+    final served relation must equal the bag recompute over the
+    surviving fact multiset joined to the dimension. Manifest-rollback
+    crash protocol and physical churn cancellation at compaction are
+    pinned in tests/test_relation_store.py.
+
+    FROZEN BENCH SHAPE: full 3-epoch lifecycle (staging + three
+    availableNow runs + serve), the streaming-gate contract."""
+    from ..streaming.pipeline import read_weighted_relation_store
+
+    target = _run_ijr_stream(spark, sf_dir)
+    return (
+        read_weighted_relation_store(spark, target)
+        .select("o_custkey", "o_orderpriority", "c_mktsegment", "w")
+        .orderBy("o_custkey", "o_orderpriority", "c_mktsegment")
+    )
+
+
+@query(
+    "join_relation_read_at",
+    oracle=f"""
+    WITH survivors AS (
+      SELECT o_custkey, o_orderpriority FROM orders
+      WHERE (o_orderdate < TIMESTAMP '{_IJV_CUTOFF}'
+             AND NOT o_orderkey % 7 = 0)
+         OR (o_orderdate >= TIMESTAMP '{_IJV_CUTOFF}' AND o_orderkey % 2 = 0)
+    )
+    SELECT o_custkey, o_orderpriority, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM survivors JOIN customer ON c_custkey = o_custkey
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+""",
+)
+def q_join_relation_read_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL read of the maintained join relation (VERDICT r10
+    next #6, applied to the retract-view store it said this would make
+    auditable): after the full three-epoch stream (insert / delete /
+    insert) the store is served AS OF EPOCH 1 — the snapshot cap is a
+    partition filter over the immutable epoch subdirs, so the read is
+    bit-equal to a batch build over epochs <= 1 (seed + even-orderkey
+    inserts + the % 7 deletes) even though epoch 2's subdirs are
+    PRESENT in the store. Reproducible training-data snapshots are the
+    LLM-pipeline consumer's core audit need; reads below the compaction
+    horizon refuse honestly (pinned in tests/test_relation_store.py).
+
+    Plan (100 TB): the epoch cap prunes at the directory level before
+    any file I/O — time travel costs the same as a current-snapshot
+    read over the same epochs."""
+    from ..streaming.pipeline import read_weighted_relation_store
+
+    target = _run_ijr_stream(spark, sf_dir)
+    return (
+        read_weighted_relation_store(spark, target, as_of_epoch=1)
+        .select("o_custkey", "o_orderpriority", "c_mktsegment", "w")
+        .orderBy("o_custkey", "o_orderpriority", "c_mktsegment")
+    )

@@ -2824,3 +2824,396 @@ def read_neardup_gate_corpus(spark: SparkSession, store_dir: str) -> DataFrame:
         .filter(F.col("accepted"))
         .drop("accepted")
     )
+
+
+# --- weighted relation store: the maintained join RELATION under
+# --- retractions (VERDICT r10 next #2)
+
+
+def seed_weighted_relation_store(
+    rel: DataFrame,
+    target_path: str,
+    bucket_keys: list[str],
+    n_buckets: int,
+    weight_col: str = "w",
+) -> None:
+    """Seed a bucketed weighted ROW store with the standing relation
+    (row columns..., w = bag multiplicity): rows land under
+    `bucket=K/epoch=-1/` — the two-level layout every epoch append and
+    the snapshot reader share. -1 is the pre-stream epoch, matching the
+    fresh ledger (`_last_applied_epoch` = -1), so a committed-snapshot
+    read of the just-seeded store serves exactly the seed.
+
+    A `_schema` sidecar (one zero-row parquet file, underscore-hidden
+    like `_ledger`) pins the row schema independently of the data: an
+    EMPTY seed writes no partition files at all (Spark emits only
+    _SUCCESS for a zero-row partitioned write), and without the sidecar
+    a read of the blank store could not even infer its columns."""
+    (
+        rel.withColumn("bucket", bucket_expr(bucket_keys, n_buckets))
+        .withColumn("epoch", F.lit(-1).cast("int"))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket", "epoch")
+        .parquet(target_path)
+    )
+    (
+        rel.limit(0)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(target_path.rstrip("/") + "/_schema")
+    )
+
+
+def read_weighted_relation_store(
+    spark: SparkSession,
+    target_path: str,
+    as_of_epoch: int | None = None,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Serve the relation a weighted row store maintains — a COMMITTED
+    SNAPSHOT read: epoch subdirs are capped at the store's ledger epoch
+    (or at `as_of_epoch` for a time-travel read), weights are netted
+    per row across the surviving subdirs, and only positive-net rows
+    are served (operators.relational.served_relation). Because each
+    epoch's data subdirs install BEFORE its ledger, a reader racing a
+    mid-install epoch filters the half-installed subdirs out — it sees
+    exactly the previous committed snapshot, never a torn epoch.
+
+    Time travel (`as_of_epoch=N`): serve the store as of epoch N —
+    bit-equal to a batch build over epochs <= N — valid for epochs at or
+    above the compaction horizon (compaction folds older epoch subdirs
+    into one; reads below the horizon raise rather than silently serve
+    folded history).
+
+    Plan (100 TB): the epoch cap is a PARTITION filter (epoch is a
+    directory level), so a snapshot read prunes uncommitted/future
+    subdirs before any file I/O; the net is one hash aggregate keyed on
+    the full row, map-side combined."""
+    from ..operators.relational import served_relation
+
+    if as_of_epoch is None:
+        as_of_epoch = _last_applied_epoch(spark, target_path)
+    root = target_path.rstrip("/")
+    horizon = _relation_compacted_through(spark, root)
+    if as_of_epoch < horizon:
+        raise ValueError(
+            f"read_at epoch {as_of_epoch} precedes compaction horizon "
+            f"{horizon}: those epoch subdirs were folded away"
+        )
+    from pyspark.errors import AnalysisException
+
+    try:
+        store = spark.read.parquet(_store_path(spark, target_path)).filter(
+            F.col("epoch") <= int(as_of_epoch)
+        )
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        # blank store (empty seed, no epochs yet): hidden dirs only —
+        # the _schema sidecar supplies the typed empty relation
+        store = spark.read.parquet(f"{root}/_schema")
+    cols = [c for c in store.columns if c not in ("bucket", "epoch", weight_col)]
+    net = (
+        store.groupBy(*cols)
+        .agg(F.sum(weight_col).cast("bigint").alias(weight_col))
+        .filter(F.col(weight_col) != 0)
+    )
+    return served_relation(net, weight_col)
+
+
+def foreach_batch_join_relation_retract_maintain(
+    target_path: str,
+    dim_path: str,
+    fact_key: str,
+    dim_key: str,
+    dim_cols: list[str],
+    bucket_keys: list[str],
+    weight_col: str = "w",
+    n_buckets: int = 64,
+):
+    """foreachBatch sink: maintain the join RELATION ITSELF — not an
+    aggregate over it — under a weighted fact changelog (VERDICT r10
+    next #2, the composition `weighted_join_delta`'s docstring names):
+    each epoch's weighted fact batch (w=+1 insert, w=-1 retraction)
+    joins against the broadcast dimension into a weighted VIEW changelog
+    (ΔA ⋈ B; static B makes the bilinear rule's other terms vanish —
+    a changing dimension composes `weighted_join_delta` upstream), is
+    netted within the epoch, and APPENDS as `bucket=K/epoch=E/` subdirs
+    into the bucketed (row, weight) store. Zero/negative-net rows
+    disappear from the SERVED relation (`read_weighted_relation_store`);
+    the physical +1/-1 churn across epochs is cancelled by
+    `compact_weighted_relation_store`, so store size tracks live rows.
+
+    Per-epoch I/O is O(|delta|) — the standing bucket bytes are never
+    read, unlike the rewrite-shaped bucketed maintainers: this is the
+    LSM shape (append cheap, compaction amortized), which is what a
+    100 TB view with per-row grain needs.
+
+    Crash protocol — the shared manifest-rollback idiom
+    (`_rollback_or_commit_wagg`, ADVICE r9), specialized to appends:
+    appends are ADDITIVE (a replayed epoch would double its rows), so
+    (1) the epoch's subdirs, new ledger, and an `_inflight` manifest
+    (epoch, bucket, existed-pre-epoch) fully materialize at a scratch
+    dir; (2) one atomic rename commits the manifest into `__relprev/` —
+    the mutation-begins marker, BEFORE any live-dir move; (3) each
+    subdir renames into its live bucket; (4) the ledger install is the
+    commit point; (5) manifest and scratch are dropped. A crash before
+    (4) leaves the manifest ahead of the ledger and
+    `_rollback_or_commit_relation` deletes exactly the half-installed
+    epoch subdirs (unbirthing buckets born this epoch), so the replay
+    applies against the state it expects; a crash after (4) is commit.
+    Readers are safe THROUGHOUT: the snapshot read caps at the ledger,
+    so half-installed subdirs are partition-pruned until commit.
+
+    Seed with `seed_weighted_relation_store(A_old ⋈ B with w, ...)`."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _rollback_or_commit_relation(spark, target_path)
+        if epoch_id <= _last_applied_epoch(spark, target_path):
+            return  # replay would double-append the epoch's rows — skip
+        if batch_df.isEmpty():
+            return  # empty epoch: state unchanged, ledger not advanced
+        dim = spark.read.parquet(dim_path).select(dim_key, *dim_cols)
+        dv = batch_df.join(
+            F.broadcast(dim), batch_df[fact_key] == dim[dim_key]
+        ).drop(dim[dim_key])
+        cols = [c for c in dv.columns if c != weight_col]
+        dv = (
+            dv.groupBy(*cols)
+            .agg(F.sum(weight_col).cast("bigint").alias(weight_col))
+            .filter(F.col(weight_col) != 0)
+        )
+        _relation_append(
+            spark, target_path, dv, bucket_keys, n_buckets, epoch_id
+        )
+
+    return _sink
+
+
+def _relation_append(
+    spark: SparkSession,
+    target_path: str,
+    delta: DataFrame,
+    bucket_keys: list[str],
+    n_buckets: int,
+    epoch_id: int,
+) -> None:
+    """Install one epoch's netted weighted changelog as
+    `bucket=K/epoch=E/` subdirs under the manifest-rollback protocol
+    documented on `foreach_batch_join_relation_retract_maintain`.
+    Caller contract: the ledger gate has passed and
+    `_rollback_or_commit_relation` has run (no park roots exist)."""
+    touched = sorted(
+        r["b"]
+        for r in delta.select(bucket_expr(bucket_keys, n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return  # fully self-cancelling epoch: state unchanged
+    root = target_path.rstrip("/")
+    tmp = root + f"__rel_epoch{epoch_id}"
+    (
+        delta.withColumn("bucket", bucket_expr(bucket_keys, n_buckets))
+        .withColumn("epoch", F.lit(int(epoch_id)).cast("int"))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket", "epoch")
+        .parquet(tmp)
+    )
+    spark.range(1).select(
+        F.lit(int(epoch_id)).cast("bigint").alias("max_applied_epoch")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_ledger")
+    fs, P = _hadoop_fs(spark, target_path)
+    # rewind record: the epoch, its touched buckets, and which existed
+    # pre-epoch (existed=false buckets are unbirthed on rollback).
+    # range+explode(struct lits), not createDataFrame — the
+    # local-relation path ships rows through a Python worker (~5 s/epoch
+    # measured; the _bucketed_weighted_merge idiom)
+    (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(epoch_id)).cast("bigint").alias("epoch"),
+                            F.lit(int(b)).cast("int").alias("bucket"),
+                            F.lit(
+                                bool(fs.exists(P(f"{root}/bucket={int(b)}")))
+                            ).alias("existed"),
+                        )
+                        for b in touched
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/_inflight")
+    )
+    fs.mkdirs(P(root + "__relprev"))
+    # mutation-begins marker: one atomic rename; recovery treats a park
+    # root WITHOUT this manifest as "nothing moved yet"
+    _rename_or_raise(fs, P(f"{tmp}/_inflight"), P(root + "__relprev/_inflight"))
+    for b in touched:
+        live = P(f"{root}/bucket={int(b)}")
+        if not fs.exists(live):
+            fs.mkdirs(live)  # born this epoch; manifest records unbirth
+        _rename_or_raise(
+            fs,
+            P(f"{tmp}/bucket={int(b)}/epoch={int(epoch_id)}"),
+            P(f"{root}/bucket={int(b)}/epoch={int(epoch_id)}"),
+        )
+    _install(spark, f"{tmp}/_ledger", f"{root}/_ledger")  # commit point
+    fs.delete(P(root + "__relprev"), True)
+    fs.delete(P(tmp), True)
+
+
+def _rollback_or_commit_relation(spark: SparkSession, target_path: str) -> None:
+    """Recovery for the epoch-append relation store — the
+    `_rollback_or_commit_wagg` protocol specialized to appends, plus the
+    always-rewind branch for a crashed compaction:
+
+      - compaction park root (`__relcprev`): compaction never advances
+        the ledger, so a surviving park means its swap never finished
+        cleanup — restore every parked bucket over any half-installed
+        replacement (netting is content-preserving per bucket, so a
+        partially-rewound store still serves the same relation) and
+        re-run compaction later;
+      - append park root (`__relprev`) without a manifest: nothing moved
+        (the manifest rename precedes every subdir move) — drop it;
+      - manifest with ledger >= manifest epoch: COMMITTED (crash between
+        ledger install and cleanup) — drop leftovers;
+      - manifest with ledger < manifest epoch: crash mid-append — delete
+        the epoch's half-installed `epoch=E` subdirs; a bucket born this
+        epoch is unbirthed. Deletes are idempotent, so the rewind is
+        re-entrant.
+
+    After either branch, `__rel_epoch*` / `__relcompact` scratch dirs
+    are garbage and are swept."""
+    fs, P = _hadoop_fs(spark, target_path)
+    root = target_path.rstrip("/")
+    cprev = P(root + "__relcprev")
+    if fs.exists(cprev):
+        for st in fs.listStatus(cprev):
+            name = st.getPath().getName()
+            live = P(f"{root}/{name}")
+            if fs.exists(live):
+                fs.delete(live, True)  # half-installed replacement
+            _rename_or_raise(fs, st.getPath(), live)
+        fs.delete(cprev, True)
+    prev_root = P(root + "__relprev")
+    if fs.exists(prev_root):
+        inflight = root + "__relprev/_inflight"
+        if fs.exists(P(inflight)):
+            rows = spark.read.parquet(inflight).collect()
+            epoch = int(rows[0]["epoch"])
+            if epoch > _last_applied_epoch(spark, target_path):
+                for r in rows:
+                    b = int(r["bucket"])
+                    if bool(r["existed"]):
+                        sub = P(f"{root}/bucket={b}/epoch={epoch}")
+                        if fs.exists(sub):
+                            fs.delete(sub, True)
+                    else:
+                        live = P(f"{root}/bucket={b}")
+                        if fs.exists(live):
+                            fs.delete(live, True)  # born this epoch
+        fs.delete(prev_root, True)
+    for pat in ("__rel_epoch*", "__relcompact"):
+        stale = fs.globStatus(P(root + pat))
+        for st in list(stale) if stale is not None else []:
+            fs.delete(st.getPath(), True)
+
+
+def _relation_compacted_through(spark: SparkSession, root: str) -> int:
+    """The relation store's compaction horizon: every epoch subdir
+    at/below it was folded into one netted subdir, so time-travel reads
+    below it must refuse (the folded store cannot reconstruct them).
+    -1 when no compaction has run. The marker lives at `_compacted`
+    (underscore-hidden, like `_ledger`, so the root's partition
+    discovery never sees it) with its own two-rename install."""
+    fs, P = _hadoop_fs(spark, root)
+    marker = _store_path(spark, f"{root}/_compacted")
+    if not fs.exists(P(marker)):
+        return -1
+    rows = spark.read.parquet(marker).select("compacted_through").collect()
+    return int(rows[0][0]) if rows else -1
+
+
+def compact_weighted_relation_store(
+    spark: SparkSession, target_path: str, weight_col: str = "w"
+) -> None:
+    """Cancel the relation store's +1/-1 churn PHYSICALLY: net the
+    weights per row within each bucket across all epoch subdirs, drop
+    zero-net rows, and swap each bucket's subdir pile for one folded
+    `epoch=<ledger>` subdir — store size tracks live rows again no
+    matter how much insert/retract churn the changelog carried. Serving
+    is unchanged (netting is the read's own first step); what changes
+    is the bytes a read scans and the files an epoch's rollback probes.
+
+    Crash protocol: the folded buckets fully materialize at scratch,
+    every live bucket parks under `__relcprev/` (never deleted), folded
+    buckets rename in (a fully-cancelled bucket simply gets no
+    replacement — its park IS the delete, rewindable), the horizon
+    marker installs, then parks and scratch drop. Compaction never
+    touches the ledger, so `_rollback_or_commit_relation` treats any
+    surviving park as mid-flight and always rewinds — sound because
+    folding is content-preserving per bucket (a half-rewound store
+    serves the same relation) and compaction is idempotent. The marker
+    installs BEFORE park cleanup: a post-marker rewind leaves the marker
+    conservatively overclaiming (reads below the horizon refuse even
+    though the history survived), never underclaiming.
+
+    NOT concurrent-reader-safe (a bucket is briefly absent inside its
+    swap window) — run from the single maintainer, between epochs, like
+    every bucketed-store compaction here. Time-travel reads at or above
+    the horizon stay exact.
+
+    Plan (100 TB): one job — read store, hash-aggregate keyed on
+    (bucket, row), write partitioned — then one rename per bucket;
+    schedule at the same cadence as segment-store compaction."""
+    _rollback_or_commit_relation(spark, target_path)
+    root = target_path.rstrip("/")
+    fs, P = _hadoop_fs(spark, target_path)
+    live_buckets = [
+        st.getPath().getName()
+        for st in fs.listStatus(P(root))
+        if st.getPath().getName().startswith("bucket=")
+    ]
+    if not live_buckets:
+        return  # blank store: nothing to fold, horizon unchanged
+    ledger = _last_applied_epoch(spark, target_path)
+    store = spark.read.parquet(root)
+    cols = [c for c in store.columns if c not in ("bucket", "epoch", weight_col)]
+    netted = (
+        store.groupBy("bucket", *cols)
+        .agg(F.sum(weight_col).cast("bigint").alias(weight_col))
+        .filter(F.col(weight_col) != 0)
+        .withColumn("epoch", F.lit(int(ledger)).cast("int"))
+    )
+    tmp = root + "__relcompact"
+    (
+        netted.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket", "epoch")
+        .parquet(tmp)
+    )
+    prev = P(root + "__relcprev")
+    fs.mkdirs(prev)
+    for name in live_buckets:
+        _rename_or_raise(fs, P(f"{root}/{name}"), P(f"{root}__relcprev/{name}"))
+        if fs.exists(P(f"{tmp}/{name}")):
+            _rename_or_raise(fs, P(f"{tmp}/{name}"), P(f"{root}/{name}"))
+        # else: every row in this bucket cancelled — absence IS the state
+    mtmp = f"{root}/_compacted_tmp"
+    spark.range(1).select(
+        F.lit(int(ledger)).cast("bigint").alias("compacted_through")
+    ).coalesce(1).write.mode("overwrite").parquet(mtmp)
+    _install(spark, mtmp, f"{root}/_compacted")
+    fs.delete(prev, True)
+    fs.delete(P(tmp), True)
