@@ -142,6 +142,99 @@ def bloom_member(key: F.Column, n_bits, k_hashes: int) -> F.Column:
     return ok
 
 
+def bloom_bitmap_grouped(
+    keys: DataFrame,
+    key_col: str,
+    group_col: str,
+    bits_per_key: int,
+    min_bits: int,
+    max_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """One packed Bloom bitmap PER GROUP in a single distributed plan —
+    the sharded store-wide summary's build (VERDICT r10 next #3): each
+    group's filter is sized to its OWN cardinality (32-aligned, clamped
+    to [min_bits, max_bits]), so a skewed shard loses capacity headroom
+    gracefully instead of poisoning every other shard's precision.
+    Returns (group_col, n_ids, arr); probe rows against their group's
+    bitmap with `bloom_member(key, F.size("arr") * 32, k_hashes)` —
+    same hash family as `bloom_bitmap`, so single and grouped filters
+    are probe-compatible.
+
+    Plan: two hash aggregates — (group, word) bit_or, then one
+    map_from_entries per group with an in-expression dense fill
+    (sequence + transform) — no per-group driver jobs, no window. The
+    per-group n_bits rides a broadcast of the |groups|-row count table."""
+    if min_bits <= 0 or min_bits % 32 or max_bits % 32 or min_bits > max_bits:
+        raise ValueError(f"bad bit bounds [{min_bits}, {max_bits}]")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    sized = (
+        keys.groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        .withColumn(
+            "__bits",
+            F.least(
+                F.lit(max_bits).cast("bigint"),
+                F.greatest(
+                    F.lit(min_bits).cast("bigint"),
+                    (
+                        F.floor(
+                            (F.lit(bits_per_key) * F.col("__n") + F.lit(31))
+                            / F.lit(32)
+                        )
+                        * 32
+                    ).cast("bigint"),
+                ),
+            ),
+        )
+    )
+    pos = keys.join(F.broadcast(sized), group_col).select(
+        group_col,
+        "__bits",
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos(F.col(key_col), j, F.col("__bits"))
+                    for j in range(k_hashes)
+                ]
+            )
+        ).alias("pos"),
+    )
+    bits = (
+        pos.select(
+            group_col,
+            "__bits",
+            F.expr("pos div 32").alias("word"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (F.col("pos") % 32).cast("int")
+            ).alias("m"),
+        )
+        .groupBy(group_col, "__bits", "word")
+        .agg(F.bit_or("m").alias("b"))
+    )
+    return (
+        bits.groupBy(group_col, "__bits")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("word", "b"))).alias("__m")
+        )
+        .join(F.broadcast(sized.select(group_col, "__n")), group_col)
+        .select(
+            group_col,
+            F.col("__n").alias("n_ids"),
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    (F.expr("__bits div 32") - F.lit(1)).cast("bigint"),
+                ),
+                lambda w: F.coalesce(
+                    F.element_at(F.col("__m"), w), F.lit(0).cast("bigint")
+                ),
+            ).alias("arr"),
+        )
+    )
+
+
 def bloom_semijoin_stats(
     probe: DataFrame,
     probe_key: str,

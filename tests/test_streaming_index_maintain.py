@@ -1270,22 +1270,117 @@ def test_stale_summary_covers_old_segments_new_ones_probe_individually(
     assert _bloom_suspect_segments(spark, segs, in_recent, "doc_id") == ["seg_5"]
 
 
-def test_summary_write_skips_when_saturated(spark, tmp_path):
-    """Past ~8 bits/key the capped summary proves nothing — the writer
-    must refuse to publish a useless 8 MB artifact."""
+def _patch_summary_caps(monkeypatch, max_bits=4096, min_bits=32):
+    """Shrink the summary constants so the shard path exercises in
+    milliseconds: max single-bloom ids = max_bits//8, per-shard full-
+    quality ids = max_bits//32."""
+    import s3_to_redshift_with_airflow_spark.streaming.pipeline as pl
+
+    monkeypatch.setattr(pl, "_SEG_SUMMARY_MAX_BITS", max_bits)
+    monkeypatch.setattr(pl, "_SEG_BLOOM_MIN_BITS", min_bits)
+    return pl
+
+
+def test_summary_shards_past_single_bloom_cap(spark, tmp_path, monkeypatch):
+    """VERDICT r10 next #3: past the single-bloom cap the summary SHARDS
+    by id range instead of refusing — the former saturation cliff. An
+    interleaved-but-absent delta is still proven disjoint for every
+    covered segment, and a delta containing an indexed id still demotes
+    to the per-segment tier (never wrong, only less helpful)."""
     import os
 
     from pyspark.sql import functions as F
 
-    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
-        _SEG_SUMMARY_MAX_BITS,
-        _write_segment_summary,
-    )
-
+    pl = _patch_summary_caps(monkeypatch)
     segs = str(tmp_path / "segs")
     os.makedirs(segs)
-    too_many = spark.range(_SEG_SUMMARY_MAX_BITS // 8 + 1).select(
-        F.col("id").alias("doc_id")
+    # 513 even ids > cap//8 = 512 -> sharded path; 5 shards of <=128 ids
+    ids = spark.range(513).select((F.col("id") * 2).alias("doc_id"))
+    pl._write_segment_summary(spark, segs, ids, "doc_id", ["seg_base", "seg_m3"])
+    assert os.path.exists(f"{segs}/_summary/_meta")
+    shard_dirs = [
+        d for d in os.listdir(f"{segs}/_summary") if d.startswith("shard=")
+    ]
+    assert len(shard_dirs) > 1  # genuinely sharded, not one big bloom
+    covered = ["seg_base", "seg_m3"]
+    odd = spark.range(100).select((F.col("id") * 2 + 1).alias("doc_id"))
+    assert (
+        pl._summary_covered_disjoint(spark, segs, odd, "doc_id", covered)
+        == set(covered)
     )
-    _write_segment_summary(spark, segs, too_many, "doc_id", ["seg_base"])
+    dirty = spark.range(1).select(F.lit(42).alias("doc_id"))  # indexed id
+    assert (
+        pl._summary_covered_disjoint(spark, segs, dirty, "doc_id", covered)
+        == set()
+    )
+
+
+def test_sharded_summary_out_of_domain_ids_proven_absent_for_free(
+    spark, tmp_path, monkeypatch
+):
+    """Delta ids outside the built id domain (or routing to a shard no
+    build id landed in) are proven absent WITHOUT reading any shard
+    bitmap — the build put nothing there."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    pl = _patch_summary_caps(monkeypatch)
+    segs = str(tmp_path / "segs")
+    os.makedirs(segs)
+    ids = spark.range(513).select((F.col("id") * 2).alias("doc_id"))
+    pl._write_segment_summary(spark, segs, ids, "doc_id", ["seg_base"])
+    beyond = spark.range(10).select((F.col("id") + 10_000).alias("doc_id"))
+    assert pl._summary_covered_disjoint(
+        spark, segs, beyond, "doc_id", ["seg_base"]
+    ) == {"seg_base"}
+    below = spark.range(10).select((F.col("id") - 500).alias("doc_id"))
+    assert pl._summary_covered_disjoint(
+        spark, segs, below, "doc_id", ["seg_base"]
+    ) == {"seg_base"}
+
+
+def test_sharded_summary_point_mass_stays_correct(spark, tmp_path, monkeypatch):
+    """The residual honest cliff: a point-mass id distribution collapses
+    into ONE shard. That shard may saturate (always-hit for its ids) but
+    answers stay correct — absent ids in other ranges are still proven
+    absent, and the present id demotes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    pl = _patch_summary_caps(monkeypatch)
+    segs = str(tmp_path / "segs")
+    os.makedirs(segs)
+    ids = spark.range(600).select(F.lit(7).cast("bigint").alias("doc_id"))
+    pl._write_segment_summary(spark, segs, ids, "doc_id", ["seg_base"])
+    assert os.path.exists(f"{segs}/_summary/_meta")
+    present = spark.range(1).select(F.lit(7).cast("bigint").alias("doc_id"))
+    assert (
+        pl._summary_covered_disjoint(spark, segs, present, "doc_id", ["seg_base"])
+        == set()
+    )
+    absent = spark.range(5).select((F.col("id") + 100).alias("doc_id"))
+    assert pl._summary_covered_disjoint(
+        spark, segs, absent, "doc_id", ["seg_base"]
+    ) == {"seg_base"}
+
+
+def test_summary_write_still_refuses_non_numeric_ids_past_cap(
+    spark, tmp_path, monkeypatch
+):
+    """Range sharding needs a numeric id domain; a string-keyed store
+    past the cap keeps the r10 refusal (no useless artifact published,
+    per-segment tier carries the probes)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    pl = _patch_summary_caps(monkeypatch)
+    segs = str(tmp_path / "segs")
+    os.makedirs(segs)
+    ids = spark.range(600).select(
+        F.concat(F.lit("id-"), F.col("id").cast("string")).alias("doc_id")
+    )
+    pl._write_segment_summary(spark, segs, ids, "doc_id", ["seg_base"])
     assert not os.path.exists(f"{segs}/_summary")
