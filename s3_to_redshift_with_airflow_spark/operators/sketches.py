@@ -161,10 +161,15 @@ def bloom_bitmap_grouped(
     same hash family as `bloom_bitmap`, so single and grouped filters
     are probe-compatible.
 
-    Plan: two hash aggregates — (group, word) bit_or, then one
-    map_from_entries per group with an in-expression dense fill
-    (sequence + transform) — no per-group driver jobs, no window. The
-    per-group n_bits rides a broadcast of the |groups|-row count table."""
+    Plan: two hash aggregates — (group, word) bit_or, then the dense
+    densify as an exploded per-group word range LEFT-JOINED to the set
+    words and one array_sort(collect_list) per group (the single-build
+    idiom, O(words log words)) — no per-group driver jobs, no window.
+    A first cut densified with transform(sequence, element_at(map)) —
+    but element_at on a Spark map is a LINEAR SCAN, making the fill
+    quadratic in shard size (~10^12 ops at a 2M-word shard; the r11
+    probe sat on it for an hour). The per-group n_bits rides a
+    broadcast of the |groups|-row count table."""
     if min_bits <= 0 or min_bits % 32 or max_bits % 32 or min_bits > max_bits:
         raise ValueError(f"bad bit bounds [{min_bits}, {max_bits}]")
     if k_hashes < 1:
@@ -213,25 +218,31 @@ def bloom_bitmap_grouped(
         .groupBy(group_col, "__bits", "word")
         .agg(F.bit_or("m").alias("b"))
     )
+    dense = sized.select(
+        group_col,
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                (F.expr("__bits div 32") - F.lit(1)).cast("bigint"),
+            )
+        ).alias("word"),
+    )
     return (
-        bits.groupBy(group_col, "__bits")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("word", "b"))).alias("__m")
-        )
-        .join(F.broadcast(sized.select(group_col, "__n")), group_col)
+        dense.join(bits.drop("__bits"), [group_col, "word"], "left")
         .select(
             group_col,
-            F.col("__n").alias("n_ids"),
-            F.transform(
-                F.sequence(
-                    F.lit(0).cast("bigint"),
-                    (F.expr("__bits div 32") - F.lit(1)).cast("bigint"),
-                ),
-                lambda w: F.coalesce(
-                    F.element_at(F.col("__m"), w), F.lit(0).cast("bigint")
-                ),
-            ).alias("arr"),
+            "word",
+            F.coalesce("b", F.lit(0).cast("bigint")).alias("b"),
         )
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word", "b"))),
+                lambda s: s["b"],
+            ).alias("arr")
+        )
+        .join(F.broadcast(sized.select(group_col, "__n")), group_col)
+        .select(group_col, F.col("__n").alias("n_ids"), "arr")
     )
 
 

@@ -2799,7 +2799,7 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_K1, _BM25_B, _BM25_SCALE, _BM25_K = 1200, 750, 1_000_000, 20
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(where: str = "") -> str:
     from ..operators.classify import log2_fp_sql
 
     lg = lambda x: log2_fp_sql(x, dialect="duck")  # noqa: E731
@@ -2809,8 +2809,9 @@ def _bm25_sql() -> str:
         f" + {_BM25_K1 * (1000 - _BM25_B)} * avgl"
         f" + {_BM25_K1 * _BM25_B} * len)"
     )
+    corpus = f"documents WHERE {where}" if where else "documents"
     return f"""
-    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM {corpus}),
     lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM d),
     stats AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3376,6 +3377,57 @@ def q_streaming_bm25_maintain_segmented(spark: SparkSession, sf_dir: str) -> Dat
     return bm25_index_search(*read_bm25_index_segmented(spark, idx), _SEARCH_TERMS)
 
 
+# time-travel store cache: the store is built ONCE per sf_dir (seed +
+# two published epochs) and never mutated by the row — read_at is a pure
+# catalog-filtered serve, so timed runs share it (no fresh copy needed)
+_BM25_TT_STORE: dict[str, str] = {}
+
+
+@query(
+    "bm25_index_read_at",
+    oracle=_bm25_sql(where="(doc_id % 3 <> 0) OR (doc_id % 2 = 0)"),
+)
+def q_bm25_index_read_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL serve of the segmented BM25 store (VERDICT r10 next
+    #6): the store holds a seed (doc_id % 3 != 0, the pre-stream epoch
+    -1) plus two published epochs splitting the remaining third by
+    parity; `read_bm25_index_segmented_at(idx, 0)` resolves the
+    `_manifest` catalog + per-segment epoch coverage to serve the index
+    EXACTLY as it stood after epoch 0 — seed + even-id delta — while
+    epoch 1 stays live in the store. Because segments are immutable and
+    epoch-stamped, the as-of serve is a catalog filter over the same
+    plan-level union scan the live read uses: no data copied, no history
+    rewritten. Oracle: the batch BM25 build over exactly the prefix
+    corpus (WHERE doc_id%3<>0 OR doc_id%2=0) — bit-equal, rank for rank,
+    proving read_at(N) == build(epochs <= N). The reproducible
+    training-data snapshot an LLM pipeline audits against (pairs with
+    the curation funnel and shard export); compaction semantics —
+    still-cataloged epochs stay exact, folded epochs raise — are pinned
+    in tests/test_time_travel.py."""
+    from ..operators.retrieval import bm25_index_search
+    from ..streaming.pipeline import (
+        foreach_batch_bm25_maintain_segmented,
+        read_bm25_index_segmented_at,
+        seed_bm25_index_segmented,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    if sf_dir not in _BM25_TT_STORE:
+        import tempfile
+
+        idx = tempfile.mkdtemp(prefix="bm25_tt_") + "/index"
+        seed_bm25_index_segmented(docs.filter(F.col("doc_id") % 3 != 0), idx)
+        sink = foreach_batch_bm25_maintain_segmented(idx)
+        third = docs.filter(F.col("doc_id") % 3 == 0)
+        sink(third.filter(F.col("doc_id") % 2 == 0), 0)
+        sink(third.filter(F.col("doc_id") % 2 == 1), 1)
+        _BM25_TT_STORE[sf_dir] = idx
+    return bm25_index_search(
+        *read_bm25_index_segmented_at(spark, _BM25_TT_STORE[sf_dir], 0),
+        _SEARCH_TERMS,
+    )
+
+
 _KFOLD_K = 5
 
 
@@ -3899,6 +3951,115 @@ def q_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         read_dedup_gate_corpus(spark, store)
+        .select("doc_id", F.col("__fp").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+# time-travel store cache: built once per sf_dir by direct sink epochs
+# (the streaming lifecycle itself is streaming_dedup_gate's contract);
+# the snapshot/diff rows time the PURE as-of serves
+_GATE_TT_STORE: dict[str, str] = {}
+
+
+def _gate_tt_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the three-epoch dedup-gate store the
+    time-travel rows serve from: the same ascending-doc_id epoch split
+    as streaming_dedup_gate, applied by direct sink calls."""
+    from ..streaming.pipeline import foreach_batch_dedup_gate
+
+    if sf_dir not in _GATE_TT_STORE:
+        import tempfile
+
+        (docs,) = _t(spark, sf_dir, "documents")
+        lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+        store = tempfile.mkdtemp(prefix="gate_tt_") + "/store"
+        sink = foreach_batch_dedup_gate(store)
+        sink(docs.filter(F.col("doc_id") <= cut1), 0)
+        sink(docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)), 1)
+        sink(docs.filter(F.col("doc_id") > cut2), 2)
+        _GATE_TT_STORE[sf_dir] = store
+    return _GATE_TT_STORE[sf_dir]
+
+
+@query(
+    "dedup_gate_corpus_read_at",
+    oracle=f"""
+    WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+    prefix AS (
+      SELECT d.* FROM documents d, b
+      WHERE d.doc_id <= b.lo + 2 * ((b.hi - b.lo) // 3)
+    )
+    SELECT d.doc_id, md5({_NORM}) AS fp
+    FROM prefix d
+    JOIN (
+      SELECT md5({_NORM}) AS kfp, MIN(doc_id) AS keeper
+      FROM prefix GROUP BY 1
+    ) k ON k.keeper = d.doc_id
+    ORDER BY d.doc_id
+""",
+)
+def q_dedup_gate_corpus_read_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPRODUCIBLE TRAINING-DATA SNAPSHOT from the dedup gate (VERDICT
+    r10 next #6's stated consumer need): the gate's accepted corpus is
+    immutable per-epoch segments that never compact, so
+    `read_dedup_gate_corpus_at(store, 1)` serves the deduped corpus
+    EXACTLY as it stood after the second ingestion epoch — the snapshot
+    a training run pins so its data is auditable forever — while epoch
+    2's documents stay live in the store. The store ingests the same
+    three ascending-doc_id epochs as streaming_dedup_gate (built once
+    per sf_dir; this row times the pure as-of serve: a name filter over
+    the segment listing + the same plan-level union scan as the live
+    read). Oracle: batch exact-dedup min-id survivors over exactly the
+    first two epochs' id range — epochs ascend by doc_id, so
+    first-epoch-wins IS global min over the prefix corpus."""
+    from ..streaming.pipeline import read_dedup_gate_corpus_at
+
+    store = _gate_tt_store(spark, sf_dir)
+    return (
+        read_dedup_gate_corpus_at(spark, store, 1)
+        .select("doc_id", F.col("__fp").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_gate_corpus_diff",
+    oracle=f"""
+    WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+    prefix AS (
+      SELECT d.* FROM documents d, b
+      WHERE d.doc_id <= b.lo + 2 * ((b.hi - b.lo) // 3)
+    ),
+    keep AS (
+      SELECT md5({_NORM}) AS kfp, MIN(doc_id) AS keeper
+      FROM prefix GROUP BY 1
+    )
+    SELECT d.doc_id, md5({_NORM}) AS fp
+    FROM prefix d
+    JOIN keep k ON k.keeper = d.doc_id
+    JOIN b ON d.doc_id > b.lo + ((b.hi - b.lo) // 3)
+    ORDER BY d.doc_id
+""",
+)
+def q_dedup_gate_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS DIFF between two gate snapshots — "what new training data
+    entered between data version A and B": accepted segments are
+    immutable and per-epoch, so `read_dedup_gate_corpus_diff(store, 0,
+    1)` IS the epoch-1 segment set — a name filter plus a union scan of
+    exactly the between-snapshot segments; neither snapshot is computed,
+    nothing else is read. Oracle: the semantic contract proven
+    independently — batch exact-dedup min-id survivors of the
+    first-two-epoch corpus restricted to ids ABOVE the first epoch's
+    range (survivors the second epoch added: epochs ascend by doc_id, so
+    a keeper above cut1 is exactly an epoch-1 acceptance). Shares the
+    once-per-sf_dir store with dedup_gate_corpus_read_at."""
+    from ..streaming.pipeline import read_dedup_gate_corpus_diff
+
+    store = _gate_tt_store(spark, sf_dir)
+    return (
+        read_dedup_gate_corpus_diff(spark, store, 0, 1)
         .select("doc_id", F.col("__fp").alias("fp"))
         .orderBy("doc_id")
     )

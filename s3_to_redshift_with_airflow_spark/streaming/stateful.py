@@ -110,6 +110,8 @@ def has_tws_runtime() -> bool:
     2026-08-16 (r9): re-probed, unchanged (ModuleNotFoundError: google) —
     gate stays.
     2026-08-16 (r10): re-probed, unchanged (ModuleNotFoundError: google)
+    — gate stays.
+    2026-08-16 (r11): re-probed, unchanged (ModuleNotFoundError: google)
     — gate stays."""
     if not HAS_TRANSFORM_WITH_STATE:
         return False

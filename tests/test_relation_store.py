@@ -245,6 +245,74 @@ def test_read_at_respects_compaction_horizon(spark, tmp_path):
         _serve(spark, target, as_of=0)
 
 
+def test_relation_diff_is_snapshot_difference(spark, tmp_path):
+    """diff(e0, e1) == as_of(e1) − as_of(e0) as z-sets, including
+    NEGATIVE weights for departed rows, and the DBSP composition
+    identity merge(read_at(e0), diff(e0, e1)) == read_at(e1)."""
+    from s3_to_redshift_with_airflow_spark.operators.relational import (
+        merge_weighted_relation,
+        served_relation,
+    )
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        read_weighted_relation_diff,
+    )
+
+    target, sink = _build(spark, tmp_path)
+    epochs = _epochs(spark)
+    for i, e in enumerate(epochs):
+        sink(e, i)
+    diff = read_weighted_relation_diff(spark, target, 0, 2).select(
+        "f_k", "pay", "seg", "w"
+    )
+    # semantic check: snapshot difference computed independently
+    s0 = dict(((r[0], r[1], r[2]), r[3]) for r in _serve(spark, target, as_of=0))
+    s2 = dict(((r[0], r[1], r[2]), r[3]) for r in _serve(spark, target, as_of=2))
+    want = {
+        k: s2.get(k, 0) - s0.get(k, 0)
+        for k in set(s0) | set(s2)
+        if s2.get(k, 0) != s0.get(k, 0)
+    }
+    got = dict(((r[0], r[1], r[2]), r[3]) for r in diff.collect())
+    assert got == want
+    # the delete epoch shows up as a NEGATIVE weight
+    assert any(w < 0 for w in got.values())
+    # composition identity: applying the diff to the e0 snapshot serves e2
+    base = read_weighted_relation_store(spark, target, as_of_epoch=0).select(
+        "f_k", "pay", "seg", "w"
+    )
+    composed = served_relation(merge_weighted_relation(base, diff))
+    assert _sorted(composed.select("f_k", "pay", "seg", "w")) == _serve(
+        spark, target, as_of=2
+    )
+    # empty range and backwards range
+    assert read_weighted_relation_diff(spark, target, 2, 2).count() == 0
+    with pytest.raises(ValueError, match="backwards"):
+        read_weighted_relation_diff(spark, target, 2, 0)
+
+
+def test_relation_diff_respects_compaction_horizon(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        read_weighted_relation_diff,
+    )
+
+    target, sink = _build(spark, tmp_path)
+    epochs = _epochs(spark)
+    sink(epochs[0], 0)
+    sink(epochs[1], 1)
+    compact_weighted_relation_store(spark, target)  # horizon = 1
+    sink(epochs[2], 2)
+    # from >= horizon: exact (epoch-2 subdirs are intact)
+    got = _sorted(
+        read_weighted_relation_diff(spark, target, 1, 2).select(
+            "f_k", "pay", "seg", "w"
+        )
+    )
+    assert got == [(2, 12, "seg0", 1), (2, 99, "seg0", 1)]
+    # from below the horizon: the folded pile cannot be split
+    with pytest.raises(ValueError, match="compaction horizon"):
+        read_weighted_relation_diff(spark, target, 0, 2)
+
+
 # ---------- batch operator composition (weighted_join_delta -> store) ----
 
 

@@ -1,0 +1,222 @@
+"""Time-travel reads for the segment stores (VERDICT r10 next #6):
+`read_*_at(epoch)` resolves the `_manifest` catalog + per-segment epoch
+coverage (`_covers` sidecars) to the exact segment set as of a past
+epoch — bit-equal to a batch build over epochs <= N while later epochs
+stay live — and compaction keeps read-at exact for still-cataloged
+epochs (folded-away epochs raise instead of silently serving merged
+history). Reference parity note: the reference's staging layer keeps
+only the latest load (extract_stream_data.py:24); reproducible
+snapshots are the extension an auditable training-data pipeline needs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_to_redshift_with_airflow_spark.operators.retrieval import (
+    bm25_index_build,
+)
+from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+    compact_bm25_segments,
+    compact_join_view_segments,
+    foreach_batch_bm25_maintain_segmented,
+    foreach_batch_ivf_pq_maintain_segmented,
+    foreach_batch_join_view_maintain,
+    read_bm25_index_segmented,
+    read_bm25_index_segmented_at,
+    read_ivf_pq_index_segmented,
+    read_ivf_pq_index_segmented_at,
+    read_join_view_segments,
+    read_join_view_segments_at,
+    seed_bm25_index_segmented,
+    seed_ivf_pq_index_segmented,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _snap(p, l, s):
+    return (
+        sorted(tuple(r) for r in p.collect()),
+        sorted(tuple(r) for r in l.collect()),
+        [tuple(r) for r in s.collect()],
+    )
+
+
+def test_bm25_read_at_equals_prefix_build(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    a = _docs(spark, [(1, "spark shuffles data"), (2, "data moves in shuffles")])
+    b = _docs(spark, [(3, "broadcast joins move no data")])
+    c = _docs(spark, [(4, "sorted postings skip row groups")])
+    seed_bm25_index_segmented(a, idx)
+    sink = foreach_batch_bm25_maintain_segmented(idx)
+    sink(b, 0)
+    sink(c, 1)
+    # as-of each epoch == batch build over exactly that prefix
+    assert _snap(*read_bm25_index_segmented_at(spark, idx, -1)) == _snap(
+        *bm25_index_build(a)
+    )
+    assert _snap(*read_bm25_index_segmented_at(spark, idx, 0)) == _snap(
+        *bm25_index_build(a.unionByName(b))
+    )
+    assert _snap(*read_bm25_index_segmented_at(spark, idx, 1)) == _snap(
+        *bm25_index_build(a.unionByName(b).unionByName(c))
+    )
+    # later epochs stayed live: the full read still serves doc 4
+    full = read_bm25_index_segmented(spark, idx)[1]
+    assert full.filter(F.col("doc_id") == 4).count() == 1
+    # an as-of read between applied epochs snaps to what existed (<= N)
+    assert _snap(*read_bm25_index_segmented_at(spark, idx, 5)) == _snap(
+        *read_bm25_index_segmented(spark, idx)
+    )
+
+
+def test_bm25_read_at_survives_tiered_compaction(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    # big seed (stays excluded by the >half-bytes tier rule), tiny epochs
+    seed = _docs(
+        spark, [(i, f"seed document number {i} about spark data") for i in range(200)]
+    )
+    seed_bm25_index_segmented(seed, idx)
+    sink = foreach_batch_bm25_maintain_segmented(idx)
+    eps = {
+        0: _docs(spark, [(1000, "epoch zero data")]),
+        1: _docs(spark, [(1001, "epoch one data")]),
+        2: _docs(spark, [(1002, "epoch two data")]),
+    }
+    for e, d in eps.items():
+        sink(d, e)
+    pre = {
+        e: _snap(*read_bm25_index_segmented_at(spark, idx, e)) for e in (-1, 0, 1, 2)
+    }
+    merged = compact_bm25_segments(spark, idx, tiered=True)
+    assert merged == 2  # seg_0..seg_2 -> seg_m2; seg_base excluded
+    # still-cataloged epochs: the merge top (2) and everything below the
+    # fold's min (-1, the seed) stay EXACT; epochs inside the fold raise
+    assert _snap(*read_bm25_index_segmented_at(spark, idx, 2)) == pre[2]
+    assert _snap(*read_bm25_index_segmented_at(spark, idx, -1)) == pre[-1]
+    for folded in (0, 1):
+        with pytest.raises(ValueError, match="time-travel horizon"):
+            read_bm25_index_segmented_at(spark, idx, folded)
+    # epochs appended AFTER the merge are individually servable again
+    sink(_docs(spark, [(1003, "epoch three data")]), 3)
+    assert _snap(*read_bm25_index_segmented_at(spark, idx, 2)) == pre[2]
+    got3 = _snap(*read_bm25_index_segmented_at(spark, idx, 3))
+    assert got3 == _snap(*read_bm25_index_segmented(spark, idx))
+
+
+def test_bm25_read_at_after_full_merge(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    a = _docs(spark, [(1, "spark data"), (2, "more data")])
+    seed_bm25_index_segmented(a, idx)
+    sink = foreach_batch_bm25_maintain_segmented(idx)
+    sink(_docs(spark, [(3, "epoch zero")]), 0)
+    sink(_docs(spark, [(4, "epoch one")]), 1)
+    pre_top = _snap(*read_bm25_index_segmented_at(spark, idx, 1))
+    assert compact_bm25_segments(spark, idx) == 2  # all-merge -> seg_base
+    # the fold's top stays exact (seg_base now carries covers [-1,0,1])
+    assert _snap(*read_bm25_index_segmented_at(spark, idx, 1)) == pre_top
+    for folded in (-1, 0):
+        with pytest.raises(ValueError, match="time-travel horizon"):
+            read_bm25_index_segmented_at(spark, idx, folded)
+
+
+def test_join_view_read_at(spark, tmp_path):
+    dim = spark.createDataFrame(
+        [(1, "rock"), (2, "jazz")], "genre_id bigint, genre string"
+    )
+    dim_path = str(tmp_path / "dim")
+    dim.write.parquet(dim_path)
+    view = str(tmp_path / "view")
+    sink = foreach_batch_join_view_maintain(view, dim_path, "g", "genre_id", ["genre"])
+    f0 = spark.createDataFrame([(10, 1), (11, 2)], "play_id bigint, g bigint")
+    f1 = spark.createDataFrame([(12, 1)], "play_id bigint, g bigint")
+    sink(f0, 0)
+    sink(f1, 1)
+    at0 = read_join_view_segments_at(spark, view, 0)
+    assert sorted(r["play_id"] for r in at0.collect()) == [10, 11]
+    # nothing existed before epoch 0: typed empty view, not an error
+    at_pre = read_join_view_segments_at(spark, view, -1)
+    assert at_pre.count() == 0 and set(at_pre.columns) == set(at0.columns)
+    # full read still carries the later epoch
+    assert read_join_view_segments(spark, view).count() == 3
+    assert compact_join_view_segments(spark, view) == 1  # 2 segs -> seg_base
+    with pytest.raises(ValueError, match="time-travel horizon"):
+        read_join_view_segments_at(spark, view, 0)
+    assert read_join_view_segments_at(spark, view, 1).count() == 3
+
+
+def test_dedup_gate_corpus_read_at(spark, tmp_path):
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        foreach_batch_dedup_gate,
+        read_dedup_gate_corpus,
+        read_dedup_gate_corpus_at,
+    )
+
+    store = str(tmp_path / "gate")
+    sink = foreach_batch_dedup_gate(store)
+    sink(_docs(spark, [(1, "alpha text"), (2, "alpha text"), (3, "beta")]), 0)
+    sink(_docs(spark, [(4, "beta"), (5, "gamma")]), 1)  # 4 is a cross-epoch dup
+    sink(_docs(spark, [(6, "delta")]), 2)
+    ids_at = lambda e: sorted(  # noqa: E731
+        r["doc_id"] for r in read_dedup_gate_corpus_at(spark, store, e).collect()
+    )
+    # snapshots are exact at every epoch; accepted segments never compact
+    assert ids_at(0) == [1, 3]
+    assert ids_at(1) == [1, 3, 5]
+    assert ids_at(2) == [1, 3, 5, 6]
+    # later epochs stay live; pre-history snapshot is typed-empty
+    assert sorted(
+        r["doc_id"] for r in read_dedup_gate_corpus(spark, store).collect()
+    ) == [1, 3, 5, 6]
+    assert read_dedup_gate_corpus_at(spark, store, -1).count() == 0
+    # corpus diff: exactly what entered between snapshots, nothing read
+    # beyond the between-snapshot segments
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        read_dedup_gate_corpus_diff,
+    )
+
+    diff_ids = lambda a, b: sorted(  # noqa: E731
+        r["doc_id"]
+        for r in read_dedup_gate_corpus_diff(spark, store, a, b).collect()
+    )
+    assert diff_ids(0, 2) == [5, 6]
+    assert diff_ids(0, 1) == [5]
+    assert diff_ids(1, 1) == []  # empty range
+    with pytest.raises(ValueError, match="backwards"):
+        read_dedup_gate_corpus_diff(spark, store, 2, 0)
+
+
+def test_ivf_pq_read_at(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+
+    def emb(ids):
+        return spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in ids],
+            "vec_id bigint, embedding array<double>",
+        )
+
+    idx = str(tmp_path / "ivf")
+    seed_ivf_pq_index_segmented(
+        emb(range(32)), idx, km_k=4, m_subspaces=2, k_centroids=4, dim=dim
+    )
+    sink = foreach_batch_ivf_pq_maintain_segmented(idx, m_subspaces=2, dim=dim)
+    sink(emb([100, 101]), 0)
+    sink(emb([102]), 1)
+    at0 = read_ivf_pq_index_segmented_at(spark, idx, 0)
+    assert sorted(r["vec_id"] for r in at0["lists"].collect()) == [
+        *range(32),
+        100,
+        101,
+    ]
+    assert at0["codes"].select("vec_id").distinct().count() == 34
+    # frozen quantizers: as-of serves the SAME root tables as live
+    live = read_ivf_pq_index_segmented(spark, idx)
+    assert sorted(map(tuple, at0["centroids"].collect())) == sorted(
+        map(tuple, live["centroids"].collect())
+    )
+    assert live["lists"].count() == 35  # later epoch still live
