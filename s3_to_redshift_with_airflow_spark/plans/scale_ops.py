@@ -6672,6 +6672,50 @@ def q_join_view_read_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IJR_LOOKUP_KEYS = [7, 11, 13, 17, 19]
+
+
+@query(
+    "join_relation_point_lookup",
+    oracle=f"""
+    WITH survivors AS (
+      SELECT o_custkey, o_orderpriority FROM orders
+      WHERE NOT (o_orderdate < TIMESTAMP '{_IJV_CUTOFF}' AND o_orderkey % 7 = 0)
+    )
+    SELECT o_custkey, o_orderpriority, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM survivors JOIN customer ON c_custkey = o_custkey
+    WHERE o_custkey IN ({", ".join(str(k) for k in _IJR_LOOKUP_KEYS)})
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+""",
+)
+def q_join_relation_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-LOOKUP serve of the maintained join relation — the per-
+    entity query shape a 100 TB row-grain view exists to answer ("this
+    customer's current joined rows, now"): after the full three-epoch
+    stream, five requested keys are served from ONLY the bucket dirs
+    they hash to (streaming.pipeline.read_weighted_relation_store_keyed
+    — the store's `_layout` sidecar supplies bucket_keys/n_buckets, the
+    touched dirs are read by explicit path, the requested keys broadcast
+    left-semi into the slice before netting). Per-lookup I/O is
+    O(touched buckets), never O(store). Oracle: the full-bag recompute
+    restricted to the requested keys — bit-equal to the whole-store
+    serve filtered after the fact, proving bucket routing loses
+    nothing."""
+    from ..streaming.pipeline import read_weighted_relation_store_keyed
+
+    target = _run_ijr_stream(spark, sf_dir)
+    wanted = spark.createDataFrame(
+        [(int(k),) for k in _IJR_LOOKUP_KEYS], "o_custkey bigint"
+    )
+    return (
+        read_weighted_relation_store_keyed(spark, target, wanted)
+        .select("o_custkey", "o_orderpriority", "c_mktsegment", "w")
+        .orderBy("o_custkey", "o_orderpriority", "c_mktsegment")
+    )
+
+
 _JV2_T0 = "1990-01-01"  # the seed dimension version's valid_from
 _JV2_T2 = "1998-01-01"  # the dimension update's effective time (mid-corpus)
 

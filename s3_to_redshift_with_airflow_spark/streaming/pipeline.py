@@ -3317,6 +3317,20 @@ def seed_weighted_relation_store(
         .write.mode("overwrite")
         .parquet(target_path.rstrip("/") + "/_schema")
     )
+    # `_layout` sidecar makes the store SELF-DESCRIBING for keyed serves:
+    # a point-lookup reader recovers (bucket_keys, n_buckets) from the
+    # store instead of trusting the caller to repeat the creation config
+    # (a mismatched n_buckets would silently probe the wrong bucket dirs)
+    (
+        rel.sparkSession.range(1)
+        .select(
+            F.lit(int(n_buckets)).cast("int").alias("n_buckets"),
+            F.array(*[F.lit(k) for k in bucket_keys]).alias("bucket_keys"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(target_path.rstrip("/") + "/_layout")
+    )
 
 
 def read_weighted_relation_store(
@@ -3367,6 +3381,82 @@ def read_weighted_relation_store(
         # blank store (empty seed, no epochs yet): hidden dirs only —
         # the _schema sidecar supplies the typed empty relation
         store = spark.read.parquet(f"{root}/_schema")
+    cols = [c for c in store.columns if c not in ("bucket", "epoch", weight_col)]
+    net = (
+        store.groupBy(*cols)
+        .agg(F.sum(weight_col).cast("bigint").alias(weight_col))
+        .filter(F.col(weight_col) != 0)
+    )
+    return served_relation(net, weight_col)
+
+
+def read_weighted_relation_store_keyed(
+    spark: SparkSession,
+    target_path: str,
+    keys_df: DataFrame,
+    as_of_epoch: int | None = None,
+    weight_col: str = "w",
+) -> DataFrame:
+    """POINT-LOOKUP serve of the maintained relation: the rows for a
+    small requested key set (`keys_df` holds the store's bucket-key
+    columns), read from ONLY the bucket dirs those keys hash to — the
+    100 TB serving shape, where a per-entity query must cost O(touched
+    buckets), never O(store). The store is self-describing (the
+    `_layout` sidecar carries bucket_keys + n_buckets, so a mismatched
+    caller config cannot silently probe the wrong dirs); the requested
+    keys' buckets compute with the store's own `bucket_expr` and the
+    touched dirs are read by EXPLICIT path (a root read would LIST
+    every bucket dir — the measured layout-constant trap,
+    SCALE_r10.jsonl). Within the slice the serve is the snapshot read
+    verbatim: epoch capped at the committed ledger (or `as_of_epoch`,
+    horizon-checked), weights netted, positive rows served, then a
+    broadcast left-semi against the requested keys (a bucket holds other
+    keys too). Served rows are bit-equal to
+    `read_weighted_relation_store(...)` filtered to the keys."""
+    from ..operators.relational import served_relation
+
+    root = target_path.rstrip("/")
+    layout = spark.read.parquet(_store_path(spark, f"{root}/_layout")).collect()[0]
+    n_buckets = int(layout["n_buckets"])
+    bucket_keys = list(layout["bucket_keys"])
+    if as_of_epoch is None:
+        as_of_epoch = _last_applied_epoch(spark, root)
+    horizon = _relation_compacted_through(spark, root)
+    if as_of_epoch < horizon:
+        raise ValueError(
+            f"read_at epoch {as_of_epoch} precedes compaction horizon "
+            f"{horizon}: those epoch subdirs were folded away"
+        )
+    wanted = keys_df.select(*bucket_keys).distinct()
+    touched = sorted(
+        int(r["b"])
+        for r in wanted.select(
+            bucket_expr(bucket_keys, n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    fs, P = _hadoop_fs(spark, root)
+    paths = [
+        p
+        for p in (f"{root}/bucket={int(b)}" for b in touched)
+        if fs.exists(P(p))
+    ]
+    if not paths:
+        # no requested key has ever landed: typed empty relation
+        return served_relation(
+            spark.read.parquet(f"{root}/_schema"), weight_col
+        ).limit(0)
+    # basePath keeps partition discovery consistent across the explicit
+    # sibling dirs (each bucket=K holds epoch=E subdirs; without a common
+    # base Spark raises CONFLICTING_DIRECTORY_STRUCTURES); the listing
+    # still touches ONLY the named bucket dirs
+    store = (
+        spark.read.option("basePath", root)
+        .parquet(*paths)
+        .filter(F.col("epoch") <= int(as_of_epoch))
+        .join(F.broadcast(wanted), bucket_keys, "left_semi")
+    )
     cols = [c for c in store.columns if c not in ("bucket", "epoch", weight_col)]
     net = (
         store.groupBy(*cols)

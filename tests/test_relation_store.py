@@ -290,6 +290,40 @@ def test_relation_diff_is_snapshot_difference(spark, tmp_path):
         read_weighted_relation_diff(spark, target, 2, 0)
 
 
+def test_keyed_serve_equals_filtered_full_serve(spark, tmp_path):
+    """Point lookup == whole-store serve filtered to the keys, at the
+    live snapshot AND as-of a past epoch; keys that never landed produce
+    an empty (not erroring) result."""
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        read_weighted_relation_store_keyed,
+    )
+
+    target, sink = _build(spark, tmp_path)
+    epochs = _epochs(spark)
+    for i, e in enumerate(epochs):
+        sink(e, i)
+    wanted = spark.createDataFrame([(0,), (2,)], "f_k bigint")
+    got = _sorted(
+        read_weighted_relation_store_keyed(spark, target, wanted).select(
+            "f_k", "pay", "seg", "w"
+        )
+    )
+    want = [r for r in _serve(spark, target) if r[0] in (0, 2)]
+    assert got == want and got  # non-trivial lookup
+    # as-of compose: keyed serve at epoch 0 == filtered snapshot at 0
+    got0 = _sorted(
+        read_weighted_relation_store_keyed(
+            spark, target, wanted, as_of_epoch=0
+        ).select("f_k", "pay", "seg", "w")
+    )
+    assert got0 == [r for r in _serve(spark, target, as_of=0) if r[0] in (0, 2)]
+    # a key that never landed: empty, typed, no error
+    ghost = spark.createDataFrame([(99_999,)], "f_k bigint")
+    assert (
+        read_weighted_relation_store_keyed(spark, target, ghost).count() == 0
+    )
+
+
 def test_relation_diff_respects_compaction_horizon(spark, tmp_path):
     from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
         read_weighted_relation_diff,
