@@ -147,6 +147,88 @@ def test_join_view_read_at(spark, tmp_path):
     assert read_join_view_segments_at(spark, view, 1).count() == 3
 
 
+def test_time_travel_under_random_publish_compact_schedules(spark):
+    """Property (hypothesis): under ANY interleaving of epoch publishes
+    and compactions, read_at(e) either serves EXACTLY the union of
+    epochs <= e or raises the horizon error — and it raises only when a
+    live segment genuinely folds epochs from both sides of the cut
+    (never for the store's top epoch, never for epochs published after
+    the last fold)."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("pub"), st.integers(min_value=1, max_value=3)),
+            st.just(("compact", 0)),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(schedule=ops)
+    def run(schedule):
+        dim = spark.createDataFrame([(1, "x")], "g bigint, nm string")
+        base = tempfile.mkdtemp(prefix="tt_prop_")
+        dim_path = f"{base}/dim"
+        dim.write.parquet(dim_path)
+        view = f"{base}/view"
+        sink = foreach_batch_join_view_maintain(view, dim_path, "g", "g", ["nm"])
+        next_id = [0]
+        epoch_rows: dict[int, list[int]] = {}
+        folds: list[tuple[int, int]] = []  # (min_cov, max_cov) per merge
+        epoch = 0
+        for op, n in schedule:
+            if op == "pub":
+                rows = [(next_id[0] + i, 1) for i in range(n)]
+                next_id[0] += n
+                sink(
+                    spark.createDataFrame(rows, "rid bigint, g bigint"), epoch
+                )
+                epoch_rows[epoch] = [r[0] for r in rows]
+                epoch += 1
+            elif epoch_rows:
+                lo = min(
+                    [e for e, _ in ([(f[0], 0) for f in folds])] + list(epoch_rows)
+                )
+                hi = max(epoch_rows)
+                if compact_join_view_segments(spark, view) > 0:
+                    folds.append((lo, hi))
+        if not epoch_rows:
+            return
+        top = max(epoch_rows)
+        for e in range(-1, top + 1):
+            should_raise = any(mn <= e < mx for mn, mx in folds)
+            if should_raise:
+                with pytest.raises(ValueError, match="time-travel horizon"):
+                    read_join_view_segments_at(spark, view, e)
+            else:
+                got = sorted(
+                    r["rid"]
+                    for r in read_join_view_segments_at(spark, view, e).collect()
+                )
+                want = sorted(
+                    rid
+                    for ep, rids in epoch_rows.items()
+                    if ep <= e
+                    for rid in rids
+                )
+                assert got == want, f"as-of {e}: {got} != {want}"
+        # the top epoch must ALWAYS be servable and equal the live read
+        assert read_join_view_segments_at(spark, view, top).count() == sum(
+            len(v) for v in epoch_rows.values()
+        )
+
+    run()
+
+
 def test_dedup_gate_corpus_read_at(spark, tmp_path):
     from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
         foreach_batch_dedup_gate,
