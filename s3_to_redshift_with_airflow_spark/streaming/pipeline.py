@@ -1434,7 +1434,11 @@ def _write_covers(spark: SparkSession, seg_dir: str, epochs: list[int]) -> None:
 
 
 def _segment_covers(
-    spark: SparkSession, segs_dir: str, name: str, marker: int
+    spark: SparkSession,
+    segs_dir: str,
+    name: str,
+    marker: int,
+    probe_sidecar: bool = True,
 ) -> tuple[int, int, list[int] | None]:
     """(min_epoch, max_epoch, exact_list|None) of the epochs a live
     segment folds. Exact when a `_covers` sidecar exists or the name is
@@ -1445,12 +1449,15 @@ def _segment_covers(
     unknown-min range: read-at refuses to split them, serving only
     epochs at/above their top. New stores always carry exact coverage,
     so the conservative arm never fires for them."""
-    fs, P = _hadoop_fs(spark, segs_dir)
-    cpath = f"{segs_dir}/{name}/_covers"
-    if fs.exists(P(cpath)):
-        eps = sorted(int(r["epoch"]) for r in spark.read.parquet(cpath).collect())
-        if eps:
-            return eps[0], eps[-1], eps
+    if probe_sidecar:
+        fs, P = _hadoop_fs(spark, segs_dir)
+        cpath = f"{segs_dir}/{name}/_covers"
+        if fs.exists(P(cpath)):
+            eps = sorted(
+                int(r["epoch"]) for r in spark.read.parquet(cpath).collect()
+            )
+            if eps:
+                return eps[0], eps[-1], eps
     if name == "seg_base":
         if marker < 0:
             return -1, -1, [-1]
@@ -1477,11 +1484,36 @@ def _segments_as_of(spark: SparkSession, root: str, epoch: int) -> list[str]:
     root = root.rstrip("/")
     segs = _store_path(spark, f"{root}/segs")
     names = _live_segments(spark, segs)
-    marker = _compacted_through(spark, root)
     epoch = int(epoch)
+    # batch every existing `_covers` sidecar into ONE read (attributed
+    # back by input_file_name) — a per-segment read would cost O(segment
+    # count) driver jobs per serve, the per-segment-job smell the
+    # explicit-path bucket work already killed elsewhere
+    fs, P = _hadoop_fs(spark, segs)
+    with_sidecar = {
+        n: f"{segs}/{n}/_covers"
+        for n in names
+        if fs.exists(P(f"{segs}/{n}/_covers"))
+    }
+    covers: dict[str, list[int]] = {}
+    if with_sidecar:
+        for r in (
+            spark.read.parquet(*with_sidecar.values())
+            .select("epoch", F.input_file_name().alias("__f"))
+            .collect()
+        ):
+            seg_name = r["__f"].split("/_covers/")[0].rsplit("/", 1)[-1]
+            covers.setdefault(seg_name, []).append(int(r["epoch"]))
+    marker: int | None = None  # lazily read — only legacy fallbacks need it
     out = []
     for n in names:
-        mn, mx, _ = _segment_covers(spark, segs, n, marker)
+        if n in covers:
+            eps = sorted(covers[n])
+            mn, mx = eps[0], eps[-1]
+        else:
+            if marker is None:
+                marker = _compacted_through(spark, root)
+            mn, mx, _ = _segment_covers(spark, segs, n, marker, probe_sidecar=False)
         if mx <= epoch:
             out.append(n)
         elif mn > epoch:
