@@ -1811,6 +1811,61 @@ def q_streaming_cdc_scd2_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     return read_bucketed_store(spark, target).orderBy("user_id", "valid_from")
 
 
+# point-lookup store cache: the bucketed SCD2 dimension is built once
+# per sf_dir (batch pipeline output, bucketed by user_id); the row times
+# the PURE keyed serve
+_SCD2_PL_STORE: dict[str, str] = {}
+
+
+@query(
+    "scd2_dim_point_lookup",
+    oracle=f"""
+    WITH base AS ({_SQL_CDC_SCD2_ORACLE})
+    SELECT base.* FROM base
+    JOIN (
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+      ORDER BY user_id LIMIT 5
+    ) k USING (user_id)
+    ORDER BY user_id, valid_from
+""",
+)
+def q_scd2_dim_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT LOOKUP into the bucketed SCD2 dimension — "this user's
+    version history, now", the per-entity query a 100 TB CDC-maintained
+    dimension exists to answer: five requested keys route through the
+    store's own bucket_expr (`_layout` sidecar), ONLY the touched bucket
+    dirs are read by explicit path, the keys broadcast left-semi into
+    the slice (streaming.pipeline.read_bucketed_store_keyed). Per-lookup
+    I/O is O(touched buckets), never O(dimension). The store is the
+    batch CDC→SCD2 pipeline's output bucketed by user_id (built once per
+    sf_dir — the maintainer itself is streaming_cdc_scd2_bucketed's
+    contract); oracle: the full SCD2 recompute restricted to the same
+    five smallest user ids — bucket routing loses nothing."""
+    from ..streaming.pipeline import read_bucketed_store_keyed, write_bucketed_store
+    from .registry import q_cdc_scd2_pipeline
+
+    if sf_dir not in _SCD2_PL_STORE:
+        import tempfile
+
+        target = tempfile.mkdtemp(prefix="scd2_pl_") + "/dim"
+        write_bucketed_store(
+            q_cdc_scd2_pipeline(spark, sf_dir), target, ["user_id"], 64
+        )
+        _SCD2_PL_STORE[sf_dir] = target
+    (events,) = _t(spark, sf_dir, "events")
+    wanted = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(5)
+    )
+    return (
+        read_bucketed_store_keyed(spark, _SCD2_PL_STORE[sf_dir], wanted)
+        .orderBy("user_id", "valid_from")
+    )
+
+
 @query(
     "incremental_agg_merge",
     oracle="""

@@ -1055,13 +1055,63 @@ def write_bucketed_store(
     read, rewrite, and swap ONLY the buckets an epoch touches. Every row
     of a given key lands in one bucket (the expr is a pure function of the
     keys), so per-key operators applied bucket-wise equal the whole-table
-    application."""
+    application. A `_layout` sidecar (bucket keys + n_buckets,
+    underscore-hidden) makes the store self-describing for keyed point
+    lookups (`read_bucketed_store_keyed`)."""
     (
         df.withColumn("bucket", bucket_expr(keys, n_buckets))
         .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(target_path)
+    )
+    (
+        df.sparkSession.range(1)
+        .select(
+            F.lit(int(n_buckets)).cast("int").alias("n_buckets"),
+            F.array(*[F.lit(k) for k in keys]).alias("bucket_keys"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(target_path.rstrip("/") + "/_layout")
+    )
+
+
+def read_bucketed_store_keyed(
+    spark: SparkSession, target_path: str, keys_df: DataFrame
+) -> DataFrame:
+    """POINT LOOKUP over any `write_bucketed_store` layout — "this
+    entity's rows, now" from a CDC-maintained SCD2 dimension or upsert
+    store: the requested keys route through the store's own
+    `bucket_expr` (the `_layout` sidecar supplies bucket_keys/n_buckets
+    — a legacy store without one raises with the fix spelled out rather
+    than guessing a layout and probing wrong dirs), ONLY the touched
+    bucket dirs are read by explicit path (`_read_touched_buckets`),
+    and the keys broadcast left-semi into the slice. Per-lookup I/O is
+    O(touched buckets), never O(store) — the serving shape a 100 TB
+    dimension needs. Rows are bit-equal to the full store read filtered
+    to the keys (pinned in tests)."""
+    root = target_path.rstrip("/")
+    fs, P = _hadoop_fs(spark, root)
+    if not fs.exists(P(f"{root}/_layout")):
+        raise ValueError(
+            f"bucketed store {target_path!r} has no _layout sidecar "
+            "(created before keyed lookups existed): re-seed with "
+            "write_bucketed_store, or read the full store and filter"
+        )
+    layout = spark.read.parquet(_store_path(spark, f"{root}/_layout")).collect()[0]
+    bucket_keys = list(layout["bucket_keys"])
+    wanted = keys_df.select(*bucket_keys).distinct()
+    touched = sorted(
+        int(r["b"])
+        for r in wanted.select(
+            bucket_expr(bucket_keys, int(layout["n_buckets"])).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    return _read_touched_buckets(spark, root, touched).join(
+        F.broadcast(wanted), bucket_keys, "left_semi"
     )
 
 

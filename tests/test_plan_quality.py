@@ -341,6 +341,9 @@ def test_registry_wide_plan_audit(spark):
         # the streaming twins of bm25_index_search: the serve they return
         # carries the identical 1-row (n_docs, avgl) stats broadcast
         "streaming_bm25_maintain", "streaming_bm25_maintain_segmented",
+        # the time-travel serve of the segmented index: the same 1-row
+        # stats broadcast, recomputed over the PREFIX doclens
+        "bm25_index_read_at",
         # filtered IVFADC: the ONE-row packed-centroid probe broadcast
         # (same sanction as ivf_pq_index_search) — the allowed-set prune
         # itself is an id-only left-semi equi join

@@ -1384,3 +1384,50 @@ def test_summary_write_still_refuses_non_numeric_ids_past_cap(
     )
     pl._write_segment_summary(spark, segs, ids, "doc_id", ["seg_base"])
     assert not os.path.exists(f"{segs}/_summary")
+
+
+# ------------------------------------------------- keyed point lookup --
+
+
+def test_bucketed_store_keyed_lookup_equals_filtered_read(spark, tmp_path):
+    """read_bucketed_store_keyed == full read filtered to the keys; only
+    the touched bucket dirs exist in the plan's paths; a legacy store
+    without the _layout sidecar raises with the fix named."""
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        read_bucketed_store,
+        read_bucketed_store_keyed,
+        write_bucketed_store,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 7).alias("v"),
+    )
+    target = str(tmp_path / "dim")
+    write_bucketed_store(df, target, ["user_id"], 16)
+    wanted = spark.createDataFrame([(3,), (250,), (499,)], "user_id bigint")
+    got = sorted(
+        tuple(r)
+        for r in read_bucketed_store_keyed(spark, target, wanted).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in read_bucketed_store(spark, target)
+        .filter(F.col("user_id").isin(3, 250, 499))
+        .collect()
+    )
+    assert got == want and len(got) == 3
+    # a key that never landed: empty, no error
+    ghost = spark.createDataFrame([(10_000,)], "user_id bigint")
+    assert read_bucketed_store_keyed(spark, target, ghost).count() == 0
+    # legacy store (no sidecar): explicit refusal, not a wrong-dir probe
+    legacy = str(tmp_path / "legacy")
+    (
+        df.withColumn(
+            "bucket", F.pmod(F.xxhash64("user_id"), F.lit(16)).cast("int")
+        )
+        .write.partitionBy("bucket")
+        .parquet(legacy)
+    )
+    with pytest.raises(ValueError, match="_layout"):
+        read_bucketed_store_keyed(spark, legacy, wanted)
