@@ -1532,18 +1532,31 @@ def _segments_as_of(spark: SparkSession, root: str, epoch: int) -> list[str]:
     union scan the live read uses, so a time-travel serve is exactly a
     live serve over fewer segments."""
     root = root.rstrip("/")
-    segs = _store_path(spark, f"{root}/segs")
-    names = _live_segments(spark, segs)
-    epoch = int(epoch)
-    # batch every existing `_covers` sidecar into ONE read (attributed
-    # back by input_file_name) — a per-segment read would cost O(segment
-    # count) driver jobs per serve, the per-segment-job smell the
-    # explicit-path bucket work already killed elsewhere
-    fs, P = _hadoop_fs(spark, segs)
+    return _segments_in_range(
+        spark, root, _store_path(spark, f"{root}/segs"), _COVERS_MIN_UNKNOWN, epoch
+    )
+
+
+def _segments_in_range(
+    spark: SparkSession, root: str, segs_dir: str, lo: int, hi: int
+) -> list[str]:
+    """Live segment names whose covered epochs fall entirely in
+    (lo, hi] — the shared catalog walk behind read_at (lo = -inf) and
+    the snapshot diffs: a segment entirely at/below `lo` or entirely
+    above `hi` is skipped; one straddling either boundary means the
+    requested cut fell below a fold's horizon, and the walk raises
+    rather than serve merged history. Every existing `_covers` sidecar
+    loads in ONE batched read (attributed back by input_file_name) — a
+    per-segment read would cost O(segment count) driver jobs per serve;
+    the compaction-marker read for legacy no-sidecar fallbacks is
+    lazy."""
+    names = _live_segments(spark, segs_dir)
+    lo, hi = int(lo), int(hi)
+    fs, P = _hadoop_fs(spark, segs_dir)
     with_sidecar = {
-        n: f"{segs}/{n}/_covers"
+        n: f"{segs_dir}/{n}/_covers"
         for n in names
-        if fs.exists(P(f"{segs}/{n}/_covers"))
+        if fs.exists(P(f"{segs_dir}/{n}/_covers"))
     }
     covers: dict[str, list[int]] = {}
     if with_sidecar:
@@ -1563,16 +1576,18 @@ def _segments_as_of(spark: SparkSession, root: str, epoch: int) -> list[str]:
         else:
             if marker is None:
                 marker = _compacted_through(spark, root)
-            mn, mx, _ = _segment_covers(spark, segs, n, marker, probe_sidecar=False)
-        if mx <= epoch:
-            out.append(n)
-        elif mn > epoch:
+            mn, mx, _ = _segment_covers(
+                spark, segs_dir, n, marker, probe_sidecar=False
+            )
+        if mx <= lo or mn > hi:
             continue
+        elif mn > lo and mx <= hi:
+            out.append(n)
         else:
             raise ValueError(
-                f"read_at epoch {epoch} is below this store's time-travel "
-                f"horizon: live segment {n!r} folds epochs spanning "
-                f"[{mn}, {mx}], so the store cannot be split at {epoch}; "
+                f"epoch range ({lo}, {hi}] is below this store's "
+                f"time-travel horizon: live segment {n!r} folds epochs "
+                f"spanning [{mn}, {mx}] across the requested cut; "
                 f"earliest servable epoch here is {mx}"
             )
     return out
@@ -2970,6 +2985,10 @@ def foreach_batch_dedup_gate(
         root = store_dir.rstrip("/")
         fp_store = f"{root}/fps"
         _recover_buckets(spark, fp_store)
+        # a crash inside a corpus compaction's swap window parks
+        # accepted/ whole; restore BEFORE probing or publishing
+        # (publishing into a fresh accepted/ would fork the corpus)
+        _recover_parked(spark, f"{root}/accepted")
         fs, P = _hadoop_fs(spark, root)
         seg = f"{root}/accepted/seg_{int(epoch_id)}"
 
@@ -3061,9 +3080,10 @@ def foreach_batch_dedup_gate(
 
 def read_dedup_gate_corpus(spark: SparkSession, store_dir: str) -> DataFrame:
     """The deduped corpus the gate has accepted so far: the union of the
-    immutable accepted/ segments (plan-level union, no shuffle)."""
-    root = store_dir.rstrip("/")
-    return spark.read.parquet(f"{root}/accepted/seg_*")
+    live accepted/ segments (plan-level union, no shuffle; resolves a
+    compaction-crash park)."""
+    acc = _store_path(spark, store_dir.rstrip("/") + "/accepted")
+    return spark.read.parquet(f"{acc}/seg_*")
 
 
 def read_dedup_gate_corpus_at(
@@ -3072,24 +3092,20 @@ def read_dedup_gate_corpus_at(
     """The deduped corpus EXACTLY as the gate had accepted it after
     epoch N — the reproducible training-data snapshot (VERDICT r10 next
     #6's stated consumer need: "the LLM-pipeline consumer's core audit"):
-    a model trained on the gate's output at epoch N is reproducible
-    forever because accepted segments are immutable, per-epoch, and
-    NEVER compacted (the fingerprint store compacts; the corpus only
-    appends), so the as-of read is always exact — a name filter over the
-    segment listing, no horizon, no `_covers` needed. O(segment count)
-    metadata + the same plan-level union scan as the live read."""
+    a model trained on the gate's output at epoch N is reproducible for
+    as long as the epoch stays cataloged — accepted segments are
+    immutable and per-epoch, and `compact_dedup_gate_corpus` folds them
+    with an exact `_covers` sidecar, so the as-of read is a catalog walk
+    (`_segments_in_range`): exact for every still-cataloged epoch,
+    raising the horizon error for epochs folded across the cut.
+    O(segment count) metadata + the same plan-level union scan as the
+    live read."""
     root = store_dir.rstrip("/")
-    acc = f"{root}/accepted"
+    acc = _store_path(spark, f"{root}/accepted")
     fs, P = _hadoop_fs(spark, acc)
     if not fs.exists(P(acc)):
         raise ValueError(f"dedup gate store {store_dir!r} has no accepted corpus")
-    epoch = int(epoch)
-    names = sorted(
-        st.getPath().getName()
-        for st in fs.listStatus(P(acc))
-        if not st.getPath().getName().startswith(("_", "."))
-        and _seg_epoch(st.getPath().getName()) <= epoch
-    )
+    names = _segments_in_range(spark, root, acc, _COVERS_MIN_UNKNOWN, int(epoch))
     if not names:
         return spark.read.parquet(f"{acc}/seg_*").limit(0)
     return _read_segment_table(spark, acc, None, names)
@@ -3101,28 +3117,70 @@ def read_dedup_gate_corpus_diff(
     """What the gate ACCEPTED between two snapshots — the corpus diff
     `read_at(to) \\ read_at(from)`, served without computing either
     side: accepted segments are immutable and per-epoch, so the diff IS
-    the segments with epoch in (from, to] — a name filter plus a union
-    scan of exactly the between-snapshot segments, nothing else read.
-    The audit primitive for "what new training data entered between data
-    version A and B"; pairs with read_dedup_gate_corpus_at the way a
-    changelog pairs with a snapshot."""
+    the segments covering (from, to] — a catalog walk plus a union scan
+    of exactly the between-snapshot segments, nothing else read. A fold
+    straddling either boundary raises (horizon). The audit primitive for
+    "what new training data entered between data version A and B"."""
     root = store_dir.rstrip("/")
-    acc = f"{root}/accepted"
+    acc = _store_path(spark, f"{root}/accepted")
     fs, P = _hadoop_fs(spark, acc)
     if not fs.exists(P(acc)):
         raise ValueError(f"dedup gate store {store_dir!r} has no accepted corpus")
     lo, hi = int(from_epoch), int(to_epoch)
     if hi < lo:
         raise ValueError(f"diff range is backwards: ({lo}, {hi}]")
-    names = sorted(
-        st.getPath().getName()
-        for st in fs.listStatus(P(acc))
-        if not st.getPath().getName().startswith(("_", "."))
-        and lo < _seg_epoch(st.getPath().getName()) <= hi
-    )
+    names = _segments_in_range(spark, root, acc, lo, hi)
     if not names:
         return spark.read.parquet(f"{acc}/seg_*").limit(0)
     return _read_segment_table(spark, acc, None, names)
+
+
+def compact_dedup_gate_corpus(spark: SparkSession, store_dir: str) -> int:
+    """Bound the gate corpus's segment count: fold every live accepted
+    segment into one `seg_m<top>` carrying an exact `_covers` sidecar,
+    installed by the whole-dir two-rename swap (readers resolve a
+    mid-swap park via `_store_path`, so a crash anywhere leaves a
+    complete corpus servable). Run from the single maintainer between
+    epochs, at the same cadence as the fingerprint-store compaction.
+
+    Replay safety WITHOUT a marker — unlike the index maintainers, a
+    folded epoch's at-least-once redelivery is harmless by the gate's
+    own algebra: the decide phase recomputes the epoch's accepted set
+    against the fingerprint store, every fingerprint is already a
+    member, the anti-join drops ALL rows, and the (empty) republished
+    segment folds as a no-op — idempotent, no double rows, no loss. The
+    corpus AUDIT contract is the catalog: epochs above the fold keep
+    exact read_at/diff; epochs inside it raise the horizon error
+    (snapshot consumers pin their epoch BEFORE the retention fold, the
+    same contract every warehouse time-travel feature ships).
+
+    Returns the number of segments folded away (0 = nothing to do)."""
+    root = store_dir.rstrip("/")
+    _recover_parked(spark, f"{root}/accepted")
+    acc = f"{root}/accepted"
+    fs, P = _hadoop_fs(spark, acc)
+    if not fs.exists(P(acc)):
+        return 0
+    names = _live_segments(spark, acc)
+    if len(names) <= 1:
+        return 0
+    covered: list[int] = []
+    for n in names:
+        _, _, eps = _segment_covers(spark, acc, n, -1)
+        covered.extend(eps if eps is not None else [])
+    top = max(covered)
+    out_name = f"seg_m{top}"
+    tmp = f"{root}/__compacting_corpus"
+    if fs.exists(P(tmp)):
+        fs.delete(P(tmp), True)
+    (
+        _read_segment_table(spark, acc, None, names)
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/{out_name}")
+    )
+    _write_covers(spark, f"{tmp}/{out_name}", covered)
+    _install(spark, tmp, acc)
+    return len(names) - 1
 
 
 def foreach_batch_neardup_gate(

@@ -270,6 +270,59 @@ def test_dedup_gate_corpus_read_at(spark, tmp_path):
         read_dedup_gate_corpus_diff(spark, store, 2, 0)
 
 
+def test_dedup_gate_corpus_compaction(spark, tmp_path):
+    """Folding the accepted segments bounds segment count while keeping
+    the served corpus row-identical; read_at stays exact above the fold
+    and raises inside it; a REPLAYED folded epoch republishes empty (its
+    fingerprints are all store members) and changes nothing."""
+    import os
+
+    from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
+        compact_dedup_gate_corpus,
+        foreach_batch_dedup_gate,
+        read_dedup_gate_corpus,
+        read_dedup_gate_corpus_at,
+        read_dedup_gate_corpus_diff,
+    )
+
+    store = str(tmp_path / "gate")
+    sink = foreach_batch_dedup_gate(store)
+    sink(_docs(spark, [(1, "alpha"), (2, "beta")]), 0)
+    sink(_docs(spark, [(3, "gamma")]), 1)
+    sink(_docs(spark, [(4, "delta")]), 2)
+    live = lambda: sorted(  # noqa: E731
+        r["doc_id"] for r in read_dedup_gate_corpus(spark, store).collect()
+    )
+    before = live()
+    assert compact_dedup_gate_corpus(spark, store) == 2  # 3 segs -> 1
+    assert live() == before == [1, 2, 3, 4]
+    segs = [
+        d for d in os.listdir(f"{store}/accepted") if not d.startswith(("_", "."))
+    ]
+    assert segs == ["seg_m2"]
+    # catalog: the fold top stays exact; inside the fold raises
+    assert sorted(
+        r["doc_id"] for r in read_dedup_gate_corpus_at(spark, store, 2).collect()
+    ) == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="time-travel horizon"):
+        read_dedup_gate_corpus_at(spark, store, 1)
+    with pytest.raises(ValueError, match="time-travel horizon"):
+        read_dedup_gate_corpus_diff(spark, store, 1, 2)
+    # a post-fold epoch is cataloged and diffable again
+    sink(_docs(spark, [(5, "epsilon"), (6, "alpha")]), 3)  # 6 is a dup
+    assert live() == [1, 2, 3, 4, 5]
+    assert sorted(
+        r["doc_id"]
+        for r in read_dedup_gate_corpus_diff(spark, store, 2, 3).collect()
+    ) == [5]
+    # REPLAY of a folded epoch: recompute drops everything (all fps are
+    # members), the republished segment is empty, the corpus unchanged
+    sink(_docs(spark, [(3, "gamma")]), 1)
+    assert live() == [1, 2, 3, 4, 5]
+    assert compact_dedup_gate_corpus(spark, store) >= 1  # refold converges
+    assert live() == [1, 2, 3, 4, 5]
+
+
 def test_ivf_pq_read_at(spark, tmp_path):
     import random
 
