@@ -246,9 +246,13 @@ HEADLINE = [
     # (seed + two published epochs) is built once per sf_dir in the
     # untimed warmup; the timed run is the PURE as-of serve — catalog
     # resolution (manifest + _covers sidecars) + prefix-stats recompute +
-    # search. join_view_read_at is deliberately NOT a headline row: same
-    # catalog walk over a plain union view (no new plan information);
-    # its per-round timing lands in CORRECTNESS_LOCAL.
+    # search. The round's OTHER snapshot/diff/lookup rows
+    # (join_view_read_at, dedup_gate_corpus_read_at/_diff,
+    # join_relation_diff/_point_lookup, scd2_dim_point_lookup) are
+    # deliberately NOT headline rows: each is the same catalog walk /
+    # partition-pruned slice over a store whose build lifecycle is
+    # already a timed row (no new plan information); their per-round
+    # timings land in CORRECTNESS_LOCAL.
     "bm25_index_read_at",
     # streaming_neardup_gate is deliberately NOT a headline row: it runs
     # three full stream lifecycles over two bucketed stores (~33 s warm at
