@@ -1532,8 +1532,15 @@ def _segments_as_of(spark: SparkSession, root: str, epoch: int) -> list[str]:
     union scan the live read uses, so a time-travel serve is exactly a
     live serve over fewer segments."""
     root = root.rstrip("/")
+    # lower bound strictly below the legacy unknown-min sentinel, so a
+    # no-sidecar fold (mn == _COVERS_MIN_UNKNOWN) still INCLUDES at or
+    # above its top epoch, exactly as before the range generalization
     return _segments_in_range(
-        spark, root, _store_path(spark, f"{root}/segs"), _COVERS_MIN_UNKNOWN, epoch
+        spark,
+        root,
+        _store_path(spark, f"{root}/segs"),
+        _COVERS_MIN_UNKNOWN - 1,
+        epoch,
     )
 
 
@@ -1584,8 +1591,9 @@ def _segments_in_range(
         elif mn > lo and mx <= hi:
             out.append(n)
         else:
+            shown_lo = "-inf" if lo <= _COVERS_MIN_UNKNOWN else str(lo)
             raise ValueError(
-                f"epoch range ({lo}, {hi}] is below this store's "
+                f"epoch range ({shown_lo}, {hi}] is below this store's "
                 f"time-travel horizon: live segment {n!r} folds epochs "
                 f"spanning [{mn}, {mx}] across the requested cut; "
                 f"earliest servable epoch here is {mx}"
@@ -3105,7 +3113,9 @@ def read_dedup_gate_corpus_at(
     fs, P = _hadoop_fs(spark, acc)
     if not fs.exists(P(acc)):
         raise ValueError(f"dedup gate store {store_dir!r} has no accepted corpus")
-    names = _segments_in_range(spark, root, acc, _COVERS_MIN_UNKNOWN, int(epoch))
+    names = _segments_in_range(
+        spark, root, acc, _COVERS_MIN_UNKNOWN - 1, int(epoch)
+    )
     if not names:
         return spark.read.parquet(f"{acc}/seg_*").limit(0)
     return _read_segment_table(spark, acc, None, names)
