@@ -43,6 +43,24 @@ def norm_text(c: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
 
 
+def bind1(value: Column, fn) -> Column:
+    """Let-binding: evaluate `value` ONCE per row and hand it to `fn` as a
+    bound lambda variable.
+
+    Why this exists: "bind the expensive expression to a column first"
+    (two chained selects) does NOT survive optimization — CollapseProject
+    merges the projections and re-inlines the expression into every
+    reference. References inside higher-order-function lambdas are the
+    killer: lambda bodies are interpreted with no common-subexpression
+    elimination, so a captured tokenizer/hash expression re-runs PER
+    ELEMENT (O(len²) for shingling — measured 4.64 s → 0.56 s at sf0.1
+    on the shingle pass alone, bit-identical output). Wrapping the value
+    in a single-element array and referencing it through the lambda
+    variable pins exactly one evaluation per row; the optimizer cannot
+    inline through a NamedLambdaVariable."""
+    return F.get(F.transform(F.array(value), fn), 0)
+
+
 def tokens(c: Column) -> Column:
     """Whitespace tokens of the normalized text (array<string>)."""
     return F.split(norm_text(c), " ")
@@ -133,10 +151,12 @@ def quality_score(c: Column) -> Column:
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     """Distinct n-gram shingles from an ALREADY-TOKENIZED array column.
 
-    Prefer binding the token array to a real column first (two-step select)
-    over inlining `tokens(text)` here: the tokenize expression would be
-    captured inside the per-element lambda, and anything codegen fails to
-    common-subexpression-eliminate re-runs per shingle."""
+    `toks` must be a cheap reference (a materialized column or a `bind1`
+    lambda variable), never an inline `tokens(text)` expression: the
+    tokenizer would be captured inside the per-element lambda and re-run
+    per shingle (interpreted lambdas get no common-subexpression
+    elimination). A plain two-step select does NOT count as binding —
+    CollapseProject re-inlines it; use `bind1`."""
     count = F.size(toks) - (n - 1)
     # Guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not an empty array,
     # so short documents must short-circuit to [].
@@ -152,8 +172,10 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
 
 def token_shingles(c: Column, n: int = 3) -> Column:
     """Distinct n-gram token shingles (array<string>) — the unit set for
-    Jaccard/MinHash near-dup detection. Empty array when fewer than n tokens."""
-    return shingles_from_tokens(tokens(c), n)
+    Jaccard/MinHash near-dup detection. Empty array when fewer than n tokens.
+    The token array is let-bound (`bind1`) so the tokenizer runs once per
+    row, not once per shingle."""
+    return bind1(tokens(c), lambda tk: shingles_from_tokens(tk, n))
 
 
 def positional_token_shingles(c: Column, n: int = 5) -> Column:
@@ -161,16 +183,19 @@ def positional_token_shingles(c: Column, n: int = 5) -> Column:
     positional k-gram stream winnowing fingerprints select from (Schleimer,
     Wilkerson & Aiken, SIGMOD'03). Unlike `token_shingles`, position and
     multiplicity matter, so no array_distinct. Empty array when fewer than
-    n tokens."""
-    toks = tokens(c)
-    count = F.size(toks) - (n - 1)
-    # Same sequence guard as token_shingles: F.sequence(1, 0) descends.
-    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+    n tokens. Tokens are let-bound (`bind1`) — one tokenize per row."""
+
+    def _grams(toks: Column) -> Column:
+        count = F.size(toks) - (n - 1)
+        # Same sequence guard as token_shingles: F.sequence(1, 0) descends.
+        return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
         )
-    )
+
+    return bind1(tokens(c), _grams)
 
 
 def gopher_rules(

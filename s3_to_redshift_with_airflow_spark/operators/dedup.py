@@ -51,16 +51,15 @@ def exact_dedup_by_fingerprint(
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    from ..functions.text import shingles_from_tokens, tokens
+    from ..functions.text import token_shingles
     from .skew import fan_out
 
-    # Two-step: bind the token array to a column before shingling so the
-    # tokenize pass runs exactly once per row (see shingles_from_tokens).
-    toked = fan_out(df).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
-    )
-    return toked.select(
-        F.col(id_col), shingles_from_tokens(F.col("__tk"), n).alias("shingles")
+    # token_shingles let-binds the token array (`bind1`), so the tokenize
+    # pass runs exactly once per row — a two-step select does NOT achieve
+    # that (CollapseProject re-inlines it into the per-shingle lambda;
+    # measured 4.64 s → 0.56 s on this pass at sf0.1).
+    return fan_out(df).select(
+        F.col(id_col), token_shingles(F.col(text_col), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
 
 
@@ -180,18 +179,25 @@ def _signatures_from_shingled(
     # construction; the family is still pairwise-independent enough for LSH
     # banding, and candidate misses are caught nowhere (outputs are
     # exact-Jaccard verified downstream).
+    from ..functions.text import bind1
+
+    # The string-hash array is let-bound (`bind1`): a two-step select would
+    # be collapsed and the transform(shingles, xxhash64) subtree re-inlined
+    # into all num_hashes family lambdas — num_hashes string-hash passes
+    # instead of one.
     hashed = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("__h64"), lambda h: F.xxhash64(F.lit(seed + i), h))
-            )
-            for i in range(num_hashes)
-        ]
-    )
-    return sh.select(F.col(id_col), hashed.alias("__h64")).select(
-        F.col(id_col), sig.alias("sig")
-    )
+
+    def _family(h64):
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(h64, lambda h: F.xxhash64(F.lit(seed + i), h))
+                )
+                for i in range(num_hashes)
+            ]
+        )
+
+    return sh.select(F.col(id_col), bind1(hashed, _family).alias("sig"))
 
 
 def minhash_band_keys(
@@ -446,18 +452,28 @@ def chunk_dedup(
     become likely, far beyond a 100 TB corpus. All built-in expressions
     (split/slice/posexplode/array_sort) — whole-stage codegen end to end.
     """
-    from ..functions.text import tokens as _tokens
+    from ..functions.text import bind1, tokens as _tokens
     from .skew import fan_out
 
     df = fan_out(df)
-    toks = _tokens(F.col(text_col))
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
-    chunk_at = lambda i: F.array_join(  # noqa: E731
-        F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
-    )
-    chunks_arr = F.when(F.size(toks) <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(0), n_chunks - F.lit(1)), chunk_at)
-    )
+
+    # The token array is let-bound (`bind1`) so the tokenizer runs once per
+    # row: `chunk_at` references the tokens INSIDE the per-chunk lambda, and
+    # interpreted lambda bodies get no common-subexpression elimination — a
+    # captured tokenize expression re-runs per chunk (O(len²/chunk_tokens)
+    # regexp work per row; same trap token_shingles documents).
+    def _chunks(toks: F.Column) -> F.Column:
+        n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+        chunk_at = lambda i: F.array_join(  # noqa: E731
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        )
+        return F.when(
+            F.size(toks) <= 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(F.sequence(F.lit(0), n_chunks - F.lit(1)), chunk_at)
+        )
+
+    chunks_arr = bind1(_tokens(F.col(text_col)), _chunks)
     ex = df.select(
         F.col(id_col), F.posexplode(chunks_arr).alias("pos", "chunk")
     ).select(
@@ -587,28 +603,31 @@ def repeated_window_stats(
     cross-doc frequency shuffle keys on 128-bit hashes (same discipline
     as chunk_dedup); one groupBy(fp) for distinct-doc counts, one join
     back, one groupBy(doc). No window function over the explode."""
-    from ..functions.text import tokens
+    from ..functions.text import bind1, tokens
 
     if window_tokens <= 0 or stride <= 0 or stride > window_tokens:
         raise ValueError("need 0 < stride <= window_tokens")
-    toks = tokens(F.col(text_col))
-    starts = F.when(
-        F.size(toks) >= window_tokens,
-        F.sequence(
-            F.lit(1), F.size(toks) - window_tokens + 1, F.lit(stride)
-        ),
-    ).otherwise(F.array().cast("array<int>"))
+
+    # Let-bind the token array (`bind1`): the window lambda slices the
+    # tokens per start position, and a captured tokenize expression would
+    # re-run per window (interpreted lambdas get no CSE — O(len²) regexp
+    # work per row; the token_shingles trap).
+    def _windows(toks: F.Column) -> F.Column:
+        starts = F.when(
+            F.size(toks) >= window_tokens,
+            F.sequence(
+                F.lit(1), F.size(toks) - window_tokens + 1, F.lit(stride)
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda st: F.concat_ws(" ", F.slice(toks, st, window_tokens)),
+        )
+
     win = (
         df.select(
             F.col(id_col),
-            F.explode(
-                F.transform(
-                    starts,
-                    lambda st: F.concat_ws(
-                        " ", F.slice(tokens(F.col(text_col)), st, window_tokens)
-                    ),
-                )
-            ).alias("__w"),
+            F.explode(bind1(tokens(F.col(text_col)), _windows)).alias("__w"),
         )
         .select(F.col(id_col), F.md5(F.col("__w")).alias("fp"))
     )
