@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .text import bind1
+
 
 def as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -34,20 +36,41 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+    # Same IEEE op sequence as sqrt(dot(a, a)) — multiply then accumulate,
+    # left-to-right — but folds x·x inside one pass over as_double(a)
+    # instead of materializing two casted copies plus a zip_with array.
+    return F.sqrt(
+        F.aggregate(as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; 0.0 for zero-norm inputs (guarded division)."""
-    na, nb = norm(a), norm(b)
-    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot(a, b) / (na * nb))
+    """Cosine similarity; 0.0 for zero-norm inputs (guarded division).
+
+    Both norms are let-bound (`bind1`): the whole expression evaluates
+    interpreted (HOF parent), where each of the two references per norm
+    (zero guard + divisor) would re-run its O(dim) fold."""
+    return bind1(
+        norm(a),
+        lambda na: bind1(
+            norm(b),
+            lambda nb: F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+                dot(a, b) / (na * nb)
+            ),
+        ),
+    )
 
 
 def l2_normalize(v: Column) -> Column:
-    """Unit-normalize (zero vectors pass through unchanged)."""
-    n = norm(v)
-    return F.when(n == 0, as_double(v)).otherwise(
-        F.transform(as_double(v), lambda x: x / n)
+    """Unit-normalize (zero vectors pass through unchanged).
+
+    The norm is let-bound (`bind1`): referenced inside the per-element
+    lambda it would re-run its O(dim) fold PER ELEMENT — O(dim²) per row
+    (interpreted lambdas get no common-subexpression elimination)."""
+    vd = as_double(v)
+    return bind1(
+        norm(v),
+        lambda n: F.when(n == 0, vd).otherwise(F.transform(vd, lambda x: x / n)),
     )
 
 
@@ -68,12 +91,19 @@ def quant_scale(v: Column) -> Column:
     Zero vectors get scale 0 (quantize to all-zero); so do vectors whose
     max|x| is so small (< ~7e-307) that 127/max|x| overflows to infinity —
     without that guard 0·inf = NaN poisons the codes (found by the
-    hypothesis property test, not by real data)."""
-    m = max_abs(v)
-    s = F.lit(127.0) / m
-    return F.when(
-        m > 0, F.when(s == F.lit(float("inf")), F.lit(0.0)).otherwise(s)
-    ).otherwise(F.lit(0.0))
+    hypothesis property test, not by real data).
+
+    max|x| is let-bound (`bind1`): the whole expression runs interpreted
+    (HOF parent), where the three references to `m` would each re-run the
+    O(dim) array_max fold."""
+
+    def _scale(m: Column) -> Column:
+        s = F.lit(127.0) / m
+        return F.when(
+            m > 0, F.when(s == F.lit(float("inf")), F.lit(0.0)).otherwise(s)
+        ).otherwise(F.lit(0.0))
+
+    return bind1(max_abs(v), _scale)
 
 
 def quantize_int8(v: Column) -> Column:
@@ -82,12 +112,21 @@ def quantize_int8(v: Column) -> Column:
     floor(x*s + 0.5) rather than round(): half-up rounding of doubles is
     identically defined in every engine, while round() ties differ (HALF_UP
     vs HALF_EVEN) — this keeps the quantized codes engine-exact.
+
+    The scale is let-bound (`bind1`): captured inside the per-element
+    lambda it would re-run its O(dim) max-abs fold PER ELEMENT — O(dim²)
+    per row (interpreted lambdas get no common-subexpression elimination;
+    same class of defect as the shingle tokenizer, measured there at
+    ~8× on the pass).
     """
-    s = quant_scale(v)
-    return F.transform(
-        as_double(v),
-        lambda x: F.least(
-            F.greatest(F.floor(x * s + F.lit(0.5)), F.lit(-127)), F.lit(127)
+    vd = as_double(v)
+    return bind1(
+        quant_scale(v),
+        lambda s: F.transform(
+            vd,
+            lambda x: F.least(
+                F.greatest(F.floor(x * s + F.lit(0.5)), F.lit(-127)), F.lit(127)
+            ),
         ),
     )
 

@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import bind1
 from ..functions.vectors import (
     cosine,
     dot,
@@ -177,17 +178,22 @@ def kmeans_int8(
         # denominator are exact integers, the division is one IEEE double
         # op, so the ordering is engine- and partitioning-exact; double
         # ties (identical bit patterns) break to the smallest cid.
+        # The score is let-bound (`bind1`): referenced twice in the struct
+        # (d2 numerator + dist_score) it would run its O(dim) integer dot
+        # fold twice per centroid per row (no CSE in interpreted lambdas).
         best = F.array_min(
             F.transform(
                 F.col("cs"),
-                lambda c: F.struct(
-                    (
-                        _score(c).cast("double")
-                        / (c["n"] * c["n"]).cast("double")
-                    ).alias("d2"),
-                    c["cid"].alias("cluster"),
-                    _score(c).alias("dist_score"),
-                    c["n"].alias("centroid_n"),
+                lambda c: bind1(
+                    _score(c),
+                    lambda sc: F.struct(
+                        (
+                            sc.cast("double") / (c["n"] * c["n"]).cast("double")
+                        ).alias("d2"),
+                        c["cid"].alias("cluster"),
+                        sc.alias("dist_score"),
+                        c["n"].alias("centroid_n"),
+                    ),
                 ),
             )
         )
@@ -456,6 +462,9 @@ def _rank_probes(
         .filter(norm(F.col("__qvec")) > 0)
         .withColumn("qv", qv)
         .withColumn("xx", _int_dot(F.col("qv"), F.col("qv")))
+        # query norm precomputed ONCE per query row: the candidate scans
+        # downstream would otherwise re-fold it per (candidate × query) pair
+        .withColumn("__qn", norm(F.col("__qvec")))
     )
 
     def _d2(c):
@@ -481,9 +490,12 @@ def _rank_probes(
         .select(
             query_id_col,
             "__qvec",
+            "__qn",
             F.explode(ranked).alias("p"),
         )
-        .select(query_id_col, "__qvec", F.col("p.cluster").alias("cluster"))
+        .select(
+            query_id_col, "__qvec", "__qn", F.col("p.cluster").alias("cluster")
+        )
     )
 
 
@@ -699,14 +711,21 @@ def ivf_int8_topk(
 
     # zero-norm corpus vectors are clustered (the index is complete) but
     # never retrievable — no defined cosine to rank them by (see qq note).
+    # Corpus norms are computed ONCE per corpus row here (and reused as the
+    # zero-norm filter); query norms ride in on the probe table — the
+    # candidate scan below then pays one dot fold per pair instead of
+    # cosine()'s dot + two norm folds. Both sides are >0-filtered, so the
+    # unguarded division is exactly cosine()'s non-zero branch —
+    # bit-identical.
     side = (
         corpus.join(assign, id_col)
-        .filter(norm(F.col(vec_col)) > 0)
         .select(
             id_col,
             "cluster",
             F.col(vec_col).alias("__cvec"),
+            norm(F.col(vec_col)).alias("__cn"),
         )
+        .filter(F.col("__cn") > 0)
     )
     cands = (
         side.join(probes, "cluster")
@@ -714,7 +733,10 @@ def ivf_int8_topk(
         .select(
             query_id_col,
             id_col,
-            cosine(F.col("__cvec"), F.col("__qvec")).alias("cos_sim"),
+            (
+                dot(F.col("__cvec"), F.col("__qvec"))
+                / (F.col("__cn") * F.col("__qn"))
+            ).alias("cos_sim"),
         )
     )
     return topk_per_group(

@@ -42,16 +42,29 @@ def brute_force_topk(
 
     Returns (query_id, vec_id, cos_sim, rk). Self-matches (same id) excluded.
     """
+    # Norms are precomputed per ROW (query side once per query, corpus side
+    # once per corpus vector) instead of per candidate PAIR — cosine() inline
+    # would re-fold both O(dim) norms for every (corpus × query) row. Same
+    # IEEE formula and zero-norm guard, so cos_sim is bit-identical.
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     scored = (
-        fan_out(corpus).crossJoin(F.broadcast(q))
+        fan_out(corpus)
+        .select(id_col, F.col(vec_col), norm(F.col(vec_col)).alias("__cn"))
+        .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
+            F.when(
+                (F.col("__cn") == 0) | (F.col("__qn") == 0), F.lit(0.0)
+            ).otherwise(
+                dot(F.col(vec_col), F.col("__qvec"))
+                / (F.col("__cn") * F.col("__qn"))
+            ).alias("cos_sim"),
         )
     )
     return topk_per_group(
