@@ -403,7 +403,14 @@ def _ivf_coarse_probes(
     )
     if unpersist_with is not None:
         unpersist_with.append(assign)
-    centroids = _coarse_centroids(assign, corpus, dim, id_col, vec_col)
+    # persist: the km_k-row centroid table otherwise recomputes its FULL
+    # corpus scan + quantize + groupBy chain inside the probe-ranking
+    # broadcast on every execution — the operator contract is "probe
+    # ranking reads THESE, never the corpus", and the cache entry is
+    # km_k rows (the in-memory form of the persisted centroid table).
+    centroids = _coarse_centroids(assign, corpus, dim, id_col, vec_col).persist()
+    if unpersist_with is not None:
+        unpersist_with.append(centroids)
     probes = _rank_probes(
         centroids, queries, n_probe, id_col, vec_col, query_id_col
     )
@@ -1273,7 +1280,13 @@ def ivf_pq_index_build(
     )
     if unpersist_with is not None:
         unpersist_with.append(assign)
-    centroids = _coarse_centroids(assign, corpus, dim, id_col, vec_col)
+    # persist: same rationale as _ivf_coarse_probes — without it the
+    # km_k-row centroid table re-runs its full corpus scan + quantize +
+    # groupBy chain inside every probe-ranking broadcast (one corpus pass
+    # per search execution in the live composition).
+    centroids = _coarse_centroids(assign, corpus, dim, id_col, vec_col).persist()
+    if unpersist_with is not None:
+        unpersist_with.append(centroids)
     codes, codebook = pq_index_build(
         corpus,
         m_subspaces=m_subspaces,
