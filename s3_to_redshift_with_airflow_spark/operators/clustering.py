@@ -49,22 +49,68 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import bind1
-from ..functions.vectors import (
-    cosine,
-    dot,
-    norm,
-    quantize_int8,
-    quantize_int8_fixed,
-)
+from ..functions.vectors import cosine, dot, norm
 from .skew import fan_out
 
 
-def _int_dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+# --- expr-string twins of the hot per-plan expressions ------------------------
+# Every pyspark HOF lambda costs ~15-30 ms of py4j round-trips AT PLAN BUILD
+# (measured: 3.5 s of a 4.7 s ivf_pq_ann_topk build was socket time, 85
+# lambda creations), and bench/driver executions rebuild the plan each run.
+# These helpers emit the SAME expressions as SQL strings — one parse call
+# each, resolving to identical trees. Literal discipline: double literals
+# carry the `D` suffix (a bare `0.5` parses as DECIMAL and would change the
+# arithmetic); int literals stay bare (IntegerType, matching F.lit(int)).
+
+
+def _sql_as_double(v: str) -> str:
+    return f"transform({v}, x -> cast(x as double))"
+
+
+def _sql_int_dot(a: str, b: str) -> str:
+    """Expr-string twin of _int_dot (exact bigint fold)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_quantize_int8_bigint(vec_col: str) -> str:
+    """Expr-string twin of transform(quantize_int8(col), cast bigint):
+    per-vector symmetric int8 codes as bigints — scale let-bound once per
+    row (the bind1 idiom spelled as get(transform(array(..)))), identical
+    arithmetic to functions.vectors.quantize_int8 (127/max|x| with the
+    zero/overflow-to-inf guard, half-up floor, clamp ±127)."""
+    vd = _sql_as_double(vec_col)
+    m = f"array_max(transform({vd}, x -> abs(x)))"
+    scale = (
+        f"get(transform(array({m}), m -> CASE WHEN m > 0 THEN "
+        "(CASE WHEN 127.0D / m = CAST('Infinity' AS DOUBLE) THEN 0.0D "
+        "ELSE 127.0D / m END) ELSE 0.0D END), 0)"
+    )
+    return (
+        f"transform(get(transform(array({scale}), s -> transform({vd}, "
+        "x -> least(greatest(floor(x * s + 0.5D), -127), 127))), 0), "
+        "x -> cast(x as bigint))"
+    )
+
+
+def _sql_score(dot_expr: str, xx: str = "xx") -> str:
+    """Expr-string twin of _score: n²·(x·x) − 2n·(x·s) + s·s over a packed
+    centroid struct `c` — exact bigint."""
+    return f"c.n * c.n * {xx} - 2 * c.n * {dot_expr} + c.ss"
+
+
+def _sum_vector(col_name: str, dim: int):
+    """array(sum(col[0]), ..., sum(col[dim-1])) as ONE parsed expression.
+
+    The F.array(*[F.sum(F.col(c)[i]) ...]) spelling costs ~dim×5 py4j
+    round-trips PER PLAN BUILD (~0.5 s at dim=64, measured via cProfile —
+    3.5 s of a 4.7 s ivf_pq_ann_topk plan build was py4j socket time);
+    a single expr string parses JVM-side to the IDENTICAL resolved
+    aggregate list."""
+    return F.expr(
+        "array(" + ",".join(f"sum({col_name}[{i}])" for i in range(dim)) + ")"
     )
 
 
@@ -88,10 +134,11 @@ def _require_ansi(df: DataFrame, allow_non_ansi: bool) -> None:
 
 
 def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    qv = F.transform(quantize_int8(F.col(vec_col)), lambda x: x.cast("bigint"))
-    return emb.select(F.col(id_col), qv.alias("qv")).withColumn(
-        "xx", _int_dot(F.col("qv"), F.col("qv"))
-    )
+    # expr-string twins of transform(quantize_int8(col), cast) + _int_dot:
+    # same resolved trees, ~2 py4j calls instead of ~10 lambda creations
+    return emb.select(
+        F.col(id_col), F.expr(_sql_quantize_int8_bigint(vec_col)).alias("qv")
+    ).withColumn("xx", F.expr(_sql_int_dot("qv", "qv")))
 
 
 def kmeans_int8(
@@ -159,17 +206,10 @@ def kmeans_int8(
         # formulation would re-shuffle the whole corpus on id every
         # iteration just to pick a per-row minimum over k candidates.
         packed = F.broadcast(
-            centroids.withColumn("ss", _int_dot(F.col("s"), F.col("s"))).agg(
+            centroids.withColumn("ss", F.expr(_sql_int_dot("s", "s"))).agg(
                 F.collect_list(F.struct("cid", "s", "n", "ss")).alias("cs")
             )
         )
-
-        def _score(c):
-            return (
-                c["n"] * c["n"] * F.col("xx")
-                - F.lit(2) * c["n"] * _int_dot(F.col("qv"), c["s"])
-                + c["ss"]
-            )
 
         # Argmin is on the TRUE squared distance d² = score/n² — scores
         # alone are NOT comparable across centroids once member counts
@@ -178,24 +218,17 @@ def kmeans_int8(
         # denominator are exact integers, the division is one IEEE double
         # op, so the ordering is engine- and partitioning-exact; double
         # ties (identical bit patterns) break to the smallest cid.
-        # The score is let-bound (`bind1`): referenced twice in the struct
-        # (d2 numerator + dist_score) it would run its O(dim) integer dot
-        # fold twice per centroid per row (no CSE in interpreted lambdas).
-        best = F.array_min(
-            F.transform(
-                F.col("cs"),
-                lambda c: bind1(
-                    _score(c),
-                    lambda sc: F.struct(
-                        (
-                            sc.cast("double") / (c["n"] * c["n"]).cast("double")
-                        ).alias("d2"),
-                        c["cid"].alias("cluster"),
-                        sc.alias("dist_score"),
-                        c["n"].alias("centroid_n"),
-                    ),
-                ),
-            )
+        # The score is let-bound (get(transform(array(..))) — the bind1
+        # idiom): referenced twice in the struct (d2 numerator +
+        # dist_score) it would run its O(dim) integer dot fold twice per
+        # centroid per row (no CSE in interpreted lambdas). One expr
+        # string: the lambda-per-centroid Column spelling cost ~0.3 s of
+        # py4j per plan build.
+        score = _sql_score(_sql_int_dot("qv", "c.s"))
+        best = F.expr(
+            f"array_min(transform(cs, c -> get(transform(array({score}), "
+            "sc -> struct(cast(sc as double) / cast(c.n * c.n as double) as d2, "
+            "c.cid as cluster, sc as dist_score, c.n as centroid_n)), 0)))"
         )
         assign = q.crossJoin(packed).select(
             F.col(id_col),
@@ -206,9 +239,7 @@ def kmeans_int8(
         )
         if it < n_iter - 1:
             centroids = assign.groupBy("cluster").agg(
-                F.array(
-                    *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)]
-                ).alias("s"),
+                _sum_vector("qv", dim).alias("s"),
                 F.count("*").cast("bigint").alias("n"),
             ).select(F.col("cluster").alias("cid"), "s", "n")
     return assign.select(
@@ -428,16 +459,14 @@ def _coarse_centroids(
         assign.join(qframe, id_col)
         .groupBy("cluster")
         .agg(
-            F.array(
-                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)]
-            ).alias("s"),
+            _sum_vector("qv", dim).alias("s"),
             F.count("*").cast("bigint").alias("n"),
         )
         .select(
             F.col("cluster").alias("cid"),
             "s",
             "n",
-            _int_dot(F.col("s"), F.col("s")).alias("ss"),
+            F.expr(_sql_int_dot("s", "s")).alias("ss"),
         )
     )
 
@@ -461,36 +490,25 @@ def _rank_probes(
     # SQL oracle's division would yield inf/nan where cosine() returns 0.0;
     # excluding zero-norm rows keeps both engines identical (same treatment
     # as semdedup_pairs).
-    qv = F.transform(quantize_int8(F.col("__qvec")), lambda x: x.cast("bigint"))
     qq = (
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
         )
         .filter(norm(F.col("__qvec")) > 0)
-        .withColumn("qv", qv)
-        .withColumn("xx", _int_dot(F.col("qv"), F.col("qv")))
+        .withColumn("qv", F.expr(_sql_quantize_int8_bigint("__qvec")))
+        .withColumn("xx", F.expr(_sql_int_dot("qv", "qv")))
         # query norm precomputed ONCE per query row: the candidate scans
         # downstream would otherwise re-fold it per (candidate × query) pair
         .withColumn("__qn", norm(F.col("__qvec")))
     )
 
-    def _d2(c):
-        num = (
-            c["n"] * c["n"] * F.col("xx")
-            - F.lit(2) * c["n"] * _int_dot(F.col("qv"), c["s"])
-            + c["ss"]
-        )
-        return num.cast("double") / (c["n"] * c["n"]).cast("double")
-
-    ranked = F.slice(
-        F.array_sort(
-            F.transform(
-                F.col("cs"),
-                lambda c: F.struct(_d2(c).alias("d2"), c["cid"].alias("cluster")),
-            )
-        ),
-        1,
-        n_probe,
+    d2 = (
+        f"cast({_sql_score(_sql_int_dot('qv', 'c.s'))} as double)"
+        " / cast(c.n * c.n as double)"
+    )
+    ranked = F.expr(
+        f"slice(array_sort(transform(cs, c -> struct({d2} as d2, "
+        f"c.cid as cluster))), 1, {int(n_probe)})"
     )
     return F.broadcast(
         qq.crossJoin(packed)
@@ -520,29 +538,21 @@ def _rank_probes_all(
     packed = F.broadcast(
         centroids.agg(F.collect_list(F.struct("cid", "s", "n", "ss")).alias("cs"))
     )
-    qv = F.transform(quantize_int8(F.col("__qvec")), lambda x: x.cast("bigint"))
     qq = (
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
         )
         .filter(norm(F.col("__qvec")) > 0)
-        .withColumn("qv", qv)
-        .withColumn("xx", _int_dot(F.col("qv"), F.col("qv")))
+        .withColumn("qv", F.expr(_sql_quantize_int8_bigint("__qvec")))
+        .withColumn("xx", F.expr(_sql_int_dot("qv", "qv")))
     )
 
-    def _d2(c):
-        num = (
-            c["n"] * c["n"] * F.col("xx")
-            - F.lit(2) * c["n"] * _int_dot(F.col("qv"), c["s"])
-            + c["ss"]
-        )
-        return num.cast("double") / (c["n"] * c["n"]).cast("double")
-
-    ranked = F.array_sort(
-        F.transform(
-            F.col("cs"),
-            lambda c: F.struct(_d2(c).alias("d2"), c["cid"].alias("cluster")),
-        )
+    d2 = (
+        f"cast({_sql_score(_sql_int_dot('qv', 'c.s'))} as double)"
+        " / cast(c.n * c.n as double)"
+    )
+    ranked = F.expr(
+        f"array_sort(transform(cs, c -> struct({d2} as d2, c.cid as cluster)))"
     )
     return F.broadcast(
         qq.crossJoin(packed)
@@ -890,10 +900,15 @@ def _pq_subspaces(
     variant (quantize_int8_fixed): ADC compares distances ACROSS vectors,
     which per-vector scales destroy — see the function's docstring.
     Assumes unit-normalized embeddings (l2_normalize upstream otherwise)."""
+    # expr-string twin of transform(quantize_int8_fixed(col), cast bigint):
+    # fixed-scale half-up floor, clamp ±127 — identical arithmetic to
+    # functions.vectors.quantize_int8_fixed (q = 127.0)
     q = df.select(
         F.col(id_col),
-        F.transform(
-            quantize_int8_fixed(F.col(vec_col)), lambda x: x.cast("bigint")
+        F.expr(
+            f"transform({_sql_as_double(vec_col)}, x -> cast("
+            "least(greatest(floor(x * 127.0D + 0.5D), -127), 127)"
+            " as bigint))"
         ).alias("qv"),
     )
     return q.select(
@@ -909,7 +924,7 @@ def _pq_subspaces(
         id_col,
         F.col("t.m").alias("m"),
         F.col("t.sv").alias("sv"),
-    ).withColumn("sxx", _int_dot(F.col("sv"), F.col("sv")))
+    ).withColumn("sxx", F.expr(_sql_int_dot("sv", "sv")))
 
 
 def pq_index_build(
@@ -976,43 +991,28 @@ def pq_index_build(
         if unpersist_with is not None:
             unpersist_with.append(centroids)
         packed = F.broadcast(
-            centroids.withColumn("ss", _int_dot(F.col("s"), F.col("s")))
+            centroids.withColumn("ss", F.expr(_sql_int_dot("s", "s")))
             .groupBy("m")
             .agg(F.collect_list(F.struct("cid", "s", "n", "ss")).alias("cs"))
         )
 
-        def _score(c):
-            return (
-                c["n"] * c["n"] * F.col("sxx")
-                - F.lit(2) * c["n"] * _int_dot(F.col("sv"), c["s"])
-                + c["ss"]
-            )
-
-        best = F.array_min(
-            F.transform(
-                F.col("cs"),
-                lambda c: F.struct(
-                    (
-                        _score(c).cast("double")
-                        / (c["n"] * c["n"]).cast("double")
-                    ).alias("d2"),
-                    c["cid"].alias("cluster"),
-                ),
-            )
+        # one parsed expr (identical tree to the lambda Column spelling)
+        score = _sql_score(_sql_int_dot("sv", "c.s"), xx="sxx")
+        best = F.expr(
+            f"array_min(transform(cs, c -> struct(cast({score} as double)"
+            " / cast(c.n * c.n as double) as d2, c.cid as cluster)))"
         )
         assign = subs.join(packed, "m").select(
             F.col(id_col), "m", "sv", "sxx", best["cluster"].alias("cluster")
         )
         if it < n_iter - 1:
             centroids = assign.groupBy("m", "cluster").agg(
-                F.array(
-                    *[F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(sub)]
-                ).alias("s"),
+                _sum_vector("sv", sub).alias("s"),
                 F.count("*").cast("bigint").alias("n"),
             ).select("m", F.col("cluster").alias("cid"), "s", "n")
 
     codes = assign.select(id_col, "m", F.col("cluster").alias("code"))
-    codebook = centroids.withColumn("ss", _int_dot(F.col("s"), F.col("s")))
+    codebook = centroids.withColumn("ss", F.expr(_sql_int_dot("s", "s")))
     return codes, codebook
 
 
@@ -1067,20 +1067,15 @@ def pq_index_search(
         "query_id",
         id_col,
         "m",
-        (
-            (
-                F.col("n") * F.col("n") * F.col("qxx_m")
-                - F.lit(2) * F.col("n") * _int_dot(F.col("qv_m"), F.col("s"))
-                + F.col("ss")
-            ).cast("double")
-            / (F.col("n") * F.col("n")).cast("double")
+        F.expr(
+            f"cast(n * n * qxx_m - 2 * n * {_sql_int_dot('qv_m', 's')} + ss"
+            " as double) / cast(n * n as double)"
         ).alias("d2"),
     )
     adc = scored.groupBy("query_id", id_col).agg(
-        F.aggregate(
-            F.sort_array(F.collect_list(F.struct("m", "d2"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["d2"],
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(m, d2))), 0.0D, "
+            "(acc, x) -> acc + x.d2)"
         ).alias("adc_d2")
     )
     return topk_per_group(
@@ -1125,23 +1120,10 @@ def pq_index_append(
         )
     )
 
-    def _score(c):
-        return (
-            c["n"] * c["n"] * F.col("sxx")
-            - F.lit(2) * c["n"] * _int_dot(F.col("sv"), c["s"])
-            + c["ss"]
-        )
-
-    best = F.array_min(
-        F.transform(
-            F.col("cs"),
-            lambda c: F.struct(
-                (
-                    _score(c).cast("double") / (c["n"] * c["n"]).cast("double")
-                ).alias("d2"),
-                c["cid"].alias("cluster"),
-            ),
-        )
+    score = _sql_score(_sql_int_dot("sv", "c.s"), xx="sxx")
+    best = F.expr(
+        f"array_min(transform(cs, c -> struct(cast({score} as double)"
+        " / cast(c.n * c.n as double) as d2, c.cid as cluster)))"
     )
     return subs.join(packed, "m").select(
         F.col(id_col), "m", best["cluster"].alias("code")
@@ -1415,21 +1397,10 @@ def ivf_pq_index_append(
         centroids.agg(F.collect_list(F.struct("cid", "s", "n", "ss")).alias("cs"))
     )
 
-    best = F.array_min(
-        F.transform(
-            F.col("cs"),
-            lambda c: F.struct(
-                (
-                    (
-                        c["n"] * c["n"] * F.col("xx")
-                        - F.lit(2) * c["n"] * _int_dot(F.col("qv"), c["s"])
-                        + c["ss"]
-                    ).cast("double")
-                    / (c["n"] * c["n"]).cast("double")
-                ).alias("d2"),
-                c["cid"].alias("cluster"),
-            ),
-        )
+    score = _sql_score(_sql_int_dot("qv", "c.s"))
+    best = F.expr(
+        f"array_min(transform(cs, c -> struct(cast({score} as double)"
+        " / cast(c.n * c.n as double) as d2, c.cid as cluster)))"
     )
     lists_delta = (
         qn.join(packed)

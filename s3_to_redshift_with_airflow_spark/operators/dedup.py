@@ -179,25 +179,25 @@ def _signatures_from_shingled(
     # construction; the family is still pairwise-independent enough for LSH
     # banding, and candidate misses are caught nowhere (outputs are
     # exact-Jaccard verified downstream).
-    from ..functions.text import bind1
-
-    # The string-hash array is let-bound (`bind1`): a two-step select would
-    # be collapsed and the transform(shingles, xxhash64) subtree re-inlined
-    # into all num_hashes family lambdas — num_hashes string-hash passes
-    # instead of one.
-    hashed = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
-
-    def _family(h64):
-        return F.array(
-            *[
-                F.array_min(
-                    F.transform(h64, lambda h: F.xxhash64(F.lit(seed + i), h))
-                )
-                for i in range(num_hashes)
-            ]
-        )
-
-    return sh.select(F.col(id_col), bind1(hashed, _family).alias("sig"))
+    # The string-hash array is let-bound (the text.bind1 idiom, spelled
+    # inline): a two-step select would be collapsed and the
+    # transform(shingles, xxhash64) subtree re-inlined into all num_hashes
+    # family lambdas — num_hashes string-hash passes instead of one.
+    # Built as ONE expr string: the F.array(*[...]) spelling creates
+    # num_hashes HOF lambdas through py4j (~16 ms each — ~1 s of pure
+    # driver/socket time per plan build at 64 hashes, measured via
+    # cProfile); the parsed string resolves to the identical tree.
+    # Literals: `seed + i` is an int32 literal in both spellings, and SQL
+    # xxhash64 carries the same built-in seed (42) as F.xxhash64.
+    family = ",".join(
+        f"array_min(transform(h64, h -> xxhash64({seed + i}, h)))"
+        for i in range(num_hashes)
+    )
+    sig = F.expr(
+        "get(transform(array(transform(shingles, s -> xxhash64(s))),"
+        f" h64 -> array({family})), 0)"
+    )
+    return sh.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_band_keys(
@@ -209,21 +209,16 @@ def minhash_band_keys(
     index): band keys are a pure function of the document, so an incoming
     batch's keys can be joined against a PERSISTED corpus band table without
     recomputing the corpus."""
+    # one parsed expr (same resolved tree as the F.array(*[F.struct(...)])
+    # spelling, without its ~n_bands×8 py4j round-trips per plan build)
+    bands = ",".join(
+        "struct({i} as band, xxhash64({slots}) as key)".format(
+            i=i, slots=",".join(f"sig[{i * r + j}]" for j in range(r))
+        )
+        for i in range(n_bands)
+    )
     return sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)]).alias(
-                            "key"
-                        ),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
+        F.col(id_col), F.expr(f"explode(array({bands}))").alias("bk")
     ).select(id_col, "bk.band", "bk.key")
 
 
