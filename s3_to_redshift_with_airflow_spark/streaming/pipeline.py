@@ -211,15 +211,9 @@ def _write_ledger(spark: SparkSession, dir_path: str, epoch_id: int) -> None:
     swap; underscore-prefixed files stay invisible to parquet reads).
     `_last_applied_epoch` reads this file and falls back to the legacy
     parquet-dir format for stores written before this round."""
-    jvm = spark._jvm  # noqa: SLF001
-    P = jvm.org.apache.hadoop.fs.Path
-    p = P(dir_path.rstrip("/") + "/_ledger")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(str(int(epoch_id)).encode("ascii")))
-    finally:
-        out.close()
+    _write_text_sidecar(
+        spark, dir_path.rstrip("/") + "/_ledger", str(int(epoch_id))
+    )
 
 
 def _install(
@@ -804,33 +798,7 @@ def _bucketed_weighted_merge(
     # the rewind record: which buckets this epoch touches, and which
     # of them exist pre-epoch (existed=false buckets are "unbirthed"
     # on rollback; existed=true buckets are restored from their park).
-    # range + explode(struct lits), NOT createDataFrame: the
-    # local-relation path ships rows through a Python worker — measured
-    # ~5 s per epoch on this container (BENCH_LOCAL_r10 caught the
-    # bucketed rows 3.7x their plain twins before this idiom)
-    (
-        spark.range(1)
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(int(epoch_id)).cast("bigint").alias("epoch"),
-                            F.lit(int(b)).cast("int").alias("bucket"),
-                            F.lit(
-                                bool(fs.exists(P(f"{root}/bucket={int(b)}")))
-                            ).alias("existed"),
-                        )
-                        for b in touched
-                    ]
-                )
-            ).alias("r")
-        )
-        .select("r.*")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{tmp}/_inflight")
-    )
+    _write_inflight_manifest(spark, fs, P, tmp, root, epoch_id, touched)
     fs.mkdirs(P(root + "__prevb"))
     # mutation-begins marker: one atomic rename; recovery treats a
     # park root WITHOUT this manifest as "nothing moved yet"
@@ -929,7 +897,7 @@ def _rollback_or_commit_wagg(spark: SparkSession, target_path: str) -> None:
     if fs.exists(prev_root):
         inflight = root + "__prevb/_inflight"
         if fs.exists(P(inflight)):
-            rows = spark.read.parquet(inflight).collect()
+            rows = _read_inflight_manifest(spark, fs, P, inflight)
             epoch = int(rows[0]["epoch"])
             if epoch > _last_applied_epoch(spark, target_path):
                 for r in rows:
@@ -1384,6 +1352,85 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return P(path).getFileSystem(conf), P
 
 
+def _write_text_sidecar(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small metadata sidecar as ONE plain text file via a
+    driver-side Hadoop create — no Spark job (the `_write_ledger`
+    rationale: each 1-row/short parquet sidecar cost a ~0.15-0.3 s job
+    to write and another to read back, a fixed per-epoch/per-serve tax).
+    Deletes a legacy parquet DIRECTORY squatting on the path (a scratch
+    leftover from a pre-round-11 crash) — fs.create cannot overwrite a
+    dir. Writes through the RAW filesystem when the scheme wraps one
+    (local ChecksumFileSystem): the checksum wrapper would drop a
+    `.<name>.crc` sibling next to every sidecar, polluting store
+    listings."""
+    fs, P = _hadoop_fs(spark, path)
+    p = P(path)
+    if fs.exists(p) and fs.getFileStatus(p).isDirectory():
+        fs.delete(p, True)
+    try:
+        wfs = fs.getRawFileSystem()
+    except Exception:
+        wfs = fs  # scheme without a checksum wrapper (HDFS, S3A, ...)
+    out = wfs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("ascii")))
+    finally:
+        out.close()
+
+
+def _read_text_sidecar_lines(spark: SparkSession, path: str) -> list[str]:
+    """Read a text sidecar's lines driver-side (no Spark job). The caller
+    has already checked existence; a live sidecar is always complete (it
+    only becomes visible via an install rename), so read errors are real
+    storage faults and propagate."""
+    jvm = spark._jvm  # noqa: SLF001
+    fs, P = _hadoop_fs(spark, path)
+    stream = fs.open(P(path))
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream)
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+    finally:
+        stream.close()
+    return lines
+
+
+def _write_inflight_manifest(
+    spark: SparkSession, fs, P, tmp: str, root: str, epoch_id: int, touched
+) -> None:
+    """The rewind record (epoch, bucket, existed-pre-epoch) as ONE text
+    sidecar — `epoch,bucket,existed01` per line. Replaces the per-epoch
+    1-job parquet write (the range+explode(struct lits) idiom, itself a
+    fix over createDataFrame's ~5 s Python-worker path); the rollback
+    readers parse either format."""
+    txt = "\n".join(
+        f"{int(epoch_id)},{int(b)},"
+        + ("1" if fs.exists(P(f"{root}/bucket={int(b)}")) else "0")
+        for b in touched
+    )
+    _write_text_sidecar(spark, f"{tmp}/_inflight", txt)
+
+
+def _read_inflight_manifest(spark: SparkSession, fs, P, inflight: str):
+    """Parse an _inflight manifest written by either format (text file,
+    or a pre-round-11 parquet dir) into [{'epoch','bucket','existed'}]."""
+    if fs.getFileStatus(P(inflight)).isFile():
+        return [
+            {"epoch": int(e), "bucket": int(b), "existed": x == "1"}
+            for e, b, x in (
+                ln.split(",")
+                for ln in _read_text_sidecar_lines(spark, inflight)
+                if ln
+            )
+        ]
+    return [r.asDict() for r in spark.read.parquet(inflight).collect()]
+
+
 def _manifest_segments(spark: SparkSession, segs_dir: str) -> list[str] | None:
     """The manifest-listed live segment names, or None for a glob-mode
     store (one without a `_manifest` — seeds write one; stores created
@@ -1393,11 +1440,17 @@ def _manifest_segments(spark: SparkSession, segs_dir: str) -> list[str] | None:
     listed segments, so a merged segment can be published invisibly and
     revealed in the same atomic step that retires its constituents — no
     window where both are served (the double-count window a dir-glob
-    reader cannot avoid). Lucene's segments_N file, on parquet."""
+    reader cannot avoid). Lucene's segments_N file — one name per line
+    (legacy stores: a 1-column parquet dir, still readable)."""
     fs, P = _hadoop_fs(spark, segs_dir)
     m = _store_path(spark, f"{segs_dir}/_manifest")
     if not fs.exists(P(m)):
         return None
+    if fs.getFileStatus(P(m)).isFile():
+        return sorted(
+            ln for ln in _read_text_sidecar_lines(spark, m) if ln
+        )
+    # legacy format (stores written before round 11's optimization pass)
     return sorted(r["seg"] for r in spark.read.parquet(m).collect())
 
 
@@ -1407,15 +1460,7 @@ def _write_manifest(spark: SparkSession, segs_dir: str, names: list[str]) -> Non
     if not names:
         raise ValueError("refusing to write an empty segment manifest")
     tmp = f"{segs_dir}/__manifest_next"
-    # range+explode(lits), not createDataFrame: the local-relation path
-    # ships rows through a Python worker (the _write_then_swap note)
-    (
-        spark.range(1)
-        .select(F.explode(F.array(*[F.lit(n) for n in sorted(names)])).alias("seg"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    _write_text_sidecar(spark, tmp, "\n".join(sorted(names)))
     _install(spark, tmp, f"{segs_dir}/_manifest")
 
 
@@ -1483,15 +1528,17 @@ def _compacted_through(spark: SparkSession, root: str) -> int:
     marker = _store_path(spark, f"{root}/compaction_marker")
     if not fs.exists(P(marker)):
         return -1
+    if fs.getFileStatus(P(marker)).isFile():
+        lines = _read_text_sidecar_lines(spark, marker)
+        return int(lines[0]) if lines else -1
+    # legacy format (stores compacted before round 11's optimization pass)
     rows = spark.read.parquet(marker).select("compacted_through").collect()
     return int(rows[0][0]) if rows else -1
 
 
 def _write_compaction_marker(spark: SparkSession, root: str, epoch: int) -> None:
     tmp = f"{root}/__marker_epoch{int(epoch)}"
-    spark.range(1).select(
-        F.lit(int(epoch)).cast("bigint").alias("compacted_through")
-    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    _write_text_sidecar(spark, tmp, str(int(epoch)))
     _install(spark, tmp, f"{root}/compaction_marker")
 
 
@@ -2167,13 +2214,7 @@ def _compact_segment_store(
         write_merged(tmp, list(names), "seg_base")
         if exact_cov is not None:
             _write_covers(spark, f"{tmp}/seg_base", exact_cov)
-        (
-            spark.range(1)
-            .select(F.lit("seg_base").alias("seg"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/_manifest")
-        )
+        _write_text_sidecar(spark, f"{tmp}/_manifest", "seg_base")
         _install(spark, tmp, segs_dir)
         return len(names) - 1
     # partial merge: publish invisibly, reveal+retire in one manifest swap
@@ -2802,13 +2843,7 @@ def ivf_pq_index_retrain(
         "vec_id",
         f"{tmp}/segs/seg_base",
     )
-    (
-        spark.range(1)
-        .select(F.lit("seg_base").alias("seg"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{tmp}/segs/_manifest")
-    )
+    _write_text_sidecar(spark, f"{tmp}/segs/_manifest", "seg_base")
     _write_segment_summary(
         spark,
         f"{tmp}/segs",
@@ -2817,9 +2852,7 @@ def ivf_pq_index_retrain(
         ["seg_base"],
     )
     if new_mark >= 0:
-        spark.range(1).select(
-            F.lit(int(new_mark)).cast("bigint").alias("compacted_through")
-        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/compaction_marker")
+        _write_text_sidecar(spark, f"{tmp}/compaction_marker", str(int(new_mark)))
     for c in caches:
         c.unpersist()
     _install(spark, tmp, root)
@@ -3808,32 +3841,7 @@ def _relation_append(
     fs, P = _hadoop_fs(spark, target_path)
     # rewind record: the epoch, its touched buckets, and which existed
     # pre-epoch (existed=false buckets are unbirthed on rollback).
-    # range+explode(struct lits), not createDataFrame — the
-    # local-relation path ships rows through a Python worker (~5 s/epoch
-    # measured; the _bucketed_weighted_merge idiom)
-    (
-        spark.range(1)
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(int(epoch_id)).cast("bigint").alias("epoch"),
-                            F.lit(int(b)).cast("int").alias("bucket"),
-                            F.lit(
-                                bool(fs.exists(P(f"{root}/bucket={int(b)}")))
-                            ).alias("existed"),
-                        )
-                        for b in touched
-                    ]
-                )
-            ).alias("r")
-        )
-        .select("r.*")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{tmp}/_inflight")
-    )
+    _write_inflight_manifest(spark, fs, P, tmp, root, epoch_id, touched)
     fs.mkdirs(P(root + "__relprev"))
     # mutation-begins marker: one atomic rename; recovery treats a park
     # root WITHOUT this manifest as "nothing moved yet"
@@ -3889,7 +3897,7 @@ def _rollback_or_commit_relation(spark: SparkSession, target_path: str) -> None:
     if fs.exists(prev_root):
         inflight = root + "__relprev/_inflight"
         if fs.exists(P(inflight)):
-            rows = spark.read.parquet(inflight).collect()
+            rows = _read_inflight_manifest(spark, fs, P, inflight)
             epoch = int(rows[0]["epoch"])
             if epoch > _last_applied_epoch(spark, target_path):
                 for r in rows:
@@ -3920,6 +3928,10 @@ def _relation_compacted_through(spark: SparkSession, root: str) -> int:
     marker = _store_path(spark, f"{root}/_compacted")
     if not fs.exists(P(marker)):
         return -1
+    if fs.getFileStatus(P(marker)).isFile():
+        lines = _read_text_sidecar_lines(spark, marker)
+        return int(lines[0]) if lines else -1
+    # legacy format (stores compacted before round 11's optimization pass)
     rows = spark.read.parquet(marker).select("compacted_through").collect()
     return int(rows[0][0]) if rows else -1
 
@@ -3990,9 +4002,7 @@ def compact_weighted_relation_store(
             _rename_or_raise(fs, P(f"{tmp}/{name}"), P(f"{root}/{name}"))
         # else: every row in this bucket cancelled — absence IS the state
     mtmp = f"{root}/_compacted_tmp"
-    spark.range(1).select(
-        F.lit(int(ledger)).cast("bigint").alias("compacted_through")
-    ).coalesce(1).write.mode("overwrite").parquet(mtmp)
+    _write_text_sidecar(spark, mtmp, str(int(ledger)))
     _install(spark, mtmp, f"{root}/_compacted")
     fs.delete(prev, True)
     fs.delete(P(tmp), True)
