@@ -7171,15 +7171,7 @@ def q_streaming_join_agg_retract_maintain(
     # stage each epoch as ONE flat parquet FILE (the scd2 row's idiom):
     # the file stream discovers files, not dataset dirs, and
     # maxFilesPerTrigger=1 then delivers exactly one epoch per file
-    import glob as _glob
-    import shutil as _sh
-
-    for i, e in enumerate(epochs):
-        tmpd = tempfile.mkdtemp(prefix=f"jvr_e{i}_")
-        e.coalesce(1).write.parquet(f"{tmpd}/out")
-        _sh.copy(
-            _glob.glob(f"{tmpd}/out/part-*.parquet")[0], f"{staging}/d{i}.parquet"
-        )
+    _stage_epoch_files(epochs, staging)
     src = stream_source(
         spark, staging, epochs[0].schema, watermark=None, max_files_per_trigger=1
     )
@@ -7276,15 +7268,7 @@ def q_streaming_join_agg_retract_maintain_bucketed(
         ),
         fact(post.filter(F.col("o_orderkey") % 2 == 1), 1),
     ]
-    import glob as _glob
-    import shutil as _sh
-
-    for i, e in enumerate(epochs):
-        tmpd = tempfile.mkdtemp(prefix=f"jvrb_e{i}_")
-        e.coalesce(1).write.parquet(f"{tmpd}/out")
-        _sh.copy(
-            _glob.glob(f"{tmpd}/out/part-*.parquet")[0], f"{staging}/d{i}.parquet"
-        )
+    _stage_epoch_files(epochs, staging)
     src = stream_source(
         spark, staging, epochs[0].schema, watermark=None, max_files_per_trigger=1
     )
@@ -7420,6 +7404,52 @@ def q_incremental_join_relation_retract(
     )
 
 
+def _stage_epoch_files(epochs, staging: str) -> None:
+    """Stage epochs[i] -> {staging}/d{i}.parquet, each exactly ONE flat
+    parquet FILE (the file-stream + maxFilesPerTrigger=1 contract), with
+    ONE Spark job: the per-epoch coalesce(1) loop paid a job + output
+    commit per epoch (~0.2-0.4 s each at sf0.1). Epochs are tagged,
+    hash-repartitioned by the tag (every row of one epoch lands in one
+    task, so each partition dir holds exactly one part file), written
+    partitionBy the tag, and the part files moved to their staged names.
+    An epoch with zero rows writes no dir and falls back to a limit(0)
+    single-file write so the staged file still pins the schema.
+
+    Staged mtimes are pinned strictly increasing (1 s apart): the file
+    stream orders files by modification time, and the sequential-write
+    loop used to guarantee distinct mtimes implicitly — the batched
+    copies land within one millisecond and would tie, scrambling epoch
+    order (caught by the as-of oracle rows: the final net is
+    order-independent, snapshots are not)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _sh
+    import tempfile
+    import time as _time
+
+    tagged = None
+    for i, e in enumerate(epochs):
+        t = e.withColumn("__stage_epoch", F.lit(int(i)))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    tmpd = tempfile.mkdtemp(prefix="stage_epochs_")
+    (
+        tagged.repartition(F.col("__stage_epoch"))
+        .write.partitionBy("__stage_epoch")
+        .parquet(f"{tmpd}/out")
+    )
+    now = _time.time()
+    for i, e in enumerate(epochs):
+        parts = _glob.glob(f"{tmpd}/out/__stage_epoch={i}/part-*.parquet")
+        if not parts:  # empty epoch: stage a typed empty file
+            etmp = tempfile.mkdtemp(prefix=f"stage_e{i}_")
+            e.limit(0).coalesce(1).write.parquet(f"{etmp}/out")
+            parts = _glob.glob(f"{etmp}/out/part-*.parquet")
+        staged = f"{staging}/d{i}.parquet"
+        _sh.copy(parts[0], staged)
+        _os.utime(staged, (now + i, now + i))
+    _sh.rmtree(tmpd, ignore_errors=True)
+
+
 def _stage_ijr_epochs(spark, sf_dir: str, orders):
     """The shared three-epoch weighted fact staging (insert / DELETE /
     insert) for the relation-store streaming rows — the
@@ -7447,12 +7477,7 @@ def _stage_ijr_epochs(spark, sf_dir: str, orders):
         fact(post.filter(F.col("o_orderkey") % 2 == 1), 1),
     ]
     staging = tempfile.mkdtemp(prefix="ijr_delta_")
-    for i, e in enumerate(epochs):
-        tmpd = tempfile.mkdtemp(prefix=f"ijr_e{i}_")
-        e.coalesce(1).write.parquet(f"{tmpd}/out")
-        _sh.copy(
-            _glob.glob(f"{tmpd}/out/part-*.parquet")[0], f"{staging}/d{i}.parquet"
-        )
+    _stage_epoch_files(epochs, staging)
     return staging, epochs[0].schema
 
 
