@@ -1152,7 +1152,7 @@ def read_bucketed_store_snapshot(spark: SparkSession, target_path: str) -> DataF
     inflight = prev_root + "/_inflight"
     manifest: list = []
     if fs.exists(P(inflight)):
-        rows = spark.read.parquet(inflight).collect()
+        rows = _read_inflight_manifest(spark, fs, P, inflight)
         if rows and int(rows[0]["epoch"]) > _last_applied_epoch(spark, target_path):
             manifest = rows
     if not manifest:
