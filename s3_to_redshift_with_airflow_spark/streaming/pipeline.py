@@ -337,20 +337,32 @@ def _last_applied_epoch(spark: SparkSession, target_path: str) -> int:
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
     if not fs.exists(p):
         return -1  # no ledger written yet
-    if fs.getFileStatus(p).isFile():
-        # current format: one ASCII int, read driver-side (no Spark job).
-        # A live ledger is always complete (it only becomes visible via
-        # the install rename), so a parse failure is a REAL storage fault
-        # — raise, same discipline as the legacy parquet branch below.
-        stream = fs.open(p)
-        try:
-            reader = jvm.java.io.BufferedReader(
-                jvm.java.io.InputStreamReader(stream)
-            )
-            line = reader.readLine()
-        finally:
-            stream.close()
-        return int(line)
+    try:
+        is_file = fs.getFileStatus(p).isFile()
+        if is_file:
+            # current format: one ASCII int, read driver-side (no Spark
+            # job). A live ledger is always complete (it only becomes
+            # visible via the install rename), so a parse failure is a
+            # REAL storage fault — raise, same discipline as the legacy
+            # parquet branch below.
+            stream = fs.open(p)
+            try:
+                reader = jvm.java.io.BufferedReader(
+                    jvm.java.io.InputStreamReader(stream)
+                )
+                line = reader.readLine()
+            finally:
+                stream.close()
+            return int(line)
+    except Exception as e:  # noqa: BLE001
+        # exists -> getFileStatus/open is not atomic: a concurrent
+        # ledger install (two-rename swap) between those calls surfaces
+        # as a Py4J FileNotFound. Map exactly that window to the legacy
+        # missing-path meaning (-1 == no ledger visible at this instant,
+        # ADVICE r11 #3); anything else is a real storage fault.
+        if "FileNotFoundException" in str(e) or "File does not exist" in str(e):
+            return -1
+        raise
     # legacy format (stores written before round 11's optimization pass):
     # a 1-row parquet dir with column max_applied_epoch
     try:
@@ -724,6 +736,27 @@ def foreach_batch_weighted_agg_maintain_bucketed(
     return _sink
 
 
+def _read_parquet_driver_listed(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """spark.read.parquet over explicit store paths with file listing
+    kept ON THE DRIVER: above
+    `spark.sql.sources.parallelPartitionDiscovery.threshold` (default
+    32) Spark launches a listing JOB with one task per path — for a
+    64-bucket store slice that is a 64-task cluster job to list 64
+    local directories, ~0.13 s of pure scheduling per epoch (4 of them
+    in the dedup-gate lifecycle; guide §6 small-files/listing). The
+    threshold is scope-raised around the read only, so corpus-sized
+    scans elsewhere keep parallel discovery."""
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    old = spark.conf.get(key)
+    if len(paths) <= int(old):
+        return spark.read.parquet(*paths)
+    spark.conf.set(key, str(len(paths) + 1))
+    try:
+        return spark.read.parquet(*paths)
+    finally:
+        spark.conf.set(key, old)
+
+
 def _read_touched_buckets(
     spark: SparkSession, target_path: str, touched: list[int]
 ) -> DataFrame:
@@ -743,7 +776,7 @@ def _read_touched_buckets(
         if fs.exists(P(p))
     ]
     if paths:
-        return spark.read.parquet(*paths)  # no partition column
+        return _read_parquet_driver_listed(spark, paths)  # no partition column
     return (
         spark.read.parquet(target_path)
         .filter(F.col("bucket").isin([int(b) for b in touched]))
@@ -788,7 +821,7 @@ def _bucketed_weighted_merge(
     tmp = root + f"__waggb_epoch{epoch_id}"
     (
         merged.withColumn("bucket", bucket_expr(keys, n_buckets))
-        .repartition("bucket")
+        .repartition(n_buckets, "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(tmp)
@@ -1060,10 +1093,21 @@ def write_bucketed_store(
     keys), so per-key operators applied bucket-wise equal the whole-table
     application. A `_layout` sidecar (bucket keys + n_buckets,
     underscore-hidden) makes the store self-describing for keyed point
-    lookups (`read_bucketed_store_keyed`)."""
+    lookups (`read_bucketed_store_keyed`).
+
+    Every bucketed partitionBy write here (and in the per-epoch
+    maintainers) repartitions to EXPLICITLY n_buckets partitions, not
+    `repartition("bucket")`: the keyless form inherits
+    spark.sql.shuffle.partitions and AQE then coalesces a small store to
+    ONE task that writes every bucket dir SEQUENTIALLY (~15 ms of file
+    open/commit per dir — measured 0.9-1.0 s per epoch fold at 64
+    buckets, the dominant job in the dedup-gate and bucketed-CDC rows).
+    n_buckets tasks give ~one file per bucket dir in parallel; the count
+    is the store's own layout constant, so the bound is scale-adaptive
+    (a 100 TB store raises n_buckets, not the core count)."""
     (
         df.withColumn("bucket", bucket_expr(keys, n_buckets))
-        .repartition("bucket")
+        .repartition(n_buckets, "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(target_path)
@@ -1292,7 +1336,7 @@ def foreach_batch_cdc_scd2_bucketed(
         tmp = target_path.rstrip("/") + f"__cdcb_epoch{epoch_id}"
         (
             merged.withColumn("bucket", bucket_expr(keys, n_buckets))
-            .repartition("bucket")
+            .repartition(n_buckets, "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(tmp)
@@ -1556,11 +1600,35 @@ def _write_covers(spark: SparkSession, seg_dir: str, epochs: list[int]) -> None:
     dirs (join view) read identically with or without it. Seeds write
     [-1] (the pre-stream epoch); per-epoch published segments need no
     sidecar (seg_<e> covers {e} by name); compaction unions its
-    constituents' coverage into the merged segment's sidecar."""
-    df = spark.createDataFrame(
-        [(int(e),) for e in sorted(set(epochs))], "epoch bigint"
+    constituents' coverage into the merged segment's sidecar.
+
+    Format (round 12): ONE text file, one epoch per line, written
+    driver-side — the `_write_text_sidecar` class (guide §5: a handful
+    of ints is driver metadata, not cluster data). The pre-round-12
+    parquet-dir format cost one Spark read job per as-of serve
+    (`_segments_in_range`'s batched collect); readers parse either."""
+    _write_text_sidecar(
+        spark,
+        f"{seg_dir}/_covers",
+        "\n".join(str(int(e)) for e in sorted(set(epochs))),
     )
-    df.coalesce(1).write.mode("overwrite").parquet(f"{seg_dir}/_covers")
+
+
+def _read_covers_sidecar(
+    spark: SparkSession, fs, P, cpath: str
+) -> list[int] | None:
+    """Parse a `_covers` sidecar at `cpath` (text file, or a legacy
+    pre-round-12 parquet dir) into its sorted epoch list; None when
+    absent."""
+    if not fs.exists(P(cpath)):
+        return None
+    if fs.getFileStatus(P(cpath)).isFile():
+        return sorted(
+            int(ln) for ln in _read_text_sidecar_lines(spark, cpath) if ln
+        )
+    return sorted(
+        int(r["epoch"]) for r in spark.read.parquet(cpath).collect()
+    )
 
 
 def _segment_covers(
@@ -1581,13 +1649,9 @@ def _segment_covers(
     so the conservative arm never fires for them."""
     if probe_sidecar:
         fs, P = _hadoop_fs(spark, segs_dir)
-        cpath = f"{segs_dir}/{name}/_covers"
-        if fs.exists(P(cpath)):
-            eps = sorted(
-                int(r["epoch"]) for r in spark.read.parquet(cpath).collect()
-            )
-            if eps:
-                return eps[0], eps[-1], eps
+        eps = _read_covers_sidecar(spark, fs, P, f"{segs_dir}/{name}/_covers")
+        if eps:
+            return eps[0], eps[-1], eps
     if name == "seg_base":
         if marker < 0:
             return -1, -1, [-1]
@@ -1640,15 +1704,23 @@ def _segments_in_range(
     names = _live_segments(spark, segs_dir)
     lo, hi = int(lo), int(hi)
     fs, P = _hadoop_fs(spark, segs_dir)
-    with_sidecar = {
-        n: f"{segs_dir}/{n}/_covers"
-        for n in names
-        if fs.exists(P(f"{segs_dir}/{n}/_covers"))
-    }
     covers: dict[str, list[int]] = {}
-    if with_sidecar:
+    legacy_dirs: dict[str, str] = {}
+    for n in names:
+        cpath = f"{segs_dir}/{n}/_covers"
+        if not fs.exists(P(cpath)):
+            continue
+        if fs.getFileStatus(P(cpath)).isFile():
+            # round-12 text sidecar: driver-side line read, no Spark job
+            covers[n] = sorted(
+                int(ln) for ln in _read_text_sidecar_lines(spark, cpath) if ln
+            )
+        else:
+            legacy_dirs[n] = cpath
+    if legacy_dirs:
+        # pre-round-12 parquet sidecars: still ONE batched read job
         for r in (
-            spark.read.parquet(*with_sidecar.values())
+            spark.read.parquet(*legacy_dirs.values())
             .select("epoch", F.input_file_name().alias("__f"))
             .collect()
         ):
@@ -1681,7 +1753,12 @@ def _segments_in_range(
     return out
 
 
-def _write_segment_bloom(ids: DataFrame, id_col: str, seg_tmp: str) -> None:
+def _write_segment_bloom(
+    ids: DataFrame,
+    id_col: str,
+    seg_tmp: str,
+    stats: tuple[int, object, object] | None = None,
+) -> None:
     """Publish the segment's id set as a packed Bloom bitmap (`idbloom/`,
     one row: word array + the k it was built with) INSIDE the segment
     dir, so the single-rename publish installs data + bitmap atomically.
@@ -1690,15 +1767,22 @@ def _write_segment_bloom(ids: DataFrame, id_col: str, seg_tmp: str) -> None:
     probe time from the array length, so differently-sized segments
     coexist. This is what makes the maintainers' per-epoch disjointness
     probe O(delta) in steady state: the probe reads the bitmaps instead
-    of scanning the union id tables — VERDICT r8 next-round #1."""
+    of scanning the union id tables — VERDICT r8 next-round #1.
+
+    `stats` = (n, id_min, id_max) lets a caller that already aggregated
+    the delta skip this function's own stats job (round 12: the
+    maintainers fold isEmpty + bloom sizing + `_stats` sidecars into ONE
+    per-epoch aggregate — guide §2.4, remove whole jobs)."""
     from ..operators.sketches import bloom_bitmap
 
-    stats = ids.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(id_col).alias("lo"),
-        F.max(id_col).alias("hi"),
-    ).collect()[0]
-    n_ids = int(stats["n"])
+    if stats is None:
+        row = ids.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(id_col).alias("lo"),
+            F.max(id_col).alias("hi"),
+        ).collect()[0]
+        stats = (int(row["n"]), row["lo"], row["hi"])
+    n_ids, id_lo, id_hi = int(stats[0]), stats[1], stats[2]
     want = _SEG_BLOOM_BITS_PER_KEY * max(1, n_ids)
     n_bits = min(_SEG_BLOOM_MAX_BITS, max(_SEG_BLOOM_MIN_BITS, ((want + 31) // 32) * 32))
     (
@@ -1707,12 +1791,60 @@ def _write_segment_bloom(ids: DataFrame, id_col: str, seg_tmp: str) -> None:
             "arr",
             F.lit(_SEG_BLOOM_K).cast("int").alias("k"),
             F.lit(n_ids).cast("bigint").alias("n_ids"),
-            F.lit(stats["lo"]).alias("id_min"),
-            F.lit(stats["hi"]).alias("id_max"),
+            F.lit(id_lo).alias("id_min"),
+            F.lit(id_hi).alias("id_max"),
         )
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{seg_tmp}/idbloom")
+    )
+
+
+def _write_bm25_seg_stats(
+    spark: SparkSession, seg_dir: str, n_docs: int, sum_len: int
+) -> None:
+    """Per-segment BM25 prefix-stats sidecar `_stats` — one text line
+    `n_docs,sum_len` (round 12, VERDICT r11 next #2): segments are
+    immutable, so their doc count and total token length never change,
+    and the serve-side 1-row stats (n_docs, avgl = sum div n) become a
+    DRIVER-side sum over the segment set instead of a per-serve
+    union-aggregate Spark job over every segment's doclens — the
+    recompute that made bm25_index_read_at the slowest headline row on
+    the driver box. Integer identity: sum(len) div count(1) over the
+    union == (Σ seg sum_len) div (Σ seg n_docs), exactly."""
+    _write_text_sidecar(spark, f"{seg_dir}/_stats", f"{int(n_docs)},{int(sum_len)}")
+
+
+def _read_bm25_seg_stats(
+    spark: SparkSession, segs_dir: str, names: list[str]
+) -> tuple[int, int] | None:
+    """(total n_docs, total sum_len) summed from every named segment's
+    `_stats` sidecar, or None when any segment lacks one (legacy store —
+    the caller falls back to the union aggregate). Driver-side text
+    reads only; no Spark job."""
+    fs, P = _hadoop_fs(spark, segs_dir)
+    n_tot, sum_tot = 0, 0
+    for n in names:
+        spath = f"{segs_dir}/{n}/_stats"
+        if not fs.exists(P(spath)) or not fs.getFileStatus(P(spath)).isFile():
+            return None
+        lines = _read_text_sidecar_lines(spark, spath)
+        if not lines:
+            return None
+        a, b = lines[0].split(",")
+        n_tot += int(a)
+        sum_tot += int(b)
+    return n_tot, sum_tot
+
+
+def _bm25_stats_df(spark: SparkSession, n_docs: int, sum_len: int) -> DataFrame:
+    """The 1-row (n_docs, avgl) stats frame from sidecar totals as a
+    LITERAL local relation — same integer formula (floor div, operands
+    non-negative) and same column types as the doclens aggregate it
+    replaces."""
+    return spark.range(1).select(
+        F.lit(int(n_docs)).cast("bigint").alias("n_docs"),
+        F.lit(int(sum_len) // int(n_docs)).cast("bigint").alias("avgl"),
     )
 
 
@@ -1792,7 +1924,35 @@ def _write_segment_summary(
         .write.mode("overwrite")
         .parquet(tmp)
     )
+    # `_smeta` text twin of (k, covers) — read driver-side by the probe
+    # so the steady-state epoch pays ONE summary job (the membership
+    # test) instead of two (meta collect + membership); installed inside
+    # the same atomic dir swap (round 12, guide §2.4)
+    _write_summary_smeta(spark, tmp, covers)
     _install(spark, tmp, f"{segs_dir}/_summary")
+
+
+def _write_summary_smeta(spark: SparkSession, tmp: str, covers: list[str]) -> None:
+    _write_text_sidecar(
+        spark,
+        f"{tmp}/_smeta",
+        "\n".join([str(_SEG_BLOOM_K), *sorted(covers)]),
+    )
+
+
+def _read_summary_smeta(
+    spark: SparkSession, fs, P, path: str
+) -> tuple[int, set] | None:
+    """(k, covers) from a summary dir's `_smeta` text sidecar; None for
+    legacy summaries without one (readers fall back to the parquet meta
+    collect)."""
+    sp = f"{path}/_smeta"
+    if not fs.exists(P(sp)) or not fs.getFileStatus(P(sp)).isFile():
+        return None
+    lines = _read_text_sidecar_lines(spark, sp)
+    if not lines:
+        return None
+    return int(lines[0]), set(lines[1:])
 
 
 def _write_sharded_summary(
@@ -1848,7 +2008,7 @@ def _write_sharded_summary(
             _SEG_SUMMARY_MAX_BITS,
             _SEG_BLOOM_K,
         )
-        .repartition("shard")
+        .repartition(n_shards, "shard")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(tmp)
@@ -1940,10 +2100,15 @@ def _refresh_segment_summary(
         return
     path = _store_path(spark, f"{segs_dir}/_summary")
     if fs.exists(P(path)):
-        src = f"{path}/_meta" if fs.exists(P(f"{path}/_meta")) else path
-        meta = spark.read.parquet(src).select("covers").collect()
-        if len(meta) == 1 and set(meta[0]["covers"]) == set(live):
-            return  # already fresh
+        smeta = _read_summary_smeta(spark, fs, P, path)
+        if smeta is not None:
+            if smeta[1] == set(live):
+                return  # already fresh (resolved driver-side, no job)
+        else:
+            src = f"{path}/_meta" if fs.exists(P(f"{path}/_meta")) else path
+            meta = spark.read.parquet(src).select("covers").collect()
+            if len(meta) == 1 and set(meta[0]["covers"]) == set(live):
+                return  # already fresh
     ids = _read_segment_table(spark, segs_dir, table_name, live).select(id_col)
     _write_segment_summary(spark, segs_dir, ids, id_col, live)
 
@@ -1975,13 +2140,24 @@ def _summary_covered_disjoint(
         return _sharded_summary_disjoint(
             spark, path, delta_ids, id_col, overlapping
         )
+    # `_smeta` text twin (round 12): k + covers resolve driver-side, so
+    # the k-mismatch / nothing-covered early exits cost NO job and the
+    # steady path pays exactly one (the membership test). Legacy
+    # summaries keep the parquet meta collect.
+    smeta = _read_summary_smeta(spark, fs, P, path)
     s = spark.read.parquet(path)
     if not {"arr", "k", "covers"}.issubset(s.columns):
         return set()
-    meta = s.select("k", "covers").collect()
-    if len(meta) != 1 or meta[0]["k"] != _SEG_BLOOM_K:
-        return set()
-    covered = set(meta[0]["covers"]) & set(overlapping)
+    if smeta is not None:
+        k, cov = smeta
+        if k != _SEG_BLOOM_K:
+            return set()
+        covered = cov & set(overlapping)
+    else:
+        meta = s.select("k", "covers").collect()
+        if len(meta) != 1 or meta[0]["k"] != _SEG_BLOOM_K:
+            return set()
+        covered = set(meta[0]["covers"]) & set(overlapping)
     if not covered:
         return set()
     member = bloom_member(
@@ -1996,7 +2172,11 @@ def _summary_covered_disjoint(
 
 
 def _bloom_suspect_segments(
-    spark: SparkSession, segs_dir: str, delta_ids: DataFrame, id_col: str
+    spark: SparkSession,
+    segs_dir: str,
+    delta_ids: DataFrame,
+    id_col: str,
+    delta_range: tuple | None = None,
 ) -> list[str] | None:
     """Which live segments MIGHT contain a delta id — the three-tier
     probe behind the segmented maintainers' O(delta) disjointness check:
@@ -2026,7 +2206,11 @@ def _bloom_suspect_segments(
     steady-state path), the suspect segment names otherwise, or None for
     a legacy store (a segment without a bitmap / unknown k / no range
     columns): cannot localize, check the full union — pre-fix cost,
-    still correct."""
+    still correct.
+
+    `delta_range` = (min, max) of the delta's ids, when the caller has
+    already aggregated them (the maintainers' fused per-epoch stats job,
+    round 12) — skips this function's own min/max job."""
     from ..operators.sketches import bloom_member
 
     fs, P = _hadoop_fs(spark, segs_dir)
@@ -2043,9 +2227,12 @@ def _bloom_suspect_segments(
     seg_of = F.element_at(F.split(F.input_file_name(), "/"), -3)
     # tier 1: metadata only — the arr column is NOT in this projection,
     # so its pages are never read for segments the range tier prunes
-    d = delta_ids.agg(
-        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-    ).collect()[0]
+    if delta_range is not None:
+        d = {"lo": delta_range[0], "hi": delta_range[1]}
+    else:
+        d = delta_ids.agg(
+            F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+        ).collect()[0]
     if d["lo"] is None:
         return []  # empty delta (or all-NULL ids): nothing to collide
     meta = [
@@ -2236,6 +2423,31 @@ def _compact_segment_store(
     return len(merge_set) - 1
 
 
+_SMALL_SEG_DOCS = 10_000  # ≲ a few MB of postings: one sorted file
+
+
+def _write_sorted_postings(postings: DataFrame, path: str, n_docs: int) -> None:
+    """Write a segment's postings term-sorted. Small deltas (≤
+    _SMALL_SEG_DOCS documents — a bound on the DATA, not the core
+    count) take `coalesce(1) + sortWithinPartitions`: one globally
+    sorted file, same row-group-skipping layout, WITHOUT
+    repartitionByRange's boundary-sampling job and shuffle (guide
+    §2.4/§2.6 — a per-epoch delta fanned across 32 range partitions
+    writes 32 KB-sized files and pays two jobs for it). Large segments
+    (seeds, compactions, real production epochs) keep the range
+    shuffle, which is what sorts a corpus-sized table at scale."""
+    p = postings
+    if n_docs <= _SMALL_SEG_DOCS:
+        p = p.coalesce(1)
+    else:
+        p = p.repartitionByRange(F.col("term"))
+    (
+        p.sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def foreach_batch_bm25_maintain_segmented(
     index_dir: str,
     id_col: str = "doc_id",
@@ -2277,6 +2489,7 @@ def foreach_batch_bm25_maintain_segmented(
     r8 next-round #1). Id reuse across distinct epochs — the failure
     presence-probes cannot see — still raises, through suspect-hit →
     exact-confirm."""
+    from ..functions.text import tokens as _tok
     from ..operators.retrieval import bm25_index_build
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -2289,11 +2502,25 @@ def foreach_batch_bm25_maintain_segmented(
         fs, P = _hadoop_fs(spark, root)
         if _segment_replay_applied(spark, root, epoch_id, fs, P):
             return  # at-least-once replay: live segment or compacted away
-        if batch_df.isEmpty():
+        # ONE delta aggregate replaces the separate isEmpty probe, the
+        # bloom tier-1 min/max job, the bloom-sizing count, and the
+        # `_stats` sidecar's sum(len) — guide §2.4, remove whole jobs
+        # (the len term mirrors bm25_index_build's doclens expression
+        # exactly, so the sidecar total equals the union aggregate).
+        d = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col(id_col)).alias("lo"),
+            F.max(F.col(id_col)).alias("hi"),
+            F.sum(F.size(_tok(F.col(text_col))).cast("bigint")).alias("sl"),
+        ).collect()[0]
+        n_delta = int(d["n"])
+        if n_delta == 0:
             return  # empty epoch: no segment, nothing to publish
         delta_ids = batch_df.select(F.col(id_col).alias("doc_id")).distinct()
         segs = _store_path(spark, f"{root}/segs")
-        suspects = _bloom_suspect_segments(spark, segs, delta_ids, "doc_id")
+        suspects = _bloom_suspect_segments(
+            spark, segs, delta_ids, "doc_id", delta_range=(d["lo"], d["hi"])
+        )
         if suspects != []:
             # bloom hit or legacy store: exact-confirm against ONLY the
             # suspect segments' doclens (the full union when legacy)
@@ -2315,14 +2542,15 @@ def foreach_batch_bm25_maintain_segmented(
                 )
         p_new, l_new, _ = bm25_index_build(batch_df, id_col, text_col)
         tmp = f"{root}/__seg_epoch{int(epoch_id)}"
-        (
-            p_new.repartitionByRange(F.col("term"))
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/postings")
-        )
+        _write_sorted_postings(p_new, f"{tmp}/postings", n_delta)
         l_new.write.mode("overwrite").parquet(f"{tmp}/doclens")
-        _write_segment_bloom(l_new, "doc_id", tmp)
+        # bloom over the doclens projection: doc_id-only, so column
+        # pruning drops the tokenize; sizing stats come from the delta
+        # aggregate above (no second stats job)
+        _write_segment_bloom(
+            l_new, "doc_id", tmp, stats=(n_delta, d["lo"], d["hi"])
+        )
+        _write_bm25_seg_stats(spark, tmp, n_delta, int(d["sl"] or 0))
         seg = P(f"{root}/segs/seg_{int(epoch_id)}")
         fs.mkdirs(seg.getParent())
         _rename_or_raise(fs, P(tmp), seg)  # publish (invisible until listed)
@@ -2343,19 +2571,44 @@ def read_bm25_index_segmented(spark: SparkSession, index_dir: str):
     bm25_index_build's exact integer formula (sum(len) div count), so the
     segmented serve is bit-identical to a monolithic rebuild — which is
     why the segmented consumer's registry row carries the same full-corpus
-    oracle."""
+    oracle.
+
+    Round 12 (VERDICT r11 next #2): when every live segment carries a
+    `_stats` sidecar, the 1-row stats come from the DRIVER-side sidecar
+    sum (`_bm25_stats_df` — same integer formula on the same totals)
+    instead of a per-serve union-aggregate job over all doclens; the
+    segment names resolve ONCE (one manifest read feeds both table
+    scans and the stats). Legacy stores fall back to the aggregate."""
     root = index_dir.rstrip("/")
     # _store_path: a crash inside a compaction's swap window parks segs/
     # whole at segs__prev — serve from the park rather than raising
     # PATH_NOT_FOUND until manual repair (ADVICE r8 #1)
     segs = _store_path(spark, f"{root}/segs")
-    postings = _read_segment_table(spark, segs, "postings")
-    doclens = _read_segment_table(spark, segs, "doclens")
-    stats = doclens.agg(
+    names = _live_segments(spark, segs) or None
+    postings = _read_segment_table(spark, segs, "postings", names)
+    doclens = _read_segment_table(spark, segs, "doclens", names)
+    return postings, doclens, _bm25_stats_for(spark, segs, names, doclens)
+
+
+def _bm25_stats_for(
+    spark: SparkSession,
+    segs_dir: str,
+    names: list[str] | None,
+    doclens: DataFrame,
+) -> DataFrame:
+    """The serve-side 1-row (n_docs, avgl): sidecar totals when every
+    named segment has a `_stats` file and the prefix is non-empty
+    (driver-side, no job), else bm25_index_build's exact aggregate over
+    the union doclens (legacy stores; empty segment sets, whose
+    aggregate yields the typed n_docs=0/avgl NULL row)."""
+    if names:
+        tot = _read_bm25_seg_stats(spark, segs_dir, names)
+        if tot is not None and tot[0] > 0:
+            return _bm25_stats_df(spark, tot[0], tot[1])
+    return doclens.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.expr("sum(len) div count(1)").cast("bigint").alias("avgl"),
     )
-    return postings, doclens, stats
 
 
 def read_bm25_index_segmented_at(spark: SparkSession, index_dir: str, epoch: int):
@@ -2380,11 +2633,10 @@ def read_bm25_index_segmented_at(spark: SparkSession, index_dir: str, epoch: int
     else:  # nothing existed yet at `epoch`: typed empty index
         postings = _read_segment_table(spark, segs, "postings").limit(0)
         doclens = _read_segment_table(spark, segs, "doclens").limit(0)
-    stats = doclens.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.expr("sum(len) div count(1)").cast("bigint").alias("avgl"),
-    )
-    return postings, doclens, stats
+    # prefix stats from the named segments' `_stats` sidecars when
+    # available (round 12) — the union-aggregate recompute was the bulk
+    # of this serve's per-execution job count
+    return postings, doclens, _bm25_stats_for(spark, segs, names, doclens)
 
 
 def read_ivf_pq_index_segmented_at(
@@ -2456,6 +2708,7 @@ def seed_bm25_index_segmented(docs: DataFrame, index_dir: str) -> None:
     one-line manifest."""
     from ..operators.retrieval import bm25_index_build
 
+    spark = docs.sparkSession
     root = index_dir.rstrip("/")
     p, l, _ = bm25_index_build(docs)
     (
@@ -2465,13 +2718,30 @@ def seed_bm25_index_segmented(docs: DataFrame, index_dir: str) -> None:
         .parquet(f"{root}/segs/seg_base/postings")
     )
     l.write.mode("overwrite").parquet(f"{root}/segs/seg_base/doclens")
-    _write_segment_bloom(l, "doc_id", f"{root}/segs/seg_base")
-    _write_covers(docs.sparkSession, f"{root}/segs/seg_base", [-1])
-    _write_manifest(docs.sparkSession, f"{root}/segs", ["seg_base"])
+    # one aggregate over the written doclens feeds bloom sizing AND the
+    # `_stats` sidecar (no re-tokenize, no second stats job)
+    l_back = spark.read.parquet(f"{root}/segs/seg_base/doclens")
+    row = l_back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.sum("len").alias("sl"),
+    ).collect()[0]
+    _write_segment_bloom(
+        l_back,
+        "doc_id",
+        f"{root}/segs/seg_base",
+        stats=(int(row["n"]), row["lo"], row["hi"]),
+    )
+    _write_bm25_seg_stats(
+        spark, f"{root}/segs/seg_base", int(row["n"]), int(row["sl"] or 0)
+    )
+    _write_covers(spark, f"{root}/segs/seg_base", [-1])
+    _write_manifest(spark, f"{root}/segs", ["seg_base"])
     _write_segment_summary(
-        docs.sparkSession,
+        spark,
         f"{root}/segs",
-        docs.sparkSession.read.parquet(f"{root}/segs/seg_base/doclens"),
+        l_back,
         "doc_id",
         ["seg_base"],
     )
@@ -2501,10 +2771,24 @@ def compact_bm25_segments(
             .parquet(f"{tmp}/{out_name}/postings")
         )
         doclens.write.mode("overwrite").parquet(f"{tmp}/{out_name}/doclens")
+        l_back = spark.read.parquet(f"{tmp}/{out_name}/doclens")
+        row = l_back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.sum("len").alias("sl"),
+        ).collect()[0]
         _write_segment_bloom(
-            spark.read.parquet(f"{tmp}/{out_name}/doclens"),
+            l_back,
             "doc_id",
             f"{tmp}/{out_name}",
+            stats=(int(row["n"]), row["lo"], row["hi"]),
+        )
+        # the merged segment's `_stats` is the exact sum of its
+        # constituents' doclens — serve stats stay sidecar-resolved
+        # across compactions
+        _write_bm25_seg_stats(
+            spark, f"{tmp}/{out_name}", int(row["n"]), int(row["sl"] or 0)
         )
 
     merged = _compact_segment_store(spark, root, write_merged, tiered=tiered)
@@ -2551,7 +2835,7 @@ def foreach_batch_upsert_bucketed(
         tmp = target_path.rstrip("/") + f"__upb_epoch{epoch_id}"
         (
             merged.withColumn("bucket", bucket_expr(keys, n_buckets))
-            .repartition("bucket")
+            .repartition(n_buckets, "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(tmp)
@@ -2682,19 +2966,32 @@ def foreach_batch_ivf_pq_maintain_segmented(
         fs, P = _hadoop_fs(spark, root)
         if _segment_replay_applied(spark, root, epoch_id, fs, P):
             return  # replay: live segment or compacted away
-        if batch_df.isEmpty():
+        # ONE delta aggregate replaces the separate isEmpty probe, the
+        # bloom tier-1 min/max job, and the bloom-sizing count (guide
+        # §2.4); the quantizer tables are read lazily below only when
+        # the epoch actually publishes, and the per-segment lists union
+        # is NOT materialized here at all (only the legacy dup path
+        # needs it).
+        d = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col(id_col)).alias("lo"),
+            F.max(F.col(id_col)).alias("hi"),
+        ).collect()[0]
+        n_delta = int(d["n"])
+        if n_delta == 0:
             return
-        stored = read_ivf_pq_index_segmented(spark, index_dir)
         delta_ids = batch_df.select(F.col(id_col).alias("vec_id")).distinct()
         segs = _store_path(spark, f"{root}/segs")
-        suspects = _bloom_suspect_segments(spark, segs, delta_ids, "vec_id")
+        suspects = _bloom_suspect_segments(
+            spark, segs, delta_ids, "vec_id", delta_range=(d["lo"], d["hi"])
+        )
         if suspects != []:
             # bloom hit or legacy store: exact-confirm against ONLY the
             # suspect segments' lists (the full union when legacy)
             lists = (
                 spark.read.parquet(*[f"{segs}/{s}/lists" for s in suspects])
                 if suspects is not None
-                else stored["lists"]
+                else _read_segment_table(spark, segs, "lists")
             )
             dup = (
                 lists.join(F.broadcast(delta_ids), "vec_id", "left_semi")
@@ -2707,9 +3004,13 @@ def foreach_batch_ivf_pq_maintain_segmented(
                     "already indexed; appends must be disjoint from the stored "
                     "index"
                 )
+        # frozen quantizer tables only — the full 4-table segmented read
+        # built two more per-epoch DataFrames (lists/codes unions with
+        # their footer jobs) this sink never used
+        idx_root = _store_path(spark, root)
         delta = ivf_pq_index_append(
-            stored["centroids"],
-            stored["codebook"],
+            spark.read.parquet(f"{idx_root}/centroids"),
+            spark.read.parquet(f"{idx_root}/codebook"),
             batch_df,
             m_subspaces=m_subspaces,
             dim=dim,
@@ -2719,8 +3020,13 @@ def foreach_batch_ivf_pq_maintain_segmented(
         tmp = f"{root}/__ivfseg_epoch{int(epoch_id)}"
         delta["lists"].write.mode("overwrite").parquet(f"{tmp}/lists")
         delta["codes"].write.mode("overwrite").parquet(f"{tmp}/codes")
+        # lists rows == batch rows, so the delta aggregate above already
+        # sized the bitmap; vec_id-only projection prunes everything else
         _write_segment_bloom(
-            spark.read.parquet(f"{tmp}/lists"), "vec_id", tmp
+            spark.read.parquet(f"{tmp}/lists"),
+            "vec_id",
+            tmp,
+            stats=(n_delta, d["lo"], d["hi"]),
         )
         seg = P(f"{root}/segs/seg_{int(epoch_id)}")
         fs.mkdirs(seg.getParent())
@@ -3083,30 +3389,56 @@ def foreach_batch_dedup_gate(
             ]
             if not paths:
                 return empty  # store not yet materialized (or no targets)
-            return spark.read.parquet(*paths)
+            # driver-side listing: 64 explicit paths would otherwise
+            # trip the parallel-discovery threshold and launch a
+            # 64-task listing job per slice read (round 12, guide §6)
+            return _read_parquet_driver_listed(spark, paths)
 
+        touched_acc: list[int] | None = None
         if not fs.exists(P(seg)):
-            if batch_df.isEmpty():
-                return
             w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+            # persisted: the candidate set feeds the touched-bucket
+            # collect, the anti-join, and the accepted-bucket collect —
+            # unpersisted it would re-run the fingerprint window shuffle
+            # for each (round 12; unpersisted in the finally below)
             cand = (
                 batch_df.withColumn("__fp", fingerprint(F.col(text_col)))
                 .withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
-            )
-            touched = sorted(
-                r["b"]
-                for r in cand.select(
-                    bucket_expr(["__fp"], n_buckets).alias("b")
+            ).persist()
+            try:
+                # ONE collect doubles as the empty-epoch probe (the
+                # separate isEmpty job is gone): no candidate buckets
+                # means an empty batch — no segment, nothing to publish
+                touched = sorted(
+                    r["b"]
+                    for r in cand.select(
+                        bucket_expr(["__fp"], n_buckets).alias("b")
+                    )
+                    .distinct()
+                    .collect()
                 )
-                .distinct()
-                .collect()
-            )
-            known = store_slice(touched).select(F.col("fp").alias("__fp"))
-            accepted = cand.join(F.broadcast(known), "__fp", "left_anti")
-            tmp = f"{root}/__gate_epoch{int(epoch_id)}"
-            accepted.write.mode("overwrite").parquet(tmp)
+                if not touched:
+                    return
+                known = store_slice(touched).select(F.col("fp").alias("__fp"))
+                accepted = cand.join(F.broadcast(known), "__fp", "left_anti")
+                tmp = f"{root}/__gate_epoch{int(epoch_id)}"
+                accepted.write.mode("overwrite").parquet(tmp)
+                # the fold's touched set — accepted's buckets, computed
+                # off the cached candidates (content-equal to re-deriving
+                # it from the published segment, which the replay path
+                # still does)
+                touched_acc = sorted(
+                    r["b"]
+                    for r in accepted.select(
+                        bucket_expr(["__fp"], n_buckets).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                )
+            finally:
+                cand.unpersist()
             fs.mkdirs(P(f"{root}/accepted"))
             _rename_or_raise(fs, P(tmp), P(seg))  # epoch decided
         # fold (always — replays re-fold idempotently)
@@ -3114,11 +3446,17 @@ def foreach_batch_dedup_gate(
             F.col("__fp").alias("fp"),
             F.col(id_col).cast("bigint").alias("holder"),
         )
-        touched = sorted(
-            r["b"]
-            for r in seg_fps.select(bucket_expr(["fp"], n_buckets).alias("b"))
-            .distinct()
-            .collect()
+        touched = (
+            touched_acc
+            if touched_acc is not None
+            else sorted(
+                r["b"]
+                for r in seg_fps.select(
+                    bucket_expr(["fp"], n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
         )
         if not touched:
             return  # empty accepted set: membership unchanged
@@ -3131,7 +3469,7 @@ def foreach_batch_dedup_gate(
         tmp = f"{root}/__fps_epoch{int(epoch_id)}"
         (
             merged.withColumn("bucket", bucket_expr(["fp"], n_buckets))
-            .repartition("bucket")
+            .repartition(n_buckets, "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(tmp)
@@ -3464,7 +3802,7 @@ def foreach_batch_neardup_gate(
             tmp = f"{store}__fold_epoch{int(epoch_id)}"
             (
                 merged.withColumn("bucket", bucket_expr(keys, n_buckets))
-                .repartition("bucket")
+                .repartition(n_buckets, "bucket")
                 .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(tmp)
@@ -3522,7 +3860,7 @@ def seed_weighted_relation_store(
     (
         rel.withColumn("bucket", bucket_expr(bucket_keys, n_buckets))
         .withColumn("epoch", F.lit(-1).cast("int"))
-        .repartition("bucket")
+        .repartition(n_buckets, "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket", "epoch")
         .parquet(target_path)
@@ -3787,8 +4125,8 @@ def foreach_batch_join_relation_retract_maintain(
         _rollback_or_commit_relation(spark, target_path)
         if epoch_id <= _last_applied_epoch(spark, target_path):
             return  # replay would double-append the epoch's rows — skip
-        if batch_df.isEmpty():
-            return  # empty epoch: state unchanged, ledger not advanced
+        # no isEmpty probe: an empty epoch nets to zero bucket dirs in
+        # _relation_append's write and is detected there for free
         dim = spark.read.parquet(dim_path).select(dim_key, *dim_cols)
         dv = batch_df.join(
             F.broadcast(dim), batch_df[fact_key] == dim[dim_key]
@@ -3819,26 +4157,30 @@ def _relation_append(
     documented on `foreach_batch_join_relation_retract_maintain`.
     Caller contract: the ledger gate has passed and
     `_rollback_or_commit_relation` has run (no park roots exist)."""
-    touched = sorted(
-        r["b"]
-        for r in delta.select(bucket_expr(bucket_keys, n_buckets).alias("b"))
-        .distinct()
-        .collect()
-    )
-    if not touched:
-        return  # fully self-cancelling epoch: state unchanged
     root = target_path.rstrip("/")
     tmp = root + f"__rel_epoch{epoch_id}"
     (
         delta.withColumn("bucket", bucket_expr(bucket_keys, n_buckets))
         .withColumn("epoch", F.lit(int(epoch_id)).cast("int"))
-        .repartition("bucket")
+        .repartition(n_buckets, "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket", "epoch")
         .parquet(tmp)
     )
-    _write_ledger(spark, tmp, epoch_id)
     fs, P = _hadoop_fs(spark, target_path)
+    # touched buckets read off the WRITTEN partition layout (one driver
+    # listing) instead of a separate distinct+collect job over the delta
+    # (round 12, guide §2.4) — the write itself is the proof of which
+    # buckets the epoch touches
+    touched = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(P(tmp))
+        if st.getPath().getName().startswith("bucket=")
+    )
+    if not touched:
+        fs.delete(P(tmp), True)
+        return  # empty / fully self-cancelling epoch: state unchanged
+    _write_ledger(spark, tmp, epoch_id)
     # rewind record: the epoch, its touched buckets, and which existed
     # pre-epoch (existed=false buckets are unbirthed on rollback).
     _write_inflight_manifest(spark, fs, P, tmp, root, epoch_id, touched)
@@ -3989,7 +4331,7 @@ def compact_weighted_relation_store(
     )
     tmp = root + "__relcompact"
     (
-        netted.repartition("bucket")
+        netted.repartition(max(1, len(live_buckets)), "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket", "epoch")
         .parquet(tmp)
