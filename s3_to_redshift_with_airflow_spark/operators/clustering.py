@@ -64,7 +64,19 @@ from .skew import fan_out
 
 
 def _sql_as_double(v: str) -> str:
-    return f"transform({v}, x -> cast(x as double))"
+    return f"transform({_bt(v)}, x -> cast(x as double))"
+
+
+def _bt(name: str) -> str:
+    """Backtick-quote a PLAIN identifier before interpolating it into an
+    expr string (ADVICE r11 #2): a caller-supplied id_col/vec_col with a
+    space, hyphen, or keyword would otherwise fail to parse or resolve
+    differently than the previous F.col spelling. Compound expressions
+    (dots, parens, already-quoted) pass through untouched — those are
+    internal spellings, never user input."""
+    if name.isidentifier():
+        return f"`{name}`"
+    return name
 
 
 def _sql_int_dot(a: str, b: str) -> str:
@@ -424,7 +436,11 @@ def _ivf_coarse_probes(
     scan side, and is the in-memory form of the persisted inverted lists —
     and probes = broadcast (query_id_col, __qvec, cluster), n_probe rows
     per query. Cache lifecycle follows kmeans_int8's `unpersist_with`
-    contract (see ivf_int8_topk)."""
+    contract (see ivf_int8_topk). Callers that pass None (the registry
+    build rows, streaming backfill) deliberately accept the cache pin:
+    CacheManager's plan-keyed reuse collapses repeated same-parameter
+    builds onto ONE cached entry per frame (km_k rows for the centroid
+    table), so the pin is bounded, not a per-call leak (ADVICE r11 #1)."""
     assign = (
         kmeans_int8(
             corpus, k=km_k, n_iter=n_iter, dim=dim, id_col=id_col, vec_col=vec_col
@@ -1507,7 +1523,7 @@ def pca_project(
             F.expr(
                 f"aggregate(sequence(0, {dim - 1}), cast(0.0 as double),"
                 f" (acc, i) -> acc + element_at({arr}, i + 1)"
-                f" * cast(element_at({vec_col}, i + 1) as double))"
+                f" * cast(element_at({_bt(vec_col)}, i + 1) as double))"
                 f" - {off}"
             ).alias(f"pc{c_i}")
         )

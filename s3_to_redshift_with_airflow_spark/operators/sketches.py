@@ -100,8 +100,13 @@ def bloom_bitmap(keys: DataFrame, key_col: str, n_bits: int, k_hashes: int) -> D
         .groupBy("word")
         .agg(F.bit_or("m").alias("b"))
     )
+    # densify-range partitions sized to the WORD COUNT (≥1M words per
+    # partition), not spark.range's default parallelism: a KB-sized
+    # segment bitmap otherwise fans its densify across one task per core
+    # (32 tasks joining a handful of set words — pure scheduling tax on
+    # every per-epoch bloom publish; guide §2.6)
     return (
-        spark.range(n_words)
+        spark.range(0, n_words, 1, max(1, n_words // (1 << 20)))
         .select(F.col("id").alias("word"))
         .join(bits, "word", "left")
         .select("word", F.coalesce("b", F.lit(0).cast("bigint")).alias("b"))

@@ -7444,6 +7444,12 @@ def _stage_epoch_files(epochs, staging: str) -> None:
             etmp = tempfile.mkdtemp(prefix=f"stage_e{i}_")
             e.limit(0).coalesce(1).write.parquet(f"{etmp}/out")
             parts = _glob.glob(f"{etmp}/out/part-*.parquet")
+        if len(parts) != 1:  # ADVICE r11 #4: fail loudly, never truncate
+            raise AssertionError(
+                f"staged epoch {i} split into {len(parts)} part files; "
+                "the one-file-per-epoch contract (hash repartition by the "
+                "stage tag) no longer holds — fix the staging write"
+            )
         staged = f"{staging}/d{i}.parquet"
         _sh.copy(parts[0], staged)
         _os.utime(staged, (now + i, now + i))
