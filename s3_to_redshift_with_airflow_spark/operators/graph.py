@@ -264,20 +264,33 @@ def pagerank_scaled(
         raise ValueError("ckpt_every must be >= 0")
     _require_ansi(edges, allow_non_ansi, "pagerank_scaled")
     store = _OwnedCheckpoints(edges.sparkSession.sparkContext, reliable, checkpoint_dir)
-    e = store.ckpt(
+    e0 = store.ckpt(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct(),
-        "edges",
+        "edges0",
     )
-    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .distinct()
+    # The outdegree join and the node set are LOOP-INVARIANT, but left
+    # lazy they re-derive from the edge snapshot inside every iteration's
+    # lineage (measured: the 3-iteration registry row re-ran the
+    # deg-groupBy and nodes-distinct shuffles 3x each — 28 edge-snapshot
+    # scans, zero exchange reuse). Annotate each edge with its source's
+    # outdegree ONCE and snapshot the node set, so each iteration is
+    # exactly one rank join + one groupBy(v) shuffle + the nodes left
+    # join (guide §2.4: remove whole shuffles). The plain edge snapshot
+    # is superseded by the annotated one and dropped immediately.
+    deg = e0.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = store.ckpt(e0.join(deg, "u"), "edges")  # (u, v, outdeg)
+    nodes = store.ckpt(
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .distinct(),
+        "nodes",
     )
+    store.drop("edges0")
     if redistribute_dangling:
         # Dangling set and N are loop-invariant; their ranks change per
         # iteration, so only the 1-row sum re-executes inside the loop.
-        dangling = nodes.join(deg, nodes.node == deg.u, "left_anti")
+        # (A dangling node is one that never appears as an edge source.)
+        dangling = nodes.join(e, nodes.node == e.u, "left_anti")
         n_nodes = nodes.count()
     base = scale - damping_ppm
     rank = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
@@ -302,7 +315,6 @@ def pagerank_scaled(
             share = 0
         contrib = (
             e.join(rank, e.u == rank.node)
-            .join(deg, "u")
             .select(F.col("v"), F.expr("`rank` div outdeg").alias("contrib"))
             .groupBy("v")
             .agg(F.sum("contrib").alias("in_sum"))
@@ -323,11 +335,11 @@ def pagerank_scaled(
         if ckpt_every and (it + 1) % ckpt_every == 0 and it + 1 < n_iter:
             rank = store.ckpt(rank, "rank")
     if reliable:
-        # Materialize the final ranks so the edge snapshot (which the lazy
-        # rank lineage references) can be dropped from the store; the final
-        # rank snapshot stays — it backs the returned DataFrame.
+        # Materialize the final ranks so the edge/node snapshots (which the
+        # lazy rank lineage references) can be dropped from the store; the
+        # final rank snapshot stays — it backs the returned DataFrame.
         rank = store.ckpt(rank, "rank")
-        store.drop("edges")
+        store.drop("edges", "nodes")
     return rank
 
 
@@ -376,14 +388,19 @@ def personalized_pagerank(
     _require_ansi(edges, allow_non_ansi, "personalized_pagerank")
     spark = edges.sparkSession
     store = _OwnedCheckpoints(spark.sparkContext, reliable, checkpoint_dir)
-    e = store.ckpt(
+    e0 = store.ckpt(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct(),
-        "edges",
+        "edges0",
     )
-    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Same loop-invariant hoist as pagerank_scaled: outdegree annotated
+    # onto the edge snapshot once, seed-marked node table snapshotted once
+    # — otherwise every iteration's lineage re-runs the deg groupBy, the
+    # nodes distinct, and the seed mark join (guide §2.4).
+    deg = e0.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = store.ckpt(e0.join(deg, "u"), "edges")  # (u, v, outdeg)
     nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
         .distinct()
     )
     if isinstance(seeds, DataFrame):
@@ -392,9 +409,13 @@ def personalized_pagerank(
         seed_df = spark.createDataFrame(
             [(s,) for s in seeds], f"node {nodes.schema['node'].dataType.simpleString()}"
         ).distinct()
-    marked = nodes.join(
-        F.broadcast(seed_df.withColumn("__s", F.lit(1))), "node", "left"
-    ).select("node", F.coalesce(F.col("__s"), F.lit(0)).alias("is_seed"))
+    marked = store.ckpt(
+        nodes.join(
+            F.broadcast(seed_df.withColumn("__s", F.lit(1))), "node", "left"
+        ).select("node", F.coalesce(F.col("__s"), F.lit(0)).alias("is_seed")),
+        "marked",
+    )
+    store.drop("edges0")
     base = scale - damping_ppm
     rank = marked.select(
         "node", "is_seed", (F.col("is_seed") * scale).cast("bigint").alias("rank")
@@ -402,7 +423,6 @@ def personalized_pagerank(
     for it in range(n_iter):
         contrib = (
             e.join(rank.filter(F.col("rank") > 0), e.u == F.col("node"))
-            .join(deg, "u")
             .select(F.col("v"), F.expr("`rank` div outdeg").alias("contrib"))
             .groupBy("v")
             .agg(F.sum("contrib").alias("in_sum"))
@@ -425,7 +445,7 @@ def personalized_pagerank(
     out = rank.select("node", "rank")
     if reliable:
         out = store.ckpt(out, "rank")
-        store.drop("edges")
+        store.drop("edges", "marked")
     return out
 
 
@@ -478,6 +498,13 @@ def triangle_counts(
         edges.sparkSession.sparkContext, reliable, checkpoint_dir
     )
     e = edges.select(F.col(src).alias("u1"), F.col(dst).alias("u2"))
+    if materialize:
+        # The caller's edge-builder subtree (for the registry row: an
+        # events co-occurrence self-join) feeds the degree union TWICE
+        # and the orientation join once — snapshot it so it executes
+        # once, not three times, inside the orientation checkpoint job.
+        # Dropped right after `o` materializes (it is superseded).
+        e = store.ckpt(e, "tri-edges")
     deg = (
         e.select(F.col("u1").alias("u"))
         .unionAll(e.select(F.col("u2").alias("u")))
@@ -503,6 +530,7 @@ def triangle_counts(
         # dropped here; reliable-mode callers sharing a checkpoint dir get
         # ownership-tracked hygiene for free.
         o = store.ckpt(o, "oriented")
+        store.drop("tri-edges")
     wedges = (
         o.select("a", F.col("b").alias("y"))
         .join(o.select("a", F.col("b").alias("z")), "a")
@@ -515,10 +543,14 @@ def triangle_counts(
         F.least("a", "b").alias("y"), F.greatest("a", "b").alias("z")
     )
     tri = wedges.join(closing, ["y", "z"])
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+    # One explode, not a 3-way union: the union form clones the whole
+    # wedge-close join tree once per corner projection (measured: 3
+    # copies, 18 edge-snapshot scans, zero exchange reuse in the
+    # registry row's plan), so every triangle was found three times.
+    # explode(array(a,y,z)) emits the same corner multiset from ONE
+    # execution of the join (guide §2.4).
+    corners = tri.select(
+        F.explode(F.array(F.col("a"), F.col("y"), F.col("z"))).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
 
