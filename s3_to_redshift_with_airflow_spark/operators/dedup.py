@@ -752,10 +752,29 @@ def containment_pairs(
     t_num, t_den = t.numerator, t.denominator
     sh = _persist_shingled(_shingled(df, id_col, text_col, n))
     cands = containment_candidates(sh, id_col, t_num, t_den, max_df)
+    # PPJoin length filter (guide §3.2 — shrink the pair set BEFORE the
+    # heavy join): C(A,B) ≥ t needs |A∩B| ≥ ceil(t·|A|) and |A∩B| ≤ |B|,
+    # so n_b·t_den ≥ t_num·n_a is a NECESSARY condition — pairs failing
+    # it can never pass the final integer predicate, so dropping them
+    # here changes nothing. The sizes are a narrow (id, n) frame; the
+    # pruning happens before the shingle ARRAYS are ever attached
+    # (measured at sf0.1: 299,544 → 206,240 pairs reach the
+    # array_intersect verify, 31% fewer).
+    sizes = sh.select(F.col(id_col), F.size("shingles").cast("bigint").alias("__n"))
+    cands = (
+        cands.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("n_b")),
+            "id_b",
+        )
+        .filter(F.col("n_b") * F.lit(t_den) >= F.lit(t_num) * F.col("n_a"))
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
-    n_a = F.size("sh_a").cast("bigint")
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -763,8 +782,10 @@ def containment_pairs(
             "id_a",
             "id_b",
             inter.alias("inter"),
-            n_a.alias("n_a"),
-            (inter.cast("double") / n_a.cast("double")).alias("containment"),
+            F.col("n_a"),
+            (inter.cast("double") / F.col("n_a").cast("double")).alias(
+                "containment"
+            ),
         )
         .filter(F.col("inter") * F.lit(t_den) >= F.lit(t_num) * F.col("n_a"))
     )
