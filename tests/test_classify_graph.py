@@ -4,6 +4,8 @@ emission semantics (watermark boundary + multi-batch session merging)."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from pyspark.sql import functions as F
@@ -39,6 +41,7 @@ def _py_classify(texts: dict[int, str], n_buckets=4096, seed=7):
     return out
 
 
+@pytest.mark.slow
 def test_classifier_matches_python_reference(spark):
     rows = [
         (1, "The quick brown fox jumps over the lazy dog"),
@@ -542,6 +545,7 @@ def test_lpa_partitioning_invariant_and_reliable(spark, tmp_path):
         label_propagation(df, n_iter=0)
 
 
+@pytest.mark.slow
 def test_kcore_and_lpa_on_seeded_random_graphs(spark):
     """Randomized cross-check: Erdős–Rényi-ish graphs from seeded numpy
     draws, Spark result vs the pure-Python replay — catches contract

@@ -278,6 +278,7 @@ def _serve_bm25(spark, idx):
     )
 
 
+@pytest.mark.slow
 def test_compaction_crash_at_every_step_is_recoverable(spark, tmp_path):
     """ADVICE r8 #1: the segs/ swap inside compaction gets the same
     exhaustive crash-point treatment as the artifact install. At every
@@ -387,6 +388,7 @@ class _CrashingFS:
         return getattr(self._fs, name)
 
 
+@pytest.mark.slow
 def test_wagg_bucketed_crash_at_every_fs_op_is_recoverable(
     spark, tmp_path, monkeypatch
 ):
@@ -507,6 +509,7 @@ def test_wagg_bucketed_crash_at_every_fs_op_is_recoverable(
     assert crash_after >= 8  # the enumeration actually covered the loop
 
 
+@pytest.mark.slow
 def test_wagg_bucketed_rollback_itself_is_reentrant(spark, tmp_path, monkeypatch):
     """A crash DURING recovery's rewind must leave a state the next
     recovery completes from: crash the epoch mid-bucket-loop, then crash

@@ -458,6 +458,7 @@ def test_join_agg_retract_sink_interleaved_epochs_and_replay(spark, tmp_path):
     assert sorted((r["seg"], r["cnt"], float(r["sm"])) for r in rec.collect()) == want
 
 
+@pytest.mark.slow
 def test_join_agg_retract_bucketed_matches_plain_and_crash_recovers(
     spark, tmp_path, monkeypatch
 ):
@@ -542,6 +543,7 @@ def test_join_agg_retract_bucketed_matches_plain_and_crash_recovers(
 
 
 
+@pytest.mark.slow
 def test_dedup_gate_drops_cross_epoch_dups_and_survives_crash(
     spark, tmp_path, monkeypatch
 ):
@@ -612,6 +614,7 @@ def test_dedup_gate_drops_cross_epoch_dups_and_survives_crash(
     assert corpus() == [1, 3, 11, 20, 31]
 
 
+@pytest.mark.slow
 def test_neardup_gate_monotone_rule_and_replay(spark, tmp_path):
     """The streaming near-dup gate's semantics: cross-epoch near-dups
     drop; a doc similar ONLY to a DROPPED doc still drops (the monotone
@@ -653,6 +656,7 @@ def test_neardup_gate_monotone_rule_and_replay(spark, tmp_path):
     assert kept() == [1, 2, 4, 6]
 
 
+@pytest.mark.slow
 def test_neardup_gate_indexes_dropped_docs(spark, tmp_path):
     """The discriminating case for the seen-index choice: B drops as a
     near-dup of A; C is a near-dup of B but NOT of A. The monotone rule

@@ -6,6 +6,8 @@ regression that row-count tests can't see."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from s3_to_redshift_with_airflow_spark.plans import REGISTRY
@@ -211,6 +213,7 @@ def test_semantic_neardup_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow
 def test_registry_wide_plan_audit(spark):
     """Whole-registry guard: no Python evaluation and no Cartesian product
     may appear in ANY registered plan except the documented sanctions

@@ -4,6 +4,13 @@ against brute-force reference implementations on randomized inputs."""
 
 from __future__ import annotations
 
+import pytest
+
+# Every case here replays a randomized model against the engine across
+# multiple seeds — the multi-minute property suite VERDICT r11 next #3
+# names; deselected by default, SPARK_GRAFT_RUN_SLOW=1 runs it.
+pytestmark = pytest.mark.slow
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

@@ -113,6 +113,7 @@ def _serve_bm25(spark, idx):
     )
 
 
+@pytest.mark.slow
 def test_reader_at_every_fs_op_of_segment_publish(spark, tmp_path, monkeypatch):
     """An epoch's segment publish (scratch build -> one rename ->
     manifest commit): at every fs-op prefix the manifest-resolved serve
@@ -152,6 +153,7 @@ def test_reader_at_every_fs_op_of_segment_publish(spark, tmp_path, monkeypatch):
     assert crash_after >= 2  # publish rename + manifest commit enumerated
 
 
+@pytest.mark.slow
 def test_reader_at_every_fs_op_of_tiered_compaction(spark, tmp_path, monkeypatch):
     """Tiered compaction preserves content (marker install, invisible
     merged publish, atomic manifest swap, constituent deletes): the
@@ -200,6 +202,7 @@ def test_reader_at_every_fs_op_of_tiered_compaction(spark, tmp_path, monkeypatch
 # ------------------------------------------- park-until-ledger bucketed --
 
 
+@pytest.mark.slow
 def test_snapshot_reader_at_every_fs_op_of_bucketed_wagg_epoch(
     spark, tmp_path, monkeypatch
 ):

@@ -37,7 +37,42 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+# Queries whose sf0.001 oracle replica takes >= 5 s each (measured with
+# --durations=0, round 12): marked slow so the default `pytest tests/`
+# finishes inside a CI/verify window. SPARK_GRAFT_RUN_SLOW=1 runs them;
+# tools/check_oracle.py covers every query regardless.
+_SLOW_ORACLE = {
+    "ann_recall_report",
+    "containment_neardup",
+    "curation_audit",
+    "curation_funnel",
+    "curation_funnel_trimmed",
+    "dedup_rate_report",
+    "doc_dedup_clusters",
+    "filtered_ann_recall_report",
+    "filtered_ivf_pq_ann_topk",
+    "incremental_neardup",
+    "ivf_pq_index_retrain",
+    "kfold_split",
+    "leakage_safe_split",
+    "minhash_neardup",
+    "neardup_survivors",
+    "ngram_neardup",
+    "repetition_score",
+    "streaming_dedup_gate",
+    "streaming_neardup_gate",
+    "streaming_synthetic_agg",
+    "winnow_fingerprint",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLE else n
+        for n in sorted(REGISTRY)
+    ],
+)
 def test_query_matches_oracle(name, spark, oracle_con):
     spec = REGISTRY[name]
     result = spec.fn(spark, SF_SMOKE).toPandas()

@@ -176,6 +176,7 @@ def _physical_rows(spark, target):
         raise
 
 
+@pytest.mark.slow
 def test_compaction_physically_cancels_churn(spark, tmp_path):
     target, sink = _build(spark, tmp_path)
     epochs = _epochs(spark)
@@ -217,6 +218,7 @@ def test_compaction_drops_fully_cancelled_bucket(spark, tmp_path):
 # ---------- time travel ----------
 
 
+@pytest.mark.slow
 def test_read_at_equals_batch_build_over_prefix(spark, tmp_path):
     target, sink = _build(spark, tmp_path)
     epochs = _epochs(spark)
@@ -230,6 +232,7 @@ def test_read_at_equals_batch_build_over_prefix(spark, tmp_path):
     assert _serve(spark, target, as_of=-1) == []
 
 
+@pytest.mark.slow
 def test_read_at_respects_compaction_horizon(spark, tmp_path):
     target, sink = _build(spark, tmp_path)
     epochs = _epochs(spark)
@@ -290,6 +293,7 @@ def test_relation_diff_is_snapshot_difference(spark, tmp_path):
         read_weighted_relation_diff(spark, target, 2, 0)
 
 
+@pytest.mark.slow
 def test_keyed_serve_equals_filtered_full_serve(spark, tmp_path):
     """Point lookup == whole-store serve filtered to the keys, at the
     live snapshot AND as-of a past epoch; keys that never landed produce
@@ -433,6 +437,7 @@ def _patch_crashing(monkeypatch, pl, real_hfs, real_install, budget):
     monkeypatch.setattr(pl, "_install", crashing_install)
 
 
+@pytest.mark.slow
 def test_relation_append_crash_at_every_fs_op_is_recoverable(
     spark, tmp_path, monkeypatch
 ):
@@ -486,6 +491,7 @@ def test_relation_append_crash_at_every_fs_op_is_recoverable(
     assert crash_after >= 6  # enumeration actually covered the loop
 
 
+@pytest.mark.slow
 def test_relation_compaction_crash_at_every_fs_op_is_recoverable(
     spark, tmp_path, monkeypatch
 ):
@@ -527,6 +533,7 @@ def test_relation_compaction_crash_at_every_fs_op_is_recoverable(
     assert crash_after >= 4
 
 
+@pytest.mark.slow
 def test_relation_rollback_itself_is_reentrant(spark, tmp_path, monkeypatch):
     """A crash DURING the rewind must leave a state the next recovery
     completes from: crash the epoch mid-subdir-loop, then crash the

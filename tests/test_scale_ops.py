@@ -229,6 +229,7 @@ def test_incremental_agg_merge_any_cutoff(spark):
         assert got == full, cutoff
 
 
+@pytest.mark.slow
 def test_ann_recall_report_pins_all_methods(spark):
     """The registry-visible recall report must show ≥0.9 top-10 recall for
     the float ANN paths at their registered parameters; the deterministic

@@ -494,6 +494,7 @@ def test_sized_state_partitions_sizing_and_restore(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+@pytest.mark.slow
 def test_foreach_batch_cdc_scd2_multi_epoch_versions(spark):
     """Streaming CDC→SCD2 across TWO epochs (maxFilesPerTrigger=1): a key
     updated in both epochs records one version per epoch (the batch

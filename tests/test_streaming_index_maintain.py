@@ -49,6 +49,7 @@ def _snap_index(spark, index_dir):
     }
 
 
+@pytest.mark.slow
 def test_bm25_maintain_equals_batch_rebuild(spark, tmp_path):
     idx = str(tmp_path / "idx")
     a = _docs(spark, [(1, "spark shuffles data"), (2, "data moves in shuffles")])
@@ -286,6 +287,7 @@ def test_bucketed_cdc_stale_leftover_park_is_cleaned(spark, tmp_path):
 # ------------------------------------------------- segmented BM25 --
 
 
+@pytest.mark.slow
 def test_bm25_segmented_equals_rebuild_and_replay_skips(spark, tmp_path):
     from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
         foreach_batch_bm25_maintain_segmented,
@@ -342,6 +344,7 @@ def test_bm25_segmented_disjointness_and_empty_epoch(spark, tmp_path):
     assert not os.path.exists(f"{idx}/segs/seg_1")  # empty epoch: no segment
 
 
+@pytest.mark.slow
 def test_bm25_segment_compaction_preserves_serve(spark, tmp_path):
     from s3_to_redshift_with_airflow_spark.operators.retrieval import (
         bm25_index_search,
@@ -458,6 +461,7 @@ def _emb(spark, lo, hi, dim=8):
     )
 
 
+@pytest.mark.slow
 def test_ivf_pq_segmented_maintain_matches_batch_append(spark, tmp_path):
     """Single-epoch maintained index content == the batch frozen-quantizer
     append; appended vectors are REACHABLE through search over the
@@ -577,6 +581,7 @@ def test_join_view_maintain_equals_recompute_and_replays(spark, tmp_path):
 # --------------------------------------- r9: compaction + bloom probe --
 
 
+@pytest.mark.slow
 def test_replay_after_bm25_compaction_is_skipped_not_fatal(spark, tmp_path):
     """ADVICE r8 #3: compaction merges seg_N away; an at-least-once replay
     of epoch N (sink done, checkpoint commit lost, then compaction ran)
@@ -617,6 +622,7 @@ def test_replay_after_bm25_compaction_is_skipped_not_fatal(spark, tmp_path):
         sink(_docs(spark, [(2, "reused id, new epoch")]), 3)
 
 
+@pytest.mark.slow
 def test_replay_after_ivf_pq_compaction_is_skipped(spark, tmp_path):
     from s3_to_redshift_with_airflow_spark.streaming.pipeline import (
         compact_ivf_pq_segments,
@@ -689,6 +695,7 @@ def test_join_view_compaction_and_replay_skip(spark, tmp_path):
     assert len(snap()) == len(pre) + 1
 
 
+@pytest.mark.slow
 def test_auto_compaction_bounds_segment_count(spark, tmp_path):
     """compact_every=3: a long run's live segment count stays bounded by
     the knob instead of growing one per epoch forever."""
@@ -718,6 +725,7 @@ def test_auto_compaction_bounds_segment_count(spark, tmp_path):
     assert sorted(map(tuple, l.collect())) == sorted(map(tuple, bl.collect()))
 
 
+@pytest.mark.slow
 def test_bloom_probe_localizes_suspects_and_scales(spark, tmp_path):
     """The measured point for VERDICT r8 #1, under the three-tier probe:
     a range-disjoint delta (monotone ids — the production norm) is
@@ -772,6 +780,7 @@ def test_bloom_probe_localizes_suspects_and_scales(spark, tmp_path):
     assert base_bytes <= 2 * (20_000 * _SEG_BLOOM_BITS_PER_KEY // 8) + 10_000
 
 
+@pytest.mark.slow
 def test_legacy_segment_without_bloom_falls_back_to_exact(spark, tmp_path):
     """A store seeded before the bitmap existed: the probe reports
     cannot-localize (None) and the maintainer runs the exact union
@@ -827,6 +836,7 @@ def test_bucketed_cdc_all_null_event_time_batch_is_noop(spark, tmp_path):
 # ------------------------------------------------- r9: quantizer retrain --
 
 
+@pytest.mark.slow
 def test_ivf_pq_retrain_recovers_recall_and_preserves_membership(spark, tmp_path):
     """The cadence-retrain seam: after a distribution-shifted block
     streams in through the frozen quantizer, retraining on the current
@@ -892,6 +902,7 @@ def test_ivf_pq_retrain_recovers_recall_and_preserves_membership(spark, tmp_path
     assert len(members()) == len(pre) + 10
 
 
+@pytest.mark.slow
 def test_ivf_pq_retrain_crash_in_root_swap_is_recoverable(spark, tmp_path):
     """A crash inside the retrain's whole-root swap parks the complete
     old index at root__prev: serve resolves the park, and the next
@@ -1025,6 +1036,7 @@ def _serve_bm25_pl(spark, idx):
     )
 
 
+@pytest.mark.slow
 def test_tiered_merge_never_rewrites_the_giant_base(spark, tmp_path):
     """The size-tiered policy: segments holding more than half the
     store's bytes are excluded from the merge, so the seed base is never
@@ -1073,6 +1085,7 @@ def test_tiered_merge_never_rewrites_the_giant_base(spark, tmp_path):
     assert len(_live_segments(spark, f"{idx}/segs")) == 2
 
 
+@pytest.mark.slow
 def test_partial_merge_crash_windows_never_double_count(spark, tmp_path):
     """The manifest is what makes PARTIAL merges crash-safe: at every
     crash point of the partial path — merged segment published but not
@@ -1136,6 +1149,7 @@ def test_partial_merge_crash_windows_never_double_count(spark, tmp_path):
     assert _serve_bm25_pl(spark, idx) == want
 
 
+@pytest.mark.slow
 def test_publish_crash_before_manifest_commit_is_repaired_by_replay(
     spark, tmp_path
 ):
@@ -1166,6 +1180,7 @@ def test_publish_crash_before_manifest_commit_is_repaired_by_replay(
 # ------------------------------- r10: store-wide summary bloom (tier 1.5) --
 
 
+@pytest.mark.slow
 def test_summary_bloom_proves_covered_segments_disjoint(spark, tmp_path):
     """VERDICT r9 #5: after a compaction the store-wide summary covers
     every live segment, so an interleaved-but-absent delta is proven
@@ -1202,6 +1217,7 @@ def test_summary_bloom_proves_covered_segments_disjoint(spark, tmp_path):
     assert _bloom_suspect_segments(spark, segs, odd, "doc_id") == []
 
 
+@pytest.mark.slow
 def test_summary_hit_falls_through_to_per_segment_localization(spark, tmp_path):
     """A delta containing an indexed id HITS the summary — which cannot
     localize — so the per-segment tier takes over and names exactly the

@@ -5,6 +5,8 @@ encodes."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -54,6 +56,7 @@ def _write(spark, tmp_path, rows):
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
 
+@pytest.mark.slow
 def test_outer_join_null_row_held_at_exact_bound(spark, tmp_path):
     """Watermark == click_ts + 1h (and +1µs, which ms-floors to the bound):
     the unmatched click's null row is NOT emitted — the boundary is

@@ -4,6 +4,8 @@ exact md5-regeneration oracle; here we pin the source-level contracts."""
 
 from __future__ import annotations
 
+import pytest
+
 from s3_to_redshift_with_airflow_spark.sources.synthetic import register
 
 
@@ -54,6 +56,7 @@ def test_feeds_event_time_pipeline(spark):
     assert all(r["window"]["start"] is not None for r in out)
 
 
+@pytest.mark.slow
 def test_stream_reader_trigger_once_and_replay(spark, tmp_path):
     """Streaming half of the DataSource: trigger-once processes exactly one
     batch; a fresh checkpoint replays batch 0 byte-identically (the

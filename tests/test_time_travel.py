@@ -44,6 +44,7 @@ def _snap(p, l, s):
     )
 
 
+@pytest.mark.slow
 def test_bm25_read_at_equals_prefix_build(spark, tmp_path):
     idx = str(tmp_path / "idx")
     a = _docs(spark, [(1, "spark shuffles data"), (2, "data moves in shuffles")])
@@ -72,6 +73,7 @@ def test_bm25_read_at_equals_prefix_build(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_bm25_read_at_survives_tiered_compaction(spark, tmp_path):
     idx = str(tmp_path / "idx")
     # big seed (stays excluded by the >half-bytes tier rule), tiny epochs
@@ -106,6 +108,7 @@ def test_bm25_read_at_survives_tiered_compaction(spark, tmp_path):
     assert got3 == _snap(*read_bm25_index_segmented(spark, idx))
 
 
+@pytest.mark.slow
 def test_bm25_read_at_after_full_merge(spark, tmp_path):
     idx = str(tmp_path / "idx")
     a = _docs(spark, [(1, "spark data"), (2, "more data")])
@@ -122,6 +125,7 @@ def test_bm25_read_at_after_full_merge(spark, tmp_path):
             read_bm25_index_segmented_at(spark, idx, folded)
 
 
+@pytest.mark.slow
 def test_legacy_store_without_sidecars_serves_at_top_only(spark, tmp_path):
     """A pre-covers store (no sidecars anywhere) keeps the conservative
     contract: read_at at/above every fold's top INCLUDES the folds
@@ -175,6 +179,7 @@ def test_join_view_read_at(spark, tmp_path):
     assert read_join_view_segments_at(spark, view, 1).count() == 3
 
 
+@pytest.mark.slow
 def test_time_travel_under_random_publish_compact_schedules(spark):
     """Property (hypothesis): under ANY interleaving of epoch publishes
     and compactions, read_at(e) either serves EXACTLY the union of
@@ -298,6 +303,7 @@ def test_dedup_gate_corpus_read_at(spark, tmp_path):
         read_dedup_gate_corpus_diff(spark, store, 2, 0)
 
 
+@pytest.mark.slow
 def test_dedup_gate_corpus_compaction(spark, tmp_path):
     """Folding the accepted segments bounds segment count while keeping
     the served corpus row-identical; read_at stays exact above the fold
@@ -351,6 +357,7 @@ def test_dedup_gate_corpus_compaction(spark, tmp_path):
     assert live() == [1, 2, 3, 4, 5]
 
 
+@pytest.mark.slow
 def test_ivf_pq_read_at(spark, tmp_path):
     import random
 
