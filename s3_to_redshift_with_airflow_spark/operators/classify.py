@@ -420,25 +420,26 @@ def char_entropy(docs: DataFrame, low_fp: int = 3 * 65536) -> DataFrame:
     cnt = ch.groupBy("doc_id", "c").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_c")
     )
-    tot = cnt.groupBy("doc_id").agg(
+    # Σ n_c·(lg N − lg n_c) = N·lg N − Σ n_c·lg n_c (integer sums
+    # distribute exactly), so the per-doc total, the alphabet size and
+    # the Σ n_c·lg n_c term all come out of ONE doc-keyed aggregate —
+    # the previous tot-groupBy + cnt⋈tot join (a second doc-keyed
+    # shuffle plus a join per query) is pure plan overhead the algebra
+    # removes (guide §2.4). Same bigint ops, same overflow bound
+    # (every term ≤ the old sum's), bit-identical entropy_fp.
+    lg_c = log2_fp_sql("n_c", dialect="spark")
+    ent = cnt.groupBy("doc_id").agg(
         F.sum("n_c").cast("bigint").alias("tot"),
         F.count(F.lit(1)).cast("bigint").alias("n_alphabet"),
+        F.expr(f"cast(sum(n_c * ({lg_c})) as bigint)").alias("__s"),
     )
     lg_n = log2_fp_sql("tot", dialect="spark")
-    lg_c = log2_fp_sql("n_c", dialect="spark")
-    ent = (
-        cnt.join(tot, "doc_id")
-        .groupBy("doc_id", "tot", "n_alphabet")
-        .agg(
-            F.expr(f"cast(sum(n_c * ({lg_n} - {lg_c})) as bigint) div tot").alias(
-                "entropy_fp"
-            )
-        )
-    )
     return ent.select(
         "doc_id",
         F.col("tot").alias("n_chars_used"),
         "n_alphabet",
-        "entropy_fp",
-        F.when(F.col("entropy_fp") < low_fp, "low").otherwise("ok").alias("label"),
+        F.expr(f"(tot * ({lg_n}) - __s) div tot").alias("entropy_fp"),
+    ).withColumn(
+        "label",
+        F.when(F.col("entropy_fp") < low_fp, "low").otherwise("ok"),
     )
