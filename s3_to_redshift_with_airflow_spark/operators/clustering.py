@@ -981,7 +981,14 @@ def pq_index_build(
     _require_ansi(emb, allow_non_ansi)
     sub = dim // m_subspaces
 
-    subs = _pq_subspaces(emb, m_subspaces, sub, id_col, vec_col).persist()
+    # fan_out BEFORE the persist: a single-file corpus arrives as ONE
+    # partition, which pins the subspace explode, every training pass
+    # over it, AND every cached read of it (the per-execution codes /
+    # packed-codebook broadcast builds decode the columnar cache
+    # single-threaded — measured 1.7 s per action at sf0.1) to one core.
+    # fan_out is a deterministic plan-level repartition, so CacheManager's
+    # plan-keyed reuse across executions is unaffected (guide §2.6).
+    subs = fan_out(_pq_subspaces(emb, m_subspaces, sub, id_col, vec_col)).persist()
     if unpersist_with is not None:
         unpersist_with.append(subs)
 

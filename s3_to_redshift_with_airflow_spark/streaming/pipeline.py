@@ -2711,15 +2711,13 @@ def seed_bm25_index_segmented(docs: DataFrame, index_dir: str) -> None:
     spark = docs.sparkSession
     root = index_dir.rstrip("/")
     p, l, _ = bm25_index_build(docs)
-    (
-        p.repartitionByRange(F.col("term"))
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .parquet(f"{root}/segs/seg_base/postings")
-    )
+    # doclens first: its one aggregate feeds bloom sizing, the `_stats`
+    # sidecar AND the postings layout decision (a seed under
+    # _SMALL_SEG_DOCS writes one sorted file via _write_sorted_postings —
+    # repartitionByRange on a small corpus fans the table across
+    # shuffle-partition-count KB-sized files, and every serve then pays a
+    # one-task-per-file scan; guide §6 small files)
     l.write.mode("overwrite").parquet(f"{root}/segs/seg_base/doclens")
-    # one aggregate over the written doclens feeds bloom sizing AND the
-    # `_stats` sidecar (no re-tokenize, no second stats job)
     l_back = spark.read.parquet(f"{root}/segs/seg_base/doclens")
     row = l_back.agg(
         F.count(F.lit(1)).alias("n"),
@@ -2727,6 +2725,7 @@ def seed_bm25_index_segmented(docs: DataFrame, index_dir: str) -> None:
         F.max("doc_id").alias("hi"),
         F.sum("len").alias("sl"),
     ).collect()[0]
+    _write_sorted_postings(p, f"{root}/segs/seg_base/postings", int(row["n"]))
     _write_segment_bloom(
         l_back,
         "doc_id",
@@ -2764,12 +2763,10 @@ def compact_bm25_segments(
     def write_merged(tmp: str, names: list[str], out_name: str) -> None:
         postings = _read_segment_table(spark, segs, "postings", names)
         doclens = _read_segment_table(spark, segs, "doclens", names)
-        (
-            postings.repartitionByRange(F.col("term"))
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/{out_name}/postings")
-        )
+        # doclens first: its aggregate sizes the bloom, the `_stats`
+        # sidecar AND the merged postings layout (small merges take the
+        # one-sorted-file path; corpus-sized merges keep the range
+        # shuffle — same data-bounded rule as the per-epoch publisher)
         doclens.write.mode("overwrite").parquet(f"{tmp}/{out_name}/doclens")
         l_back = spark.read.parquet(f"{tmp}/{out_name}/doclens")
         row = l_back.agg(
@@ -2789,6 +2786,9 @@ def compact_bm25_segments(
         # across compactions
         _write_bm25_seg_stats(
             spark, f"{tmp}/{out_name}", int(row["n"]), int(row["sl"] or 0)
+        )
+        _write_sorted_postings(
+            postings, f"{tmp}/{out_name}/postings", int(row["n"])
         )
 
     merged = _compact_segment_store(spark, root, write_merged, tiered=tiered)
