@@ -680,6 +680,15 @@ def containment_candidates(
         keep = freq.filter(F.col("df") <= max_df).select("shingle")
         join_posts = posts.join(keep, "shingle", "left_semi")
         prefixes = prefixes.join(keep, "shingle", "left_semi")
+    # Pin the dedup exchange's partition count: the stage ABOVE it is
+    # compute-dense (downstream array_intersect verify lands in it) but
+    # byte-light, so AQE's byte-based coalescing would serialize it onto
+    # a couple of tasks (measured two ~1 s 5-task jobs at sf0.1 with 32
+    # cores idle). A user-specified repartition on the SAME keys as the
+    # dropDuplicates satisfies its clustering requirement (no second
+    # exchange) and is exempt from AQE coalescing; the count is the
+    # session's scale knob, not a local constant.
+    n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
         prefixes.alias("a")
         .join(join_posts.alias("b"), "shingle")
@@ -687,6 +696,7 @@ def containment_candidates(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .filter(F.col("id_a") != F.col("id_b"))
+        .repartition(n_part, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -63,8 +63,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight table here is the deterministic md5-derived stand-in (no trained
     model ships in the container); a trained (bucket, weight) table slots
     into the identical plan."""
+    from ..operators.skew import fan_out
+
     (docs,) = _t(spark, sf_dir, "documents")
-    return hashed_linear_classify(docs, n_buckets=_N_BUCKETS, seed=_SEED)
+    # single-file corpus scan = ONE partition; the tokenize/md5 explode is
+    # the row's whole cost, so spread the scan first (no-op at real scale)
+    return hashed_linear_classify(fan_out(docs), n_buckets=_N_BUCKETS, seed=_SEED)
 
 
 # --- Naive-Bayes training for the hashed linear classifier -----------------
@@ -142,12 +146,16 @@ def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     `hashed_linear_classify(weights=)` (pinned in tests)."""
     import functools
 
+    from ..operators.skew import fan_out
+
     (docs,) = _t(spark, sf_dir, "documents")
     passes = functools.reduce(
         lambda a, b: a & b, gopher_rules(F.col("text")).values()
     )
+    # fan the RAW scan: the gopher label + tokenize/md5 explode all sit
+    # above this exchange, so they parallelize (no-op at real scale)
     return train_hashed_weights(
-        docs.withColumn("__label", passes),
+        fan_out(docs).withColumn("__label", passes),
         "__label",
         n_buckets=_N_BUCKETS,
         seed=_SEED,

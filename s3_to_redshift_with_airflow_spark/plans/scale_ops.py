@@ -4477,6 +4477,7 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/sketches.bloom_semijoin_stats (shared with the scale
     study)."""
     from ..operators.sketches import bloom_semijoin_stats
+    from ..operators.skew import fan_out
 
     orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
     keys = (
@@ -4484,8 +4485,12 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
     )
+    # the probe side's k md5 hashes + bitmap test run above this exchange
+    # (single-file scan = 1 partition at bench SF; no-op at real scale,
+    # where the probe scan is already wide and fan_out does nothing)
     return bloom_semijoin_stats(
-        lineitem, "l_orderkey", keys, key_col="k", n_bits=_BF_BITS, k_hashes=_BF_K
+        fan_out(lineitem), "l_orderkey", keys,
+        key_col="k", n_bits=_BF_BITS, k_hashes=_BF_K,
     )
 
 
@@ -4519,6 +4524,7 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving rows. Implementation: operators/sketches.bloom_semijoin
     (registered per VERDICT r5 next-round #2)."""
     from ..operators.sketches import bloom_semijoin
+    from ..operators.skew import fan_out
 
     orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
     keys = (
@@ -4526,7 +4532,11 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
     )
-    probe = lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+    # probe-side hashing runs above this exchange (1-partition scan at
+    # bench SF; no-op at real scale)
+    probe = fan_out(
+        lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
     return bloom_semijoin(
         probe, "l_orderkey", keys, key_col="k", n_bits=_BF_BITS, k_hashes=_BF_K
     )

@@ -754,9 +754,12 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends the bucket, no skip-ahead), so the result is deterministic and
     all-integer on both engines."""
     from ..functions.text import tokens as _tok
+    from ..operators.skew import fan_out
 
     (docs,) = _t(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", _tok(F.col("text")).alias("tk"))
+    # the tokenizer runs (once per consumer of `s`) above this exchange
+    # (1-partition single-file scan at bench SF; no-op at real scale)
+    toked = fan_out(docs).select("doc_id", _tok(F.col("text")).alias("tk"))
     s = (
         toked.select(
             "doc_id",

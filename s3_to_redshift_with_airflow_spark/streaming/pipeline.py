@@ -3425,18 +3425,15 @@ def foreach_batch_dedup_gate(
                 accepted = cand.join(F.broadcast(known), "__fp", "left_anti")
                 tmp = f"{root}/__gate_epoch{int(epoch_id)}"
                 accepted.write.mode("overwrite").parquet(tmp)
-                # the fold's touched set — accepted's buckets, computed
-                # off the cached candidates (content-equal to re-deriving
-                # it from the published segment, which the replay path
-                # still does)
-                touched_acc = sorted(
-                    r["b"]
-                    for r in accepted.select(
-                        bucket_expr(["__fp"], n_buckets).alias("b")
-                    )
-                    .distinct()
-                    .collect()
-                )
+                # the fold's touched set: the CANDIDATE buckets — a
+                # superset of accepted's buckets (accepted ⊆ cand), and
+                # the fold is an idempotent min-merge, so a bucket with
+                # no accepted rows is rewritten with identical content.
+                # Using the superset drops a whole per-epoch job (the
+                # accepted-bucket collect re-ran the store read +
+                # broadcast + anti-join); the replay path still derives
+                # the exact set from the published segment.
+                touched_acc = touched
             finally:
                 cand.unpersist()
             fs.mkdirs(P(f"{root}/accepted"))
