@@ -1017,16 +1017,6 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # The per-user pair explosion (up to C(cap,2) pairs/user) is
-    # compute-dense but byte-light, so AQE's byte-based coalescing runs
-    # it on ONE task (measured ~0.7 s/execution at sf0.1 with 32 cores
-    # idle). ONE user-specified repartition on the user key — exempt from
-    # AQE coalescing, and every downstream consumer (bsize, the
-    # size-cap semi-filter, the self-join) clusters on the same key, so
-    # no further exchange is added. The count is the session's scale
-    # knob, not a local constant.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    uk = uk.repartition(n_part, "u")
     bsize = uk.groupBy("u").agg(F.count(F.lit(1)).alias("bs"))
     ukc = uk.join(bsize.filter(F.col("bs") <= _BL_CAP).select("u"), "u")
     nu = ukc.agg(F.countDistinct("u").cast("bigint").alias("n_users"))

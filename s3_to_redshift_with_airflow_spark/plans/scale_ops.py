@@ -4765,27 +4765,14 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = gs.alias("a").join(
         gs.alias("b"), F.col("a.g") < F.col("b.g")
     ).select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
-    # ONE fan join instead of two + a union: a du row matches a pair on
-    # exactly one side (ga < gb), so the OR-condition broadcast join
-    # emits the same multiset as the old ea ∪ eb, with the membership
-    # flags computed from which side matched — one pass over du, half
-    # the fan scans. The fan groupBy's partition count is pinned (user
-    # repartition on the grouping keys, exempt from AQE's byte-based
-    # coalescing) because the stage is compute-dense but byte-light —
-    # the count is the session's scale knob, not a local constant.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    fan = du.join(
-        F.broadcast(pairs),
-        (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
-    ).select(
-        "ga",
-        "gb",
-        "key",
-        F.when(F.col("g") == F.col("ga"), 1).otherwise(0).alias("in_a"),
-        F.when(F.col("g") == F.col("gb"), 1).otherwise(0).alias("in_b"),
+    ea = du.withColumnRenamed("g", "ga").join(F.broadcast(pairs), "ga").select(
+        "ga", "gb", "key", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    eb = du.withColumnRenamed("g", "gb").join(F.broadcast(pairs), "gb").select(
+        "ga", "gb", "key", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
     )
     ex = (
-        fan.repartition(n_part, "ga", "gb", "key")
+        ea.unionByName(eb)
         .groupBy("ga", "gb", "key")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
         .groupBy("ga", "gb")
